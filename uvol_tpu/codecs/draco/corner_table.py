@@ -47,7 +47,15 @@ class CornerTable:
 
     def map_corner_to_vertex(self, corner: int, vert: int) -> None:
         self.vertex[corner] = vert
+
+    def set_left_most_corner(self, vert: int, corner: int) -> None:
+        """Explicitly maintained during Edgebreaker decode; the resting
+        value (not a lazy walk) is load-bearing for attribute-vertex
+        splitting (see MeshAttributeCornerTable.recompute_vertices)."""
         self.vertex_corner[vert] = corner
+
+    def make_vertex_isolated(self, vert: int) -> None:
+        self.vertex_corner[vert] = INVALID
 
     def new_vertex(self) -> int:
         v = self.num_vertices
@@ -64,19 +72,11 @@ class CornerTable:
         return INVALID if o == INVALID else previous_corner(o)
 
     def left_most_corner(self, vert: int) -> int:
-        """Walk CCW from the representative corner to the boundary (or any
-        corner if the fan is closed)."""
-        c = int(self.vertex_corner[vert])
-        start = c
-        while True:
-            n = self.swing_left(c)
-            if n == INVALID or n == start:
-                return c
-            c = n
+        return int(self.vertex_corner[vert])
 
-    def corners_around_vertex(self, vert: int) -> List[int]:
+    def corners_around_vertex(self, vert: int, start: Optional[int] = None) -> List[int]:
         """All corners currently mapped to `vert` (walk both directions)."""
-        start = int(self.vertex_corner[vert])
+        start = int(self.vertex_corner[vert]) if start is None else start
         out = [start]
         c = start
         while True:
@@ -120,6 +120,12 @@ class MeshAttributeCornerTable:
         self.corner_to_vertex = np.full(n, INVALID, np.int32)
         self.vertex_to_corner: List[int] = []  # attribute vertex -> one corner
         self.vertex_parent: List[int] = []  # attribute vertex -> position vertex
+        # vertices touching any seam edge (seam edge opposite corner c has
+        # endpoints vertex(next(c)) and vertex(previous(c)))
+        self.is_vertex_on_seam = np.zeros(ct.vertex_corner.shape[0], bool)
+        for c in np.nonzero(self.is_edge_on_seam)[0]:
+            self.is_vertex_on_seam[ct.vertex[next_corner(int(c))]] = True
+            self.is_vertex_on_seam[ct.vertex[previous_corner(int(c))]] = True
         self._recompute()
 
     # seam-aware swings: cannot cross a seam edge
@@ -138,67 +144,40 @@ class MeshAttributeCornerTable:
         return INVALID if o == INVALID else previous_corner(o)
 
     def _recompute(self) -> None:
-        """Group corners into attribute vertices: maximal seam-free fans.
+        """Assign attribute vertices by sweeping each position-vertex's fan.
 
-        Mirrors Draco's RecomputeVertices: for every position vertex, start
-        from the right-most corner of each seam-separated fan and sweep left,
-        assigning one attribute vertex per fan. Deterministic order: corners
-        are processed per position-vertex in increasing vertex id, and fans
-        in sweep order starting from the right-most corner.
+        Matches the Draco decoder's RecomputeVertices semantics exactly:
+        start at the *maintained* left-most corner from the Edgebreaker
+        decode, swing right through the full fan (crossing seams), and open
+        a new attribute vertex at every seam crossing. Note this
+        deliberately reproduces Draco's behavior of not re-merging the
+        first and last segments of a closed seamed fan — the split
+        structure (and therefore the value count) must match the encoder.
         """
         ct = self.ct
         for vert in range(ct.num_vertices):
-            c0 = ct.vertex_corner[vert]
-            if c0 == INVALID:
+            first_c = int(ct.vertex_corner[vert])
+            if first_c == INVALID:
                 continue
-            # find right-most corner (stop if we loop without hitting a seam)
-            c = int(c0)
-            start = c
-            is_closed = False
-            while True:
-                r = self.swing_right(c)
-                if r == INVALID:
-                    break
-                if r == start:
-                    is_closed = True
-                    break
-                c = r
-            first_fan_corner = c
-            # sweep left assigning fans
-            fan_vertex = INVALID
-            c = first_fan_corner
-            while True:
-                if self.corner_to_vertex[c] != INVALID:
-                    break  # done (closed loop)
-                if fan_vertex == INVALID or self._crossed_seam_from_right(c):
+            if self.is_vertex_on_seam[vert]:
+                # find the fan start: swing left (seam-aware) to the seam
+                act_c = self.swing_left(first_c)
+                while act_c != INVALID:
+                    first_c = act_c
+                    act_c = self.swing_left(act_c)
+            fan_vertex = len(self.vertex_to_corner)
+            self.vertex_to_corner.append(first_c)
+            self.vertex_parent.append(vert)
+            self.corner_to_vertex[first_c] = fan_vertex
+            c = ct.swing_right(first_c)
+            while c != INVALID and c != first_c:
+                if self.is_edge_on_seam[next_corner(c)]:
+                    # crossed a seam: new attribute vertex
                     fan_vertex = len(self.vertex_to_corner)
                     self.vertex_to_corner.append(c)
                     self.vertex_parent.append(vert)
                 self.corner_to_vertex[c] = fan_vertex
-                nxt = self.swing_left(c)
-                if nxt == INVALID:
-                    if is_closed and not self.is_edge_on_seam[next_corner(c)]:
-                        pass
-                    # try continuing at the next unassigned fan of this vertex
-                    nxt = self._next_unassigned_corner(vert)
-                    fan_vertex = INVALID
-                    if nxt == INVALID:
-                        break
-                c = nxt
-
-    def _crossed_seam_from_right(self, c: int) -> bool:
-        return False  # fan breaks are handled by swing_left returning INVALID
-
-    def _next_unassigned_corner(self, vert: int) -> int:
-        for c in self.ct.corners_around_vertex(vert):
-            if self.corner_to_vertex[c] == INVALID:
-                # rewind to the right-most unassigned corner of this fan
-                while True:
-                    r = self.swing_right(c)
-                    if r == INVALID or self.corner_to_vertex[r] != INVALID:
-                        return c
-                    c = r
-        return INVALID
+                c = ct.swing_right(c)
 
     @property
     def num_vertices(self) -> int:

@@ -1,0 +1,278 @@
+"""Top-level Draco `.drc` mesh decoder.
+
+Decodes real Draco 2.2 edgebreaker files (the format consumed by the
+reference player through draco_decoder.wasm — src/V2/player.ts:101) into
+point-indexed arrays shaped like the reference's BufferGeometry assembly
+(`src/lib/DRACOLoader.js:189-220`): `faces` indexes points, each attribute
+is an array with one value per point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from uvol_tpu.codecs.buffer import DecoderBuffer
+from uvol_tpu.codecs.draco import constants as K
+from uvol_tpu.codecs.draco.attributes import (
+    GeometricNormalPredictor,
+    TexCoordsPortablePredictor,
+    WrapTransform,
+    decode_difference,
+    decode_parallelogram,
+)
+from uvol_tpu.codecs.draco.corner_table import (
+    INVALID,
+    MeshAttributeCornerTable,
+)
+from uvol_tpu.codecs.draco.edgebreaker import decode_edgebreaker_connectivity
+from uvol_tpu.codecs.draco.traverser import _TableView, traverse_depth_first
+from uvol_tpu.codecs.symbol_coding import (
+    convert_symbols_to_signed,
+    decode_symbols,
+)
+
+
+@dataclasses.dataclass
+class DracoAttribute:
+    attribute_type: int  # POSITION / NORMAL / COLOR / TEX_COORD / GENERIC
+    data_type: int
+    num_components: int
+    normalized: bool
+    unique_id: int
+    values: Optional[np.ndarray] = None  # per attribute-vertex, final dtype
+    corner_to_value: Optional[np.ndarray] = None  # corner -> value index
+
+
+@dataclasses.dataclass
+class DracoMesh:
+    faces: np.ndarray  # [F, 3] point indices
+    attributes: List[DracoAttribute]
+    num_points: int
+
+    def attribute_by_type(self, att_type: int) -> Optional[DracoAttribute]:
+        for a in self.attributes:
+            if a.attribute_type == att_type:
+                return a
+        return None
+
+    def point_attribute(self, att_type: int) -> Optional[np.ndarray]:
+        """Per-point array for an attribute (reference DRACOLoader's
+        GetAttributeDataArrayForAllPoints shape)."""
+        a = self.attribute_by_type(att_type)
+        if a is None:
+            return None
+        return a.values[self._point_value_index(a)]
+
+    def _point_value_index(self, a: DracoAttribute) -> np.ndarray:
+        idx = np.zeros(self.num_points, np.int64)
+        idx[self._point_of_corner] = a.corner_to_value
+        return idx
+
+    # filled by decoder:
+    _point_of_corner: np.ndarray = dataclasses.field(default=None, repr=False)
+
+
+def decode_drc(data: bytes) -> DracoMesh:
+    buf = DecoderBuffer(data)
+    if buf.raw(5) != K.MAGIC:
+        raise ValueError("not a Draco file")
+    major, minor = buf.u8(), buf.u8()
+    if (major, minor) < (2, 2):
+        raise NotImplementedError(f"bitstream {major}.{minor} < 2.2")
+    encoder_type = buf.u8()
+    method = buf.u8()
+    flags = buf.u16()
+    if encoder_type != K.TRIANGULAR_MESH:
+        raise NotImplementedError("point cloud decoding: use point-cloud path")
+    if method != K.MESH_EDGEBREAKER_ENCODING:
+        raise NotImplementedError("sequential mesh encoding")
+    if flags & K.METADATA_FLAG_MASK:
+        _skip_metadata(buf)
+
+    conn = decode_edgebreaker_connectivity(buf)
+    ct = conn.corner_table
+    num_faces = len(ct.faces())
+
+    # ---- attribute decoder headers ----------------------------------------
+    num_decoders = buf.u8()
+    headers = []
+    for _ in range(num_decoders):
+        att_data_id = _i8(buf.u8())
+        decoder_type = buf.u8()
+        traversal = buf.u8()
+        if traversal != K.MESH_TRAVERSAL_DEPTH_FIRST:
+            raise NotImplementedError("prediction-degree traversal")
+        headers.append((int(att_data_id), decoder_type))
+    decoders = []
+    for att_data_id, decoder_type in headers:
+        n_att = buf.varint()
+        attrs = []
+        for _ in range(n_att):
+            att_type = buf.u8()
+            dtype = buf.u8()
+            comps = buf.u8()
+            norm = buf.u8()
+            uid = buf.varint()
+            attrs.append(DracoAttribute(att_type, dtype, comps, bool(norm), uid))
+        seq_types = [buf.u8() for _ in range(n_att)]
+        decoders.append((att_data_id, decoder_type, attrs, seq_types))
+
+    # ---- per-decoder attribute decode -------------------------------------
+    pos_values: Optional[np.ndarray] = None  # portable ints, for predictors
+    pos_vertex_to_data: Optional[np.ndarray] = None
+    all_attributes: List[DracoAttribute] = []
+    corner_maps: List[np.ndarray] = []  # per attribute: corner -> value index
+
+    for att_data_id, decoder_type, attrs, seq_types in decoders:
+        if decoder_type == K.MESH_CORNER_ATTRIBUTE:
+            att_table = MeshAttributeCornerTable(
+                ct, conn.attribute_seam_corners[att_data_id]
+            )
+            view = _TableView(att_table, num_faces)
+            corner_vertex = att_table.corner_to_vertex
+        else:
+            view = _TableView(ct, num_faces)
+            corner_vertex = ct.vertex
+        vertex_to_data, data_to_corner = traverse_depth_first(
+            att_table if decoder_type == K.MESH_CORNER_ATTRIBUTE else ct,
+            num_faces,
+            corner_order=conn.processed_corners,
+        )
+        num_values = len(data_to_corner)
+
+        def pos_for_corner(c, _pv=None):
+            return pos_values[pos_vertex_to_data[ct.vertex[c]]]
+
+        for attr, seq_type in zip(attrs, seq_types):
+            nc = attr.num_components
+            if seq_type in (K.SEQ_INTEGER, K.SEQ_QUANTIZATION):
+                method_b = _i8(buf.u8())
+                transform = None
+                if method_b != K.PREDICTION_NONE:
+                    transform_type = _i8(buf.u8())
+                    if transform_type != K.PREDICTION_TRANSFORM_WRAP:
+                        raise NotImplementedError(
+                            f"transform {transform_type} for integer attrs"
+                        )
+                compressed = buf.u8()
+                if not compressed:
+                    raise NotImplementedError("uncompressed integer attributes")
+                symbols = decode_symbols(num_values * nc, nc, buf)
+                # correction sign convention is per scheme (validated on the
+                # liam corpus histograms): parallelogram/difference use
+                # zigzag-signed corrections, tex-coords-portable uses
+                # positive modular corrections
+                signed = convert_symbols_to_signed(symbols).astype(np.int64)
+                if method_b == K.PREDICTION_NONE:
+                    ints = signed.reshape(num_values, nc)
+                elif method_b == K.PREDICTION_DIFFERENCE:
+                    wrap = WrapTransform(buf)
+                    ints = decode_difference(signed, nc, wrap)
+                elif method_b == K.MESH_PREDICTION_PARALLELOGRAM:
+                    wrap = WrapTransform(buf)
+                    ints = decode_parallelogram(
+                        signed, nc, wrap, view, vertex_to_data, data_to_corner,
+                        adaptive=True,
+                    )
+                elif method_b == K.MESH_PREDICTION_TEX_COORDS_PORTABLE:
+                    pred = TexCoordsPortablePredictor(
+                        buf, view, vertex_to_data, pos_for_corner
+                    )
+                    wrap = WrapTransform(buf)
+                    ints = pred.decode(
+                        symbols.astype(np.int64), wrap, data_to_corner
+                    )
+                else:
+                    raise NotImplementedError(f"prediction method {method_b}")
+
+                if seq_type == K.SEQ_QUANTIZATION:
+                    mins = np.frombuffer(buf.raw(4 * nc), "<f4").astype(np.float64)
+                    rng = float(np.frombuffer(buf.raw(4), "<f4")[0])
+                    qbits = buf.u8()
+                    delta = rng / ((1 << qbits) - 1)
+                    attr.values = (mins + ints * delta).astype(np.float32)
+                else:
+                    attr.values = ints
+                if attr.attribute_type == K.ATT_POSITION:
+                    pos_values = ints
+                    pos_vertex_to_data = vertex_to_data
+
+            elif seq_type == K.SEQ_NORMALS:
+                method_b = _i8(buf.u8())
+                transform_type = _i8(buf.u8())
+                if (
+                    method_b != K.MESH_PREDICTION_GEOMETRIC_NORMAL
+                    or transform_type
+                    != K.PREDICTION_TRANSFORM_NORMAL_OCTAHEDRON_CANONICALIZED
+                ):
+                    raise NotImplementedError(
+                        f"normals method {method_b} transform {transform_type}"
+                    )
+                compressed = buf.u8()
+                if not compressed:
+                    raise NotImplementedError("uncompressed normals")
+                symbols = decode_symbols(num_values * 2, 2, buf)
+                pred = GeometricNormalPredictor(buf, view, pos_for_corner)
+                st = pred.decode(symbols, data_to_corner)
+                qbits = buf.u8()  # DecodeDataNeededByPortableTransform
+                tb = pred.transform.tool
+                out = np.zeros((num_values, 3), np.float32)
+                for i in range(num_values):
+                    out[i] = tb.quantized_octahedral_coords_to_unit_vector(
+                        int(st[i, 0]), int(st[i, 1])
+                    )
+                attr.values = out
+            else:
+                raise NotImplementedError(f"sequential decoder type {seq_type}")
+
+            attr.corner_to_value = vertex_to_data[corner_vertex[: 3 * num_faces]]
+            all_attributes.append(attr)
+            corner_maps.append(attr.corner_to_value)
+
+    # ---- assemble points ---------------------------------------------------
+    keys = np.stack(corner_maps, axis=1)  # [num_corners, num_attributes]
+    uniq, point_of_corner = np.unique(keys, axis=0, return_inverse=True)
+    # renumber points by first appearance (corner order), like Draco
+    first_seen = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first_seen, point_of_corner, np.arange(len(point_of_corner)))
+    order = np.argsort(first_seen, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(len(order))
+    point_of_corner = rank[point_of_corner]
+    num_points = len(uniq)
+
+    faces = point_of_corner.reshape(-1, 3).astype(np.int32)
+    mesh = DracoMesh(faces=faces, attributes=all_attributes, num_points=num_points)
+    mesh._point_of_corner = point_of_corner
+    if buf.remaining() != 0:
+        raise ValueError(f"{buf.remaining()} undecoded bytes at end of stream")
+    return mesh
+
+
+def _i8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _skip_metadata(buf: DecoderBuffer) -> None:
+    """Metadata section (flags bit 15). Attribute + file metadata entries."""
+    num_att_metadata = buf.varint()
+    for _ in range(num_att_metadata):
+        buf.varint()  # attribute id
+        _skip_single_metadata(buf)
+    _skip_single_metadata(buf)
+
+
+def _skip_single_metadata(buf: DecoderBuffer) -> None:
+    num_entries = buf.varint()
+    for _ in range(num_entries):
+        for _ in range(2):  # key, value
+            n = buf.u8()
+            buf.raw(n)
+    num_sub = buf.varint()
+    for _ in range(num_sub):
+        n = buf.u8()
+        buf.raw(n)
+        _skip_single_metadata(buf)

@@ -57,6 +57,9 @@ class EdgebreakerConnectivity:
     num_vertices: int
     attribute_seam_corners: List[np.ndarray]  # per attribute-data
     num_attribute_data: int
+    #: tip corners of faces in reverse decode order (encoder traversal
+    #: order); attribute traversals must seed from these, in order
+    processed_corners: List[int] = dataclasses.field(default_factory=list)
 
 
 class _ValenceTraversal:
@@ -184,21 +187,13 @@ def decode_edgebreaker_connectivity(
     opp = ct.opposite
     vert = ct.vertex
 
-    def decode_seams_for_new_face(corner: int) -> None:
-        """For each edge of the new face already attached to an existing
-        face, decode one seam bit per attribute (encoder emits them in the
-        same order)."""
-        for c in (corner, corner + 1, corner + 2):
-            if opp[c] != INVALID:
-                for i, dec in enumerate(traversal.seam_decoders):
-                    if dec.decode_bit():
-                        seam_corners[i].append(c)
-                        seam_corners[i].append(int(opp[c]))
 
+    processed_corners: List[int] = []
     num_symbols = num_encoded_symbols
     for symbol_id in range(num_symbols):
         symbol = traversal.decode_symbol()
         corner = 3 * symbol_id  # one face per symbol
+        processed_corners.append(corner)
         check_topology_split = False
 
         if symbol == TOPOLOGY_C:
@@ -214,26 +209,24 @@ def decode_edgebreaker_connectivity(
             ct.map_corner_to_vertex(corner, vertex_x)
             ct.map_corner_to_vertex(corner + 1, vert_b_next)
             ct.map_corner_to_vertex(corner + 2, vert_a_prev)
+            ct.set_left_most_corner(vert_a_prev, corner + 2)
             is_vert_hole[vertex_x] = False
             active_corner_stack[-1] = corner
 
         elif symbol == TOPOLOGY_R or symbol == TOPOLOGY_L:
             corner_a = active_corner_stack[-1]
             if symbol == TOPOLOGY_R:
-                opp_corner = corner + 2
-                # vertices per orientation rule
-                ct.set_opposite(corner_a, opp_corner)
-                new_vert = ct.new_vertex()
-                ct.map_corner_to_vertex(corner, int(vert[previous_corner(corner_a)]))
-                ct.map_corner_to_vertex(corner + 1, int(vert[next_corner(corner_a)]))
-                ct.map_corner_to_vertex(opp_corner, new_vert)
+                opp_corner, corner_l, corner_r = corner + 2, corner + 1, corner
             else:
-                opp_corner = corner + 1
-                ct.set_opposite(corner_a, opp_corner)
-                new_vert = ct.new_vertex()
-                ct.map_corner_to_vertex(corner, int(vert[next_corner(corner_a)]))
-                ct.map_corner_to_vertex(corner + 2, int(vert[previous_corner(corner_a)]))
-                ct.map_corner_to_vertex(opp_corner, new_vert)
+                opp_corner, corner_l, corner_r = corner + 1, corner, corner + 2
+            ct.set_opposite(corner_a, opp_corner)
+            new_vert = ct.new_vertex()
+            ct.map_corner_to_vertex(opp_corner, new_vert)
+            ct.set_left_most_corner(new_vert, opp_corner)
+            vertex_r = int(vert[previous_corner(corner_a)])
+            ct.map_corner_to_vertex(corner_r, vertex_r)
+            ct.set_left_most_corner(vertex_r, corner_r)
+            ct.map_corner_to_vertex(corner_l, int(vert[next_corner(corner_a)]))
             active_corner_stack[-1] = corner
             check_topology_split = True
 
@@ -242,6 +235,9 @@ def decode_edgebreaker_connectivity(
             ct.map_corner_to_vertex(corner, v0)
             ct.map_corner_to_vertex(corner + 1, v1)
             ct.map_corner_to_vertex(corner + 2, v2)
+            ct.set_left_most_corner(v0, corner)
+            ct.set_left_most_corner(v1, corner + 1)
+            ct.set_left_most_corner(v2, corner + 2)
             active_corner_stack.append(corner)
             check_topology_split = True
 
@@ -259,14 +255,20 @@ def decode_edgebreaker_connectivity(
             vertex_q = int(vert[next_corner(corner_b)])
             if vertex_p == vertex_q:
                 raise ValueError(f"degenerate S merge at {symbol_id}")
-            # remap all corners of q to p
-            for c in ct.corners_around_vertex(vertex_q):
+            # remap all corners of q to p: sweep right from q's left-most
+            first_q_corner = ct.left_most_corner(vertex_q)
+            c = first_q_corner
+            while c != INVALID:
                 vert[c] = vertex_p
+                c = ct.swing_right(c)
             ct.set_opposite(corner_a, corner + 2)
             ct.set_opposite(corner_b, corner + 1)
             ct.map_corner_to_vertex(corner, vertex_p)
             ct.map_corner_to_vertex(corner + 1, int(vert[next_corner(corner_a)]))
             ct.map_corner_to_vertex(corner + 2, int(vert[previous_corner(corner_b)]))
+            # merged fan's left end comes from q's old fan
+            ct.set_left_most_corner(vertex_p, first_q_corner)
+            ct.make_vertex_isolated(vertex_q)
             vertex_alias[vertex_q] = vertex_p
             vertex_valences[vertex_p] += vertex_valences[vertex_q]
             is_vert_hole[vertex_q] = False
@@ -311,8 +313,6 @@ def decode_edgebreaker_connectivity(
             clamped = min(max(active_valence, MIN_VALENCE), MAX_VALENCE)
             traversal.active_context = clamped - MIN_VALENCE
 
-        # attribute seams for edges attached by this face
-        decode_seams_for_new_face(corner)
 
     if not valence_mode:
         traversal.finish_symbols(buf)
@@ -336,6 +336,7 @@ def decode_edgebreaker_connectivity(
                 corner_c = next_corner(opp[corner_c])
             face_corner = 3 * num_decoded_faces
             num_decoded_faces += 1
+            processed_corners.append(face_corner)
             if face_corner + 2 >= ct.num_corners:
                 raise ValueError("face overflow at init face")
             # new corners x_a ↔ corner_a, x_b ↔ corner_c, x_c ↔ corner_b
@@ -359,7 +360,6 @@ def decode_edgebreaker_connectivity(
                     raise ValueError("init face orientation mismatch")
             for v in (vert_n_b, vert_n_c, vert_n_a):
                 is_vert_hole[v] = False
-            decode_seams_for_new_face(face_corner)
         # hole config: boundary stays open, nothing to add
 
     if num_decoded_faces != num_faces:
@@ -367,6 +367,19 @@ def decode_edgebreaker_connectivity(
     for i, n in enumerate(traversal.context_counters if valence_mode else []):
         if n != 0:
             raise ValueError(f"context {i} has {n} unconsumed symbols")
+
+    # Attribute seam decode: a separate pass over faces in index order.
+    # An edge's seam bits are consumed at the lower-indexed face of its two
+    # faces (the opposite face is "not yet visited" by this pass), one bit
+    # per attribute-data, corners in (c, next, prev) order.
+    for f in range(num_faces):
+        for c in (3 * f, 3 * f + 1, 3 * f + 2):
+            o = opp[c]
+            if o != INVALID and o // 3 > f:
+                for i, dec in enumerate(traversal.seam_decoders):
+                    if dec.decode_bit():
+                        seam_corners[i].append(c)
+                        seam_corners[i].append(int(o))
 
     # final boundary edges are seams for every attribute
     final_seams = [np.asarray(s, np.int64) for s in seam_corners]
@@ -379,10 +392,12 @@ def decode_edgebreaker_connectivity(
     remap = np.full(ct.vertex_corner.shape[0], INVALID, np.int32)
     remap[used] = np.arange(len(used), dtype=np.int32)
 
+    processed_corners.reverse()  # encoder traversal order
     return EdgebreakerConnectivity(
         corner_table=ct,
         vertex_remap=remap,
         num_vertices=len(used),
         attribute_seam_corners=final_seams,
         num_attribute_data=num_attribute_data,
+        processed_corners=processed_corners,
     )
