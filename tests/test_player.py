@@ -1,0 +1,269 @@
+"""Player scheduling tests with a virtual clock and scripted decoders
+(SURVEY.md §4: player scheduling simulation tests)."""
+
+import numpy as np
+import pytest
+
+from uvol_tpu.interfaces import PlayMode, parse_manifest
+from uvol_tpu.player import (
+    PlaybackClock,
+    Player,
+    V1RequestPacer,
+    V2Player,
+    VirtualClock,
+    eviction_thresholds,
+    get_current_frame,
+    plan_prefetch,
+    PrefetchState,
+)
+from uvol_tpu.player.v1 import V1Player, decode_baked_frame_number
+
+
+def _manifest_dict(frame_count=250, seq_size=5, seq_count=50):
+    return {
+        "version": "v2",
+        "geometry": {
+            "targets": {"draco": {"frameRate": 30, "frameCount": frame_count,
+                                  "format": "draco"}},
+            "path": "output/geometry_[target]/[#####][ext]",
+        },
+        "texture": {
+            "targets": {
+                "tex": {
+                    "format": "ktx2", "frameRate": 30,
+                    "resolution": [1024, 1024],
+                    "sequenceSize": seq_size, "sequenceCount": seq_count,
+                    "type": "baseColor", "tag": "default",
+                }
+            },
+            "path": "output/texture_[target]_[type]_[tag]/[#####][ext]",
+        },
+    }
+
+
+def test_get_current_frame_matches_js_round():
+    assert get_current_frame(30, 0.0) == 0
+    assert get_current_frame(30, 1.0) == 30
+    assert get_current_frame(30, 0.0499) == 1  # 1.497 -> round 1
+    assert get_current_frame(30, 0.05) == 2  # 1.5 rounds up (JS Math.round)
+
+
+def test_plan_prefetch_leaky_bucket():
+    st = PrefetchState()
+    plan = plan_prefetch(
+        st, current_time=0.0, geometry_frame_rate=30, geometry_frame_count=250,
+        texture_frame_rate=30, texture_sequence_size=5, texture_sequence_count=50,
+        buffer_duration=4,
+    )
+    # 4 seconds of buffer: frames 0..120, segments 0..24
+    assert plan.geometry_frames == list(range(0, 121))
+    assert plan.texture_segments == list(range(0, 25))
+    # second call at same time: cursors monotonic, nothing new
+    plan2 = plan_prefetch(
+        st, current_time=0.0, geometry_frame_rate=30, geometry_frame_count=250,
+        texture_frame_rate=30, texture_sequence_size=5, texture_sequence_count=50,
+        buffer_duration=4,
+    )
+    assert plan2.geometry_frames == [] and plan2.texture_segments == []
+    # 2 seconds later: window advances
+    plan3 = plan_prefetch(
+        st, current_time=2.0, geometry_frame_rate=30, geometry_frame_count=250,
+        texture_frame_rate=30, texture_sequence_size=5, texture_sequence_count=50,
+        buffer_duration=4,
+    )
+    assert plan3.geometry_frames[0] == 121
+    assert plan3.geometry_frames[-1] == 180  # 60 + 4*30 clamped to 249
+
+
+def test_plan_prefetch_clamps_at_track_end():
+    st = PrefetchState()
+    plan = plan_prefetch(
+        st, current_time=7.9, geometry_frame_rate=30, geometry_frame_count=250,
+        texture_frame_rate=30, texture_sequence_size=5, texture_sequence_count=50,
+        buffer_duration=4,
+    )
+    assert plan.geometry_frames[-1] == 249
+    assert plan.texture_segments[-1] == 49
+    # cursor parked at the end: no further requests ever
+    plan2 = plan_prefetch(
+        st, current_time=8.5, geometry_frame_rate=30, geometry_frame_count=250,
+        texture_frame_rate=30, texture_sequence_size=5, texture_sequence_count=50,
+        buffer_duration=4,
+    )
+    assert plan2.geometry_frames == [] and plan2.texture_segments == []
+
+
+def _make_v2_player(vc, decoded_log):
+    def fetcher(url):
+        return url.encode()
+
+    def geo_dec(data):
+        decoded_log.append(data.decode())
+        return {"url": data.decode()}
+
+    def tex_dec(data):
+        return {"url": data.decode()}
+
+    clock = PlaybackClock(now=vc)
+    return V2Player(
+        fetcher=fetcher, geometry_decoder=geo_dec, texture_decoder=tex_dec,
+        clock=clock,
+    )
+
+
+def test_v2_player_full_playback_virtual_clock():
+    vc = VirtualClock()
+    log = []
+    shown = []
+    p = _make_v2_player(vc, log)
+    p.on_frame_show = shown.append
+    m = parse_manifest(_manifest_dict())
+    p.play_track(m, "/data/liam.uvol.json")
+    assert len(p.mesh_map) == 121 and len(p.texture_map) == 25
+
+    # simulate the rAF loop + 2s fetch interval for the whole 8.3s track
+    ended = []
+    p.on_track_end = lambda: ended.append(True)
+    t, next_fetch = 0.0, 2.0
+    ok_frames = 0
+    while not ended:
+        vc.advance(1 / 60)
+        t += 1 / 60
+        if t >= next_fetch:
+            p.fetch_buffers()
+            next_fetch += 2.0
+        r = p.update()
+        if r.status == "ok":
+            ok_frames += 1
+            # layer offset must equal frame % sequenceSize
+            assert r.texture_layer == get_current_frame(30, p.current_time) % 5
+        if t > 20:
+            pytest.fail("track never ended")
+    assert ok_frames > 400  # ~8.3s * 60Hz ticks with data
+    # eviction kept maps bounded
+    assert len(p.mesh_map) == 0 or max(p.mesh_map) <= 250
+
+
+def test_v2_player_fail_material_on_missing_texture():
+    vc = VirtualClock()
+    p = _make_v2_player(vc, [])
+    m = parse_manifest(_manifest_dict())
+    p.play_track(m, "/data/x.uvol.json")
+    p.texture_map.clear()  # drop textures → failMaterial path
+    vc.advance(0.5)
+    r = p.update()
+    assert r.status == "fail-material"
+    assert r.geometry is not None
+    # and missing geometry → skipped
+    p.mesh_map.clear()
+    r = p.update()
+    assert r.status == "skipped"
+
+
+def test_v2_target_selection_prefers_supported_high_priority():
+    d = _manifest_dict()
+    d["texture"]["targets"]["etc"] = dict(
+        d["texture"]["targets"]["tex"], format="etc2"
+    )
+    vc = VirtualClock()
+    p = _make_v2_player(vc, [])
+    m = parse_manifest(d)
+    p.play_track(m, "/x.json")
+    assert p.texture_target == "etc"  # etc2 priority 1 > ktx2 priority 0
+
+
+def test_v1_pacer_limits():
+    pacer = V1RequestPacer(target_frames_to_request=90, frame_count=500)
+    r1 = pacer.next_range(0)
+    r2 = pacer.next_range(0)
+    r3 = pacer.next_range(0)
+    assert r1 == (0, 89) and r2 == (90, 179) and r3 == (180, 269)
+    assert pacer.next_range(0) is None  # 3 in flight
+    pacer.on_response()
+    assert pacer.next_range(1000) is None  # buffer full (>5×90)
+    assert pacer.next_range(200) == (270, 359)
+    assert not pacer.can_start_playback(100)
+    assert pacer.can_start_playback(270)
+
+
+def test_v1_player_with_virtual_assets():
+    # build a fake drcs: payload per frame is its frame number as bytes
+    from uvol_tpu.containers.drcs import DrcsWriter
+
+    w = DrcsWriter(frame_rate=30)
+    for i in range(120):
+        w.add_frame(str(i).encode().ljust(8, b"_"), vertices=10, faces=5)
+    blob = w.getvalue()
+    manifest = w.manifest
+
+    vc = VirtualClock()
+    p = V1Player(
+        range_fetcher=lambda url, s, e: blob[s:e],
+        geometry_decoder=lambda b: b.rstrip(b"_").decode(),
+        clock=PlaybackClock(now=vc),
+        target_frames_to_request=30,
+    )
+    p.play_track(manifest, 30, "/data/track.manifest")
+    r = p.update()
+    assert r.status in ("ok", "buffering", "skipped")
+    vc.advance(1.0)
+    r = p.update()
+    assert r.status == "ok"
+    assert r.geometry == str(r.frame)
+    # run to the end
+    vc.advance(5.0)
+    r = p.update()
+    assert r.status == "ended"
+
+
+def test_baked_frame_counter_roundtrip():
+    from uvol_tpu.player.v1 import bake_frame_number
+
+    size, window, length = 1024, 8, 16
+    for number in (0, 1, 255, 1234, 65533):
+        img = np.full((size, size, 3), 90, np.uint8)
+        baked = bake_frame_number(
+            img, number, encoder_window_size=window, encoder_byte_length=length
+        )
+        got = decode_baked_frame_number(
+            baked, encoder_window_size=window, encoder_byte_length=length
+        )
+        assert got == number
+
+
+def test_facade_play_modes():
+    fetched = []
+
+    def fetcher(url):
+        fetched.append(url)
+        import json
+
+        return json.dumps(_manifest_dict()).encode()
+
+    stubs = dict(geometry_decoder=lambda b: b, texture_decoder=lambda b: b)
+    p = Player(play_mode=PlayMode.loop, paths=["/a.json", "/b.json"],
+               fetcher=fetcher, v2_player_kwargs=stubs)
+    p.set_track_path()
+    assert p.current_track == 0
+    assert p.is_v2
+    # track end advances to next in loop mode
+    p._on_track_end()
+    assert p.current_track == 1
+    p._on_track_end()
+    assert p.current_track == 0  # wrapped
+
+    # singleloop stays
+    p2 = Player(play_mode=PlayMode.singleloop, paths=["/a.json"], fetcher=fetcher,
+                v2_player_kwargs=stubs)
+    p2.set_track_path()
+    p2._on_track_end()
+    assert p2.current_track == 0
+
+    # unmanaged requires and calls back
+    ends = []
+    p3 = Player(play_mode=PlayMode.unmanaged, on_track_end=lambda: ends.append(1),
+                fetcher=fetcher, v2_player_kwargs=stubs)
+    p3.set_track_path("/x.json")
+    p3._on_track_end()
+    assert ends == [1]
+    assert p3.stopped

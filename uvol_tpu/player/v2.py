@@ -1,0 +1,325 @@
+"""Headless UVOL 2.0 streaming player.
+
+Behavioral port of the reference V2 player (src/V2/player.ts): manifest-
+driven leaky-bucket prefetch of `.drc` frames + `.ktx2` segments, audio- or
+wall-clock sync, geometry/texture frame-rate reconciliation, array-texture
+layer indexing (`offset = frame % sequenceSize`, :446), buffer eviction and
+fail-material degradation (:435-444). Rendering is replaced by a
+`FrameResult` value the host app (or test) consumes; decode is pluggable —
+the defaults use the TPU decode paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Optional
+
+from uvol_tpu.interfaces import (
+    FORMATS_TO_EXT,
+    TEXTURE_FORMAT_PRIORITY,
+    V2Schema,
+)
+from uvol_tpu.player.clock import PlaybackClock
+from uvol_tpu.player.scheduler import (
+    PrefetchState,
+    eviction_thresholds,
+    get_current_frame,
+    plan_prefetch,
+)
+from uvol_tpu.utils.paths import count_hash_char, expand_template, get_absolute_url
+
+
+def default_fetcher(url: str) -> bytes:
+    if url.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        with urlopen(url) as r:  # noqa: S310 - explicit user-provided URL
+            return r.read()
+    with open(url, "rb") as f:
+        return f.read()
+
+
+_CODEC_CACHE: Dict[str, Any] = {}
+
+
+def default_geometry_decoder(data: bytes):
+    from uvol_tpu.codecs.draco.decoder import decode_drc
+    from uvol_tpu.models.sequence import UVTG_MAGIC
+
+    if data[:4] == UVTG_MAGIC:
+        from uvol_tpu.models.sequence import GeometrySequenceCodec
+
+        codec = _CODEC_CACHE.setdefault("uvtg", GeometrySequenceCodec())
+        return codec.decode([data])
+    return decode_drc(data)
+
+
+def default_texture_decoder(data: bytes):
+    from uvol_tpu.containers.ktx2 import (
+        SUPERCOMPRESSION_BASISLZ,
+        read_ktx2,
+    )
+
+    f = read_ktx2(data)
+    if f.header.supercompression_scheme == SUPERCOMPRESSION_BASISLZ:
+        from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+
+        return transcode_ktx2_etc1s(f)
+    from uvol_tpu.models.sequence import TextureSequenceCodec
+
+    codec = _CODEC_CACHE.setdefault("etc", TextureSequenceCodec())
+    return codec.decode_segment(f)
+
+
+@dataclasses.dataclass
+class FrameResult:
+    """What `update()` would render this tick."""
+
+    status: str  # 'buffering' | 'ended' | 'skipped' | 'fail-material' | 'ok'
+    geometry_frame: Optional[int] = None
+    texture_segment: Optional[int] = None
+    texture_layer: Optional[int] = None  # offset into the array texture
+    geometry: Any = None
+    texture: Any = None
+    buffering_progress: Optional[float] = None
+
+
+class V2Player:
+    def __init__(
+        self,
+        *,
+        fetcher: Callable[[str], bytes] = default_fetcher,
+        geometry_decoder: Callable[[bytes], Any] = default_geometry_decoder,
+        texture_decoder: Callable[[bytes], Any] = default_texture_decoder,
+        on_mesh_buffering=None,
+        on_frame_show=None,
+        on_track_end=None,
+        audio: Any = None,  # object with .current_time/.ended/.play()
+        clock: Optional[PlaybackClock] = None,
+        supported_texture_formats=("ktx2", "etc2", "mp4"),
+    ) -> None:
+        self.buffer_duration = 4.0  # reference defaults (src/V2/player.ts:50-51)
+        self.interval_duration = 2.0
+        self.fetcher = fetcher
+        self.geometry_decoder = geometry_decoder
+        self.texture_decoder = texture_decoder
+        self.on_mesh_buffering = on_mesh_buffering
+        self.on_frame_show = on_frame_show
+        self.on_track_end = on_track_end
+        self.audio = audio
+        self.clock = clock or PlaybackClock()
+        self.supported_texture_formats = supported_texture_formats
+
+        self.manifest: Optional[V2Schema] = None
+        self.manifest_path = ""
+        self.mesh_map: Dict[int, Any] = {}
+        self.texture_map: Dict[int, Any] = {}
+        self._prefetch = PrefetchState()
+        self._ended = False
+        self.geometry_target = ""
+        self.texture_target = ""
+        self.texture_type = "baseColor"
+        self.texture_tag = "default"
+
+    # -- target selection (src/V2/player.ts:207-222) -------------------------
+    def _select_targets(self) -> None:
+        m = self.manifest
+        self.geometry_target = next(iter(m.geometry.targets))
+        self.texture_target = next(iter(m.texture.targets))
+        names = sorted(
+            m.texture.targets,
+            key=lambda t: TEXTURE_FORMAT_PRIORITY.get(
+                m.texture.targets[t].format, -1
+            ),
+            reverse=True,
+        )
+        for name in names:
+            if m.texture.targets[name].format in self.supported_texture_formats:
+                self.texture_target = name
+                break
+
+    # -- URLs (src/V2/player.ts:141-174) -------------------------------------
+    def geometry_url(self, frame: int) -> str:
+        m = self.manifest
+        t = m.geometry.targets[self.geometry_target]
+        path = expand_template(
+            m.geometry.path,
+            index=frame,
+            target=self.geometry_target,
+            ext=FORMATS_TO_EXT[t.format],
+        )
+        return get_absolute_url(self.manifest_path, path)
+
+    def texture_url(self, segment: int) -> str:
+        m = self.manifest
+        t = m.texture.targets[self.texture_target]
+        ttype = t.type if isinstance(t.type, str) else t.type[0]
+        path = expand_template(
+            m.texture.path,
+            index=segment,
+            target=self.texture_target,
+            type=ttype,
+            tag=t.tag or "default",
+        )
+        path = path.replace("[ext]", FORMATS_TO_EXT[t.format])
+        return get_absolute_url(self.manifest_path, path)
+
+    # -- lifecycle -----------------------------------------------------------
+    def play_track(
+        self,
+        manifest: V2Schema,
+        manifest_path: str,
+        buffer_duration: Optional[float] = None,
+        interval_duration: Optional[float] = None,
+    ) -> None:
+        self.manifest = manifest
+        self.manifest_path = manifest_path
+        self._select_targets()
+        if buffer_duration:
+            self.buffer_duration = buffer_duration
+        if interval_duration:
+            self.interval_duration = interval_duration
+        self._prefetch = PrefetchState()
+        self._ended = False
+        self.mesh_map.clear()
+        self.texture_map.clear()
+        self.fetch_buffers()
+        self.start_video()
+
+    def start_video(self) -> None:
+        if self.audio is not None:
+            self.audio.play()
+        else:
+            self.clock.start()
+
+    def pause(self) -> None:
+        if self.audio is not None:
+            self.audio.pause()
+        else:
+            self.clock.pause()
+
+    def play(self) -> None:
+        if self.audio is not None:
+            self.audio.play()
+        else:
+            self.clock.play()
+
+    @property
+    def paused(self) -> bool:
+        if self.audio is not None:
+            return self.audio.paused
+        return self.clock.is_paused
+
+    @property
+    def current_time(self) -> float:
+        if self.audio is not None:
+            return self.audio.current_time
+        return self.clock.current_time
+
+    # -- prefetch + decode (src/V2/player.ts:272-366) ------------------------
+    def fetch_buffers(self) -> None:
+        m = self.manifest
+        g = m.geometry.targets[self.geometry_target]
+        t = m.texture.targets[self.texture_target]
+        plan = plan_prefetch(
+            self._prefetch,
+            current_time=self.current_time,
+            geometry_frame_rate=g.frameRate,
+            geometry_frame_count=g.frameCount,
+            texture_frame_rate=t.frameRate,
+            texture_sequence_size=t.sequenceSize,
+            texture_sequence_count=t.sequenceCount,
+            buffer_duration=self.buffer_duration,
+        )
+        for frame in plan.geometry_frames:
+            self.mesh_map[frame] = self.geometry_decoder(
+                self.fetcher(self.geometry_url(frame))
+            )
+        for segment in plan.texture_segments:
+            self.texture_map[segment] = self.texture_decoder(
+                self.fetcher(self.texture_url(segment))
+            )
+
+    # -- per-tick processing (src/V2/player.ts:388-531) ----------------------
+    def process_frame(self) -> FrameResult:
+        if self.manifest is None:
+            return FrameResult("buffering", buffering_progress=0.0)
+        m = self.manifest
+        g = m.geometry.targets[self.geometry_target]
+        t = m.texture.targets[self.texture_target]
+
+        if self.audio is not None and getattr(self.audio, "ended", False):
+            self._ended = True
+            if self.on_track_end:
+                self.on_track_end()
+            return FrameResult("ended")
+
+        if self.paused:
+            progress = len(self.mesh_map) / (g.frameRate * self.buffer_duration)
+            if self.on_mesh_buffering:
+                self.on_mesh_buffering(progress)
+            return FrameResult("buffering", buffering_progress=progress)
+
+        now = self.current_time
+        geometry_frame = get_current_frame(g.frameRate, now)
+        texture_frame = get_current_frame(t.frameRate, now)
+        texture_segment = texture_frame // t.sequenceSize
+
+        if geometry_frame >= g.frameCount:
+            self._ended = True
+            self.dispose()
+            if self.on_track_end:
+                self.on_track_end()
+            return FrameResult("ended")
+
+        # geometry prioritized over texture (reference comment :429-433)
+        if geometry_frame not in self.mesh_map:
+            return FrameResult("skipped", geometry_frame=geometry_frame)
+
+        if texture_segment not in self.texture_map:
+            if self.on_frame_show:
+                self.on_frame_show(geometry_frame)
+            return FrameResult(
+                "fail-material",
+                geometry_frame=geometry_frame,
+                geometry=self.mesh_map[geometry_frame],
+            )
+
+        offset = texture_frame % t.sequenceSize
+        if self.on_frame_show:
+            self.on_frame_show(geometry_frame)
+        return FrameResult(
+            "ok",
+            geometry_frame=geometry_frame,
+            texture_segment=texture_segment,
+            texture_layer=offset,
+            geometry=self.mesh_map[geometry_frame],
+            texture=self.texture_map[texture_segment],
+        )
+
+    def update(self) -> FrameResult:
+        result = self.process_frame()
+        if self.manifest is None or self._ended:
+            return result
+        m = self.manifest
+        g = m.geometry.targets[self.geometry_target]
+        t = m.texture.targets[self.texture_target]
+        geo_min, tex_min = eviction_thresholds(
+            current_time=self.current_time,
+            geometry_frame_rate=g.frameRate,
+            texture_frame_rate=t.frameRate,
+            texture_sequence_size=t.sequenceSize,
+        )
+        self.remove_played_buffers(geo_min, tex_min)
+        return result
+
+    def remove_played_buffers(self, frame_no: int, segment_no: int) -> None:
+        for k in [k for k in self.mesh_map if k < frame_no]:
+            del self.mesh_map[k]
+        for k in [k for k in self.texture_map if k < segment_no]:
+            del self.texture_map[k]
+
+    def dispose(self) -> None:
+        self.mesh_map.clear()
+        self.texture_map.clear()
