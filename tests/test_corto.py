@@ -1,0 +1,131 @@
+"""Corto codec tests: format fidelity + roundtrips (UVOL 1.0 geometry)."""
+
+import numpy as np
+import pytest
+
+from uvol_tpu.codecs.corto import decode_crt, encode_crt
+from uvol_tpu.codecs.corto.bitstream import BitReader, BitWriter
+from uvol_tpu.codecs.corto.stream import CortoInStream, CortoOutStream
+from uvol_tpu.codecs.corto import tunstall
+
+
+def _grid_mesh(W=16):
+    xx, yy = np.mgrid[0:W, 0:W]
+    pos = np.stack(
+        [xx.ravel() * 0.1, yy.ravel() * 0.1,
+         (xx.ravel() * 7 + yy.ravel() * 13) * 0.001], -1
+    ).astype(np.float32)
+    faces = []
+    for y in range(W - 1):
+        for x in range(W - 1):
+            i = y * W + x
+            faces.append([i, i + 1, i + W])
+            faces.append([i + 1, i + W + 1, i + W])
+    return pos, np.asarray(faces, np.int64)
+
+
+def test_bitstream_roundtrip():
+    bw = BitWriter()
+    vals = [(5, 3), (0x1FFFF, 17), (1, 1), (0xFFFFFFFF, 32), (0, 5), (123, 10)]
+    for v, n in vals:
+        bw.write(v, n)
+    data = bw.getvalue()
+    assert len(data) % 4 == 0
+    br = BitReader(np.frombuffer(data, "<u4"))
+    for v, n in vals:
+        assert br.read(n) == v & ((1 << n) - 1)
+
+
+def test_tunstall_roundtrip():
+    r = np.random.default_rng(0)
+    for dist in (
+        np.minimum(r.geometric(0.3, 5000) - 1, 20),  # skewed
+        r.integers(0, 4, 2000),  # small alphabet
+        np.zeros(1000, int),  # single symbol
+        np.minimum(r.geometric(0.02, 3000) - 1, 200),  # low entropy path
+    ):
+        data = dist.astype(np.uint8)
+        probs = tunstall.get_probabilities(data)
+        comp = tunstall.compress(data, probs)
+        out = tunstall.decompress(comp, probs, len(data))
+        np.testing.assert_array_equal(out, data)
+
+
+def test_stream_value_coders():
+    r = np.random.default_rng(1)
+    out = CortoOutStream()
+    arr = (r.standard_normal((500, 3)) * 40).astype(np.int64)
+    vals = (r.standard_normal((500, 2)) * 15).astype(np.int64)
+    diffs = (r.standard_normal(700) * 9).astype(np.int64)
+    idx = r.integers(0, 1000, 300)
+    out.encode_array(arr, 3)
+    out.encode_values(vals, 2)
+    out.encode_diffs(diffs)
+    out.encode_indices(idx)
+    s = CortoInStream(out.getvalue())
+    np.testing.assert_array_equal(s.decode_array(3, 500), arr)
+    np.testing.assert_array_equal(s.decode_values(2, 500), vals)
+    np.testing.assert_array_equal(s.decode_diffs(700), diffs)
+    np.testing.assert_array_equal(s.decode_indices(300), idx)
+    assert s.pos == len(out.getvalue())
+
+
+def test_crt_roundtrip_connectivity_exact():
+    pos, faces = _grid_mesh()
+    blob = encode_crt(pos, faces)
+    mesh = decode_crt(blob)
+    assert mesh.nvert == len(pos) and mesh.nface == len(faces)
+    dec = mesh.attributes["position"]
+    # vertex mapping by nearest (all distinct)
+    from scipy.spatial import cKDTree
+
+    d, idx = cKDTree(pos).query(dec)
+    step = float(np.linalg.norm(pos.max(0) - pos.min(0))) / (1 << 12)
+    assert d.max() <= step * 2
+    assert len(set(idx)) == len(idx)
+    mapped = idx[mesh.faces]
+    src = {tuple(np.roll(f, -np.argmin(f))) for f in faces}
+    got = {tuple(np.roll(f, -np.argmin(f))) for f in mapped}
+    assert src == got  # exact connectivity incl. orientation
+
+
+def test_crt_attributes_roundtrip():
+    pos, faces = _grid_mesh(10)
+    n = len(pos)
+    r = np.random.default_rng(2)
+    uv = r.uniform(0, 1, (n, 2)).astype(np.float32)
+    nrm = r.normal(size=(n, 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    col = r.integers(0, 256, (n, 4))
+    blob = encode_crt(pos, faces, uvs=uv, normals=nrm, colors=col)
+    mesh = decode_crt(blob)
+    assert set(mesh.attributes) == {"position", "uv", "normal", "color"}
+    from scipy.spatial import cKDTree
+
+    _, idx = cKDTree(pos).query(mesh.attributes["position"])
+    np.testing.assert_allclose(
+        mesh.attributes["uv"], uv[idx], atol=1.1 / 1024
+    )
+    dots = np.sum(mesh.attributes["normal"] * nrm[idx], axis=1)
+    assert dots.min() > 0.99  # 10-bit octahedral
+    # color: quantized to (6,7,6,5) bits
+    dc = np.abs(
+        mesh.attributes["color"].astype(int)[:, :3] - col[idx][:, :3]
+    )
+    assert dc.max() <= 8
+
+
+def test_crt_compression_ratio():
+    pos, faces = _grid_mesh(24)
+    blob = encode_crt(pos, faces)
+    bpv = len(blob) * 8 / len(pos)
+    assert bpv < 40  # raw would be 96 bits/vert + 96 bits/face
+
+
+def test_crt_point_cloud():
+    r = np.random.default_rng(3)
+    pos = np.sort(r.uniform(0, 1, (500, 3)).astype(np.float32), axis=0)
+    blob = encode_crt(pos, np.zeros((0, 3), np.int64))
+    mesh = decode_crt(blob)
+    assert mesh.nface == 0
+    assert mesh.attributes["position"].shape == (500, 3)

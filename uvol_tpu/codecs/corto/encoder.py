@@ -1,0 +1,393 @@
+"""Corto `.crt` encoder — produces streams the reference decoders accept.
+
+Mirrors the reference encoder's pipeline (deprecated/encoder/dev/src/
+encoder.cpp): degenerate-face removal, bucketed-edge topology build, the
+CLER front machine with DELAY/SPLIT handling, traversal-order vertex
+renumbering, attribute quantize → (parallelogram) delta → Tunstall-coded
+log/bit streams. Self-roundtrips with `decode_crt`, which itself replicates
+the JS/C++ decoder semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from uvol_tpu.codecs.corto.bitstream import BitWriter
+from uvol_tpu.codecs.corto.decoder import (
+    COLOR_CODEC,
+    CORRELATED,
+    GENERIC_CODEC,
+    MAGIC,
+    NORMAL_CODEC,
+    PARALLEL,
+    FMT_FLOAT,
+    PRED_DIFF,
+    BOUNDARY,
+    DELAY,
+    END,
+    LEFT,
+    RIGHT,
+    SPLIT,
+    VERTEX,
+    _ilog2,
+)
+from uvol_tpu.codecs.corto.stream import CortoOutStream
+
+
+def _build_topology(faces: np.ndarray) -> np.ndarray:
+    """opposite[face, side] = (opp_face, opp_side) or (-1, -1).
+
+    Side k is the edge opposite corner k: (f[k+1], f[k+2]).
+    """
+    nf = len(faces)
+    opp = np.full((nf, 3, 2), -1, np.int64)
+    edge_map: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    for fi in range(nf):
+        f = faces[fi]
+        for k in range(3):
+            a, b = int(f[(k + 1) % 3]), int(f[(k + 2) % 3])
+            key = (min(a, b), max(a, b))
+            if key in edge_map:
+                of, ok = edge_map[key]
+                if opp[fi, k, 0] == -1 and opp[of, ok, 0] == -1:
+                    opp[fi, k] = (of, ok)
+                    opp[of, ok] = (fi, k)
+            else:
+                edge_map[key] = (fi, k)
+    return opp
+
+
+class _FrontMachine:
+    """Encoder-side CLER emission mirroring encoder.cpp:encodeFaces."""
+
+    def __init__(self, faces: np.ndarray, nvert: int, nreferenced: int):
+        self.faces = faces
+        self.topology = _build_topology(faces)
+        self.nvert = nvert
+        self.splitbits = _ilog2(nreferenced) + 1
+        self.clers: List[int] = []
+        self.bitstream = BitWriter()
+        self.encoded = np.full(nvert, -1, np.int64)
+        self.prediction: List[Tuple[int, int, int, int]] = []  # (t, a, b, c)
+        self.current_vertex = 0
+        self.last_index = 0
+        self.max_front = 0
+
+    def encode_all(self) -> None:
+        faces = self.faces
+        topo = self.topology
+        nf = len(faces)
+        visited = np.zeros(nf, bool)
+        totfaces = nf
+        current = 0
+
+        # front edge arrays: face, side, prev, next, deleted
+        e_face: List[int] = []
+        e_side: List[int] = []
+        e_prev: List[int] = []
+        e_next: List[int] = []
+        e_del: List[bool] = []
+
+        def emplace(face, side, prev, nxt):
+            e_face.append(face)
+            e_side.append(side)
+            e_prev.append(prev)
+            e_next.append(nxt)
+            e_del.append(False)
+
+        faceorder: List[int] = []
+        order = 0
+        delayed: List[int] = []
+        new_edge = -1
+
+        while totfaces > 0:
+            if new_edge == -1 and order >= len(faceorder) and not delayed:
+                while current != nf and visited[current]:
+                    current += 1
+                if current == nf:
+                    break
+                face = faces[current]
+                current_edge = len(e_face)
+                split = 0
+                for k in range(3):
+                    if self.encoded[face[k]] != -1:
+                        split |= 1 << k
+                if split:
+                    self.clers.append(SPLIT)
+                    self.bitstream.write(split, 3)
+                else:
+                    self.clers.append(VERTEX)
+                for k in range(3):
+                    vindex = int(face[k])
+                    if self.encoded[vindex] != -1:
+                        self.bitstream.write(int(self.encoded[vindex]), self.splitbits)
+                    else:
+                        self.prediction.append(
+                            (vindex, self.last_index, self.last_index, self.last_index)
+                        )
+                        self.encoded[vindex] = self.current_vertex
+                        self.current_vertex += 1
+                        self.last_index = vindex
+                faceorder.append(len(e_face))
+                emplace(current, 0, current_edge + 2, current_edge + 1)
+                faceorder.append(len(e_face))
+                emplace(current, 1, current_edge + 0, current_edge + 2)
+                faceorder.append(len(e_face))
+                emplace(current, 2, current_edge + 1, current_edge + 0)
+                visited[current] = True
+                current += 1
+                totfaces -= 1
+                continue
+
+            if new_edge != -1:
+                c = new_edge
+                new_edge = -1
+            elif order < len(faceorder):
+                c = faceorder[order]
+                order += 1
+            else:
+                c = delayed.pop()
+
+            if e_del[c]:
+                continue
+
+            opposite_face, opposite_side = topo[e_face[c], e_side[c]]
+            if opposite_face == -1 or visited[opposite_face]:
+                self.clers.append(BOUNDARY)
+                continue
+
+            face = faces[opposite_face]
+            k2 = int(opposite_side)
+            k0 = (k2 + 1) % 3
+            k1 = (k0 + 1) % 3
+
+            eprev = e_prev[c]
+            enext = e_next[c]
+            close_left = (
+                topo[e_face[eprev], e_side[eprev]][0] == opposite_face
+            )
+            close_right = (
+                topo[e_face[enext], e_side[enext]][0] == opposite_face
+            )
+            new_edge = len(e_face)
+
+            if close_left and close_right:
+                self.clers.append(END)
+                e_del[eprev] = True
+                e_del[enext] = True
+                e_next[e_prev[eprev]] = e_next[enext]
+                e_prev[e_next[enext]] = e_prev[eprev]
+                new_edge = -1
+            elif close_left:
+                self.clers.append(LEFT)
+                e_del[eprev] = True
+                e_next[e_prev[eprev]] = new_edge
+                e_prev[enext] = new_edge
+                emplace(opposite_face, k1, e_prev[eprev], enext)
+            elif close_right:
+                self.clers.append(RIGHT)
+                e_del[enext] = True
+                e_prev[e_next[enext]] = new_edge
+                e_next[eprev] = new_edge
+                emplace(opposite_face, k0, eprev, e_next[enext])
+            else:
+                v0 = int(face[k0])
+                v1 = int(face[k1])
+                opposite = int(face[k2])
+                if self.encoded[opposite] != -1 and order < len(faceorder):
+                    delayed.append(c)
+                    self.clers.append(DELAY)
+                    new_edge = -1
+                    continue
+                if self.encoded[opposite] != -1:
+                    self.clers.append(SPLIT)
+                    self.bitstream.write(int(self.encoded[opposite]), self.splitbits)
+                else:
+                    self.clers.append(VERTEX)
+                    v2 = int(faces[e_face[c], e_side[c]])
+                    self.prediction.append((opposite, v0, v1, v2))
+                    self.encoded[opposite] = self.current_vertex
+                    self.current_vertex += 1
+                    self.last_index = opposite
+                e_next[eprev] = new_edge
+                e_prev[enext] = new_edge + 1
+                emplace(opposite_face, k0, eprev, new_edge + 1)
+                faceorder.append(len(e_face))
+                emplace(opposite_face, k1, new_edge, enext)
+
+            visited[opposite_face] = True
+            totfaces -= 1
+
+        self.max_front = len(e_face)
+
+
+def encode_crt(
+    positions: np.ndarray,
+    faces: np.ndarray,
+    *,
+    uvs: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+    colors: Optional[np.ndarray] = None,
+    position_step: Optional[float] = None,
+    uv_step: float = 1.0 / 1024,
+    normal_bits: int = 10,
+    color_bits: Tuple[int, int, int, int] = (6, 7, 6, 5),
+    exif: Optional[Dict[str, str]] = None,
+    groups: Optional[List[int]] = None,
+) -> bytes:
+    """Encode a mesh into a `.crt` the reference JS/C++ decoders accept."""
+    positions = np.asarray(positions, np.float32)
+    faces = np.asarray(faces, np.int64).reshape(-1, 3)
+    nvert = len(positions)
+
+    if position_step is None:
+        bbox = positions.max(0) - positions.min(0)
+        diag = float(np.linalg.norm(bbox))
+        position_step = (diag if diag > 0 else 1.0) / (1 << 12)
+
+    # degenerate removal (encoder.cpp:252-273)
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    faces = faces[good]
+    nface = len(faces)
+    group_ends = groups or [nface]
+
+    referenced = np.zeros(nvert, bool)
+    referenced[faces.reshape(-1)] = True
+    nreferenced = int(referenced.sum())
+
+    machine = _FrontMachine(faces, nvert, nreferenced)
+    start = 0
+    for g_end in group_ends:
+        machine.encode_all()  # single group: whole range
+        start = g_end
+
+    new_nvert = machine.current_vertex
+    quads = machine.prediction  # (original_t, a, b, c) with original indices
+
+    # attribute encode: quantize originals, reorder+delta by quads
+    def delta_generic(values_q: np.ndarray, strategy: int) -> np.ndarray:
+        n = values_q.shape[1]
+        out = np.zeros((new_nvert, n), np.int64)
+        out[0] = values_q[quads[0][0]]
+        for i in range(1, new_nvert):
+            t, a, b, c = quads[i]
+            if a != b and (strategy & PARALLEL):
+                out[i] = values_q[t] - (values_q[a] + values_q[b] - values_q[c])
+            else:
+                out[i] = values_q[t] - values_q[a]
+        return out
+
+    out = CortoOutStream()
+    out.u32(MAGIC)
+    out.u32(1)
+    out.u8(out.entropy)
+    exif = exif or {}
+    out.u32(len(exif))
+    for k, v in sorted(exif.items()):
+        out.string(k)
+        out.string(v)
+
+    # attribute table (map order = sorted by name)
+    attrs = []
+    pos_q = np.trunc(positions / position_step).astype(np.int64)
+    attrs.append(("position", GENERIC_CODEC, position_step, 3, FMT_FLOAT,
+                  PARALLEL | CORRELATED, pos_q))
+    if uvs is not None:
+        uv_q = np.trunc(np.asarray(uvs, np.float32) / uv_step).astype(np.int64)
+        attrs.append(("uv", GENERIC_CODEC, uv_step, 2, FMT_FLOAT,
+                      PARALLEL | CORRELATED, uv_q))
+    if normals is not None:
+        unit = float((1 << normal_bits) - 1)
+        from uvol_tpu.codecs.corto.decoder import _to_octa_float
+
+        nq = np.zeros((nvert, 2), np.int64)
+        nn = np.asarray(normals, np.float64)
+        for i in range(nvert):
+            p0, p1 = _to_octa_float(nn[i])
+            nq[i] = (int(p0 * unit), int(p1 * unit))
+        attrs.append(("normal", NORMAL_CODEC, unit, 3, FMT_FLOAT,
+                      PARALLEL, nq))
+    if colors is not None:
+        cb = color_bits
+        qc = [1 << (8 - b) for b in cb]
+        col = np.asarray(colors, np.int64)
+        if col.shape[1] == 3:
+            col = np.concatenate([col, np.full((nvert, 1), 255, np.int64)], 1)
+        e0 = col[:, 1] // qc[1]
+        e2 = col[:, 0] // qc[0] - e0
+        e1 = col[:, 2] // qc[2] - e0
+        e3 = col[:, 3] // qc[3]
+        col_q = np.stack([e0, e1, e2, e3], 1)
+        attrs.append(("color", COLOR_CODEC, 1.0, 4, 4, CORRELATED, col_q))
+
+    attrs.sort(key=lambda a: a[0])
+    out.u32(len(attrs))
+    for name, codec, q, ncomp, fmt, strategy, _vals in attrs:
+        out.string(name)
+        out.u32(codec)
+        out.f32(q)
+        out.u8(ncomp)
+        out.u8(fmt)
+        out.u8(strategy)
+
+    out.u32(new_nvert if nface else nvert)
+    out.u32(nface)
+
+    # groups
+    out.u32(len(group_ends))
+    for g_end in group_ends:
+        out.u32(g_end)
+        out.u8(0)
+
+    if nface == 0:
+        # point-cloud path: sequential delta in the given (pre-sorted) order
+        for name, codec, q, ncomp, fmt, strategy, vals in attrs:
+            if codec == NORMAL_CODEC:
+                out.u8(PRED_DIFF)
+                d = np.diff(vals, axis=0, prepend=vals[:1] * 0)
+                d[0] = vals[0]
+                out.encode_array(d, 2)
+                continue
+            if codec == COLOR_CODEC:
+                for b in color_bits:
+                    out.u8(1 << (8 - b))
+            d = np.diff(vals, axis=0, prepend=vals[:1] * 0)
+            d[0] = vals[0]
+            if strategy & CORRELATED:
+                out.encode_array(d, ncomp)
+            else:
+                out.encode_values(d, ncomp)
+        return out.getvalue()
+
+    # index
+    out.u32(machine.max_front)
+    out.compress_block(np.asarray(machine.clers, np.uint8))
+    out.write_bitstream(machine.bitstream)
+
+    # attributes (sorted order == decode order)
+    for name, codec, q, ncomp, fmt, strategy, vals in attrs:
+        if codec == NORMAL_CODEC:
+            out.u8(PRED_DIFF)
+            diffs = np.zeros((new_nvert, 2), np.int64)
+            diffs[0] = vals[quads[0][0]]
+            for i in range(1, new_nvert):
+                t, a, _b, _c = quads[i]
+                diffs[i] = vals[t] - vals[a]
+            out.encode_array(diffs, 2)
+            continue
+        if codec == COLOR_CODEC:
+            for b in color_bits:
+                out.u8(1 << (8 - b))
+        diffs = delta_generic(vals, strategy)
+        if strategy & CORRELATED:
+            out.encode_array(diffs, ncomp)
+        else:
+            out.encode_values(diffs, ncomp)
+
+    return out.getvalue()
