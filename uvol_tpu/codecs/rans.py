@@ -184,6 +184,8 @@ class RansSymbolDecoder:
         size = buf.varint()
         self._buf = buf.raw(size)
         self.state, self.offset = _read_final_state(self._buf, self.l_base)
+        self._initial_state = self.state
+        self._marker_len = len(self._buf) - self.offset
 
     def decode_symbol(self) -> int:
         state = self.state
@@ -197,8 +199,23 @@ class RansSymbolDecoder:
         return sym
 
     def decode_all(self, n: int) -> np.ndarray:
-        """Decode n symbols (vectorized-enough Python loop; hot path moves
-        to native)."""
+        """Decode n symbols (native C++ hot loop when available)."""
+        if self.state is not None and self.offset is not None:
+            from uvol_tpu import native
+
+            if (
+                self.offset == len(self._buf) - self._marker_len
+                and self.state == self._initial_state
+            ):
+                out = native.rans_decode_native(
+                    np.asarray(self.probs, np.uint32),
+                    (self.precision - 1).bit_length(),
+                    self._buf,
+                    n,
+                )
+                if out is not None:
+                    self.offset = 0  # fully consumed (single-shot decode)
+                    return out
         out = np.empty(n, np.uint32)
         state = self.state
         offset = self.offset
@@ -233,6 +250,17 @@ class RansSymbolEncoder:
 
     def encode_all(self, symbols: Sequence[int], out: EncoderBuffer) -> None:
         encode_probability_table(self.probs, out)
+        from uvol_tpu import native
+
+        payload_native = native.rans_encode_native(
+            np.asarray(self.probs, np.uint32),
+            (self.precision - 1).bit_length(),
+            np.asarray(symbols, np.uint32),
+        )
+        if payload_native is not None:
+            out.varint(len(payload_native))
+            out.raw(payload_native)
+            return
         state = self.l_base
         renorm = bytearray()
         precision = self.precision
