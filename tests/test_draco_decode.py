@@ -59,15 +59,35 @@ def test_full_decode_geometry(frame0):
     nrm = mesh.point_attribute(1)
     gen = mesh.point_attribute(4)
     assert pos.shape == (32128, 3) and uv.shape == (32128, 2)
-    # human-scan shaped bbox (tall in z), smooth surface
+    # human-scan shaped bbox (tall in y — the round-1 broken decode had
+    # outliers that stretched z instead), smooth surface
     bbox = pos.max(0) - pos.min(0)
-    assert bbox[2] > 2.2 * bbox[0]  # tall
+    assert bbox[1] > 2.2 * bbox[0] and bbox[1] > 2.2 * bbox[2]
     f = mesh.faces
     e = np.linalg.norm(pos[f[:, 0]] - pos[f[:, 1]], axis=1)
     assert np.median(e) < 12.0  # quantization units ~= few mm
     assert np.all((uv >= -0.01) & (uv <= 1.1))
     assert np.allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-3)
     assert np.all(gen == 0)
+    # smoothness: a correct prediction decode leaves no Laplacian outliers
+    # (the round-1 adaptive heuristic left ~3k vertices with residual >50)
+    rms, mx = _laplacian_residual(pos, f)
+    assert mx < 50.0, (rms, mx)
+
+
+def _laplacian_residual(pos, f):
+    """(rms, max) distance of each vertex from the mean of its neighbors."""
+    n = len(pos)
+    acc = np.zeros((n, 3))
+    cnt = np.zeros(n)
+    for i in range(3):
+        a, b = f[:, i], f[:, (i + 1) % 3]
+        np.add.at(acc, a, pos[b])
+        np.add.at(cnt, a, 1)
+        np.add.at(acc, b, pos[a])
+        np.add.at(cnt, b, 1)
+    r = np.linalg.norm(pos - acc / np.maximum(cnt, 1)[:, None], axis=1)
+    return float(np.sqrt((r**2).mean())), float(r.max())
 
 
 def test_decode_multiple_frames(liam_output):
@@ -81,3 +101,5 @@ def test_decode_multiple_frames(liam_output):
         f = mesh.faces
         e = np.linalg.norm(pos[f[:, 0]] - pos[f[:, 1]], axis=1)
         assert np.median(e) < 12.0
+        rms, mx = _laplacian_residual(pos, f)
+        assert mx < 150.0, (idx, rms, mx)  # sharp features reach ~75; broken decodes 1700+

@@ -218,6 +218,25 @@ def decode_difference(
     return out
 
 
+def parallelogram_prediction(
+    out: np.ndarray,
+    p: int,
+    oci: int,
+    table_view,
+    vertex_to_data: np.ndarray,
+):
+    """pred = out[next(oci)] + out[prev(oci)] - out[oci] when all three data
+    ids are already decoded (< p); None otherwise. `oci` is the corner
+    opposite the entry corner (the Draco parallelogram entries rule)."""
+    vertex = table_view.vertex
+    vo = vertex_to_data[vertex[oci]]
+    vn = vertex_to_data[vertex[next_corner(oci)]]
+    vp = vertex_to_data[vertex[previous_corner(oci)]]
+    if 0 <= vo < p and 0 <= vn < p and 0 <= vp < p:
+        return out[vn] + out[vp] - out[vo]
+    return None
+
+
 def decode_parallelogram(
     corr: np.ndarray,
     num_components: int,
@@ -225,86 +244,29 @@ def decode_parallelogram(
     table_view,
     vertex_to_data: np.ndarray,
     data_to_corner: np.ndarray,
-    *,
-    adaptive: bool = False,
 ) -> np.ndarray:
-    """Parallelogram prediction: pred from the face opposite the entry corner.
-
-    `adaptive=True` enables candidate selection over the vertex's corner fan
-    with a local-coherence score. On the reference liam corpus the recorded
-    prediction corner doesn't always equal the traversal visit corner (the
-    exact encoder rule is still being pinned down — see codecs/draco/README
-    notes); adaptive mode reconstructs the real streams to near-exact
-    geometry (median integer edge length ~8 quantization units vs the
-    ~2000 of a mis-predicted decode).
+    """Parallelogram prediction: pred from the face opposite the entry
+    corner; falls back to delta from the previously decoded value when the
+    parallelogram isn't fully decoded yet. Exact Draco rule — validated on
+    the liam corpus (smooth reconstruction, zero Laplacian outliers) once
+    the traversal seed order is decode-order + init faces last.
     """
     n = len(corr) // num_components
     corr = corr.reshape(n, num_components).astype(np.int64)
     out = np.zeros_like(corr)
-    vertex = table_view.vertex
-
-    def parallelogram(oci: int, p: int):
-        vo = vertex_to_data[vertex[oci]]
-        vn = vertex_to_data[vertex[next_corner(oci)]]
-        vp = vertex_to_data[vertex[previous_corner(oci)]]
-        if 0 <= vo < p and 0 <= vn < p and 0 <= vp < p:
-            return out[vn] + out[vp] - out[vo]
-        return None
-
-    def fan(ci: int):
-        cs = [ci]
-        c = ci
-        while True:
-            c = table_view.swing_left(c)
-            if c == INVALID or c == ci:
-                break
-            cs.append(c)
-        if c != ci:
-            c = ci
-            while True:
-                c = table_view.swing_right(c)
-                if c == INVALID:
-                    break
-                cs.append(c)
-        return cs
 
     out[0] = transform.compute_original(np.zeros(num_components, np.int64), corr[0])
     for p in range(1, n):
         ci = int(data_to_corner[p])
-        if not adaptive:
-            oci = table_view.opp(ci)
-            pred = parallelogram(oci, p) if oci != INVALID else None
-            if pred is None:
-                pred = out[p - 1]
-            out[p] = transform.compute_original(pred, corr[p])
-            continue
-        # adaptive: score candidates by coherence with decoded fan neighbors
-        cs = fan(ci)
-        neigh = set()
-        for c2 in cs:
-            for q in (vertex_to_data[vertex[next_corner(c2)]],
-                      vertex_to_data[vertex[previous_corner(c2)]]):
-                if 0 <= q < p:
-                    neigh.add(int(q))
-        cands = [out[p - 1]]
-        for c2 in cs:
-            oci = table_view.opp(c2)
-            if oci != INVALID:
-                pr = parallelogram(oci, p)
-                if pr is not None:
-                    cands.append(pr)
-        best = None
-        best_d = None
-        for pr in cands:
-            o = transform.compute_original(pr, corr[p])
-            d = (
-                min(int(np.abs(o - out[q]).max()) for q in neigh)
-                if neigh
-                else 0
-            )
-            if best_d is None or d < best_d:
-                best_d, best = d, o
-        out[p] = best
+        oci = table_view.opp(ci)
+        pred = (
+            parallelogram_prediction(out, p, oci, table_view, vertex_to_data)
+            if oci != INVALID
+            else None
+        )
+        if pred is None:
+            pred = out[p - 1]
+        out[p] = transform.compute_original(pred, corr[p])
     return out
 
 

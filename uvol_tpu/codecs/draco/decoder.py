@@ -174,8 +174,7 @@ def decode_drc(data: bytes) -> DracoMesh:
                 elif method_b == K.MESH_PREDICTION_PARALLELOGRAM:
                     wrap = WrapTransform(buf)
                     ints = decode_parallelogram(
-                        signed, nc, wrap, view, vertex_to_data, data_to_corner,
-                        adaptive=True,
+                        signed, nc, wrap, view, vertex_to_data, data_to_corner
                     )
                 elif method_b == K.MESH_PREDICTION_TEX_COORDS_PORTABLE:
                     pred = TexCoordsPortablePredictor(

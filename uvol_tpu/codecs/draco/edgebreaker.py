@@ -156,10 +156,6 @@ def decode_edgebreaker_connectivity(
     num_encoded_split_symbols = buf.varint()
 
     splits = decode_topology_splits(buf)
-    # encoder-order source id -> list of splits (consumed as faces appear)
-    splits_by_source: Dict[int, List[TopologySplit]] = {}
-    for s in splits:
-        splits_by_source.setdefault(s.source_symbol_id, []).append(s)
 
     if traversal_type == MESH_EDGEBREAKER_VALENCE_ENCODING:
         traversal = _ValenceTraversal(buf, num_attribute_data)
@@ -169,6 +165,43 @@ def decode_edgebreaker_connectivity(
         valence_mode = False
     else:
         raise NotImplementedError(f"traversal type {traversal_type}")
+
+    return run_connectivity_machine(
+        traversal,
+        valence_mode,
+        num_faces=num_faces,
+        num_encoded_symbols=num_encoded_symbols,
+        num_encoded_split_symbols=num_encoded_split_symbols,
+        num_encoded_vertices=num_encoded_vertices,
+        num_attribute_data=num_attribute_data,
+        splits=splits,
+        buf=buf,
+    )
+
+
+def run_connectivity_machine(
+    traversal,
+    valence_mode: bool,
+    *,
+    num_faces: int,
+    num_encoded_symbols: int,
+    num_encoded_split_symbols: int,
+    num_encoded_vertices: int,
+    num_attribute_data: int,
+    splits: List[TopologySplit],
+    buf: Optional[DecoderBuffer] = None,
+) -> EdgebreakerConnectivity:
+    """The spirale-reversi replay, driven by any symbol/bit source.
+
+    `traversal` supplies decode_symbol / start_face_decoder / seam_decoders;
+    the encoder drives this with a scripted traversal to (a) compute the
+    valence contexts exactly as the decoder will, and (b) obtain the
+    decoder-side corner table its attribute encoding must traverse.
+    """
+    # encoder-order source id -> list of splits (consumed as faces appear)
+    splits_by_source: Dict[int, List[TopologySplit]] = {}
+    for s in splits:
+        splits_by_source.setdefault(s.source_symbol_id, []).append(s)
 
     max_num_vertices = num_encoded_vertices + num_encoded_split_symbols
     # allow extra room: isolated-face counting slack
@@ -189,6 +222,7 @@ def decode_edgebreaker_connectivity(
 
 
     processed_corners: List[int] = []
+    init_face_corners: List[int] = []
     num_symbols = num_encoded_symbols
     for symbol_id in range(num_symbols):
         symbol = traversal.decode_symbol()
@@ -336,7 +370,7 @@ def decode_edgebreaker_connectivity(
                 corner_c = next_corner(opp[corner_c])
             face_corner = 3 * num_decoded_faces
             num_decoded_faces += 1
-            processed_corners.append(face_corner)
+            init_face_corners.append(face_corner)
             if face_corner + 2 >= ct.num_corners:
                 raise ValueError("face overflow at init face")
             # new corners x_a ↔ corner_a, x_b ↔ corner_c, x_c ↔ corner_b
@@ -364,7 +398,7 @@ def decode_edgebreaker_connectivity(
 
     if num_decoded_faces != num_faces:
         raise ValueError(f"decoded {num_decoded_faces} faces, expected {num_faces}")
-    for i, n in enumerate(traversal.context_counters if valence_mode else []):
+    for i, n in enumerate(getattr(traversal, "context_counters", [])):
         if n != 0:
             raise ValueError(f"context {i} has {n} unconsumed symbols")
 
@@ -392,7 +426,11 @@ def decode_edgebreaker_connectivity(
     remap = np.full(ct.vertex_corner.shape[0], INVALID, np.int32)
     remap[used] = np.arange(len(used), dtype=np.int32)
 
-    processed_corners.reverse()  # encoder traversal order
+    # Attribute-traversal seed order: the format's corner order is DECODE
+    # order (the encoder reverses its own traversal list to decode order
+    # before seeding attribute traversals), with init-face corners appended
+    # after the regular corners, in component order (= stack pop order).
+    processed_corners.extend(init_face_corners)
     return EdgebreakerConnectivity(
         corner_table=ct,
         vertex_remap=remap,

@@ -1,0 +1,303 @@
+"""Mesh ingest: OBJ and PLY with per-corner (wedge) UVs/normals and groups.
+
+Parity target: the reference's MeshLoader
+(`/root/reference/deprecated/encoder/dev/src/meshloader.cpp:39-125`), which
+reads PLY via tinyply (positions, per-face `texcoord` wedge UVs, trajectory
+attrs) and OBJ via objload (separate position/UV/normal index streams per
+corner). The round-1 loader silently dropped per-corner UVs whenever UV
+count != vertex count (`encoder_cli.py:95-96`) — i.e. for every real seamed
+textured mesh; this module keeps the full per-corner indexing that the
+Draco/Corto encoders consume directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class LoadedMesh:
+    positions: np.ndarray  # [Np, 3] float32
+    faces: np.ndarray  # [F, 3] position indices (triangulated)
+    uvs: Optional[np.ndarray] = None  # [Nuv, 2] float32
+    uv_faces: Optional[np.ndarray] = None  # [F, 3] uv indices per corner
+    normals: Optional[np.ndarray] = None  # [Nn, 3]
+    normal_faces: Optional[np.ndarray] = None  # [F, 3]
+    groups: Optional[List[Tuple[str, int]]] = None  # (name, end_face) runs
+    exif: Optional[Dict[str, str]] = None  # texture/material metadata
+
+    @property
+    def num_faces(self) -> int:
+        return len(self.faces)
+
+
+def load_mesh(path: str) -> LoadedMesh:
+    p = path.lower()
+    if p.endswith(".ply"):
+        return load_ply(path)
+    if p.endswith(".obj"):
+        return load_obj(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+# ---------------------------------------------------------------------------
+# OBJ
+# ---------------------------------------------------------------------------
+
+
+def load_obj(path: str) -> LoadedMesh:
+    """OBJ with full v/vt/vn corner indexing, fan triangulation, material
+    groups (usemtl/o/g runs), and mtllib capture into exif."""
+    verts: List[List[float]] = []
+    uvs: List[List[float]] = []
+    normals: List[List[float]] = []
+    faces: List[List[int]] = []
+    uv_faces: List[List[int]] = []
+    nrm_faces: List[List[int]] = []
+    groups: List[Tuple[str, int]] = []
+    exif: Dict[str, str] = {}
+    current_group = ""
+    has_uv = has_nrm = False
+
+    def close_group() -> None:
+        if faces and (not groups or groups[-1][1] != len(faces)):
+            groups.append((current_group, len(faces)))
+
+    def rel(i: int, n: int) -> int:
+        """OBJ indices are 1-based; negative = relative to current count."""
+        return i - 1 if i > 0 else n + i
+
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("vt "):
+                uvs.append([float(x) for x in line.split()[1:3]])
+            elif line.startswith("vn "):
+                normals.append([float(x) for x in line.split()[1:4]])
+            elif line.startswith("f "):
+                corners = []
+                for part in line.split()[1:]:
+                    comp = part.split("/")
+                    vi = rel(int(comp[0]), len(verts))
+                    ti = (
+                        rel(int(comp[1]), len(uvs))
+                        if len(comp) > 1 and comp[1]
+                        else -1
+                    )
+                    ni = (
+                        rel(int(comp[2]), len(normals))
+                        if len(comp) > 2 and comp[2]
+                        else -1
+                    )
+                    corners.append((vi, ti, ni))
+                for k in range(1, len(corners) - 1):  # fan-triangulate
+                    tri = [corners[0], corners[k], corners[k + 1]]
+                    faces.append([c[0] for c in tri])
+                    uv_faces.append([c[1] for c in tri])
+                    nrm_faces.append([c[2] for c in tri])
+                    if any(c[1] >= 0 for c in tri):
+                        has_uv = True
+                    if any(c[2] >= 0 for c in tri):
+                        has_nrm = True
+            elif line.startswith(("usemtl ", "o ", "g ")):
+                close_group()
+                current_group = line.split(None, 1)[1].strip() if " " in line else ""
+            elif line.startswith("mtllib "):
+                exif["mtllib"] = line.split(None, 1)[1].strip()
+    close_group()
+
+    positions = np.asarray(verts, np.float32).reshape(-1, 3)
+    out = LoadedMesh(
+        positions=positions,
+        faces=np.asarray(faces, np.int64).reshape(-1, 3),
+        groups=groups or None,
+        exif=exif or None,
+    )
+    if has_uv and uvs:
+        out.uvs = np.asarray(uvs, np.float32).reshape(-1, 2)
+        uf = np.asarray(uv_faces, np.int64).reshape(-1, 3)
+        if (uf < 0).any():  # faces missing vt: give them a shared dummy UV
+            out.uvs = np.concatenate([out.uvs, np.zeros((1, 2), np.float32)])
+            uf = np.where(uf < 0, len(out.uvs) - 1, uf)
+        out.uv_faces = uf
+    if has_nrm and normals:
+        out.normals = np.asarray(normals, np.float32).reshape(-1, 3)
+        nf = np.asarray(nrm_faces, np.int64).reshape(-1, 3)
+        if (nf < 0).any():
+            out.normals = np.concatenate(
+                [out.normals, np.float32([[0, 0, 1]])]
+            )
+            nf = np.where(nf < 0, len(out.normals) - 1, nf)
+        out.normal_faces = nf
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PLY (ascii + binary_little_endian), tinyply-feature subset the reference
+# uses: vertex x/y/z[/nx/ny/nz][/u/v or s/t][/red green blue], face
+# vertex_indices + optional per-face 6-float `texcoord` wedge UVs
+# ---------------------------------------------------------------------------
+
+_PLY_TYPES = {
+    "char": ("b", 1), "int8": ("b", 1),
+    "uchar": ("B", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "int16": ("h", 2),
+    "ushort": ("H", 2), "uint16": ("H", 2),
+    "int": ("i", 4), "int32": ("i", 4),
+    "uint": ("I", 4), "uint32": ("I", 4),
+    "float": ("f", 4), "float32": ("f", 4),
+    "double": ("d", 8), "float64": ("d", 8),
+}
+
+
+def load_ply(path: str) -> LoadedMesh:
+    with open(path, "rb") as f:
+        data = f.read()
+    # header
+    end = data.find(b"end_header\n")
+    if not data.startswith(b"ply") or end < 0:
+        raise ValueError("not a PLY file")
+    header = data[: end + 11].decode("ascii", "replace")
+    body = data[end + 11 :]
+    fmt = "ascii"
+    elements: List[Tuple[str, int, List]] = []  # (name, count, props)
+    comments: Dict[str, str] = {}
+    for line in header.splitlines():
+        t = line.split()
+        if not t:
+            continue
+        if t[0] == "format":
+            fmt = t[1]
+        elif t[0] == "comment" and len(t) >= 3:
+            comments[t[1]] = " ".join(t[2:])
+        elif t[0] == "element":
+            elements.append((t[1], int(t[2]), []))
+        elif t[0] == "property":
+            if t[1] == "list":
+                elements[-1][2].append((t[4], "list", t[2], t[3]))
+            else:
+                elements[-1][2].append((t[2], "scalar", t[1]))
+
+    verts: Dict[str, List[float]] = {}
+    face_idx: List[List[int]] = []
+    wedge_uv: List[List[float]] = []
+
+    if fmt == "ascii":
+        rows = body.decode("ascii", "replace").split("\n")
+        ri = 0
+        for name, count, props in elements:
+            for _ in range(count):
+                tok = rows[ri].split()
+                ri += 1
+                ti = 0
+                for p in props:
+                    if p[1] == "list":
+                        n = int(float(tok[ti]))
+                        vals = [float(x) for x in tok[ti + 1 : ti + 1 + n]]
+                        ti += 1 + n
+                        if name == "face" and p[0] == "vertex_indices":
+                            face_idx.append([int(v) for v in vals])
+                        elif name == "face" and p[0] == "texcoord":
+                            wedge_uv.append(vals)
+                    else:
+                        v = float(tok[ti])
+                        ti += 1
+                        if name == "vertex":
+                            verts.setdefault(p[0], []).append(v)
+    elif fmt == "binary_little_endian":
+        off = 0
+        for name, count, props in elements:
+            for _ in range(count):
+                for p in props:
+                    if p[1] == "list":
+                        cfmt, csz = _PLY_TYPES[p[2]]
+                        n = struct.unpack_from("<" + cfmt, body, off)[0]
+                        off += csz
+                        vfmt, vsz = _PLY_TYPES[p[3]]
+                        vals = struct.unpack_from("<" + str(n) + vfmt, body, off)
+                        off += n * vsz
+                        if name == "face" and p[0] == "vertex_indices":
+                            face_idx.append(list(vals))
+                        elif name == "face" and p[0] == "texcoord":
+                            wedge_uv.append(list(vals))
+                    else:
+                        vfmt, vsz = _PLY_TYPES[p[2]]
+                        v = struct.unpack_from("<" + vfmt, body, off)[0]
+                        off += vsz
+                        if name == "vertex":
+                            verts.setdefault(p[0], []).append(float(v))
+    else:
+        raise NotImplementedError(f"PLY format {fmt}")
+
+    positions = np.stack(
+        [np.asarray(verts[a], np.float32) for a in ("x", "y", "z")], axis=1
+    )
+    faces: List[List[int]] = []
+    wedge_tris: List[List[float]] = []
+    for i, poly in enumerate(face_idx):
+        for k in range(1, len(poly) - 1):
+            faces.append([poly[0], poly[k], poly[k + 1]])
+            if wedge_uv:
+                w = wedge_uv[i]
+                wedge_tris.append(
+                    w[0:2] + w[2 * k : 2 * k + 2] + w[2 * k + 2 : 2 * k + 4]
+                )
+    out = LoadedMesh(
+        positions=positions,
+        faces=np.asarray(faces, np.int64).reshape(-1, 3),
+        exif=comments or None,
+    )
+    # per-vertex normals
+    if all(a in verts for a in ("nx", "ny", "nz")):
+        out.normals = np.stack(
+            [np.asarray(verts[a], np.float32) for a in ("nx", "ny", "nz")], 1
+        )
+        out.normal_faces = out.faces.copy()
+    # UVs: per-vertex (u/v, s/t, texture_u/texture_v) or per-face wedge
+    for ua, va in (("u", "v"), ("s", "t"), ("texture_u", "texture_v")):
+        if ua in verts and va in verts:
+            out.uvs = np.stack(
+                [np.asarray(verts[ua], np.float32), np.asarray(verts[va], np.float32)],
+                1,
+            )
+            out.uv_faces = out.faces.copy()
+            break
+    if wedge_tris:
+        wedges = np.asarray(wedge_tris, np.float32).reshape(-1, 3, 2)
+        # dedupe identical wedge UVs into a value table + per-corner indices
+        flat = wedges.reshape(-1, 2)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        out.uvs = uniq.astype(np.float32)
+        out.uv_faces = inv.reshape(-1, 3).astype(np.int64)
+    return out
+
+
+def save_ply(path: str, mesh: LoadedMesh) -> None:
+    """ASCII PLY writer (fixtures/debug; reference MeshLoader::savePly)."""
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(mesh.positions)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        has_vert_uv = (
+            mesh.uvs is not None
+            and mesh.uv_faces is not None
+            and np.array_equal(mesh.uv_faces, mesh.faces)
+            and len(mesh.uvs) == len(mesh.positions)
+        )
+        if has_vert_uv:
+            f.write("property float u\nproperty float v\n")
+        f.write(f"element face {len(mesh.faces)}\n")
+        f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for i, p in enumerate(mesh.positions):
+            row = f"{p[0]} {p[1]} {p[2]}"
+            if has_vert_uv:
+                row += f" {mesh.uvs[i][0]} {mesh.uvs[i][1]}"
+            f.write(row + "\n")
+        for face in mesh.faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")

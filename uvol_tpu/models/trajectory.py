@@ -39,28 +39,44 @@ class TrajectoryGroup:
         return np.einsum("k,knc->nc", powers, self.coefficients)
 
 
-def _fit(positions: Array, degree: int) -> Array:
+def _vty(positions: Array, degree: int) -> Array:
+    """The only big matmul of the fit: Vᵀ·y, [D+1, F] × [F, N·3] on the MXU."""
     f, n, c = positions.shape
     t = jnp.linspace(0.0, 1.0, f)
     vand = jnp.stack([t**k for k in range(degree + 1)], axis=1)  # [F, D+1]
     y = positions.reshape(f, n * c)
-    # normal equations on the MXU: (VᵀV)⁻¹ Vᵀ y
-    vtv = jnp.dot(vand.T, vand, preferred_element_type=jnp.float32)
-    vty = jnp.dot(vand.T, y, preferred_element_type=jnp.float32)
-    coef = jnp.linalg.solve(vtv, vty)
-    return coef.reshape(degree + 1, n, c)
+    # HIGHEST precision: TPU's default f32 matmul uses bf16 passes, which
+    # costs ~3 digits — too lossy for the normal-equation RHS
+    return jnp.dot(
+        vand.T, y,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
-_fit_jit = jax.jit(_fit, static_argnums=1)
+_vty_jit = jax.jit(_vty, static_argnums=1)
 
 
 def fit_trajectories(positions: np.ndarray, degree: int = 4) -> TrajectoryGroup:
-    """positions [F, N, 3] (fixed topology) → per-vertex polynomial fit."""
-    f = positions.shape[0]
+    """positions [F, N, 3] (fixed topology) → per-vertex polynomial fit.
+
+    The O(F·N) matmul Vᵀy runs on device; the (D+1)×(D+1) normal-equation
+    solve runs on host in float64 — VᵀV is ill-conditioned at degree 4, and
+    a float32 solve loses ~3 digits even on exactly-polynomial data.
+    """
+    f, n, c = positions.shape
     if f <= degree:
         degree = max(f - 1, 0)
-    coef = np.asarray(_fit_jit(jnp.asarray(positions, jnp.float32), degree))
-    return TrajectoryGroup(coefficients=coef, frame_count=f, degree=degree)
+    vty = np.asarray(
+        _vty_jit(jnp.asarray(positions, jnp.float32), degree), np.float64
+    )
+    t = np.linspace(0.0, 1.0, f)
+    vand = np.stack([t**k for k in range(degree + 1)], axis=1)
+    vtv = vand.T @ vand  # tiny, float64
+    coef = np.linalg.solve(vtv, vty).astype(np.float32)
+    return TrajectoryGroup(
+        coefficients=coef.reshape(degree + 1, n, c), frame_count=f, degree=degree
+    )
 
 
 def group_fixed_topology(frame_counts: np.ndarray) -> list:
