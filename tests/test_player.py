@@ -121,17 +121,16 @@ def test_v2_player_full_playback_virtual_clock():
     p.play_track(m, "/data/liam.uvol.json")
     assert len(p.mesh_map) == 121 and len(p.texture_map) == 25
 
-    # simulate the rAF loop + 2s fetch interval for the whole 8.3s track
+    # simulate the rAF loop for the whole 8.3s track; the player drives its
+    # own interval refetch (src/V2/player.ts:253-255) — no manual
+    # fetch_buffers calls here
     ended = []
     p.on_track_end = lambda: ended.append(True)
-    t, next_fetch = 0.0, 2.0
+    t = 0.0
     ok_frames = 0
     while not ended:
         vc.advance(1 / 60)
         t += 1 / 60
-        if t >= next_fetch:
-            p.fetch_buffers()
-            next_fetch += 2.0
         r = p.update()
         if r.status == "ok":
             ok_frames += 1
@@ -142,6 +141,84 @@ def test_v2_player_full_playback_virtual_clock():
     assert ok_frames > 400  # ~8.3s * 60Hz ticks with data
     # eviction kept maps bounded
     assert len(p.mesh_map) == 0 or max(p.mesh_map) <= 250
+
+
+def test_v2_player_async_prefetch_with_latency():
+    """L5 async decode services: fetch+decode runs off the tick with
+    scripted latencies; the full 250-frame track plays to completion with
+    the player's own interval refetch (VERDICT r1 item 6)."""
+    import time as _time
+
+    vc = VirtualClock()
+
+    def fetcher(url):
+        _time.sleep(0.002)  # scripted network+decode latency
+        return url.encode()
+
+    p = V2Player(
+        fetcher=fetcher,
+        geometry_decoder=lambda d: {"url": d.decode()},
+        texture_decoder=lambda d: {"url": d.decode()},
+        clock=PlaybackClock(now=vc),
+        async_prefetch=True,
+    )
+    m = parse_manifest(_manifest_dict())
+    p.play_track(m, "/data/liam.uvol.json")
+    # async: the initial window is in flight, not blocking play_track
+    ended = []
+    p.on_track_end = lambda: ended.append(True)
+    statuses = {"ok": 0, "skipped": 0, "fail-material": 0}
+    t = 0.0
+    while not ended:
+        # real time passes for the worker threads; virtual clock advances
+        # slower than real time so the prefetch can keep up
+        _time.sleep(0.001)
+        vc.advance(1 / 60)
+        t += 1 / 60
+        r = p.update()
+        if r.status in statuses:
+            statuses[r.status] += 1
+        if t > 30:
+            pytest.fail(f"track never ended: {statuses}")
+    assert statuses["ok"] > 300, statuses
+    p.dispose()
+
+
+def test_prefetch_pool_semantics():
+    """Task-cache dedup, bounded in-flight, error degradation."""
+    import threading
+    import time as _time
+
+    from uvol_tpu.runtime.prefetch import PrefetchPool
+
+    live = []
+    peak = []
+    lock = threading.Lock()
+
+    def work(x):
+        with lock:
+            live.append(x)
+            peak.append(len(live))
+        _time.sleep(0.01)
+        with lock:
+            live.remove(x)
+        if x == 13:
+            raise ValueError("boom")
+        return x * 2
+
+    pool = PrefetchPool(work, workers=8, max_in_flight=3)
+    for i in range(12):
+        assert pool.request(i, i)
+    assert not pool.request(5, 5)  # dedup: seen keys refused
+    pool.request(13, 13)
+    pool.wait_idle()
+    done = pool.poll()
+    assert len(done) == 13
+    assert done[4] == (8, None)
+    result, err = done[13]
+    assert result is None and isinstance(err, ValueError)
+    assert max(peak) <= 3  # ≤3 in flight (V1 pacing semantics)
+    pool.close()
 
 
 def test_v2_player_fail_material_on_missing_texture():

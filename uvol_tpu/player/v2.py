@@ -98,6 +98,8 @@ class V2Player:
         audio: Any = None,  # object with .current_time/.ended/.play()
         clock: Optional[PlaybackClock] = None,
         supported_texture_formats=("ktx2", "etc2", "mp4"),
+        async_prefetch: bool = False,
+        prefetch_workers: int = 4,
     ) -> None:
         self.buffer_duration = 4.0  # reference defaults (src/V2/player.ts:50-51)
         self.interval_duration = 2.0
@@ -121,6 +123,26 @@ class V2Player:
         self.texture_target = ""
         self.texture_type = "baseColor"
         self.texture_tag = "default"
+        self._last_fetch_time: Optional[float] = None
+        # L5 async decode services (reference worker pools → host threads)
+        self._async = async_prefetch
+        self._prefetch_workers = prefetch_workers
+        self._geo_pool = self._tex_pool = None
+        if async_prefetch:
+            self._make_pools()
+
+    def _make_pools(self) -> None:
+        from uvol_tpu.runtime.prefetch import PrefetchPool
+
+        # DRACOLoader pool: ≤4 workers (src/lib/DRACOLoader.js:24)
+        self._geo_pool = PrefetchPool(
+            lambda url: self.geometry_decoder(self.fetcher(url)),
+            workers=self._prefetch_workers,
+        )
+        self._tex_pool = PrefetchPool(
+            lambda url: self.texture_decoder(self.fetcher(url)),
+            workers=self._prefetch_workers,
+        )
 
     # -- target selection (src/V2/player.ts:207-222) -------------------------
     def _select_targets(self) -> None:
@@ -184,7 +206,10 @@ class V2Player:
         self._ended = False
         self.mesh_map.clear()
         self.texture_map.clear()
+        if self._async and (self._geo_pool is None or self._geo_pool._closed):
+            self._make_pools()
         self.fetch_buffers()
+        self._last_fetch_time = self.current_time
         self.start_video()
 
     def start_video(self) -> None:
@@ -232,6 +257,13 @@ class V2Player:
             texture_sequence_count=t.sequenceCount,
             buffer_duration=self.buffer_duration,
         )
+        if self._async:
+            for frame in plan.geometry_frames:
+                self._geo_pool.request(frame, self.geometry_url(frame))
+            for segment in plan.texture_segments:
+                self._tex_pool.request(segment, self.texture_url(segment))
+            self._drain_pools()
+            return
         for frame in plan.geometry_frames:
             self.mesh_map[frame] = self.geometry_decoder(
                 self.fetcher(self.geometry_url(frame))
@@ -240,6 +272,16 @@ class V2Player:
             self.texture_map[segment] = self.texture_decoder(
                 self.fetcher(self.texture_url(segment))
             )
+
+    def _drain_pools(self) -> None:
+        """Move completed async decodes into the playback maps; decode
+        failures degrade to a missing entry (skip / fail-material path)."""
+        for frame, (result, err) in self._geo_pool.poll().items():
+            if err is None:
+                self.mesh_map[frame] = result
+        for segment, (result, err) in self._tex_pool.poll().items():
+            if err is None:
+                self.texture_map[segment] = result
 
     # -- per-tick processing (src/V2/player.ts:388-531) ----------------------
     def process_frame(self) -> FrameResult:
@@ -299,6 +341,19 @@ class V2Player:
         )
 
     def update(self) -> FrameResult:
+        # interval-driven refetch: the reference re-runs fetchBuffers every
+        # intervalDuration seconds (src/V2/player.ts:253-255); driving it
+        # from update() keeps the headless player virtual-clock friendly
+        if self.manifest is not None and not self._ended:
+            now = self.current_time
+            if (
+                self._last_fetch_time is None
+                or now - self._last_fetch_time >= self.interval_duration
+            ):
+                self.fetch_buffers()
+                self._last_fetch_time = now
+            elif self._async:
+                self._drain_pools()  # completions land every tick
         result = self.process_frame()
         if self.manifest is None or self._ended:
             return result
@@ -323,3 +378,7 @@ class V2Player:
     def dispose(self) -> None:
         self.mesh_map.clear()
         self.texture_map.clear()
+        if self._geo_pool is not None:
+            self._geo_pool.close()
+        if self._tex_pool is not None:
+            self._tex_pool.close()
