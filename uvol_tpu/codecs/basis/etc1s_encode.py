@@ -1,0 +1,631 @@
+"""ETC1S / BasisLZ encoder: frames → supercompressed KTX2 video segments.
+
+TPU-native replacement for `basisu -ktx2 -tex_type video` (the reference
+texture pipeline, scripts/Encoder.py:286-298). The quality work — global
+endpoint/selector palette construction and per-block assignment — is
+batched k-means and argmin-by-matmul on the MXU (`models/codebook.py`,
+SURVEY §7 hard part (c)); the wire emission (canonical Huffman streams,
+endpoint prediction quads, selector MTF/RLE, conditional replenishment for
+P-frames) mirrors `transcoder.py` exactly, so our own transcoder — which is
+golden-validated on basisu-produced liam segments — is the format oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from uvol_tpu.codecs.basis.huffman import (
+    BitWriter,
+    HuffmanEncoder,
+    write_vlc,
+)
+from uvol_tpu.codecs.basis.transcoder import (
+    ENDPOINT_PRED_REPEAT_LAST,
+    INTEN_TABLES,
+    PRED_ABOVE,
+    PRED_CR,
+    PRED_EXPLICIT,
+    PRED_LEFT,
+    ApproxMoveToFront,
+    COLOR5_PAL0_PREV_HI,
+    COLOR5_PAL1_PREV_HI,
+)
+from uvol_tpu.containers.ktx2 import (
+    BasisLZGlobalData,
+    KTX2Header,
+    KTX2ImageDesc,
+    KTX2Level,
+    make_basis_dfd,
+    write_ktx2,
+)
+
+
+# ---------------------------------------------------------------------------
+# Palette construction (device)
+# ---------------------------------------------------------------------------
+
+
+def _extend5(c: np.ndarray) -> np.ndarray:
+    return (c << 3) | (c >> 2)
+
+
+@dataclasses.dataclass
+class Palettes:
+    color5: np.ndarray  # [E, 3] uint8 (5-bit)
+    inten: np.ndarray  # [E] uint8 (3-bit)
+    selectors: np.ndarray  # [S, 16] uint8 (2-bit, row-major y*4+x)
+    block_endpoint: np.ndarray  # [F, NB] int32
+    block_selector: np.ndarray  # [F, NB] int32
+
+
+_PALETTE_JIT_CACHE: Dict[Tuple, object] = {}
+
+
+def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
+    """One fused XLA program for the entire palette build (per shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvol_tpu.models.codebook import kmeans_assign, kmeans_update
+
+    def core(dev_blocks):  # [N, 16, 3] float32
+        n = dev_blocks.shape[0]
+        means = jnp.mean(dev_blocks, axis=1)  # [N, 3]
+        # contrast feature: std of the per-pixel gray deviation — blocks
+        # with equal means but different contrast need different intensity
+        # tables, so they must land in different endpoint clusters
+        s_pix = jnp.sum(dev_blocks, axis=2) - jnp.sum(means, axis=1)[:, None]
+        contrast = jnp.std(s_pix, axis=1) / 3.0  # [N]
+        feats = jnp.concatenate([means, contrast[:, None]], axis=1)  # [N,4]
+
+        # ---- endpoint k-means on (mean, contrast) features (MXU) -------------
+        stride = max(1, n // num_endpoints)
+        cb = feats[::stride][:num_endpoints]
+        for _ in range(kmeans_iters):
+            cb, _ = kmeans_update(feats, cb)
+        base5 = jnp.clip(
+            jnp.round(cb[:, :3] * 31.0 / 255.0), 0, 31
+        ).astype(jnp.int32)
+        base = (base5 << 3) | (base5 >> 2)  # [E, 3]
+
+        # assignment: quantized base + the cluster's contrast feature (what
+        # the decoder effectively reconstructs)
+        cb_q = jnp.concatenate(
+            [base.astype(jnp.float32), cb[:, 3:]], axis=1
+        )
+        assign = kmeans_assign(feats, cb_q)  # [N]
+        mods = jnp.asarray(INTEN_TABLES, jnp.float32)  # [8, 4]
+
+        def cluster_inten(assign, basef):
+            """Per-cluster best intensity table under the true error."""
+            s = jnp.sum(dev_blocks, axis=2) - jnp.sum(basef[assign], axis=1)[
+                :, None
+            ]  # [N, 16]
+            err_cols = []
+            for t in range(8):  # [N,16,4] peak, not [N,16,8,4]
+                cand_t = (
+                    3.0 * mods[t] ** 2
+                    - 2.0 * mods[t][None, None, :] * s[:, :, None]
+                )
+                err_cols.append(jnp.sum(jnp.min(cand_t, axis=-1), axis=1))
+            err_bt = jnp.stack(err_cols, axis=1)  # [N, 8]
+            onehot_e = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
+            cluster_err = jnp.dot(onehot_e.T, err_bt)  # [E, 8] — MXU
+            return jnp.argmin(cluster_err, axis=1).astype(jnp.int32)
+
+        inten = cluster_inten(assign, base.astype(jnp.float32))
+
+        # ---- exact-metric Lloyd refinement -----------------------------------
+        # err(b, e) = Σ_pix ||p - base_e||² + Σ_pix min_m (3m² - 2·m·s_e)
+        # where s_e[pix] = Σ_c p_c - Σ_c base_e_c: the second term depends on
+        # the endpoint only through (Σ base_e, table_e), so the full N×E
+        # search is a matmul + a scanned per-chunk min — all MXU/VPU.
+        p_sq = jnp.sum(dev_blocks.astype(jnp.float32) ** 2, axis=(1, 2))  # [N]
+        p_sum = jnp.sum(dev_blocks, axis=1)  # [N, 3] per-channel pixel sums
+        s0 = jnp.sum(dev_blocks, axis=2)  # [N, 16]
+        echunk = 16
+        n_chunks = (num_endpoints + echunk - 1) // echunk
+        e_pad = n_chunks * echunk
+
+        def exact_assign(basef, inten_idx):
+            color_cross = jnp.dot(
+                p_sum, basef.T, preferred_element_type=jnp.float32
+            )  # [N, E]
+            base_sq = 16.0 * jnp.sum(basef**2, axis=1)  # [E]
+            bsum = jnp.sum(basef, axis=1)  # [E]
+            emods = mods[inten_idx]  # [E, 4]
+            bsum_p = jnp.pad(bsum, (0, e_pad - num_endpoints))
+            emods_p = jnp.pad(emods, ((0, e_pad - num_endpoints), (0, 0)))
+
+            def chunk(carry, xs):
+                b_c, m_c = xs  # [C], [C, 4]
+                s_e = s0[:, :, None] - b_c[None, None, :]  # [N, 16, C]
+                cand = (
+                    3.0 * m_c[None, None] ** 2
+                    - 2.0 * m_c[None, None] * s_e[..., None]
+                )  # [N, 16, C, 4]
+                return carry, jnp.sum(jnp.min(cand, axis=-1), axis=1)  # [N, C]
+
+            _, mod_err = jax.lax.scan(
+                chunk,
+                0,
+                (
+                    bsum_p.reshape(n_chunks, echunk),
+                    emods_p.reshape(n_chunks, echunk, 4),
+                ),
+            )  # [n_chunks, N, C]
+            mod_err = jnp.moveaxis(mod_err, 0, 1).reshape(-1, e_pad)[
+                :, :num_endpoints
+            ]
+            err = (
+                p_sq[:, None] - 2.0 * color_cross + base_sq[None, :] + mod_err
+            )
+            return jnp.argmin(err, axis=1).astype(jnp.int32)
+
+        for _ in range(2):  # Lloyd iterations on the true metric
+            basef = base.astype(jnp.float32)
+            assign = exact_assign(basef, inten)
+            # base update: mean over member pixels of (p - chosen modifier)
+            s = s0 - jnp.sum(basef[assign], axis=1)[:, None]
+            m_b = mods[inten[assign]]  # [N, 4]
+            cand2 = (
+                3.0 * m_b[:, None, :] ** 2 - 2.0 * m_b[:, None, :] * s[:, :, None]
+            )
+            sel_px = jnp.argmin(cand2, axis=-1)  # [N, 16]
+            m_px = jnp.take_along_axis(m_b[:, None, :], sel_px[..., None], -1)[
+                ..., 0
+            ]  # [N, 16]
+            resid = dev_blocks - m_px[..., None]  # p - m per pixel/channel
+            onehot = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
+            sums = jnp.einsum(
+                "ne,nc->ec",
+                onehot,
+                jnp.mean(resid, axis=1),
+                preferred_element_type=jnp.float32,
+            )
+            counts = jnp.sum(onehot, axis=0)
+            new_mean = jnp.where(
+                counts[:, None] > 0,
+                sums / jnp.maximum(counts, 1.0)[:, None],
+                basef,
+            )
+            base5 = jnp.clip(jnp.round(new_mean * 31.0 / 255.0), 0, 31).astype(
+                jnp.int32
+            )
+            base = (base5 << 3) | (base5 >> 2)
+            inten = cluster_inten(assign, base.astype(jnp.float32))
+        assign = exact_assign(base.astype(jnp.float32), inten)
+        s = s0 - jnp.sum(base.astype(jnp.float32)[assign], axis=1)[:, None]
+
+        # ---- ideal per-pixel selectors ---------------------------------------
+        tab = inten[assign]  # [N]
+        m_b = mods[tab]  # [N, 4]
+        cand2 = 3.0 * m_b[:, None, :] ** 2 - 2.0 * m_b[:, None, :] * s[:, :, None]
+        ideal_sel = jnp.argmin(cand2, axis=-1).astype(jnp.int32)  # [N, 16]
+
+        # ---- selector codebook: Lloyd in the TRUE metric ----------------------
+        # assignment: err[b,k] = Σ_pix 3M[t_b,cb[k,p]]² - 2M[t_b,cb[k,p]]s[b,p]
+        # (a [N,16]×[16,S] matmul per table, masked-merge); update: for each
+        # cluster and pixel, the index j minimizing the summed member error —
+        # all segment sums are one-hot matmuls on the MXU.
+        def sel_exact_assign(sel_cb):
+            msel = mods[jnp.arange(8)[:, None, None], sel_cb[None]]  # [8,S,16]
+            sq = jnp.sum(3.0 * msel**2, axis=2)  # [8, S]
+            err_ks = jnp.zeros((n, msel.shape[1]), jnp.float32)
+            for t in range(8):
+                cross_t = jnp.dot(
+                    s, msel[t].T, preferred_element_type=jnp.float32
+                )
+                err_ks = jnp.where(
+                    (tab == t)[:, None], sq[t][None, :] - 2.0 * cross_t, err_ks
+                )
+            return jnp.argmin(err_ks, axis=1).astype(jnp.int32)  # [N]
+
+        def sel_update(sel_assign):
+            onehot_s = jax.nn.one_hot(
+                sel_assign, num_selectors, dtype=jnp.float32
+            )  # [N, S]
+            # u[b, j] = M[t_b, j]; per cluster: A_j = Σ u², C_j[p] = Σ u·s[p]
+            u = mods[tab]  # [N, 4]
+            a_kj = jnp.dot(
+                onehot_s.T, u**2, preferred_element_type=jnp.float32
+            )  # [S, 4]
+            # C[k, p, j] = Σ_b onehot[b,k]·u[b,j]·s[b,p]
+            us = u[:, None, :] * s[:, :, None]  # [N, 16, 4]
+            c_kpj = jnp.einsum(
+                "bk,bpj->kpj", onehot_s, us, preferred_element_type=jnp.float32
+            )  # [S, 16, 4]
+            err = 3.0 * a_kj[:, None, :] - 2.0 * c_kpj  # [S, 16, 4]
+            return jnp.argmin(err, axis=-1).astype(jnp.int32)  # [S, 16]
+
+        sel_cb = ideal_sel[:: max(1, n // num_selectors)][:num_selectors]
+        sel_assign = sel_exact_assign(sel_cb)
+        for _ in range(max(2, kmeans_iters // 2)):
+            sel_cb = sel_update(sel_assign)
+            sel_assign = sel_exact_assign(sel_cb)
+        return base5, inten, sel_cb, assign, sel_assign
+
+    return jax.jit(core)
+
+
+def build_palettes(
+    frames: np.ndarray,
+    num_endpoints: int,
+    num_selectors: int,
+    kmeans_iters: int = 6,
+) -> Palettes:
+    """Global palettes + per-block assignments, one jitted MXU program.
+
+    frames: [F, H, W, 3] uint8.
+    """
+    f, h, w, _ = frames.shape
+    nb = (h // 4) * (w // 4)
+    blocks = (
+        frames.reshape(f, h // 4, 4, w // 4, 4, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(f * nb, 16, 3)
+        .astype(np.float32)
+    )
+    n = blocks.shape[0]
+    num_endpoints = min(num_endpoints, n)
+    num_selectors = min(num_selectors, n)
+
+    key = (num_endpoints, num_selectors, kmeans_iters)
+    core = _PALETTE_JIT_CACHE.get(key)
+    if core is None:
+        core = _palette_core_fn(*key)
+        _PALETTE_JIT_CACHE[key] = core
+    base5, inten, sel_cb, assign, sel_assign = core(blocks)
+
+    return Palettes(
+        color5=np.asarray(base5, np.uint8),
+        inten=np.asarray(inten, np.uint8),
+        selectors=np.asarray(sel_cb, np.uint8),
+        block_endpoint=np.asarray(assign, np.int32).reshape(f, nb),
+        block_selector=np.asarray(sel_assign, np.int32).reshape(f, nb),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global palette streams (inverse of transcoder.decode_endpoints/selectors)
+# ---------------------------------------------------------------------------
+
+
+def encode_endpoints_stream(color5: np.ndarray, inten: np.ndarray) -> bytes:
+    deltas: List[Tuple[int, int]] = []  # (model, delta) per color component
+    inten_deltas: List[int] = []
+    prev_color5 = [16, 16, 16]
+    prev_inten = 0
+    for e in range(len(color5)):
+        inten_deltas.append((int(inten[e]) - prev_inten) & 7)
+        prev_inten = int(inten[e])
+        for c in range(3):
+            prev = prev_color5[c]
+            if prev <= COLOR5_PAL0_PREV_HI:
+                model = 0
+            elif prev <= COLOR5_PAL1_PREV_HI:
+                model = 1
+            else:
+                model = 2
+            deltas.append((model, (int(color5[e, c]) - prev) & 31))
+            prev_color5[c] = int(color5[e, c])
+    freqs = [[0] * 32 for _ in range(3)]
+    for model, d in deltas:
+        freqs[model][d] += 1
+    for fr in freqs:
+        if sum(fr) == 0:
+            fr[0] = 1
+    ifreq = [0] * 8
+    for d in inten_deltas:
+        ifreq[d] += 1
+    encs = [HuffmanEncoder(fr) for fr in freqs]
+    ienc = HuffmanEncoder(ifreq)
+    bw = BitWriter()
+    for enc in encs:
+        enc.write_table(bw)
+    ienc.write_table(bw)
+    bw.put_bits(0, 1)  # grayscale = 0
+    di = iter(deltas)
+    for e in range(len(color5)):
+        ienc.encode(bw, inten_deltas[e])
+        for _ in range(3):
+            model, d = next(di)
+            encs[model].encode(bw, d)
+    return bw.getvalue()
+
+
+def encode_selectors_stream(selectors: np.ndarray) -> bytes:
+    """selectors [S, 16] 2-bit → delta-coded stream (used_raw=0 path)."""
+    rows = selectors.reshape(-1, 4, 4)
+    bytes_per_row = (
+        rows[..., 0] | (rows[..., 1] << 2) | (rows[..., 2] << 4) | (rows[..., 3] << 6)
+    ).astype(np.uint8)  # [S, 4]
+    deltas: List[int] = []
+    prev = [0, 0, 0, 0]
+    for srow in bytes_per_row:
+        for y in range(4):
+            d = int(srow[y]) ^ prev[y]
+            prev[y] = int(srow[y])
+            deltas.append(d)
+    freq = [0] * 256
+    for d in deltas:
+        freq[d] += 1
+    enc = HuffmanEncoder(freq)
+    bw = BitWriter()
+    bw.put_bits(0, 1)  # used_global_cb
+    bw.put_bits(0, 1)  # used_hybrid_cb
+    bw.put_bits(0, 1)  # used_raw
+    enc.write_table(bw)
+    for d in deltas:
+        enc.encode(bw, d)
+    return bw.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Slice emission (inverse of decode_etc1s_slice)
+# ---------------------------------------------------------------------------
+
+
+def encode_etc1s_slice_bits(
+    eps: np.ndarray,
+    sels: np.ndarray,
+    prev: Optional[Tuple[np.ndarray, np.ndarray]],
+    num_endpoints: int,
+    num_selectors: int,
+    history_size: int,
+    encoders: Optional[Dict[str, HuffmanEncoder]] = None,
+    freq_out: Optional[Dict[str, List[int]]] = None,
+) -> Optional[bytes]:
+    """One pass over the slice in decoder order. With `freq_out`, collects
+    symbol frequencies (pass 1); with `encoders`, emits bits (pass 2).
+    The state machines are identical to decode_etc1s_slice's, so emission
+    order equals consumption order by construction.
+    """
+    nby, nbx = eps.shape
+    is_p = prev is not None
+    bw = BitWriter() if encoders is not None else None
+
+    # pre-choose predictions (must be stable across both passes)
+    pred = np.full((nby, nbx), PRED_EXPLICIT, np.int32)
+    for by in range(nby):
+        for bx in range(nbx):
+            ep = int(eps[by, bx])
+            if (
+                is_p
+                and ep == int(prev[0][by, bx])
+                and int(sels[by, bx]) == int(prev[1][by, bx])
+            ):
+                pred[by, bx] = PRED_CR
+                continue
+            if bx > 0 and ep == int(eps[by, bx - 1]):
+                pred[by, bx] = PRED_LEFT
+            elif by > 0 and ep == int(eps[by - 1, bx]):
+                pred[by, bx] = PRED_ABOVE
+            else:
+                pred[by, bx] = PRED_EXPLICIT
+
+    def note(stream: str, sym: int) -> None:
+        if freq_out is not None:
+            fr = freq_out[stream]
+            while len(fr) <= sym:
+                fr.append(0)
+            fr[sym] += 1
+
+    def emit(stream: str, sym: int) -> None:
+        if bw is not None:
+            encoders[stream].encode(bw, sym)
+        note(stream, sym)
+
+    # quad symbol stream state
+    quad_syms: List[int] = []
+    for by in range(0, nby, 2):
+        for bx in range(0, nbx, 2):
+            p00 = int(pred[by, bx])
+            p01 = int(pred[by, bx + 1]) if bx + 1 < nbx else 0
+            p10 = int(pred[by + 1, bx]) if by + 1 < nby else 0
+            p11 = (
+                int(pred[by + 1, bx + 1]) if by + 1 < nby and bx + 1 < nbx else 0
+            )
+            quad_syms.append(p00 | (p01 << 2) | (p10 << 4) | (p11 << 6))
+    # plan pred emissions (literal / repeat escapes) per quad index
+    quad_plan: List[Optional[Tuple[int, int]]] = [None] * len(quad_syms)
+    i = 0
+    while i < len(quad_syms):
+        sym = quad_syms[i]
+        run = 1
+        while i + run < len(quad_syms) and quad_syms[i + run] == sym:
+            run += 1
+        quad_plan[i] = (sym, -1)
+        rest = run - 1
+        # the escape quad consumes prev_sym itself AND sets pred_rle=vlc+2
+        # further quads, so it covers vlc+3 of the remaining `rest` quads —
+        # only usable when rest >= 3 (decode_etc1s_slice:316-325)
+        if rest >= 3:
+            quad_plan[i + 1] = (ENDPOINT_PRED_REPEAT_LAST, rest - 3)
+            # quads i+2..i+run-1 consume the rle counter: no emission
+        else:
+            for k in range(1, run):
+                quad_plan[i + k] = (sym, -1)
+        i += run
+
+    # selector runs of hist[0]: plan with lookahead using a simulated MTF
+    hist = ApproxMoveToFront(history_size)
+    prev_ep = 0
+    sel_rle_left = 0
+    qi = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if (by & 1) == 0 and (bx & 1) == 0:
+                plan = quad_plan[qi]
+                qi += 1
+                if plan is not None:
+                    sym, extra = plan
+                    emit("pred", sym)
+                    if sym == ENDPOINT_PRED_REPEAT_LAST and bw is not None:
+                        write_vlc(bw, extra, 4)
+
+            p = int(pred[by, bx])
+            sel = int(sels[by, bx])
+
+            if p != PRED_CR:
+                ep = int(eps[by, bx])
+                if p == PRED_EXPLICIT:
+                    emit("delta", (ep - prev_ep) % num_endpoints)
+                prev_ep = ep
+
+            # selector stream (CR blocks participate too; the decoder
+            # DISCARDS a CR block's selector value, so CR blocks are
+            # wildcards — they match any run and may emit anything)
+            if sel_rle_left:
+                sel_rle_left -= 1
+                continue
+            if sel == hist[0] or p == PRED_CR:
+                # measure the run length of hist[0]/wildcards from here
+                run = 0
+                yy, xx = by, bx
+                while yy < nby:
+                    if (
+                        int(sels[yy, xx]) == hist[0]
+                        or int(pred[yy, xx]) == PRED_CR
+                    ):
+                        run += 1
+                    else:
+                        break
+                    xx += 1
+                    if xx == nbx:
+                        xx = 0
+                        yy += 1
+                if run >= 2:
+                    rle = run - 1  # decode: sel_rle = rle_sym + 1 more blocks
+                    # decode: sym -> if 63: += vlc(7); sel_rle = rle + 1
+                    base_rle = rle - 1
+                    if base_rle >= 63:
+                        emit("sel", num_selectors + history_size)
+                        emit("rle", 63)
+                        if bw is not None:
+                            write_vlc(bw, base_rle - 63, 7)
+                    else:
+                        emit("sel", num_selectors + history_size)
+                        emit("rle", base_rle)
+                    sel_rle_left = run - 1
+                else:
+                    emit("sel", num_selectors + 0)
+                    hist.use(0)
+                continue
+            idx = None
+            for k in range(history_size):
+                if hist[k] == sel:
+                    idx = k
+                    break
+            if idx is not None and idx > 0:
+                emit("sel", num_selectors + idx)
+                hist.use(idx)
+            else:
+                emit("sel", sel)
+                hist.add(sel)
+
+    return bw.getvalue() if bw is not None else None
+
+
+# ---------------------------------------------------------------------------
+# Top level
+# ---------------------------------------------------------------------------
+
+
+def encode_ktx2_etc1s(
+    frames: np.ndarray,
+    *,
+    num_endpoints: int = 256,
+    num_selectors: int = 256,
+    history_size: int = 64,
+    kmeans_iters: int = 6,
+    srgb: bool = True,
+) -> bytes:
+    """[F, H, W, 3] uint8 → BasisLZ-supercompressed KTX2 (video layers)."""
+    f, h, w, _ = frames.shape
+    nbx, nby = w // 4, h // 4
+    pal = build_palettes(frames, num_endpoints, num_selectors, kmeans_iters)
+    num_endpoints = len(pal.color5)
+    num_selectors = len(pal.selectors)
+
+    eps_f = pal.block_endpoint.reshape(f, nby, nbx)
+    sels_f = pal.block_selector.reshape(f, nby, nbx)
+
+    # pass 1: frequencies over all slices
+    freqs: Dict[str, List[int]] = {
+        "pred": [0] * (ENDPOINT_PRED_REPEAT_LAST + 1),
+        "delta": [0] * 1,
+        "sel": [0] * (num_selectors + history_size + 1),
+        "rle": [0] * 64,
+    }
+    for i in range(f):
+        prev = (eps_f[i - 1], sels_f[i - 1]) if i > 0 else None
+        encode_etc1s_slice_bits(
+            eps_f[i], sels_f[i], prev, num_endpoints, num_selectors,
+            history_size, freq_out=freqs,
+        )
+    # pad alphabets to full size expected by the decoder's index space
+    freqs["delta"] += [0] * (num_endpoints - len(freqs["delta"]))
+    for k in freqs:
+        if sum(freqs[k]) == 0:
+            freqs[k][0] = 1
+    encoders = {k: HuffmanEncoder(v) for k, v in freqs.items()}
+
+    # tables_data (decode_slice_models order)
+    tbw = BitWriter()
+    encoders["pred"].write_table(tbw)
+    encoders["delta"].write_table(tbw)
+    encoders["sel"].write_table(tbw)
+    encoders["rle"].write_table(tbw)
+    tbw.put_bits(history_size, 13)
+    tables_data = tbw.getvalue()
+
+    # pass 2: emit slices
+    level = bytearray()
+    descs: List[KTX2ImageDesc] = []
+    for i in range(f):
+        prev = (eps_f[i - 1], sels_f[i - 1]) if i > 0 else None
+        bits = encode_etc1s_slice_bits(
+            eps_f[i], sels_f[i], prev, num_endpoints, num_selectors,
+            history_size, encoders=encoders,
+        )
+        descs.append(
+            KTX2ImageDesc(
+                image_flags=KTX2ImageDesc.IS_P_FRAME if i > 0 else 0,
+                rgb_slice_byte_offset=len(level),
+                rgb_slice_byte_length=len(bits),
+                alpha_slice_byte_offset=0,
+                alpha_slice_byte_length=0,
+            )
+        )
+        level.extend(bits)
+
+    g = BasisLZGlobalData(
+        endpoint_count=num_endpoints,
+        selector_count=num_selectors,
+        endpoints_data=encode_endpoints_stream(pal.color5, pal.inten),
+        selectors_data=encode_selectors_stream(pal.selectors),
+        tables_data=tables_data,
+        extended_data=b"",
+        image_descs=descs,
+    )
+    header = KTX2Header(
+        vk_format=0,
+        type_size=1,
+        pixel_width=w,
+        pixel_height=h,
+        pixel_depth=0,
+        layer_count=f if f > 1 else 0,
+        face_count=1,
+        level_count=1,
+        supercompression_scheme=1,  # BasisLZ
+    )
+    return write_ktx2(
+        header,
+        [KTX2Level(bytes(level), len(level))],
+        dfd=make_basis_dfd(srgb=srgb),
+        basis_lz=g,
+    )

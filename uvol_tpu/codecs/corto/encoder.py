@@ -261,11 +261,16 @@ def encode_crt(
     referenced[faces.reshape(-1)] = True
     nreferenced = int(referenced.sum())
 
+    if len(group_ends) > 1:
+        # encode_all always walks the full face set; running it once per
+        # group would CLER-encode the mesh N times into one corrupt stream
+        # (round-1 ADVICE item 5). Per-group front ranges are not
+        # implemented yet — reject rather than emit malformed output.
+        raise NotImplementedError(
+            "multi-group .crt encoding not supported (single group only)"
+        )
     machine = _FrontMachine(faces, nvert, nreferenced)
-    start = 0
-    for g_end in group_ends:
-        machine.encode_all()  # single group: whole range
-        start = g_end
+    machine.encode_all()
 
     new_nvert = machine.current_vertex
     quads = machine.prediction  # (original_t, a, b, c) with original indices

@@ -45,6 +45,11 @@ TEMPLATE = {
     # scripts/Encoder.py:260-267); "uvtg": this framework's batched
     # device-encoded format (declared honestly in the manifest)
     "GEOMETRY_CODEC": "draco",
+    # "etc1s": BasisLZ-supercompressed KTX2 (reference-interoperable wire,
+    # scripts/Encoder.py:286-298); "etc": raw ETC2 payload KTX2 (fast path)
+    "TEXTURE_CODEC": "etc1s",
+    "ETC1S_ENDPOINTS": 256,
+    "ETC1S_SELECTORS": 256,
     "ENCODE_WORKERS": 0,  # 0 = os.cpu_count()
 }
 
