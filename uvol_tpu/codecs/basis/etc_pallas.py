@@ -125,9 +125,16 @@ def _kernel(blocks_ref, mods_ref, words_ref):
     words_ref[:] = _encode_tile(blocks_ref[:].astype(jnp.int32), mods_ref[:])
 
 
-@jax.jit
-def encode_etc1_blocks_pallas(blocks: jax.Array) -> jax.Array:
-    """[B, 4, 4, 3] uint8 → [B, 2] uint32; B padded to the tile size."""
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def encode_etc1_blocks_pallas(
+    blocks: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """[B, 4, 4, 3] uint8 → [B, 2] uint32; B padded to the tile size.
+
+    `interpret=True` runs through the Pallas interpreter (CPU parity)."""
     b = blocks.shape[0]
     flat = blocks.reshape(b, 48).astype(jnp.int32)
     padded = -(-b // TILE) * TILE
@@ -143,5 +150,6 @@ def encode_etc1_blocks_pallas(blocks: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded, 2), jnp.int32),
+        interpret=interpret,
     )(flat, mods)
     return jax.lax.bitcast_convert_type(words[:b], jnp.uint32)

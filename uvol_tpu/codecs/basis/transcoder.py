@@ -392,8 +392,89 @@ def blocks_to_rgb(
     return rgb.transpose(0, 2, 1, 3, 4).reshape(nby * 4, nbx * 4, 3)
 
 
-def transcode_ktx2_etc1s(ktx2_file) -> np.ndarray:
-    """Full BasisLZ KTX2 → [layers, H, W, 3] uint8 RGB frames."""
+def blocks_to_etc1_words(
+    blocks: np.ndarray, endpoints: List[Endpoint], selectors: np.ndarray
+) -> np.ndarray:
+    """(endpoint, selector) indices → ETC1 block words [nby*nbx, 2] uint32.
+
+    The "fast transcode" target: every ETC1S block is a valid ETC1
+    differential block with both subblocks sharing the base color and
+    intensity table (what the native basis transcoder emits for
+    ETC1/ETC2-capable devices, src/lib/KTX2Loader.js:591-697 table).
+    """
+    base5 = np.array([list(e.color5) for e in endpoints], np.uint32)  # [E,3]
+    inten = np.array([e.inten5 for e in endpoints], np.uint32)
+    ep = blocks[..., 0].reshape(-1)
+    sel = blocks[..., 1].reshape(-1)
+    r5, g5, b5 = base5[ep, 0], base5[ep, 1], base5[ep, 2]
+    t = inten[ep]
+    word1 = (
+        (r5 << 27) | (g5 << 19) | (b5 << 11)
+        | (t << 5) | (t << 2) | (1 << 1)  # diff=1, flip=0
+    ).astype(np.uint32)
+    # ETC1S selector s (ascending modifier [-L,-s,+s,+L]) → ETC1 pixel code
+    # (msb=sign, lsb=magnitude): 0→(1,1) 1→(1,0) 2→(0,0) 3→(0,1)
+    msb_of = np.array([1, 1, 0, 0], np.uint32)
+    lsb_of = np.array([1, 0, 0, 1], np.uint32)
+    grid = selectors[sel]  # [N, 4, 4] (y, x)
+    j = np.arange(16)
+    y, x = j % 4, j // 4
+    codes = grid[:, y, x]  # [N, 16] in ETC1 column-major order j = x*4+y
+    lsb = lsb_of[codes]
+    msb = msb_of[codes]
+    word2 = (
+        (lsb << j[None, :]).sum(1) + (msb << (j[None, :] + 16)).sum(1)
+    ).astype(np.uint32)
+    return np.stack([word1, word2], axis=1)
+
+
+#: transcode-target selection table — priorities and constraints per device
+#: capability, mirroring the reference's FORMAT_OPTIONS
+#: (src/lib/KTX2Loader.js:591-697): lower priority number wins among
+#: supported formats; PVRTC-class targets require power-of-two textures.
+FORMAT_OPTIONS = [
+    {"cap": "astc", "target": "astc-4x4", "priority_etc1s": 10,
+     "priority_uastc": 1, "needs_pow2": False},
+    {"cap": "bptc", "target": "bc7", "priority_etc1s": 3,
+     "priority_uastc": 2, "needs_pow2": False},
+    {"cap": "dxt", "target": "bc1-bc3", "priority_etc1s": 4,
+     "priority_uastc": 5, "needs_pow2": False},
+    {"cap": "etc2", "target": "etc1", "priority_etc1s": 1,
+     "priority_uastc": 3, "needs_pow2": False},
+    {"cap": "etc1", "target": "etc1", "priority_etc1s": 2,
+     "priority_uastc": 4, "needs_pow2": False},
+    {"cap": "pvrtc", "target": "pvrtc1", "priority_etc1s": 5,
+     "priority_uastc": 6, "needs_pow2": True},
+]
+
+
+def select_transcode_target(
+    capabilities, *, is_uastc: bool = False, width: int = 0, height: int = 0
+) -> str:
+    """Pick the best device target; falls back to 'rgba' (full decode)."""
+
+    def pow2(n):
+        return n > 0 and (n & (n - 1)) == 0
+
+    key = "priority_uastc" if is_uastc else "priority_etc1s"
+    best = None
+    for opt in FORMAT_OPTIONS:
+        if opt["cap"] not in capabilities:
+            continue
+        if opt["needs_pow2"] and not (pow2(width) and pow2(height)):
+            continue
+        if best is None or opt[key] < best[key]:
+            best = opt
+    return best["target"] if best else "rgba"
+
+
+def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
+    """Full BasisLZ KTX2 → frames.
+
+    target="rgba": [layers, H, W, 3] uint8 pixels (full decode).
+    target="etc1": [layers, nblocks, 2] uint32 ETC1 words (fast passthrough
+    for ETC-capable devices — no pixel math, palette lookups only).
+    """
     g = ktx2_file.basis_lz
     if g is None:
         raise ValueError("not a BasisLZ ktx2 file")
@@ -415,5 +496,8 @@ def transcode_ktx2_etc1s(ktx2_file) -> np.ndarray:
             prev_frame=prev_blocks,
         )
         prev_blocks = blocks
-        frames.append(blocks_to_rgb(blocks, endpoints, selectors))
+        if target == "etc1":
+            frames.append(blocks_to_etc1_words(blocks, endpoints, selectors))
+        else:
+            frames.append(blocks_to_rgb(blocks, endpoints, selectors))
     return np.stack(frames)

@@ -143,6 +143,27 @@ class KTX2File:
             * max(h.pixel_depth, 1)
         )
 
+    def level_payload(self, index: int = 0) -> bytes:
+        """Level data with supercompression removed (NONE/ZSTD/ZLIB).
+
+        Mirrors the reference's Zstd raw-KTX2 path
+        (src/lib/KTX2Loader.js:799-823, zstddec); BasisLZ levels are
+        returned as-is (their slices are decoded by the transcoder).
+        """
+        lvl = self.levels[index]
+        scheme = self.header.supercompression_scheme
+        if scheme in (SUPERCOMPRESSION_NONE, SUPERCOMPRESSION_BASISLZ):
+            return lvl.data
+        if scheme == SUPERCOMPRESSION_ZSTD:
+            from uvol_tpu.native import zstd
+
+            return zstd.decompress(lvl.data, lvl.uncompressed_byte_length)
+        if scheme == SUPERCOMPRESSION_ZLIB:
+            import zlib
+
+            return zlib.decompress(lvl.data)
+        raise NotImplementedError(f"supercompression scheme {scheme}")
+
     def dfd_color_model(self) -> int:
         # DFD: u32 totalSize, then block: u32 vendor/type, u16 ver, u16 size,
         # u8 colorModel at block offset 8.

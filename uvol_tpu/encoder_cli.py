@@ -315,8 +315,26 @@ def main(argv: Optional[List[str]] = None) -> int:
         imgs = _expand(cfg["ImagesPath"])
         if imgs:
             batch = cfg["KTX2_BATCH_SIZE"]
-            codec = TextureSequenceCodec(sequence_size=batch)
-            tex_dir = os.path.join(out_dir, "texture_etc-tpu_baseColor_default")
+            tex_codec = cfg.get("TEXTURE_CODEC", "etc1s")
+            if tex_codec == "etc1s":
+                from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+
+                class _Etc1sSegmentCodec:
+                    def encode_segment(self, px):
+                        return encode_ktx2_etc1s(
+                            px,
+                            num_endpoints=cfg["ETC1S_ENDPOINTS"],
+                            num_selectors=cfg["ETC1S_SELECTORS"],
+                        )
+
+                codec = _Etc1sSegmentCodec()
+                target_name = "etc1s-tpu"
+            else:
+                codec = TextureSequenceCodec(sequence_size=batch)
+                target_name = "etc-tpu"
+            tex_dir = os.path.join(
+                out_dir, f"texture_{target_name}_baseColor_default"
+            )
             os.makedirs(tex_dir, exist_ok=True)
             resume = _ResumeIndex(tex_dir)
             n_seg = 0
@@ -344,7 +362,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             resume.save()
             manifest["texture"] = {
                 "targets": {
-                    "etc-tpu": {
+                    target_name: {
                         "format": "ktx2",
                         "frameRate": cfg["TEXTURE_FRAME_RATE"],
                         "resolution": [w, h],

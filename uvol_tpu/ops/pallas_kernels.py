@@ -23,23 +23,29 @@ C_PAD = 128  # lane width; real components live in the first C columns
 
 
 def _kernel(x_ref, prev_ref, scale_ref, out_ref):
-    """x [TILE_N, C_PAD] f32, prev [1, C_PAD] (last row of previous tile),
-    scale [1, C_PAD] = 1/step, out [TILE_N, C_PAD] int32 symbols."""
+    """x [TILE_N, C_PAD] f32, prev [num_tiles, C_PAD] (whole array in VMEM;
+    row i = last row of tile i-1 — Mosaic disallows 1-row blocks over a
+    >1-row array), scale [1, C_PAD] = 1/step, out [TILE_N, C_PAD] int32."""
     inv = scale_ref[0, :]
     q = jnp.floor(x_ref[:] * inv[None, :] + 0.5).astype(jnp.int32)
-    qprev = jnp.floor(prev_ref[0, :] * inv + 0.5).astype(jnp.int32)
+    prev_row = prev_ref[pl.program_id(0), :]
+    qprev = jnp.floor(prev_row * inv + 0.5).astype(jnp.int32)
     shifted = jnp.concatenate([qprev[None, :], q[:-1, :]], axis=0)
     delta = q - shifted
     # zigzag in int32: (d >> 31) ^ (d << 1)
     out_ref[:] = (delta >> 31) ^ (delta << 1)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(2, 3))
 def fused_quantize_delta_zigzag(
-    x: jax.Array, inv_step: jax.Array, num_components: int
+    x: jax.Array, inv_step: jax.Array, num_components: int,
+    interpret: bool = False,
 ) -> jax.Array:
     """x [F, N, C] float32 (min-subtracted), inv_step [F] → zigzag symbols
-    [F, N, C] int32 (row 0 carries the absolute quantized value)."""
+    [F, N, C] int32 (row 0 carries the absolute quantized value).
+
+    `interpret=True` runs the kernel through the Pallas interpreter
+    (CPU-testable parity path)."""
     f, n, c = x.shape
     n_pad = -(-n // TILE_N) * TILE_N
     num_tiles = n_pad // TILE_N
@@ -58,7 +64,7 @@ def fused_quantize_delta_zigzag(
             in_specs=[
                 pl.BlockSpec((TILE_N, C_PAD), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, C_PAD), lambda i: (i, 0),
+                pl.BlockSpec((num_tiles, C_PAD), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, C_PAD), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -67,6 +73,7 @@ def fused_quantize_delta_zigzag(
                 (TILE_N, C_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n_pad, C_PAD), jnp.int32),
+            interpret=interpret,
         )(xf, pf, sf)
 
     out = jax.vmap(per_frame)(xp, prev, scale)
