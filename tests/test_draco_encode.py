@@ -129,6 +129,50 @@ def test_encode_torus_topology_splits():
     roundtrip_positions(*torus())
 
 
+def test_encode_standard_traversal_coder():
+    """Bit-coded CLER stream (MESH_EDGEBREAKER_STANDARD_ENCODING) — the
+    alternate traversal coder the format defines; exercises the decode-side
+    finish_symbols path (round-1 NotImplementedError)."""
+    for pos, faces in (tri_grid(8, 7), uv_sphere(), torus()):
+        att = AttributeToEncode(
+            K.ATT_POSITION, pos, faces.reshape(-1), quantization_bits=14
+        )
+        blob = encode_drc(faces, [att], traversal_encoding="standard")
+        m = decode_drc(blob)
+        dpos = m.point_attribute(0)
+        d2 = ((dpos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+        nn = d2.argmin(1)
+        assert np.sqrt(d2[np.arange(len(dpos)), nn]).max() < 1e-3 * max(
+            1.0, np.abs(pos).max()
+        )
+
+        def canon(f):
+            return {
+                tuple(np.roll(t, -int(np.argmin(t)))) for t in f
+            }
+
+        assert canon(faces) == canon(nn[m.faces])
+
+
+def test_encode_standard_with_uv_seams():
+    nx, ny = 6, 5
+    pos, faces = tri_grid(nx, ny)
+    uv = np.random.default_rng(0).uniform(0, 1, (len(pos), 2)).astype(
+        np.float32
+    )
+    atts = [
+        AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), 12),
+        AttributeToEncode(K.ATT_TEX_COORD, uv, faces.reshape(-1), 12),
+    ]
+    blob = encode_drc(faces, atts, traversal_encoding="standard")
+    m = decode_drc(blob)
+    duv = m.point_attribute(3)
+    dpos = m.point_attribute(0)
+    d2 = ((dpos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    nn = d2.argmin(1)
+    assert np.abs(duv - uv[nn]).max() < 1e-3
+
+
 def test_encode_all_attributes_with_uv_seam():
     nx, ny = 8, 7
     pos, faces = tri_grid(nx, ny)

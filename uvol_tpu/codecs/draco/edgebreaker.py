@@ -349,10 +349,10 @@ def run_connectivity_machine(
 
 
     if not valence_mode:
+        # standard coder: the start-face and seam rANS sections follow the
+        # symbol bit section; the shared machine below then consumes them
+        # exactly like the valence path (same decoder-side pass order)
         traversal.finish_symbols(buf)
-        raise NotImplementedError(
-            "standard-coder seam ordering not wired yet"
-        )
 
     # ---- end of symbols: init faces / holes --------------------------------
     num_decoded_faces = num_symbols

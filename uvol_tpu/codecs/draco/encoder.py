@@ -663,11 +663,15 @@ def quantize_normals(values: np.ndarray, bits: int) -> np.ndarray:
 def encode_drc(
     faces: np.ndarray,
     attributes: List[AttributeToEncode],
+    *,
+    traversal_encoding: str = "valence",
 ) -> bytes:
     """Encode a triangular mesh to a Draco 2.2 bitstream.
 
     `faces` are position-index triangles; attributes[0] must be POSITION.
     Per-corner attribute indexing (`corner_to_value`) expresses seams.
+    `traversal_encoding`: "valence" (context-modeled rANS symbols, what
+    draco_encoder emits by default) or "standard" (bit-coded CLER stream).
     """
     if attributes[0].attribute_type != K.ATT_POSITION:
         raise ValueError("attributes[0] must be POSITION")
@@ -770,7 +774,12 @@ def encode_drc(
     out.u8(K.MESH_EDGEBREAKER_ENCODING)
     out.u16(0)  # flags
 
-    out.u8(K.MESH_EDGEBREAKER_VALENCE_ENCODING)
+    standard = traversal_encoding == "standard"
+    out.u8(
+        K.MESH_EDGEBREAKER_STANDARD_ENCODING
+        if standard
+        else K.MESH_EDGEBREAKER_VALENCE_ENCODING
+    )
     out.varint(ct.num_vertices)
     out.varint(num_faces)
     out.u8(num_attribute_data)
@@ -793,33 +802,49 @@ def encode_drc(
             out.put_bits(s.source_edge, 1)
         out.end_bit_encoding(encode_size=False)
 
-    # start-face bits (component order = decoder pop order)
-    sf = RansBitEncoder()
-    for b in trav.start_face_bits:
-        sf.encode_bit(b)
-    sf.flush(out)
+    def write_start_face_and_seams() -> None:
+        # start-face bits (component order = decoder pop order)
+        sf = RansBitEncoder()
+        for b in trav.start_face_bits:
+            sf.encode_bit(b)
+        sf.flush(out)
+        # seam bits (decoder's face-order pass)
+        for bits in seam_bit_lists:
+            enc = RansBitEncoder()
+            for b in bits:
+                enc.encode_bit(b)
+            enc.flush(out)
 
-    # seam bits (decoder's face-order pass)
-    for bits in seam_bit_lists:
-        enc = RansBitEncoder()
-        for b in bits:
-            enc.encode_bit(b)
-        enc.flush(out)
-
-    # valence contexts: bucket symbols by the replay-recorded context; the
-    # decoder consumes each bucket back-to-front, so store reverse decode
-    # order (== encode order within the bucket)
-    buckets: List[List[int]] = [[] for _ in range(K.NUM_VALENCE_CONTEXTS)]
-    symbols_decode_order = list(reversed(trav.symbols))
-    for step, ctx in enumerate(replay.contexts):
-        if ctx == -1:
-            continue  # implicit E (first decoded symbol)
-        buckets[ctx].append(TOPOLOGY_TO_SYMBOL_IDX[symbols_decode_order[step]])
-    for bucket in buckets:
-        bucket.reverse()
-        out.varint(len(bucket))
-        if bucket:
-            encode_symbols(np.asarray(bucket, np.uint32), 1, out)
+    if standard:
+        # bit-coded CLER symbols in decode order: C = '0', others
+        # '1' + 2-bit suffix with symbol = (suffix << 1) | 1
+        out.start_bit_encoding()
+        for sym in reversed(trav.symbols):
+            if sym == K.TOPOLOGY_C:
+                out.put_bits(0, 1)
+            else:
+                out.put_bits(1, 1)
+                out.put_bits(sym >> 1, 2)
+        out.end_bit_encoding(encode_size=True)
+        write_start_face_and_seams()
+    else:
+        write_start_face_and_seams()
+        # valence contexts: bucket symbols by the replay-recorded context;
+        # the decoder consumes each bucket back-to-front, so store reverse
+        # decode order (== encode order within the bucket)
+        buckets: List[List[int]] = [[] for _ in range(K.NUM_VALENCE_CONTEXTS)]
+        symbols_decode_order = list(reversed(trav.symbols))
+        for step, ctx in enumerate(replay.contexts):
+            if ctx == -1:
+                continue  # implicit E (first decoded symbol)
+            buckets[ctx].append(
+                TOPOLOGY_TO_SYMBOL_IDX[symbols_decode_order[step]]
+            )
+        for bucket in buckets:
+            bucket.reverse()
+            out.varint(len(bucket))
+            if bucket:
+                encode_symbols(np.asarray(bucket, np.uint32), 1, out)
 
     # ---- attribute encoding --------------------------------------------------
     # decoder layout mirrored from draco_encoder output (liam):

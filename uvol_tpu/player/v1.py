@@ -91,6 +91,7 @@ class V1Player:
         encoder_window_size: int = 8,
         encoder_byte_length: int = 16,
         video_size: int = 1024,
+        async_prefetch: bool = False,
     ) -> None:
         self.range_fetcher = range_fetcher
         self.geometry_decoder = geometry_decoder
@@ -110,6 +111,31 @@ class V1Player:
         self._pacer: Optional[V1RequestPacer] = None
         self._playing = False
         self._ended = False
+        # async mode: the worker's range fetch+decode runs off the tick with
+        # the reference's ≤3-in-flight pacing actually constraining real
+        # concurrency (src/V1/player.ts:209-227)
+        self._pool = None
+        if async_prefetch:
+            from uvol_tpu.runtime.prefetch import PrefetchPool
+
+            self._pool = PrefetchPool(
+                self._fetch_decode_range, workers=3, max_in_flight=3
+            )
+
+    def _fetch_decode_range(self, start_f: int, end_f: int):
+        fd = self.manifest.frameData
+        start_byte = fd[start_f].startBytePosition
+        end_byte = fd[end_f].startBytePosition + fd[end_f].meshLength
+        blob = self.range_fetcher(self.drcs_url, start_byte, end_byte)
+        out: Dict[int, Any] = {}
+        for i in range(start_f, end_f + 1):
+            o = fd[i].startBytePosition - start_byte
+            payload = blob[o : o + fd[i].meshLength]
+            try:
+                out[i] = self.geometry_decoder(payload)
+            except Exception:  # worker posts empty payloads on error
+                out[i] = None  # (src/V1/worker.ts:70-73)
+        return out
 
     def play_track(
         self, manifest: V1Schema, target_frames_to_request: int, manifest_path: str
@@ -136,26 +162,30 @@ class V1Player:
         self._playing = False
         self._ended = False
 
-    # -- the worker loop, synchronous (src/V1/player.ts:206-246 + worker) ----
+    # -- the worker loop (src/V1/player.ts:206-246 + worker) -----------------
     def buffer_loop(self) -> None:
         assert self.manifest is not None and self._pacer is not None
-        while True:
-            rng = self._pacer.next_range(len(self.mesh_buffer))
-            if rng is None:
-                break
-            start_f, end_f = rng
-            fd = self.manifest.frameData
-            start_byte = fd[start_f].startBytePosition
-            end_byte = fd[end_f].startBytePosition + fd[end_f].meshLength
-            blob = self.range_fetcher(self.drcs_url, start_byte, end_byte)
-            for i in range(start_f, end_f + 1):
-                o = fd[i].startBytePosition - start_byte
-                payload = blob[o : o + fd[i].meshLength]
-                try:
-                    self.mesh_buffer[i] = self.geometry_decoder(payload)
-                except Exception:  # worker posts empty payloads on error
-                    self.mesh_buffer[i] = None  # (src/V1/worker.ts:70-73)
-            self._pacer.on_response()
+        if self._pool is not None:
+            # drain completed ranges, releasing their in-flight slots
+            for _key, (result, err) in self._pool.poll().items():
+                if err is None:
+                    self.mesh_buffer.update(result)
+                self._pacer.on_response()
+            while True:
+                rng = self._pacer.next_range(len(self.mesh_buffer))
+                if rng is None:
+                    break
+                self._pool.request(rng, rng[0], rng[1])
+        else:
+            while True:
+                rng = self._pacer.next_range(len(self.mesh_buffer))
+                if rng is None:
+                    break
+                start_f, end_f = rng
+                self.mesh_buffer.update(
+                    self._fetch_decode_range(start_f, end_f)
+                )
+                self._pacer.on_response()
 
         if not self._playing and self._pacer.can_start_playback(len(self.mesh_buffer)):
             self._playing = True
