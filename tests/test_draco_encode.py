@@ -224,6 +224,45 @@ def test_encode_all_attributes_with_uv_seam():
     np.testing.assert_array_equal(dgen[:, 0], gen[nn, 0])
 
 
+def test_sequential_mesh_roundtrip():
+    """MESH_SEQUENTIAL_ENCODING: delta-coded indices, linear attributes."""
+    from uvol_tpu.codecs.draco.sequential import encode_drc_sequential
+
+    pos, faces = tri_grid(7, 6)
+    uv = np.random.default_rng(1).uniform(0, 1, (len(pos), 2)).astype(np.float32)
+    gen = (np.arange(len(pos)) % 5).astype(np.uint8).reshape(-1, 1)
+    atts = [
+        AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), 14),
+        AttributeToEncode(K.ATT_TEX_COORD, uv, faces.reshape(-1), 12),
+        AttributeToEncode(K.ATT_GENERIC, gen, faces.reshape(-1), integer=True),
+    ]
+    blob = encode_drc_sequential(faces, atts)
+    m = decode_drc(blob)
+    np.testing.assert_array_equal(m.faces, faces)
+    assert np.abs(m.point_attribute(0) - pos).max() < 1e-3
+    assert np.abs(m.point_attribute(3) - uv).max() < 1e-3
+    np.testing.assert_array_equal(m.point_attribute(4)[:, 0], gen[:, 0])
+
+
+def test_point_cloud_roundtrip():
+    """POINT_CLOUD + sequential attribute coding."""
+    from uvol_tpu.codecs.draco.sequential import encode_drc_point_cloud
+
+    r = np.random.default_rng(2)
+    pos = r.uniform(-1, 1, (500, 3)).astype(np.float32)
+    col = r.integers(0, 255, (500, 3)).astype(np.uint8)
+    atts = [
+        AttributeToEncode(K.ATT_POSITION, pos, np.arange(500), 14),
+        AttributeToEncode(K.ATT_COLOR, col, np.arange(500), integer=True),
+    ]
+    blob = encode_drc_point_cloud(atts)
+    m = decode_drc(blob)
+    assert m.num_points == 500
+    assert len(m.faces) == 0
+    assert np.abs(m.point_attribute(0) - pos).max() < 1e-3
+    np.testing.assert_array_equal(m.point_attribute(2), col)
+
+
 @pytest.mark.slow
 def test_liam_reencode_roundtrip(liam_output):
     """VERDICT r1 item 2 'Done (a)': encode(decode(liam frame)) re-decodes

@@ -85,12 +85,20 @@ def decode_drc(data: bytes) -> DracoMesh:
     encoder_type = buf.u8()
     method = buf.u8()
     flags = buf.u16()
-    if encoder_type != K.TRIANGULAR_MESH:
-        raise NotImplementedError("point cloud decoding: use point-cloud path")
-    if method != K.MESH_EDGEBREAKER_ENCODING:
-        raise NotImplementedError("sequential mesh encoding")
     if flags & K.METADATA_FLAG_MASK:
         _skip_metadata(buf)
+    if encoder_type == K.POINT_CLOUD:
+        from uvol_tpu.codecs.draco.sequential import decode_drc_point_cloud
+
+        return decode_drc_point_cloud(buf, method)
+    if encoder_type != K.TRIANGULAR_MESH:
+        raise NotImplementedError(f"encoder type {encoder_type}")
+    if method == K.MESH_SEQUENTIAL_ENCODING:
+        from uvol_tpu.codecs.draco.sequential import decode_drc_sequential
+
+        return decode_drc_sequential(buf)
+    if method != K.MESH_EDGEBREAKER_ENCODING:
+        raise NotImplementedError(f"mesh encoding method {method}")
 
     conn = decode_edgebreaker_connectivity(buf)
     ct = conn.corner_table

@@ -341,13 +341,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             h = w = 0
             for s in range(0, len(imgs), batch):
                 chunk = imgs[s : s + batch]
-                name = f"{s // batch:05d}.ktx2"
-                target = os.path.join(tex_dir, name)
+                seg_name = f"{s // batch:05d}.ktx2"
+                target = os.path.join(tex_dir, seg_name)
                 ch = _content_hash(
                     *[open(p, "rb").read() for p in chunk], str(batch)
                 )
                 n_seg += 1
-                if resume.fresh(name, ch, target):
+                if resume.fresh(seg_name, ch, target):
                     if not (h and w):
                         from PIL import Image
 
@@ -358,7 +358,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 blob = codec.encode_segment(frames_px)
                 with open(target, "wb") as f:
                     f.write(blob)
-                resume.record(name, ch)
+                resume.record(seg_name, ch)
             resume.save()
             manifest["texture"] = {
                 "targets": {
