@@ -50,3 +50,46 @@ def test_pointcloud_sequence_roundtrip():
         a = np.sort(decoded[i], axis=0)
         b = np.sort(pos[i], axis=0)
         assert np.abs(a - b).max() < 2e-3
+
+
+def test_decimate_mesh_quadric_collapse():
+    """pyprogmesh-equivalent edge collapse: target count reached, geometry
+    preserved within tolerance, collapse_map resolves to live vertices."""
+    from uvol_tpu.models.decimate import decimate_mesh
+
+    # densely tessellated sphere
+    nu, nv = 24, 18
+    verts, faces = [], []
+    for i in range(nu):
+        for j in range(nv):
+            th, ph = np.pi * (j + 0.5) / nv, 2 * np.pi * i / nu
+            verts.append(
+                [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)]
+            )
+    idx = lambda i, j: (i % nu) * nv + max(0, min(j, nv - 1))
+    for i in range(nu):
+        for j in range(nv - 1):
+            a, b, c, d = idx(i, j), idx(i + 1, j), idx(i + 1, j + 1), idx(i, j + 1)
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+    pos = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+
+    d = decimate_mesh(pos, f, target_vertices=len(pos) // 4)
+    assert len(d.positions) <= len(pos) // 4 + 2
+    assert len(d.faces) < len(f)
+    assert (d.faces >= 0).all() and (d.faces < len(d.positions)).all()
+    # no degenerate faces
+    assert (
+        (d.faces[:, 0] != d.faces[:, 1])
+        & (d.faces[:, 1] != d.faces[:, 2])
+        & (d.faces[:, 2] != d.faces[:, 0])
+    ).all()
+    # decimated surface still lies near the unit sphere
+    r = np.linalg.norm(d.positions, axis=1)
+    assert abs(r - 1.0).max() < 0.05
+    # collapse_map resolves every original vertex to a kept one
+    kept = set(d.kept_original_ids.tolist())
+    assert all(int(v) in kept for v in d.collapse_map)
+    # progressive property: collapse order + map enable LOD reconstruction
+    assert len(d.collapse_order) == len(pos) - len(d.positions)

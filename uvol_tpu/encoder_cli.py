@@ -278,7 +278,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         "texture": {"targets": {}, "path": ""},
     }
     if cfg.get("AudioURL"):
-        manifest["audio"] = {"path": cfg["AudioURL"], "format": "mp3"}
+        audio_url = cfg["AudioURL"]
+        fmt = "wav" if audio_url.lower().endswith(".wav") else "mp3"
+        manifest["audio"] = {"path": audio_url, "format": fmt}
 
     # ---- geometry -----------------------------------------------------------
     n_geo = 0
@@ -307,6 +309,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             "path": "geometry_[target]/[#####][ext]",
         }
         print(f"geometry ({codec_name}): {n_geo} frames -> {geo_dir}")
+
+        # audio-duration cross-check (reference scripts/Encoder.py:330-348)
+        if cfg.get("AudioURL") and os.path.exists(cfg["AudioURL"]):
+            from uvol_tpu.io.audio import audio_duration
+
+            dur = audio_duration(cfg["AudioURL"])
+            track = n_geo / cfg["GEOMETRY_FRAME_RATE"]
+            if dur is None:
+                print("warning: could not probe audio duration")
+            elif abs(dur - track) > 1.0 / cfg["GEOMETRY_FRAME_RATE"] + 0.05:
+                print(
+                    f"warning: audio duration {dur:.2f}s != geometry "
+                    f"track {track:.2f}s (reference fails fast here)"
+                )
 
     # ---- texture: ETC blocks on device, KTX2_BATCH_SIZE layers per file ----
     if cfg.get("ImagesPath"):
