@@ -253,8 +253,25 @@ def decode_parallelogram(
     """
     n = len(corr) // num_components
     corr = corr.reshape(n, num_components).astype(np.int64)
-    out = np.zeros_like(corr)
 
+    from uvol_tpu import native as uvt_native
+
+    if n > 0 and uvt_native.get_draco_lib() is not None:
+        res = uvt_native.parallelogram_native(
+            corr,
+            num_components,
+            transform.min_value,
+            transform.max_value,
+            table_view.opposite,
+            np.asarray(table_view.vertex, np.int32),
+            table_view._seam,
+            vertex_to_data,
+            data_to_corner,
+        )
+        if res is not None:
+            return res
+
+    out = np.zeros_like(corr)
     out[0] = transform.compute_original(np.zeros(num_components, np.int64), corr[0])
     for p in range(1, n):
         ci = int(data_to_corner[p])
@@ -279,24 +296,68 @@ class TexCoordsPortablePredictor:
         table_view,
         vertex_to_data: np.ndarray,
         pos_for_corner,  # callable corner -> int64[3] position (portable)
+        *,
+        pos_values: Optional[np.ndarray] = None,  # [n_pos, 3] portable ints
+        pos_data_of_corner: Optional[np.ndarray] = None,  # corner -> pos idx
     ):
         self.view = table_view
         self.vertex_to_data = vertex_to_data
         self.pos_for_corner = pos_for_corner
+        self._pos_values = pos_values
+        self._pos_data_of_corner = pos_data_of_corner
         num_orientations = int(np.frombuffer(buf.raw(4), "<i4")[0])
         dec = RansBitDecoder(buf)
-        last = True
-        self.orientations = []
-        for _ in range(num_orientations):
-            if not dec.decode_bit():
-                last = not last
-            self.orientations.append(last)
+        from uvol_tpu import native as uvt_native
+
+        bits = (
+            uvt_native.rabs_decode_bits_native(
+                dec.prob_zero, dec._buf, num_orientations
+            )
+            if uvt_native.get_draco_lib() is not None
+            else None
+        )
+        if bits is not None:
+            # delta decode: last starts True, bit 0 flips
+            self.orientations = (
+                (np.cumsum(bits == 0) % 2) == 0
+            ).tolist()
+        else:
+            last = True
+            self.orientations = []
+            for _ in range(num_orientations):
+                if not dec.decode_bit():
+                    last = not last
+                self.orientations.append(last)
 
     def decode(
         self, corr: np.ndarray, transform: WrapTransform, data_to_corner: np.ndarray
     ) -> np.ndarray:
         n = len(corr) // 2
         corr = corr.reshape(n, 2).astype(np.int64)
+
+        from uvol_tpu import native as uvt_native
+
+        if (
+            n > 0
+            and self._pos_values is not None
+            and self._pos_data_of_corner is not None
+            and uvt_native.get_draco_lib() is not None
+        ):
+            res = uvt_native.texcoords_native(
+                corr,
+                transform.min_value,
+                transform.max_value,
+                np.asarray(self.view.vertex, np.int32),
+                self.vertex_to_data,
+                data_to_corner,
+                np.asarray(self._pos_values, np.int64),
+                np.asarray(self._pos_data_of_corner, np.int32),
+                np.asarray(self.orientations, np.uint8),
+            )
+            if res is not None:
+                self.orientations = []
+                return res
+
         out = np.zeros_like(corr)
         vertex = self.view.vertex
         v2d = self.vertex_to_data
@@ -362,13 +423,23 @@ class GeometricNormalPredictor:
     MODE_ONE_TRIANGLE = 0
     MODE_TRIANGLE_AREA = 1
 
-    def __init__(self, buf: DecoderBuffer, full_table: CornerTable, pos_for_corner):
+    def __init__(
+        self,
+        buf: DecoderBuffer,
+        full_table: CornerTable,
+        pos_for_corner,
+        *,
+        pos_values: Optional[np.ndarray] = None,
+        pos_data_of_corner: Optional[np.ndarray] = None,
+    ):
         self.transform = OctahedronCanonicalizedTransform(buf)
         # bitstream >= 2.2 has no prediction-mode byte: TRIANGLE_AREA fixed
         self.mode = self.MODE_TRIANGLE_AREA
         self.flip_decoder = RansBitDecoder(buf)
         self.ct = full_table
         self.pos_for_corner = pos_for_corner
+        self._pos_values = pos_values
+        self._pos_data_of_corner = pos_data_of_corner
 
     def _face_normal(self, corner: int):
         c = self.pos_for_corner(corner)
@@ -407,6 +478,32 @@ class GeometricNormalPredictor:
     def decode(self, corr: np.ndarray, data_to_corner: np.ndarray) -> np.ndarray:
         n = len(corr) // 2
         corr = corr.reshape(n, 2).astype(np.int64)
+
+        from uvol_tpu import native as uvt_native
+
+        if (
+            n > 0
+            and self._pos_values is not None
+            and self._pos_data_of_corner is not None
+            and uvt_native.get_draco_lib() is not None
+        ):
+            view = self.ct
+            res = uvt_native.normals_native(
+                corr,
+                self.transform.max_quantized_value,
+                self.transform.center_value_wire,
+                np.asarray(view.opposite, np.int32),
+                np.asarray(view.vertex, np.int32),
+                getattr(view, "_seam", None),
+                data_to_corner,
+                np.asarray(self._pos_values, np.int64),
+                np.asarray(self._pos_data_of_corner, np.int32),
+                self.flip_decoder.prob_zero,
+                self.flip_decoder._buf,
+            )
+            if res is not None:
+                return res
+
         out = np.zeros_like(corr)
         tb = self.transform.tool
         for p in range(n):

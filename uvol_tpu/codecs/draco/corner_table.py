@@ -123,10 +123,31 @@ class MeshAttributeCornerTable:
         # vertices touching any seam edge (seam edge opposite corner c has
         # endpoints vertex(next(c)) and vertex(previous(c)))
         self.is_vertex_on_seam = np.zeros(ct.vertex_corner.shape[0], bool)
-        for c in np.nonzero(self.is_edge_on_seam)[0]:
-            self.is_vertex_on_seam[ct.vertex[next_corner(int(c))]] = True
-            self.is_vertex_on_seam[ct.vertex[previous_corner(int(c))]] = True
-        self._recompute()
+        seam_idx = np.nonzero(self.is_edge_on_seam)[0]
+        nxt = np.where(seam_idx % 3 == 2, seam_idx - 2, seam_idx + 1)
+        prv = np.where(seam_idx % 3 == 0, seam_idx + 2, seam_idx - 1)
+        self.is_vertex_on_seam[ct.vertex[nxt]] = True
+        self.is_vertex_on_seam[ct.vertex[prv]] = True
+
+        from uvol_tpu import native as uvt_native
+
+        res = None
+        if uvt_native.get_draco_lib() is not None:
+            res = uvt_native.attr_corner_table_native(
+                ct.opposite[:n],
+                ct.vertex[:n],
+                ct.vertex_corner,
+                ct.num_vertices,
+                n,
+                self.is_edge_on_seam,
+                self.is_vertex_on_seam,
+            )
+        if res is not None:
+            self.corner_to_vertex, v2c = res
+            self.vertex_to_corner = v2c.tolist()
+            self.vertex_parent = ct.vertex[v2c].tolist()
+        else:
+            self._recompute()
 
     # seam-aware swings: cannot cross a seam edge
     def swing_left(self, c: int) -> int:

@@ -154,6 +154,15 @@ def decode_drc(data: bytes) -> DracoMesh:
         def pos_for_corner(c, _pv=None):
             return pos_values[pos_vertex_to_data[ct.vertex[c]]]
 
+        # corner -> position-data index (the native predictors take arrays)
+        pos_corner_map = (
+            np.asarray(
+                pos_vertex_to_data[ct.vertex[: 3 * num_faces]], np.int32
+            )
+            if pos_values is not None
+            else None
+        )
+
         for attr, seq_type in zip(attrs, seq_types):
             nc = attr.num_components
             if seq_type in (K.SEQ_INTEGER, K.SEQ_QUANTIZATION):
@@ -186,7 +195,9 @@ def decode_drc(data: bytes) -> DracoMesh:
                     )
                 elif method_b == K.MESH_PREDICTION_TEX_COORDS_PORTABLE:
                     pred = TexCoordsPortablePredictor(
-                        buf, view, vertex_to_data, pos_for_corner
+                        buf, view, vertex_to_data, pos_for_corner,
+                        pos_values=pos_values,
+                        pos_data_of_corner=pos_corner_map,
                     )
                     wrap = WrapTransform(buf)
                     ints = pred.decode(
@@ -222,15 +233,33 @@ def decode_drc(data: bytes) -> DracoMesh:
                 if not compressed:
                     raise NotImplementedError("uncompressed normals")
                 symbols = decode_symbols(num_values * 2, 2, buf)
-                pred = GeometricNormalPredictor(buf, view, pos_for_corner)
+                pred = GeometricNormalPredictor(
+                    buf, view, pos_for_corner,
+                    pos_values=pos_values,
+                    pos_data_of_corner=pos_corner_map,
+                )
                 st = pred.decode(symbols, data_to_corner)
                 qbits = buf.u8()  # DecodeDataNeededByPortableTransform
                 tb = pred.transform.tool
-                out = np.zeros((num_values, 3), np.float32)
-                for i in range(num_values):
-                    out[i] = tb.quantized_octahedral_coords_to_unit_vector(
-                        int(st[i, 0]), int(st[i, 1])
-                    )
+                # vectorized octahedral -> unit vector (same math as
+                # OctahedronToolBox.quantized_octahedral_coords_to_unit_vector)
+                u = st[:, 0].astype(np.float64) / tb.max_value * 2.0 - 1.0
+                v = st[:, 1].astype(np.float64) / tb.max_value * 2.0 - 1.0
+                z = 1.0 - np.abs(u) - np.abs(v)
+                neg = z < 0
+                su = np.where(u >= 0, 1.0, -1.0)
+                sv = np.where(v >= 0, 1.0, -1.0)
+                u2 = np.where(neg, (1.0 - np.abs(v)) * su, u)
+                v2 = np.where(neg, (1.0 - np.abs(u)) * sv, v)
+                nrm = np.sqrt(u2 * u2 + v2 * v2 + z * z)
+                out = np.stack(
+                    [
+                        np.where(nrm == 0, 0.0, u2 / np.maximum(nrm, 1e-30)),
+                        np.where(nrm == 0, 0.0, v2 / np.maximum(nrm, 1e-30)),
+                        np.where(nrm == 0, 1.0, z / np.maximum(nrm, 1e-30)),
+                    ],
+                    axis=1,
+                ).astype(np.float32)
                 attr.values = out
             else:
                 raise NotImplementedError(f"sequential decoder type {seq_type}")
@@ -241,7 +270,22 @@ def decode_drc(data: bytes) -> DracoMesh:
 
     # ---- assemble points ---------------------------------------------------
     keys = np.stack(corner_maps, axis=1)  # [num_corners, num_attributes]
-    uniq, point_of_corner = np.unique(keys, axis=0, return_inverse=True)
+    # pack each column into bit fields of one int64 when they fit — 1-D
+    # unique is ~10x faster than the lexsort behind unique(axis=0)
+    widths = [
+        max(max(int(keys[:, i].max()), 0).bit_length(), 1)
+        for i in range(keys.shape[1])
+    ]
+    if sum(widths) <= 63:
+        packed = np.zeros(len(keys), np.int64)
+        shift = 0
+        for i in range(keys.shape[1] - 1, -1, -1):
+            packed |= keys[:, i].astype(np.int64) << shift
+            shift += widths[i]
+        uniq_keys, point_of_corner = np.unique(packed, return_inverse=True)
+        uniq = np.empty((len(uniq_keys), keys.shape[1]), np.int64)  # unused
+    else:
+        uniq, point_of_corner = np.unique(keys, axis=0, return_inverse=True)
     # renumber points by first appearance (corner order), like Draco
     first_seen = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
     np.minimum.at(first_seen, point_of_corner, np.arange(len(point_of_corner)))

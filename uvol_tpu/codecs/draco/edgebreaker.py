@@ -198,6 +198,22 @@ def run_connectivity_machine(
     valence contexts exactly as the decoder will, and (b) obtain the
     decoder-side corner table its attribute encoding must traverse.
     """
+    # native C++ fast path for the real valence decoder (1:1 port; the
+    # Python loop below is the reference + fallback)
+    if valence_mode and isinstance(traversal, _ValenceTraversal):
+        from uvol_tpu import native as uvt_native
+
+        if uvt_native.get_draco_lib() is not None:
+            return _run_machine_native(
+                traversal,
+                num_faces=num_faces,
+                num_encoded_symbols=num_encoded_symbols,
+                num_encoded_split_symbols=num_encoded_split_symbols,
+                num_encoded_vertices=num_encoded_vertices,
+                num_attribute_data=num_attribute_data,
+                splits=splits,
+            )
+
     # encoder-order source id -> list of splits (consumed as faces appear)
     splits_by_source: Dict[int, List[TopologySplit]] = {}
     for s in splits:
@@ -438,4 +454,71 @@ def run_connectivity_machine(
         attribute_seam_corners=final_seams,
         num_attribute_data=num_attribute_data,
         processed_corners=processed_corners,
+    )
+
+
+def _run_machine_native(
+    traversal: "_ValenceTraversal",
+    *,
+    num_faces: int,
+    num_encoded_symbols: int,
+    num_encoded_split_symbols: int,
+    num_encoded_vertices: int,
+    num_attribute_data: int,
+    splits: List[TopologySplit],
+) -> EdgebreakerConnectivity:
+    """C++ machine + seam pass (native/draco_native.cpp), identical outputs
+    to the Python loop above (parity-tested on the liam corpus)."""
+    from uvol_tpu import native as uvt_native
+
+    max_num_vertices = (
+        num_encoded_vertices + num_encoded_split_symbols + 3 * num_faces // 2 + 3
+    )
+    sf = traversal.start_face_decoder
+    opposite, vertex, vertex_corner, processed, counts = (
+        uvt_native.eb_valence_machine_native(
+            traversal.context_symbols,
+            num_encoded_symbols,
+            num_faces,
+            max_num_vertices,
+            splits,
+            sf.prob_zero,
+            sf._buf,
+        )
+    )
+    n_processed, n_init, num_vertices_raw, _n_components = (
+        int(counts[0]), int(counts[1]), int(counts[2]), int(counts[3]),
+    )
+    # mark contexts consumed (the caller-side bookkeeping)
+    traversal.context_counters = [0] * len(traversal.context_counters)
+
+    ct = CornerTable(num_faces, max_num_vertices)
+    ct.opposite = opposite
+    ct.vertex = vertex
+    ct.vertex_corner = vertex_corner
+    ct.num_vertices = num_vertices_raw
+
+    seam_lists = uvt_native.seam_pass_native(
+        opposite,
+        num_faces,
+        [(d.prob_zero, d._buf) for d in traversal.seam_decoders],
+    )
+    boundary = np.nonzero(opposite[: 3 * num_faces] == INVALID)[0]
+    final_seams = [
+        np.concatenate([np.asarray(s, np.int64), boundary]) for s in seam_lists
+    ]
+    while len(final_seams) < num_attribute_data:
+        final_seams.append(boundary.copy())
+
+    used = np.unique(vertex[: 3 * num_faces])
+    remap = np.full(max_num_vertices, INVALID, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+
+    return EdgebreakerConnectivity(
+        corner_table=ct,
+        vertex_remap=remap,
+        num_vertices=len(used),
+        attribute_seam_corners=final_seams,
+        num_attribute_data=num_attribute_data,
+        processed_corners=[int(c) for c in processed[: n_processed + n_init]],
     )

@@ -86,6 +86,28 @@ def traverse_depth_first(
     processed connectivity corners, reversed). Falls back to face order.
     """
     view = _TableView(table, num_faces)
+
+    # native C++ fast path (draco_native.cpp, parity-tested)
+    from uvol_tpu import native as uvt_native
+
+    if uvt_native.get_draco_lib() is not None:
+        order = np.asarray(
+            corner_order
+            if corner_order is not None
+            else [3 * f for f in range(num_faces)],
+            np.int32,
+        )
+        res = uvt_native.traverse_native(
+            view.opposite[: 3 * num_faces],
+            np.asarray(view.vertex[: 3 * num_faces], np.int32),
+            None if view._seam is None else view._seam[: 3 * num_faces],
+            num_faces,
+            view.num_vertices,
+            order,
+        )
+        if res is not None:
+            v2d, d2c = res
+            return v2d, d2c.astype(np.int64)
     nv = view.num_vertices
     vertex_to_data = np.full(nv, INVALID, np.int32)
     data_to_corner: List[int] = []

@@ -17,22 +17,30 @@ import numpy as np
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libuvt_entropy.so")
 _SRC = os.path.join(_HERE, "entropy.cpp")
+_DRACO_SO = os.path.join(_HERE, "libuvt_draco.so")
+_DRACO_SRC = os.path.join(_HERE, "draco_native.cpp")
 
 _lib: Optional[ctypes.CDLL] = None
+_draco_lib: Optional[ctypes.CDLL] = None
+_draco_failed = False
 
 
-def _build() -> bool:
+def _compile(src: str, so: str) -> bool:
     try:
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO + ".tmp"],
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so + ".tmp"],
                 check=True,
                 capture_output=True,
             )
-            os.replace(_SO + ".tmp", _SO)
+            os.replace(so + ".tmp", so)
         return True
     except Exception:
         return False
+
+
+def _build() -> bool:
+    return _compile(_SRC, _SO)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -115,3 +123,275 @@ def tunstall_expand_native(
         out_size,
     )
     return out if rc == 0 else None
+
+
+# ---------------------------------------------------------------------------
+# Draco decode hot loops (draco_native.cpp) — 1:1 ports of the Python
+# reference stages in codecs/draco/ with ctypes bindings; every caller
+# falls back to the Python implementation when the library is unavailable.
+# ---------------------------------------------------------------------------
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+def get_draco_lib() -> Optional[ctypes.CDLL]:
+    global _draco_lib, _draco_failed
+    if _draco_lib is not None or _draco_failed:
+        return _draco_lib
+    if os.environ.get("UVT_DISABLE_NATIVE_DRACO") == "1" or not _compile(
+        _DRACO_SRC, _DRACO_SO
+    ):
+        _draco_failed = True
+        return None
+    lib = ctypes.CDLL(_DRACO_SO)
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = _i64p
+    c = ctypes
+    lib.uvt_rabs_decode_bits.argtypes = [
+        c.c_uint32, u8p, c.c_int64, u8p, c.c_int64]
+    lib.uvt_rabs_decode_bits.restype = c.c_int
+    lib.uvt_eb_valence_machine.argtypes = [
+        u32p, i64p, c.c_int64, c.c_int64, c.c_int64,
+        i64p, i64p, u8p, c.c_int64,
+        c.c_uint32, u8p, c.c_int64,
+        i32p, i32p, i32p, i32p, i64p]
+    lib.uvt_eb_valence_machine.restype = c.c_int
+    lib.uvt_seam_pass.argtypes = [
+        i32p, c.c_int64, c.c_int64, u32p, u8p, i64p, i32p, i64p]
+    lib.uvt_seam_pass.restype = c.c_int
+    lib.uvt_attr_corner_table.argtypes = [
+        i32p, i32p, i32p, c.c_int64, c.c_int64, u8p, u8p, i32p, i32p, i64p]
+    lib.uvt_attr_corner_table.restype = c.c_int
+    lib.uvt_traverse_depth_first.argtypes = [
+        i32p, i32p, c.c_void_p, c.c_int64, c.c_int64, i32p, c.c_int64,
+        i32p, i32p, i64p]
+    lib.uvt_traverse_depth_first.restype = c.c_int
+    lib.uvt_decode_parallelogram.argtypes = [
+        i64p, c.c_int64, c.c_int, c.c_int64, c.c_int64,
+        i32p, i32p, c.c_void_p, i32p, i32p, i64p]
+    lib.uvt_decode_parallelogram.restype = c.c_int
+    lib.uvt_texcoords_predict.argtypes = [
+        i64p, c.c_int64, c.c_int64, c.c_int64,
+        i32p, i32p, i32p, i64p, i32p, u8p, c.c_int64, i64p]
+    lib.uvt_texcoords_predict.restype = c.c_int
+    lib.uvt_normals_predict.argtypes = [
+        i64p, c.c_int64, c.c_int64, c.c_int64,
+        i32p, i32p, c.c_void_p, i32p, i64p, i32p,
+        c.c_uint32, u8p, c.c_int64, i64p]
+    lib.uvt_normals_predict.restype = c.c_int
+    _draco_lib = lib
+    return lib
+
+
+def _u8(buf) -> np.ndarray:
+    return np.ascontiguousarray(np.frombuffer(buf, np.uint8))
+
+
+def _mask_ptr(seam_mask):
+    if seam_mask is None:
+        return None
+    arr = np.ascontiguousarray(seam_mask, np.uint8)
+    return arr.ctypes.data_as(ctypes.c_void_p), arr  # keep alive
+
+
+def rabs_decode_bits_native(prob_zero: int, buf: bytes, n: int):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    out = np.empty(n, np.uint8)
+    rc = lib.uvt_rabs_decode_bits(prob_zero, _u8(buf), len(buf), out, n)
+    return out if rc == 0 else None
+
+
+def eb_valence_machine_native(
+    context_symbols, num_symbols, num_faces, max_vertices,
+    splits, sf_prob_zero, sf_buf,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    offs = [0]
+    parts = []
+    for arr in context_symbols:
+        a = (
+            np.zeros(0, np.uint32)
+            if arr is None
+            else np.ascontiguousarray(arr, np.uint32)
+        )
+        parts.append(a)
+        offs.append(offs[-1] + len(a))
+    ctx = np.concatenate(parts) if offs[-1] else np.zeros(1, np.uint32)
+    ctx_off = np.asarray(offs, np.int64)
+    ssrc = np.asarray([s.source_symbol_id for s in splits], np.int64)
+    sid = np.asarray([s.split_symbol_id for s in splits], np.int64)
+    sedge = np.asarray([s.source_edge for s in splits], np.uint8)
+    if len(splits) == 0:
+        ssrc = np.zeros(1, np.int64)
+        sid = np.zeros(1, np.int64)
+        sedge = np.zeros(1, np.uint8)
+    opposite = np.empty(3 * num_faces, np.int32)
+    vertex = np.empty(3 * num_faces, np.int32)
+    vertex_corner = np.empty(max_vertices, np.int32)
+    processed = np.empty(num_faces, np.int32)
+    counts = np.zeros(4, np.int64)
+    rc = lib.uvt_eb_valence_machine(
+        np.ascontiguousarray(ctx), ctx_off, num_symbols, num_faces,
+        max_vertices, ssrc, sid, sedge, len(splits),
+        sf_prob_zero, _u8(sf_buf), len(sf_buf),
+        opposite, vertex, vertex_corner, processed, counts,
+    )
+    if rc != 0:
+        raise ValueError(f"native edgebreaker machine failed (rc={rc})")
+    return opposite, vertex, vertex_corner, processed, counts
+
+
+def seam_pass_native(opposite, num_faces, streams):
+    """streams: list of (prob_zero, payload bytes) per attribute-data."""
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    n = len(streams)
+    if n == 0:
+        return []
+    probs = np.asarray([s[0] for s in streams], np.uint32)
+    offs = [0]
+    for _, b in streams:
+        offs.append(offs[-1] + len(b))
+    bufs = np.frombuffer(b"".join(b for _, b in streams) or b"\x00", np.uint8)
+    cap = 6 * num_faces
+    out = np.empty(n * cap, np.int32)
+    counts = np.zeros(n, np.int64)
+    rc = lib.uvt_seam_pass(
+        np.ascontiguousarray(opposite, np.int32), num_faces, n, probs,
+        np.ascontiguousarray(bufs), np.asarray(offs, np.int64), out, counts,
+    )
+    if rc != 0:
+        raise ValueError(f"native seam pass failed (rc={rc})")
+    return [out[i * cap : i * cap + counts[i]].copy() for i in range(n)]
+
+
+def attr_corner_table_native(
+    opposite, vertex, vertex_corner, num_vertices, num_corners,
+    seam_mask, vertex_on_seam,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    c2v = np.empty(num_corners, np.int32)
+    v2c = np.empty(num_corners, np.int32)
+    nout = np.zeros(1, np.int64)
+    rc = lib.uvt_attr_corner_table(
+        np.ascontiguousarray(opposite, np.int32),
+        np.ascontiguousarray(vertex, np.int32),
+        np.ascontiguousarray(vertex_corner, np.int32),
+        num_vertices, num_corners,
+        np.ascontiguousarray(seam_mask, np.uint8),
+        np.ascontiguousarray(vertex_on_seam, np.uint8),
+        c2v, v2c, nout,
+    )
+    if rc != 0:
+        raise ValueError(f"native attr corner table failed (rc={rc})")
+    return c2v, v2c[: nout[0]]
+
+
+def traverse_native(
+    opposite, view_vertex, seam_mask, num_faces, num_view_vertices,
+    corner_order,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    v2d = np.empty(num_view_vertices, np.int32)
+    d2c = np.empty(max(num_view_vertices, 1), np.int32)
+    nout = np.zeros(1, np.int64)
+    ptr_keep = _mask_ptr(seam_mask)
+    rc = lib.uvt_traverse_depth_first(
+        np.ascontiguousarray(opposite, np.int32),
+        np.ascontiguousarray(view_vertex, np.int32),
+        ptr_keep[0] if ptr_keep else None,
+        num_faces, num_view_vertices,
+        np.ascontiguousarray(corner_order, np.int32), len(corner_order),
+        v2d, d2c, nout,
+    )
+    if rc != 0:
+        raise ValueError(f"native traversal failed (rc={rc})")
+    return v2d, d2c[: nout[0]]
+
+
+def parallelogram_native(
+    corr, nc, mn, mx, opposite, view_vertex, seam_mask, vertex_to_data,
+    data_to_corner,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    n = corr.size // nc
+    out = np.empty(n * nc, np.int64)
+    ptr_keep = _mask_ptr(seam_mask)
+    rc = lib.uvt_decode_parallelogram(
+        np.ascontiguousarray(corr.reshape(-1), np.int64), n, nc, mn, mx,
+        np.ascontiguousarray(opposite, np.int32),
+        np.ascontiguousarray(view_vertex, np.int32),
+        ptr_keep[0] if ptr_keep else None,
+        np.ascontiguousarray(vertex_to_data, np.int32),
+        np.ascontiguousarray(data_to_corner, np.int32),
+        out,
+    )
+    if rc != 0:
+        raise ValueError(f"native parallelogram failed (rc={rc})")
+    return out.reshape(n, nc)
+
+
+def texcoords_native(
+    corr, mn, mx, view_vertex, vertex_to_data, data_to_corner,
+    positions, pos_data_of_corner, orientations,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    n = corr.size // 2
+    out = np.empty(n * 2, np.int64)
+    ori = np.ascontiguousarray(orientations, np.uint8)
+    if len(ori) == 0:
+        ori = np.zeros(1, np.uint8)
+    rc = lib.uvt_texcoords_predict(
+        np.ascontiguousarray(corr.reshape(-1), np.int64), n, mn, mx,
+        np.ascontiguousarray(view_vertex, np.int32),
+        np.ascontiguousarray(vertex_to_data, np.int32),
+        np.ascontiguousarray(data_to_corner, np.int32),
+        np.ascontiguousarray(positions.reshape(-1), np.int64),
+        np.ascontiguousarray(pos_data_of_corner, np.int32),
+        ori, len(orientations), out,
+    )
+    if rc != 0:
+        raise ValueError(f"native texcoords predictor failed (rc={rc})")
+    return out.reshape(n, 2)
+
+
+def normals_native(
+    corr, max_quantized_value, center_value, opposite, view_vertex,
+    seam_mask, data_to_corner, positions, pos_data_of_corner,
+    flip_prob_zero, flip_buf,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    n = corr.size // 2
+    out = np.empty(n * 2, np.int64)
+    ptr_keep = _mask_ptr(seam_mask)
+    rc = lib.uvt_normals_predict(
+        np.ascontiguousarray(corr.reshape(-1), np.int64), n,
+        max_quantized_value, center_value,
+        np.ascontiguousarray(opposite, np.int32),
+        np.ascontiguousarray(view_vertex, np.int32),
+        ptr_keep[0] if ptr_keep else None,
+        np.ascontiguousarray(data_to_corner, np.int32),
+        np.ascontiguousarray(positions.reshape(-1), np.int64),
+        np.ascontiguousarray(pos_data_of_corner, np.int32),
+        flip_prob_zero, _u8(flip_buf), len(flip_buf), out,
+    )
+    if rc != 0:
+        raise ValueError(f"native normals predictor failed (rc={rc})")
+    return out.reshape(n, 2)

@@ -1,0 +1,927 @@
+// Native hot loops for the Draco-format decode path (C ABI, ctypes).
+//
+// Each function is a 1:1 port of the corresponding Python reference in
+// uvol_tpu/codecs/draco/ (the bit-exactness oracle, golden-validated on the
+// liam corpus); Python keeps stream parsing and orchestration, C++ runs the
+// O(N) inner loops. Build: g++ -O3 -shared -fPIC (see native/__init__.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t INVALID = -1;
+
+inline int32_t next_corner(int32_t c) { return (c % 3 == 2) ? c - 2 : c + 1; }
+inline int32_t prev_corner(int32_t c) { return (c % 3 == 0) ? c + 2 : c - 1; }
+
+// ---------------------------------------------------------------------------
+// rABS binary decoder (codecs/rans.py RansBitDecoder)
+// ---------------------------------------------------------------------------
+
+struct RabsDecoder {
+  const uint8_t* buf;
+  int64_t offset;  // renorm bytes before the final-state marker
+  uint64_t state;
+  uint32_t prob_zero;
+
+  static constexpr uint32_t IO_BASE = 256;
+  static constexpr uint32_t L_BASE = 4096;
+  static constexpr uint32_t P8 = 256;
+
+  bool init(const uint8_t* data, int64_t len, uint32_t p0) {
+    buf = data;
+    prob_zero = p0;
+    if (len <= 0) return false;
+    // _read_final_state
+    uint32_t x = data[len - 1] >> 6;
+    if (x == 0) {
+      state = (data[len - 1] & 0x3F) + L_BASE;
+      offset = len - 1;
+    } else if (x == 1) {
+      uint32_t v = data[len - 2] | (uint32_t(data[len - 1]) << 8);
+      state = (v & 0x3FFF) + L_BASE;
+      offset = len - 2;
+    } else if (x == 2) {
+      uint32_t v = data[len - 3] | (uint32_t(data[len - 2]) << 8) |
+                   (uint32_t(data[len - 1]) << 16);
+      state = (v & 0x3FFFFF) + L_BASE;
+      offset = len - 3;
+    } else {
+      uint32_t v = data[len - 4] | (uint32_t(data[len - 3]) << 8) |
+                   (uint32_t(data[len - 2]) << 16) |
+                   (uint32_t(data[len - 1]) << 24);
+      state = (v & 0x3FFFFFFF) + L_BASE;
+      offset = len - 4;
+    }
+    return true;
+  }
+
+  int decode_bit() {
+    uint32_t p0 = prob_zero;
+    uint32_t p = P8 - p0;
+    while (state < L_BASE && offset > 0) {
+      offset -= 1;
+      state = state * IO_BASE + buf[offset];
+    }
+    uint64_t quot = state / P8;
+    uint64_t rem = state % P8;
+    uint64_t xn = quot * p;
+    if (rem < p) {
+      state = xn + rem;
+      return 1;
+    }
+    state = state - xn - p;
+    return 0;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Corner-table helpers over raw arrays
+// ---------------------------------------------------------------------------
+
+struct Table {
+  int32_t* opposite;
+  int32_t* vertex;
+  int32_t* vertex_corner;  // leftmost corner per vertex
+
+  int32_t swing_left(int32_t c) const {
+    int32_t o = opposite[next_corner(c)];
+    return o == INVALID ? INVALID : next_corner(o);
+  }
+  int32_t swing_right(int32_t c) const {
+    int32_t o = opposite[prev_corner(c)];
+    return o == INVALID ? INVALID : prev_corner(o);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// decode n rABS bits FIFO; returns 0 on success
+int uvt_rabs_decode_bits(uint32_t prob_zero, const uint8_t* buf, int64_t len,
+                         uint8_t* out, int64_t n) {
+  RabsDecoder d;
+  if (!d.init(buf, len, prob_zero)) return -1;
+  for (int64_t i = 0; i < n; ++i) out[i] = (uint8_t)d.decode_bit();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Valence edgebreaker machine (edgebreaker.py run_connectivity_machine).
+// Inputs: per-context symbol arrays (concatenated, ctx_off[6] offsets),
+// topology splits, and the start-face rABS stream. Outputs: the corner
+// table arrays, processed corner order, component info.
+// Returns number of decoded faces, or negative error code.
+// ---------------------------------------------------------------------------
+int uvt_eb_valence_machine(
+    const uint32_t* ctx_syms, const int64_t* ctx_off,  // [6] offsets
+    int64_t num_symbols, int64_t num_faces, int64_t max_vertices,
+    const int64_t* split_source, const int64_t* split_id,
+    const uint8_t* split_edge, int64_t num_splits,
+    uint32_t sf_prob_zero, const uint8_t* sf_buf, int64_t sf_len,
+    // outputs
+    int32_t* opposite, int32_t* vertex, int32_t* vertex_corner,
+    int32_t* processed_corners,  // [num_faces]
+    int64_t* out_counts  // [4]: n_processed, n_init_faces, num_vertices, n_components
+) {
+  const int64_t n_corners = 3 * num_faces;
+  for (int64_t i = 0; i < n_corners; ++i) opposite[i] = INVALID;
+  for (int64_t i = 0; i < n_corners; ++i) vertex[i] = INVALID;
+  for (int64_t i = 0; i < max_vertices; ++i) vertex_corner[i] = INVALID;
+
+  constexpr int NUM_CTX = 6;  // valences 2..7 (MIN_VALENCE..MAX_VALENCE)
+  std::vector<int64_t> ctx_counter(NUM_CTX);
+  for (int k = 0; k < NUM_CTX; ++k)
+    ctx_counter[k] = ctx_off[k + 1] - ctx_off[k];
+  // SYMBOL_TO_TOPOLOGY = (C, S, L, R, E) = (0, 1, 3, 5, 7)
+  static const int SYM2TOP[5] = {0, 1, 3, 5, 7};
+
+  std::vector<int64_t> valences(max_vertices, 0);
+  std::vector<int32_t> stack;
+  stack.reserve(64);
+  // decoder-split-id -> saved corner
+  std::vector<int32_t> split_corner_of;  // sparse map via sorted pairs
+  std::vector<int64_t> split_key;
+  split_corner_of.reserve(num_splits);
+  split_key.reserve(num_splits);
+
+  int64_t num_vertices = 0;
+  int active_context = -1;
+  int64_t n_processed = 0;
+
+  auto find_split = [&](int64_t key) -> int32_t {
+    for (size_t i = 0; i < split_key.size(); ++i)
+      if (split_key[i] == key) {
+        int32_t c = split_corner_of[i];
+        split_key[i] = -1;
+        return c;
+      }
+    return INVALID;
+  };
+
+  auto set_opp = [&](int32_t a, int32_t b) {
+    opposite[a] = b;
+    opposite[b] = a;
+  };
+
+  for (int64_t symbol_id = 0; symbol_id < num_symbols; ++symbol_id) {
+    int symbol;
+    if (active_context == -1) {
+      symbol = 7;  // implicit TOPOLOGY_E
+    } else {
+      int ctx = active_context;
+      ctx_counter[ctx] -= 1;
+      if (ctx_counter[ctx] < 0) return -2;
+      symbol = SYM2TOP[ctx_syms[ctx_off[ctx] + ctx_counter[ctx]]];
+    }
+    int32_t corner = (int32_t)(3 * symbol_id);
+    processed_corners[n_processed++] = corner;
+    bool check_split = false;
+
+    if (symbol == 0) {  // C
+      if (stack.empty()) return -3;
+      int32_t corner_a = stack.back();
+      int32_t vertex_x = vertex[next_corner(corner_a)];
+      int32_t corner_b = next_corner(vertex_corner[vertex_x]);
+      if (corner_a == corner_b) return -4;
+      int32_t vert_b_next = vertex[next_corner(corner_b)];
+      int32_t vert_a_prev = vertex[prev_corner(corner_a)];
+      set_opp(corner_a, corner + 1);
+      set_opp(corner_b, corner + 2);
+      vertex[corner] = vertex_x;
+      vertex[corner + 1] = vert_b_next;
+      vertex[corner + 2] = vert_a_prev;
+      vertex_corner[vert_a_prev] = corner + 2;
+      stack.back() = corner;
+    } else if (symbol == 5 || symbol == 3) {  // R or L
+      if (stack.empty()) return -3;
+      int32_t corner_a = stack.back();
+      int32_t opp_corner, corner_l, corner_r;
+      if (symbol == 5) {
+        opp_corner = corner + 2;
+        corner_l = corner + 1;
+        corner_r = corner;
+      } else {
+        opp_corner = corner + 1;
+        corner_l = corner;
+        corner_r = corner + 2;
+      }
+      set_opp(corner_a, opp_corner);
+      int32_t new_vert = (int32_t)num_vertices++;
+      if (new_vert >= max_vertices) return -5;
+      vertex[opp_corner] = new_vert;
+      vertex_corner[new_vert] = opp_corner;
+      int32_t vertex_r = vertex[prev_corner(corner_a)];
+      vertex[corner_r] = vertex_r;
+      vertex_corner[vertex_r] = corner_r;
+      vertex[corner_l] = vertex[next_corner(corner_a)];
+      stack.back() = corner;
+      check_split = true;
+    } else if (symbol == 7) {  // E
+      if (num_vertices + 3 > max_vertices) return -5;
+      int32_t v0 = (int32_t)num_vertices++;
+      int32_t v1 = (int32_t)num_vertices++;
+      int32_t v2 = (int32_t)num_vertices++;
+      vertex[corner] = v0;
+      vertex[corner + 1] = v1;
+      vertex[corner + 2] = v2;
+      vertex_corner[v0] = corner;
+      vertex_corner[v1] = corner + 1;
+      vertex_corner[v2] = corner + 2;
+      stack.push_back(corner);
+      check_split = true;
+    } else if (symbol == 1) {  // S
+      if (stack.empty()) return -3;
+      int32_t corner_b = stack.back();
+      stack.pop_back();
+      int32_t saved = find_split(symbol_id);
+      if (saved != INVALID) stack.push_back(saved);
+      if (stack.empty()) return -6;
+      int32_t corner_a = stack.back();
+      if (opposite[corner_a] != INVALID || opposite[corner_b] != INVALID)
+        return -7;
+      int32_t vertex_p = vertex[prev_corner(corner_a)];
+      int32_t vertex_q = vertex[next_corner(corner_b)];
+      if (vertex_p == vertex_q) return -8;
+      Table t{opposite, vertex, vertex_corner};
+      int32_t first_q = vertex_corner[vertex_q];
+      int32_t c = first_q;
+      while (c != INVALID) {
+        vertex[c] = vertex_p;
+        c = t.swing_right(c);
+      }
+      set_opp(corner_a, corner + 2);
+      set_opp(corner_b, corner + 1);
+      vertex[corner] = vertex_p;
+      vertex[corner + 1] = vertex[next_corner(corner_a)];
+      vertex[corner + 2] = vertex[prev_corner(corner_b)];
+      vertex_corner[vertex_p] = first_q;
+      vertex_corner[vertex_q] = INVALID;
+      valences[vertex_p] += valences[vertex_q];
+      stack.back() = corner;
+    } else {
+      return -9;
+    }
+
+    if (check_split) {
+      int64_t encoder_symbol_id = num_symbols - symbol_id - 1;
+      for (int64_t s = 0; s < num_splits; ++s) {
+        if (split_source[s] != encoder_symbol_id) continue;
+        int64_t decoder_split_id = num_symbols - split_id[s] - 1;
+        int32_t c = split_edge[s] == 1 /*RIGHT_FACE_EDGE*/
+                        ? next_corner(corner)
+                        : prev_corner(corner);
+        split_key.push_back(decoder_split_id);
+        split_corner_of.push_back(c);
+      }
+    }
+
+    // valence tracking (context for the next symbol)
+    int32_t nxt = next_corner(corner), prv = prev_corner(corner);
+    if (symbol == 0 || symbol == 1) {
+      valences[vertex[nxt]] += 1;
+      valences[vertex[prv]] += 1;
+    } else if (symbol == 5) {
+      valences[vertex[corner]] += 1;
+      valences[vertex[nxt]] += 1;
+      valences[vertex[prv]] += 2;
+    } else if (symbol == 3) {
+      valences[vertex[corner]] += 1;
+      valences[vertex[nxt]] += 2;
+      valences[vertex[prv]] += 1;
+    } else {
+      valences[vertex[corner]] += 2;
+      valences[vertex[nxt]] += 2;
+      valences[vertex[prv]] += 2;
+    }
+    int64_t av = valences[vertex[nxt]];
+    if (av < 2) av = 2;
+    if (av > 7) av = 7;
+    active_context = (int)(av - 2);
+  }
+  for (int k = 0; k < NUM_CTX; ++k)
+    if (ctx_counter[k] != 0) return -10;
+
+  // ---- end of symbols: init faces / holes ---------------------------------
+  RabsDecoder sf;
+  if (!sf.init(sf_buf, sf_len, sf_prob_zero)) return -11;
+  int64_t num_decoded_faces = num_symbols;
+  int64_t n_init = 0;
+  int64_t n_components = 0;
+  while (!stack.empty()) {
+    int32_t corner = stack.back();
+    stack.pop_back();
+    n_components += 1;
+    int interior = sf.decode_bit();
+    if (interior) {
+      int32_t corner_a = corner;
+      int32_t corner_b = prev_corner(corner_a);
+      while (opposite[corner_b] != INVALID)
+        corner_b = prev_corner(opposite[corner_b]);
+      int32_t corner_c = next_corner(corner_a);
+      while (opposite[corner_c] != INVALID)
+        corner_c = next_corner(opposite[corner_c]);
+      int32_t face_corner = (int32_t)(3 * num_decoded_faces);
+      num_decoded_faces += 1;
+      if (face_corner + 2 >= n_corners) return -12;
+      int32_t vert_n_b = vertex[next_corner(corner_b)];
+      int32_t vert_n_c = vertex[next_corner(corner_c)];
+      int32_t vert_n_a = vertex[next_corner(corner_a)];
+      set_opp(face_corner, corner_a);
+      set_opp(face_corner + 1, corner_b);
+      set_opp(face_corner + 2, corner_c);
+      vertex[face_corner] = vert_n_b;
+      vertex[face_corner + 1] = vert_n_c;
+      vertex[face_corner + 2] = vert_n_a;
+      for (int k = 0; k < 3; ++k) {
+        int32_t x = face_corner + k;
+        int32_t o = opposite[x];
+        if (vertex[next_corner(x)] != vertex[prev_corner(o)] ||
+            vertex[prev_corner(x)] != vertex[next_corner(o)])
+          return -13;
+      }
+      processed_corners[n_processed + n_init] = face_corner;
+      n_init += 1;
+    }
+  }
+  if (num_decoded_faces != num_faces) return -14;
+
+  out_counts[0] = n_processed;
+  out_counts[1] = n_init;
+  out_counts[2] = num_vertices;
+  out_counts[3] = n_components;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Attribute seam pass (edgebreaker.py tail): for each face-order interior
+// edge whose opposite face has a larger index, decode one bit per attribute;
+// bit 1 marks both corners as seam. Outputs per-attribute seam corner lists.
+// ---------------------------------------------------------------------------
+int uvt_seam_pass(const int32_t* opposite, int64_t num_faces,
+                  int64_t num_attribute_data,
+                  const uint32_t* prob_zeros, const uint8_t* bufs,
+                  const int64_t* buf_off,  // [n+1] offsets into bufs
+                  int32_t* out_corners,    // [num_attribute_data * 6*num_faces]
+                  int64_t* out_counts) {
+  std::vector<RabsDecoder> decs(num_attribute_data);
+  for (int64_t i = 0; i < num_attribute_data; ++i) {
+    if (!decs[i].init(bufs + buf_off[i], buf_off[i + 1] - buf_off[i],
+                      prob_zeros[i]))
+      return -1;
+  }
+  const int64_t cap = 6 * num_faces;
+  for (int64_t i = 0; i < num_attribute_data; ++i) out_counts[i] = 0;
+  for (int64_t f = 0; f < num_faces; ++f) {
+    for (int k = 0; k < 3; ++k) {
+      int32_t c = (int32_t)(3 * f + k);
+      int32_t o = opposite[c];
+      if (o != INVALID && o / 3 > f) {
+        for (int64_t i = 0; i < num_attribute_data; ++i) {
+          if (decs[i].decode_bit()) {
+            int64_t n = out_counts[i];
+            if (n + 2 > cap) return -2;
+            out_corners[i * cap + n] = c;
+            out_corners[i * cap + n + 1] = o;
+            out_counts[i] = n + 2;
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// MeshAttributeCornerTable recompute (corner_table.py _recompute)
+// seam_mask[c] = 1 when the edge opposite corner c is a seam.
+// ---------------------------------------------------------------------------
+int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
+                          const int32_t* vertex_corner, int64_t num_vertices,
+                          int64_t num_corners, const uint8_t* seam_mask,
+                          const uint8_t* vertex_on_seam,
+                          int32_t* corner_to_vertex,  // [num_corners]
+                          int32_t* vertex_to_corner,  // [num_corners] cap
+                          int64_t* out_num_attr_vertices) {
+  for (int64_t i = 0; i < num_corners; ++i) corner_to_vertex[i] = INVALID;
+  Table t{const_cast<int32_t*>(opposite), const_cast<int32_t*>(vertex),
+          const_cast<int32_t*>(vertex_corner)};
+  auto swing_left_seam = [&](int32_t c) -> int32_t {
+    int32_t nc = next_corner(c);
+    if (seam_mask[nc]) return INVALID;
+    int32_t o = opposite[nc];
+    return o == INVALID ? INVALID : next_corner(o);
+  };
+  int64_t n_attr = 0;
+  for (int64_t vert = 0; vert < num_vertices; ++vert) {
+    int32_t first_c = vertex_corner[vert];
+    if (first_c == INVALID) continue;
+    if (vertex_on_seam[vert]) {
+      int32_t act = swing_left_seam(first_c);
+      while (act != INVALID) {
+        first_c = act;
+        act = swing_left_seam(act);
+      }
+    }
+    int64_t fan_vertex = n_attr;
+    vertex_to_corner[n_attr++] = first_c;
+    corner_to_vertex[first_c] = (int32_t)fan_vertex;
+    int32_t c = t.swing_right(first_c);
+    while (c != INVALID && c != first_c) {
+      if (seam_mask[next_corner(c)]) {
+        fan_vertex = n_attr;
+        vertex_to_corner[n_attr++] = c;
+      }
+      corner_to_vertex[c] = (int32_t)fan_vertex;
+      c = t.swing_right(c);
+    }
+  }
+  *out_num_attr_vertices = n_attr;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Depth-first traversal (traverser.py traverse_depth_first)
+// view_vertex: corner -> (attribute) vertex; seam_mask nullable.
+// ---------------------------------------------------------------------------
+int uvt_traverse_depth_first(const int32_t* opposite, const int32_t* view_vertex,
+                             const uint8_t* seam_mask /*nullable*/,
+                             int64_t num_faces, int64_t num_view_vertices,
+                             const int32_t* corner_order, int64_t n_order,
+                             int32_t* vertex_to_data,  // [num_view_vertices]
+                             int32_t* data_to_corner,  // [num_view_vertices]
+                             int64_t* out_num_values) {
+  for (int64_t i = 0; i < num_view_vertices; ++i) vertex_to_data[i] = INVALID;
+  std::vector<uint8_t> face_visited(num_faces, 0);
+  std::vector<uint8_t> vert_visited(num_view_vertices, 0);
+  int64_t n_values = 0;
+
+  auto opp = [&](int32_t c) -> int32_t {
+    if (c == INVALID) return INVALID;
+    if (seam_mask && seam_mask[c]) return INVALID;
+    return opposite[c];
+  };
+  auto right_corner = [&](int32_t c) { return opp(next_corner(c)); };
+  auto left_corner = [&](int32_t c) { return opp(prev_corner(c)); };
+  auto swing_left = [&](int32_t c) -> int32_t {
+    int32_t o = opp(next_corner(c));
+    return o == INVALID ? INVALID : next_corner(o);
+  };
+  auto visit_vertex = [&](int32_t v, int32_t corner) {
+    vert_visited[v] = 1;
+    vertex_to_data[v] = (int32_t)n_values;
+    data_to_corner[n_values++] = corner;
+  };
+  auto face_done = [&](int32_t face) {
+    return face == INVALID || face_visited[face];
+  };
+  auto is_on_boundary = [&](int32_t corner_hint) -> bool {
+    int32_t c = corner_hint;
+    int32_t start = c;
+    while (true) {
+      int32_t n = swing_left(c);
+      if (n == INVALID) return true;
+      if (n == start) return false;
+      c = n;
+    }
+  };
+
+  std::vector<int32_t> stack;
+  for (int64_t oi = 0; oi < n_order; ++oi) {
+    int32_t corner_id = corner_order[oi];
+    if (face_visited[corner_id / 3]) continue;
+    stack.clear();
+    stack.push_back(corner_id);
+    int32_t nxt = next_corner(corner_id), prv = prev_corner(corner_id);
+    int32_t nv = view_vertex[nxt], pv = view_vertex[prv];
+    if (!vert_visited[nv]) visit_vertex(nv, nxt);
+    if (!vert_visited[pv]) visit_vertex(pv, prv);
+
+    while (!stack.empty()) {
+      corner_id = stack.back();
+      int32_t face_id = corner_id == INVALID ? INVALID : corner_id / 3;
+      if (face_done(face_id)) {
+        stack.pop_back();
+        continue;
+      }
+      while (true) {
+        face_visited[face_id] = 1;
+        int32_t vert_id = view_vertex[corner_id];
+        if (!vert_visited[vert_id]) {
+          bool on_boundary = is_on_boundary(corner_id);
+          visit_vertex(vert_id, corner_id);
+          if (!on_boundary) {
+            corner_id = right_corner(corner_id);
+            face_id = corner_id == INVALID ? INVALID : corner_id / 3;
+            continue;
+          }
+        }
+        int32_t rc = right_corner(corner_id);
+        int32_t lc = left_corner(corner_id);
+        int32_t rf = rc == INVALID ? INVALID : rc / 3;
+        int32_t lf = lc == INVALID ? INVALID : lc / 3;
+        if (face_done(rf)) {
+          if (face_done(lf)) {
+            stack.pop_back();
+            break;
+          }
+          corner_id = lc;
+          face_id = lf;
+        } else {
+          if (face_done(lf)) {
+            corner_id = rc;
+            face_id = rf;
+          } else {
+            stack.back() = lc;
+            stack.push_back(rc);
+            break;
+          }
+        }
+      }
+    }
+  }
+  *out_num_values = n_values;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Wrap transform + parallelogram prediction (attributes.py)
+// ---------------------------------------------------------------------------
+
+namespace {
+inline void wrap_original(const int64_t* pred, const int64_t* corr, int nc,
+                          int64_t mn, int64_t mx, int64_t dif, int64_t* out) {
+  for (int k = 0; k < nc; ++k) {
+    int64_t p = pred[k];
+    if (p < mn) p = mn;
+    if (p > mx) p = mx;
+    int64_t o = p + corr[k];
+    if (o > mx) o -= dif;
+    else if (o < mn) o += dif;
+    out[k] = o;
+  }
+}
+}  // namespace
+
+int uvt_decode_parallelogram(const int64_t* corr, int64_t n, int nc,
+                             int64_t mn, int64_t mx,
+                             const int32_t* opposite, const int32_t* view_vertex,
+                             const uint8_t* seam_mask /*nullable*/,
+                             const int32_t* vertex_to_data,
+                             const int32_t* data_to_corner, int64_t* out) {
+  const int64_t dif = 1 + mx - mn;
+  int64_t zero[8] = {0};
+  if (nc > 8) return -1;
+  wrap_original(zero, corr, nc, mn, mx, dif, out);
+  auto opp = [&](int32_t c) -> int32_t {
+    if (c == INVALID) return INVALID;
+    if (seam_mask && seam_mask[c]) return INVALID;
+    return opposite[c];
+  };
+  int64_t pred[8];
+  for (int64_t p = 1; p < n; ++p) {
+    int32_t ci = data_to_corner[p];
+    int32_t oci = opp(ci);
+    bool have = false;
+    if (oci != INVALID) {
+      int64_t vo = vertex_to_data[view_vertex[oci]];
+      int64_t vn = vertex_to_data[view_vertex[next_corner(oci)]];
+      int64_t vp = vertex_to_data[view_vertex[prev_corner(oci)]];
+      if (vo >= 0 && vo < p && vn >= 0 && vn < p && vp >= 0 && vp < p) {
+        for (int k = 0; k < nc; ++k)
+          pred[k] = out[vn * nc + k] + out[vp * nc + k] - out[vo * nc + k];
+        have = true;
+      }
+    }
+    if (!have)
+      for (int k = 0; k < nc; ++k) pred[k] = out[(p - 1) * nc + k];
+    wrap_original(pred, corr + p * nc, nc, mn, mx, dif, out + p * nc);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Portable tex-coords predictor (attributes.py TexCoordsPortablePredictor)
+// corr are POSITIVE modular corrections. positions: int64 [n_pos_values, 3];
+// pos_data_of_corner maps a corner to its position data index.
+// orientations consumed from the END of the array (Python list.pop()).
+// ---------------------------------------------------------------------------
+
+namespace {
+typedef __int128 i128;
+typedef unsigned __int128 u128;
+
+inline int64_t tdiv64(i128 a, i128 b) {
+  // C++ integer division already truncates toward zero
+  return (int64_t)(a / b);
+}
+
+inline u128 isqrt128(u128 x) {
+  // exact floor sqrt, digit-by-digit (matches Python math.isqrt)
+  u128 res = 0;
+  u128 bit = (u128)1 << 126;
+  while (bit > x) bit >>= 2;
+  while (bit) {
+    if (x >= res + bit) {
+      x -= res + bit;
+      res = (res >> 1) + bit;
+    } else {
+      res >>= 1;
+    }
+    bit >>= 2;
+  }
+  return res;
+}
+}  // namespace
+
+int uvt_texcoords_predict(
+    const int64_t* corr,  // [n, 2] positive modular
+    int64_t n, int64_t mn, int64_t mx,
+    const int32_t* view_vertex, const int32_t* vertex_to_data,
+    const int32_t* data_to_corner,
+    const int64_t* positions,  // [n_pos, 3] portable ints
+    const int32_t* pos_data_of_corner,  // corner -> position data index
+    const uint8_t* orientations, int64_t n_orients,
+    int64_t* out  // [n, 2]
+) {
+  const int64_t dif = 1 + mx - mn;
+  int64_t oi = n_orients;  // consume from the end
+  auto posv = [&](int32_t c, int k) -> int64_t {
+    return positions[(int64_t)pos_data_of_corner[c] * 3 + k];
+  };
+  for (int64_t p = 0; p < n; ++p) {
+    int32_t ci = data_to_corner[p];
+    int32_t nc_ = next_corner(ci), pc_ = prev_corner(ci);
+    int64_t next_id = vertex_to_data[view_vertex[nc_]];
+    int64_t prev_id = vertex_to_data[view_vertex[pc_]];
+    int64_t pred[2];
+    bool done = false;
+    if (prev_id >= 0 && prev_id < p && next_id >= 0 && next_id < p) {
+      const int64_t* n_uv = out + next_id * 2;
+      const int64_t* p_uv = out + prev_id * 2;
+      if (p_uv[0] == n_uv[0] && p_uv[1] == n_uv[1]) {
+        pred[0] = p_uv[0];
+        pred[1] = p_uv[1];
+        done = true;
+      } else {
+        int64_t pn[3], cn[3];
+        i128 pn_norm2 = 0;
+        for (int k = 0; k < 3; ++k) {
+          pn[k] = posv(pc_, k) - posv(nc_, k);
+          pn_norm2 += (i128)pn[k] * pn[k];
+        }
+        if (pn_norm2 != 0) {
+          i128 cn_dot_pn = 0;
+          for (int k = 0; k < 3; ++k) {
+            cn[k] = posv(ci, k) - posv(nc_, k);
+            cn_dot_pn += (i128)pn[k] * cn[k];
+          }
+          int64_t pn_uv[2] = {p_uv[0] - n_uv[0], p_uv[1] - n_uv[1]};
+          i128 x_uv[2] = {
+              (i128)n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0],
+              (i128)n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1],
+          };
+          i128 cx_norm2 = 0;
+          for (int k = 0; k < 3; ++k) {
+            int64_t x_pos = posv(nc_, k) + tdiv64(cn_dot_pn * pn[k], pn_norm2);
+            int64_t cx = posv(ci, k) - x_pos;
+            cx_norm2 += (i128)cx * cx;
+          }
+          int64_t pn_uv_perp[2] = {pn_uv[1], -pn_uv[0]};
+          u128 prod = (u128)cx_norm2 * (u128)pn_norm2;
+          i128 norm_sq = (i128)isqrt128(prod);
+          int orientation = 1;
+          if (oi > 0) {
+            oi -= 1;
+            orientation = orientations[oi];
+          }
+          if (orientation) {
+            pred[0] = tdiv64(x_uv[0] + (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
+            pred[1] = tdiv64(x_uv[1] + (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          } else {
+            pred[0] = tdiv64(x_uv[0] - (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
+            pred[1] = tdiv64(x_uv[1] - (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          }
+          done = true;
+        }
+      }
+    }
+    if (!done) {
+      if (prev_id >= 0 && prev_id < p) {
+        pred[0] = out[prev_id * 2];
+        pred[1] = out[prev_id * 2 + 1];
+      } else if (next_id >= 0 && next_id < p) {
+        pred[0] = out[next_id * 2];
+        pred[1] = out[next_id * 2 + 1];
+      } else if (p > 0) {
+        pred[0] = out[(p - 1) * 2];
+        pred[1] = out[(p - 1) * 2 + 1];
+      } else {
+        pred[0] = 0;
+        pred[1] = 0;
+      }
+    }
+    wrap_original(pred, corr + p * 2, 2, mn, mx, dif, out + p * 2);
+  }
+  return oi == 0 ? 0 : -1;  // all orientations must be consumed
+}
+
+// ---------------------------------------------------------------------------
+// Geometric normal predictor (attributes.py GeometricNormalPredictor +
+// OctahedronCanonicalizedTransform). corr are positive mod max_quantized.
+// ---------------------------------------------------------------------------
+
+namespace {
+struct OctTool {
+  int64_t max_quantized_value;
+  int64_t max_value;
+  int64_t center_value;
+
+  int64_t mod_max(int64_t x) const {
+    if (x > center_value) return x - max_quantized_value;
+    if (x < -center_value) return x + max_quantized_value;
+    return x;
+  }
+  bool in_diamond(int64_t s, int64_t t) const {
+    int64_t as = s < 0 ? -s : s, at = t < 0 ? -t : t;
+    return as + at <= center_value;
+  }
+  void invert_diamond(int64_t* s, int64_t* t) const {
+    int64_t sign_s, sign_t;
+    if (*s >= 0 && *t >= 0) {
+      sign_s = 1; sign_t = 1;
+    } else if (*s <= 0 && *t <= 0) {
+      sign_s = -1; sign_t = -1;
+    } else {
+      sign_s = *s > 0 ? 1 : -1;
+      sign_t = *t > 0 ? 1 : -1;
+    }
+    int64_t cs = sign_s * center_value, ct = sign_t * center_value;
+    int64_t ns = 2 * *s - cs, nt = 2 * *t - ct;
+    if (sign_s * sign_t >= 0) {
+      int64_t tmp = ns;
+      ns = -nt;
+      nt = -tmp;
+    } else {
+      int64_t tmp = ns;
+      ns = nt;
+      nt = tmp;
+    }
+    // Python floor-div by 2 (operands may be negative)
+    auto fdiv2 = [](int64_t v) { return v >= 0 ? v / 2 : (v - 1) / 2; };
+    *s = fdiv2(ns + cs);
+    *t = fdiv2(nt + ct);
+  }
+  static bool in_bottom_left(int64_t s, int64_t t) {
+    if (s == 0 && t == 0) return true;
+    return s < 0 && t <= 0;
+  }
+  static int rotation_count(int64_t s, int64_t t) {
+    if (s == 0) return t == 0 ? 0 : (t > 0 ? 3 : 1);
+    if (s > 0) return t >= 0 ? 2 : 1;
+    return t <= 0 ? 0 : 3;
+  }
+  static void rotate(int64_t* s, int64_t* t, int rc) {
+    int64_t a = *s, b = *t;
+    if (rc == 1) { *s = b; *t = -a; }
+    else if (rc == 2) { *s = -a; *t = -b; }
+    else if (rc == 3) { *s = -b; *t = a; }
+  }
+  void canonicalize(int64_t* v) const {
+    const int64_t max_sum = (1LL << 30) - 1;
+    i128 abs_sum = 0;
+    for (int k = 0; k < 3; ++k) abs_sum += v[k] < 0 ? -(i128)v[k] : (i128)v[k];
+    if (abs_sum == 0) {
+      v[0] = max_sum; v[1] = 0; v[2] = 0;
+      return;
+    }
+    for (int k = 0; k < 3; ++k) v[k] = tdiv64((i128)v[k] * max_sum, abs_sum);
+  }
+  void to_quantized(const int64_t* v, int64_t* qs, int64_t* qt) const {
+    i128 abs_sum = 0;
+    for (int k = 0; k < 3; ++k) abs_sum += v[k] < 0 ? -(i128)v[k] : (i128)v[k];
+    int64_t s, t;
+    if (abs_sum == 0) {
+      *qs = center_value;
+      *qt = center_value;
+      return;
+    }
+    if (v[2] >= 0) {
+      s = v[0];
+      t = v[1];
+    } else {
+      int64_t a0 = v[0] < 0 ? -v[0] : v[0];
+      int64_t a1 = v[1] < 0 ? -v[1] : v[1];
+      s = (v[0] >= 0 ? 1 : -1) * ((int64_t)abs_sum - a1);
+      t = (v[1] >= 0 ? 1 : -1) * ((int64_t)abs_sum - a0);
+    }
+    // floor division (operands positive after the shift below)
+    i128 num_s = ((i128)s + abs_sum) * max_value + abs_sum;
+    i128 num_t = ((i128)t + abs_sum) * max_value + abs_sum;
+    *qs = (int64_t)(num_s / (2 * abs_sum));
+    *qt = (int64_t)(num_t / (2 * abs_sum));
+  }
+};
+}  // namespace
+
+int uvt_normals_predict(
+    const int64_t* corr,  // [n, 2] positive mod max_quantized_value
+    int64_t n, int64_t max_quantized_value, int64_t center_value_wire,
+    const int32_t* opposite, const int32_t* view_vertex,
+    const uint8_t* seam_mask /*nullable*/,
+    const int32_t* data_to_corner,
+    const int64_t* positions, const int32_t* pos_data_of_corner,
+    uint32_t flip_prob_zero, const uint8_t* flip_buf, int64_t flip_len,
+    int64_t* out  // [n, 2]
+) {
+  (void)center_value_wire;
+  OctTool tb;
+  tb.max_quantized_value = max_quantized_value;
+  // q = bit_length(max_quantized_value); max_value = 2^q - 2
+  int q = 0;
+  while ((1LL << q) <= max_quantized_value) q++;
+  tb.max_value = (1LL << q) - 2;
+  tb.center_value = tb.max_value / 2;
+
+  RabsDecoder flip;
+  if (!flip.init(flip_buf, flip_len, flip_prob_zero)) return -1;
+
+  auto opp = [&](int32_t c) -> int32_t {
+    if (c == INVALID) return INVALID;
+    if (seam_mask && seam_mask[c]) return INVALID;
+    return opposite[c];
+  };
+  auto swing_right = [&](int32_t c) -> int32_t {
+    int32_t o = opp(prev_corner(c));
+    return o == INVALID ? INVALID : prev_corner(o);
+  };
+  auto swing_left = [&](int32_t c) -> int32_t {
+    int32_t o = opp(next_corner(c));
+    return o == INVALID ? INVALID : next_corner(o);
+  };
+  auto posv = [&](int32_t c, int k) -> int64_t {
+    return positions[(int64_t)pos_data_of_corner[c] * 3 + k];
+  };
+  auto add_face_normal = [&](int32_t corner, int64_t* normal) {
+    int64_t c0[3], d1[3], d2[3];
+    int32_t nn = next_corner(corner), pp = prev_corner(corner);
+    for (int k = 0; k < 3; ++k) {
+      c0[k] = posv(corner, k);
+      d1[k] = posv(nn, k) - c0[k];
+      d2[k] = posv(pp, k) - c0[k];
+    }
+    normal[0] += d1[1] * d2[2] - d1[2] * d2[1];
+    normal[1] += d1[2] * d2[0] - d1[0] * d2[2];
+    normal[2] += d1[0] * d2[1] - d1[1] * d2[0];
+  };
+
+  for (int64_t p = 0; p < n; ++p) {
+    int32_t ci = data_to_corner[p];
+    int64_t normal[3] = {0, 0, 0};
+    int32_t start = ci, c = ci;
+    bool wrapped = false;
+    while (c != INVALID) {
+      add_face_normal(c, normal);
+      c = swing_right(c);
+      if (c == start) {
+        wrapped = true;
+        break;
+      }
+    }
+    if (!wrapped) {
+      c = swing_left(start);
+      while (c != INVALID && c != start) {
+        add_face_normal(c, normal);
+        c = swing_left(c);
+      }
+    }
+    tb.canonicalize(normal);
+    if (flip.decode_bit()) {
+      normal[0] = -normal[0];
+      normal[1] = -normal[1];
+      normal[2] = -normal[2];
+    }
+    int64_t ps, pt;
+    tb.to_quantized(normal, &ps, &pt);
+    // compute_original (OctahedronCanonicalizedTransform)
+    int64_t cv = tb.center_value;
+    int64_t s = ps - cv, t = pt - cv;
+    bool ind = tb.in_diamond(s, t);
+    if (!ind) tb.invert_diamond(&s, &t);
+    bool ibl = OctTool::in_bottom_left(s, t);
+    int rot = OctTool::rotation_count(s, t);
+    if (!ibl) OctTool::rotate(&s, &t, rot);
+    int64_t os = tb.mod_max(s + corr[p * 2]);
+    int64_t ot = tb.mod_max(t + corr[p * 2 + 1]);
+    if (!ibl) OctTool::rotate(&os, &ot, (4 - rot) % 4);
+    if (!ind) tb.invert_diamond(&os, &ot);
+    out[p * 2] = os + cv;
+    out[p * 2 + 1] = ot + cv;
+  }
+  return 0;
+}
+
+}  // extern "C"
