@@ -11,6 +11,7 @@ bar (BASELINE.md), with stage detail included.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -96,6 +97,31 @@ def main() -> None:
     nframes = reps * F
     mverts = nframes * N / (t_geo_enc + t_geo_dec) / 1e6
 
+    # ---- real Draco corpus decode (the reference's own playback format) -----
+    liam_fps = liam_fps_pool = None
+    liam_dir = "/root/reference/example/public/liam/output/geometry_draco"
+    if os.path.isdir(liam_dir):
+        from uvol_tpu.codecs.draco.decoder import decode_drc
+        from uvol_tpu.runtime.prefetch import PrefetchPool
+
+        frames_bin = [
+            open(os.path.join(liam_dir, f"{i:05d}.drc"), "rb").read()
+            for i in range(8)
+        ]
+        decode_drc(frames_bin[0])  # warm native build
+        t0 = time.perf_counter()
+        for b in frames_bin:
+            decode_drc(b)
+        liam_fps = len(frames_bin) / (time.perf_counter() - t0)
+        # DRACOLoader-style 4-worker pool (ctypes releases the GIL)
+        pool = PrefetchPool(decode_drc, workers=4)
+        t0 = time.perf_counter()
+        for i, b in enumerate(frames_bin * 3):
+            pool.request(i, b)
+        pool.wait_idle(60)
+        liam_fps_pool = 3 * len(frames_bin) / (time.perf_counter() - t0)
+        pool.close()
+
     # ---- 8 concurrent streams (BASELINE "8 streams ≥10× real-time") ----------
     # pure data parallelism over the stream×frame axes: one batched program
     # encodes+decodes geometry for all 8 liam-scale streams; host entropy
@@ -157,6 +183,12 @@ def main() -> None:
                     "device_compute_only_fps": round(device_fps, 1),
                     "streams8_geometry_fps_per_stream": round(per_stream_fps, 1),
                     "streams8_realtime_multiple": round(per_stream_fps / 30.0, 2),
+                    "liam_draco_decode_fps": (
+                        round(liam_fps, 1) if liam_fps else None
+                    ),
+                    "liam_draco_decode_fps_pool4": (
+                        round(liam_fps_pool, 1) if liam_fps_pool else None
+                    ),
                     "note": (
                         "end-to-end number is bound by this environment's "
                         "host<->device tunnel (~15-30 MB/s); "

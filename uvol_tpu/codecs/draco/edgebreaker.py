@@ -520,5 +520,5 @@ def _run_machine_native(
         num_vertices=len(used),
         attribute_seam_corners=final_seams,
         num_attribute_data=num_attribute_data,
-        processed_corners=[int(c) for c in processed[: n_processed + n_init]],
+        processed_corners=processed[: n_processed + n_init],
     )
