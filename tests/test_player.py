@@ -396,3 +396,23 @@ def test_facade_play_modes():
     p3._on_track_end()
     assert ends == [1]
     assert p3.stopped
+
+
+def test_stats_registry_observability():
+    """Structured metrics surface (SURVEY §5 observability gap)."""
+    from uvol_tpu.utils.stats import STATS
+
+    STATS.reset()
+    vc = VirtualClock()
+    p = _make_v2_player(vc, [])
+    m = parse_manifest(_manifest_dict())
+    p.play_track(m, "/data/x.uvol.json")
+    for _ in range(30):
+        vc.advance(1 / 60)
+        p.update()
+    snap = STATS.snapshot()
+    assert snap["counters"].get("v2.fetch_buffers", 0) >= 1
+    assert snap["counters"].get("v2.frames_ok", 0) > 5
+    with STATS.timer("t.x"):
+        pass
+    assert STATS.snapshot()["timings"]["t.x"]["count"] == 1

@@ -76,6 +76,13 @@ class DracoMesh:
 
 
 def decode_drc(data: bytes) -> DracoMesh:
+    from uvol_tpu.utils.stats import STATS
+
+    with STATS.timer("draco.decode_s"):
+        return _decode_drc(data)
+
+
+def _decode_drc(data: bytes) -> DracoMesh:
     buf = DecoderBuffer(data)
     if buf.raw(5) != K.MAGIC:
         raise ValueError("not a Draco file")

@@ -28,6 +28,7 @@ from uvol_tpu.player.scheduler import (
     plan_prefetch,
 )
 from uvol_tpu.utils.paths import count_hash_char, expand_template, get_absolute_url
+from uvol_tpu.utils.stats import STATS
 
 
 def default_fetcher(url: str) -> bytes:
@@ -244,6 +245,7 @@ class V2Player:
 
     # -- prefetch + decode (src/V2/player.ts:272-366) ------------------------
     def fetch_buffers(self) -> None:
+        STATS.count("v2.fetch_buffers")
         m = self.manifest
         g = m.geometry.targets[self.geometry_target]
         t = m.texture.targets[self.texture_target]
@@ -317,9 +319,11 @@ class V2Player:
 
         # geometry prioritized over texture (reference comment :429-433)
         if geometry_frame not in self.mesh_map:
+            STATS.count("v2.frames_skipped")
             return FrameResult("skipped", geometry_frame=geometry_frame)
 
         if texture_segment not in self.texture_map:
+            STATS.count("v2.fail_material")
             if self.on_frame_show:
                 self.on_frame_show(geometry_frame)
             return FrameResult(
@@ -329,6 +333,7 @@ class V2Player:
             )
 
         offset = texture_frame % t.sequenceSize
+        STATS.count("v2.frames_ok")
         if self.on_frame_show:
             self.on_frame_show(geometry_frame)
         return FrameResult(
