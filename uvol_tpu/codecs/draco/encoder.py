@@ -40,6 +40,7 @@ from uvol_tpu.codecs.draco.corner_table import (
     previous_corner,
 )
 from uvol_tpu.codecs.draco.edgebreaker import (
+    EdgebreakerConnectivity,
     TopologySplit,
     run_connectivity_machine,
 )
@@ -89,6 +90,46 @@ class EncoderCornerTable:
         n = 3 * self.num_faces
         self.position_of_corner = faces.reshape(-1)  # input position ids
 
+        from uvol_tpu import native as uvt_native
+
+        native_res = None
+        if uvt_native.get_draco_lib() is not None:
+            num_positions = int(faces.max()) + 1 if len(faces) else 0
+            native_res = uvt_native.encoder_corner_table_native(
+                faces, num_positions
+            )
+        if native_res is not None:
+            opposite, corner_vertex, vertex_corner = native_res
+            self.opposite = opposite.astype(np.int64)
+            self.vertex = corner_vertex.astype(np.int64)
+            self.vertex_corner = vertex_corner.tolist()
+            self.num_vertices = len(self.vertex_corner)
+        else:
+            self._build_python(n)
+
+        # holes: chain boundary half-edges into loops
+        self.vertex_hole_id = np.full(self.num_vertices, -1, np.int64)
+        # boundary edge runs vertex(prev(c)) -> vertex(next(c))
+        # (opposite to face winding)
+        bnd = np.nonzero(self.opposite[:n] == INVALID)[0]
+        prv = np.where(bnd % 3 == 0, bnd + 2, bnd - 1)
+        out_edge: Dict[int, int] = {
+            int(v): int(c) for v, c in zip(self.vertex[prv], bnd)
+        }
+        self.num_holes = 0
+        for v0 in list(out_edge):
+            if self.vertex_hole_id[v0] != -1:
+                continue
+            hid = self.num_holes
+            self.num_holes += 1
+            v = v0
+            while self.vertex_hole_id[v] == -1:
+                self.vertex_hole_id[v] = hid
+                c = out_edge[v]
+                v = int(self.vertex[next_corner(c)])
+
+    def _build_python(self, n: int) -> None:
+        """Reference half-edge build (fallback; the native path mirrors it)."""
         # half-edge matching: edge of corner c = (pos[next(c)], pos[prev(c)])
         self.opposite = np.full(n, INVALID, np.int64)
         edge_map: Dict[Tuple[int, int], List[int]] = {}
@@ -107,7 +148,7 @@ class EncoderCornerTable:
 
         # fan-based vertex ids
         self.vertex = np.full(n, INVALID, np.int64)
-        self.vertex_corner: List[int] = []  # leftmost corner per vertex
+        self.vertex_corner = []  # leftmost corner per vertex
         for c in range(n):
             if self.vertex[c] != INVALID:
                 continue
@@ -131,26 +172,6 @@ class EncoderCornerTable:
                 self.vertex[cur] = vid
                 cur = self.swing_right(cur)
         self.num_vertices = len(self.vertex_corner)
-
-        # holes: chain boundary half-edges into loops
-        self.vertex_hole_id = np.full(self.num_vertices, -1, np.int64)
-        out_edge: Dict[int, int] = {}  # boundary start-vertex -> corner
-        for c in range(n):
-            if self.opposite[c] == INVALID:
-                # boundary edge runs vertex(prev(c)) -> vertex(next(c))
-                # (opposite to face winding)
-                out_edge[int(self.vertex[previous_corner(c)])] = c
-        self.num_holes = 0
-        for v0 in list(out_edge):
-            if self.vertex_hole_id[v0] != -1:
-                continue
-            hid = self.num_holes
-            self.num_holes += 1
-            v = v0
-            while self.vertex_hole_id[v] == -1:
-                self.vertex_hole_id[v] = hid
-                c = out_edge[v]
-                v = int(self.vertex[next_corner(c)])
 
     def swing_left(self, c: int) -> int:
         o = self.opposite[next_corner(c)]
@@ -409,6 +430,19 @@ def _encode_parallelogram(
 ) -> Tuple[np.ndarray, WrapEncoder]:
     n, nc = values.shape
     wrap = WrapEncoder(values)
+
+    from uvol_tpu import native as uvt_native
+
+    if n > 0 and uvt_native.get_draco_lib() is not None:
+        res = uvt_native.parallelogram_encode_native(
+            np.asarray(values, np.int64), nc, wrap.min_value, wrap.max_value,
+            np.asarray(view.opposite, np.int32),
+            np.asarray(view.vertex, np.int32),
+            view._seam, vertex_to_data, data_to_corner,
+        )
+        if res is not None:
+            return res, wrap
+
     corr = np.zeros_like(values)
     corr[0] = wrap.correction(values[0], np.zeros(nc, np.int64))
     for p in range(1, n):
@@ -440,10 +474,15 @@ class _TexCoordsPortableEncoder:
     """Mirror of attributes.TexCoordsPortablePredictor, producing positive
     modular corrections + orientation bits."""
 
-    def __init__(self, view, vertex_to_data, pos_for_corner):
+    def __init__(
+        self, view, vertex_to_data, pos_for_corner,
+        *, pos_values=None, pos_data_of_corner=None,
+    ):
         self.view = view
         self.vertex_to_data = vertex_to_data
         self.pos_for_corner = pos_for_corner
+        self._pos_values = pos_values
+        self._pos_data_of_corner = pos_data_of_corner
         self.orientations: List[bool] = []  # in prediction order
 
     def encode(
@@ -451,6 +490,26 @@ class _TexCoordsPortableEncoder:
     ) -> Tuple[np.ndarray, WrapEncoder]:
         n = len(values)
         wrap = WrapEncoder(values)
+
+        from uvol_tpu import native as uvt_native
+
+        if (
+            n > 0
+            and self._pos_values is not None
+            and uvt_native.get_draco_lib() is not None
+        ):
+            res = uvt_native.texcoords_encode_native(
+                np.asarray(values, np.int64), wrap.min_value, wrap.max_value,
+                np.asarray(self.view.vertex, np.int32),
+                self.vertex_to_data, data_to_corner,
+                np.asarray(self._pos_values, np.int64),
+                np.asarray(self._pos_data_of_corner, np.int32),
+            )
+            if res is not None:
+                corr, orients = res
+                self.orientations = [bool(o) for o in orients]
+                return corr, wrap
+
         corr = np.zeros_like(values)
         vertex = self.view.vertex
         v2d = self.vertex_to_data
@@ -526,11 +585,16 @@ class _TexCoordsPortableEncoder:
 class _GeometricNormalEncoder:
     """Mirror of attributes.GeometricNormalPredictor (encode direction)."""
 
-    def __init__(self, view_full_ct, pos_for_corner, quantization_bits: int):
+    def __init__(
+        self, view_full_ct, pos_for_corner, quantization_bits: int,
+        *, pos_values=None, pos_data_of_corner=None,
+    ):
         self.ct = view_full_ct
         self.pos_for_corner = pos_for_corner
         self.tool = OctahedronToolBox(quantization_bits)
         self.flip_bits: List[int] = []
+        self._pos_values = pos_values
+        self._pos_data_of_corner = pos_data_of_corner
 
     def _face_normal(self, corner: int):
         c = self.pos_for_corner(corner)
@@ -570,7 +634,31 @@ class _GeometricNormalEncoder:
         with mod_max, see OctahedronCanonicalizedTransform.compute_original).
         """
         tb = self.tool
+
+        from uvol_tpu import native as uvt_native
+
         n = len(oct_coords)
+        if (
+            n > 0
+            and self._pos_values is not None
+            and uvt_native.get_draco_lib() is not None
+        ):
+            view = self.ct
+            res = uvt_native.normals_encode_native(
+                np.asarray(oct_coords, np.int64),
+                tb.max_quantized_value,
+                np.asarray(view.opposite, np.int32),
+                np.asarray(view.vertex, np.int32),
+                getattr(view, "_seam", None),
+                data_to_corner,
+                np.asarray(self._pos_values, np.int64),
+                np.asarray(self._pos_data_of_corner, np.int32),
+            )
+            if res is not None:
+                corr, flips = res
+                self.flip_bits = [int(b) for b in flips]
+                return corr
+
         corr = np.zeros((n, 2), np.int64)
         for p in range(n):
             ci = int(data_to_corner[p])
@@ -643,6 +731,14 @@ def quantize_attribute(values: np.ndarray, bits: int) -> Quantized:
 
 def quantize_normals(values: np.ndarray, bits: int) -> np.ndarray:
     """float unit normals [N,3] → quantized octahedral ints [N,2]."""
+    from uvol_tpu import native as uvt_native
+
+    if uvt_native.get_draco_lib() is not None:
+        res = uvt_native.quantize_normals_native(
+            np.asarray(values, np.float64), bits
+        )
+        if res is not None:
+            return res
     tb = OctahedronToolBox(bits)
     out = np.zeros((len(values), 2), np.int64)
     scale = 1 << 29
@@ -683,38 +779,74 @@ def encode_drc(
     num_symbols = len(trav.symbols)
 
     # ---- replay through the decoder machine --------------------------------
-    replay = _ReplayValenceTraversal(
-        list(reversed(trav.symbols)), trav.start_face_bits
-    )
-    conn = run_connectivity_machine(
-        replay,
-        True,
-        num_faces=ct.num_faces,
-        num_encoded_symbols=num_symbols,
-        num_encoded_split_symbols=trav.num_split_symbols,
-        num_encoded_vertices=ct.num_vertices,
-        num_attribute_data=0,  # seams handled separately below
-        splits=trav.splits,
-    )
+    from uvol_tpu import native as uvt_native
+    from uvol_tpu.codecs.draco.corner_table import CornerTable
+
+    symbols_decode_u8 = np.asarray(list(reversed(trav.symbols)), np.uint8)
+    replay_contexts = None
+    conn = None
+    if uvt_native.get_draco_lib() is not None:
+        max_nv = (
+            ct.num_vertices + trav.num_split_symbols + 3 * ct.num_faces // 2 + 3
+        )
+        res = uvt_native.eb_replay_machine_native(
+            symbols_decode_u8, ct.num_faces, max_nv, trav.splits,
+            np.asarray(trav.start_face_bits, np.uint8),
+        )
+        if res is not None:
+            opp_d, vert_d, vcorner_d, processed_d, contexts_d, counts_d = res
+            ct_d = CornerTable(ct.num_faces, max_nv)
+            ct_d.opposite = opp_d
+            ct_d.vertex = vert_d
+            ct_d.vertex_corner = vcorner_d
+            ct_d.num_vertices = int(counts_d[2])
+            conn = EdgebreakerConnectivity(
+                corner_table=ct_d,
+                vertex_remap=np.zeros(0, np.int32),
+                num_vertices=int(counts_d[2]),
+                attribute_seam_corners=[],
+                num_attribute_data=0,
+                processed_corners=processed_d[
+                    : int(counts_d[0]) + int(counts_d[1])
+                ],
+            )
+            replay_contexts = contexts_d
+    if conn is None:
+        replay = _ReplayValenceTraversal(
+            list(reversed(trav.symbols)), trav.start_face_bits
+        )
+        conn = run_connectivity_machine(
+            replay,
+            True,
+            num_faces=ct.num_faces,
+            num_encoded_symbols=num_symbols,
+            num_encoded_split_symbols=trav.num_split_symbols,
+            num_encoded_vertices=ct.num_vertices,
+            num_attribute_data=0,  # seams handled separately below
+            splits=trav.splits,
+        )
+        replay_contexts = np.asarray(replay.contexts, np.int32)
     ct_d = conn.corner_table
     num_faces = ct.num_faces
 
-    # ---- dec ↔ enc corner/vertex maps --------------------------------------
+    # ---- dec ↔ enc corner/vertex maps (vectorized) --------------------------
     dec2enc_corner = np.full(3 * num_faces, INVALID, np.int64)
     enc_vert_of_dec = np.full(ct_d.vertex_corner.shape[0], INVALID, np.int64)
-    for j in range(num_symbols):
-        ec = trav.symbol_corners[num_symbols - 1 - j]
-        dec2enc_corner[3 * j] = ec
-        dec2enc_corner[3 * j + 1] = next_corner(ec)
-        dec2enc_corner[3 * j + 2] = previous_corner(ec)
+    sc_rev = np.asarray(trav.symbol_corners, np.int64)[::-1]
+    j3 = 3 * np.arange(num_symbols, dtype=np.int64)
+    nxt_sc = np.where(sc_rev % 3 == 2, sc_rev - 2, sc_rev + 1)
+    prv_sc = np.where(sc_rev % 3 == 0, sc_rev + 2, sc_rev - 1)
+    dec2enc_corner[j3] = sc_rev
+    dec2enc_corner[j3 + 1] = nxt_sc
+    dec2enc_corner[j3 + 2] = prv_sc
     dvert = ct_d.vertex
-    for c in range(3 * num_symbols):
-        dv = int(dvert[c])
-        ev = int(ct.vertex[dec2enc_corner[c]])
-        if enc_vert_of_dec[dv] == INVALID:
-            enc_vert_of_dec[dv] = ev
-        elif enc_vert_of_dec[dv] != ev:
-            raise AssertionError("inconsistent vertex correspondence")
+    dv_all = np.asarray(dvert[: 3 * num_symbols], np.int64)
+    ev_all = np.asarray(ct.vertex, np.int64)[
+        dec2enc_corner[: 3 * num_symbols]
+    ]
+    enc_vert_of_dec[dv_all] = ev_all  # last-writer; verify consistency below
+    if not np.array_equal(enc_vert_of_dec[dv_all], ev_all):
+        raise AssertionError("inconsistent vertex correspondence")
     # init faces: match by (already mapped) vertices
     init_faces_dec = range(num_symbols, num_faces)
     for i, df in enumerate(init_faces_dec):
@@ -736,30 +868,37 @@ def encode_drc(
     non_pos = attributes[1:]
     num_attribute_data = len(non_pos)
 
-    def enc_edge_is_seam(att: AttributeToEncode, c_enc: int) -> bool:
-        o = int(ct.opposite[c_enc])
-        if o == INVALID:
-            return True
-        c2v = att.corner_to_value
-        return bool(
-            c2v[next_corner(c_enc)] != c2v[previous_corner(o)]
-            or c2v[previous_corner(c_enc)] != c2v[next_corner(o)]
-        )
+    # vectorized: for each face-order interior edge with opposite face index
+    # greater than the current face (exactly the decoder's seam-pass order,
+    # ascending corner index), a seam bit per attribute — an edge is a seam
+    # when the attribute's value index differs across it at either endpoint
+    opp_d = np.asarray(ct_d.opposite[: 3 * num_faces], np.int64)
+    corner_ids = np.arange(3 * num_faces, dtype=np.int64)
+    edge_sel = (opp_d != INVALID) & (opp_d // 3 > corner_ids // 3)
+    cs = corner_ids[edge_sel]  # ascending corner order == pass order
+    ce = dec2enc_corner[cs]
+    o_enc = np.asarray(ct.opposite, np.int64)[ce]
+    o_safe = np.where(o_enc == INVALID, 0, o_enc)
 
-    seam_bit_lists: List[List[int]] = [[] for _ in non_pos]
-    seam_corner_lists: List[List[int]] = [[] for _ in non_pos]
-    opp_d = ct_d.opposite
-    for f in range(num_faces):
-        for c in (3 * f, 3 * f + 1, 3 * f + 2):
-            o = opp_d[c]
-            if o != INVALID and o // 3 > f:
-                for i, att in enumerate(non_pos):
-                    bit = 1 if enc_edge_is_seam(att, int(dec2enc_corner[c])) else 0
-                    seam_bit_lists[i].append(bit)
-                    if bit:
-                        seam_corner_lists[i].append(c)
-                        seam_corner_lists[i].append(int(o))
-    boundary = np.nonzero(opp_d[: 3 * num_faces] == INVALID)[0]
+    def _nxt(a):
+        return np.where(a % 3 == 2, a - 2, a + 1)
+
+    def _prv(a):
+        return np.where(a % 3 == 0, a + 2, a - 1)
+
+    seam_bit_lists: List[np.ndarray] = []
+    seam_corner_lists: List[np.ndarray] = []
+    for att in non_pos:
+        c2v = np.asarray(att.corner_to_value, np.int64)
+        bits = (
+            (o_enc == INVALID)
+            | (c2v[_nxt(ce)] != c2v[_prv(o_safe)])
+            | (c2v[_prv(ce)] != c2v[_nxt(o_safe)])
+        )
+        seam_bit_lists.append(bits.astype(np.uint8))
+        pairs = np.column_stack([cs[bits], opp_d[cs[bits]]]).reshape(-1)
+        seam_corner_lists.append(pairs)
+    boundary = np.nonzero(opp_d == INVALID)[0]
     final_seams = [
         np.concatenate([np.asarray(s, np.int64), boundary])
         for s in seam_corner_lists
@@ -811,8 +950,7 @@ def encode_drc(
         # seam bits (decoder's face-order pass)
         for bits in seam_bit_lists:
             enc = RansBitEncoder()
-            for b in bits:
-                enc.encode_bit(b)
+            enc.encode_bits(bits)
             enc.flush(out)
 
     if standard:
@@ -834,10 +972,10 @@ def encode_drc(
         # decode order (== encode order within the bucket)
         buckets: List[List[int]] = [[] for _ in range(K.NUM_VALENCE_CONTEXTS)]
         symbols_decode_order = list(reversed(trav.symbols))
-        for step, ctx in enumerate(replay.contexts):
+        for step, ctx in enumerate(replay_contexts):
             if ctx == -1:
                 continue  # implicit E (first decoded symbol)
-            buckets[ctx].append(
+            buckets[int(ctx)].append(
                 TOPOLOGY_TO_SYMBOL_IDX[symbols_decode_order[step]]
             )
         for bucket in buckets:
@@ -908,10 +1046,9 @@ def encode_drc(
         # values in decoder data order: decoder corner → encoder corner →
         # input value index
         c2v = att.corner_to_value
-        value_idx = np.asarray(
-            [int(c2v[dec2enc_corner[int(c)]]) for c in data_to_corner],
-            np.int64,
-        )
+        value_idx = np.asarray(c2v, np.int64)[
+            dec2enc_corner[np.asarray(data_to_corner, np.int64)]
+        ]
         # every corner of an attribute vertex must agree on the value index
         raw = att.values[value_idx]
 
@@ -941,8 +1078,18 @@ def encode_drc(
                 encode_symbols(symbols, ints.shape[1], out)
                 wrap.write(out)
             else:
+                pos_corner_map = (
+                    np.asarray(
+                        pos_vertex_to_data[ct_d.vertex[: 3 * num_faces]],
+                        np.int32,
+                    )
+                    if pos_values is not None
+                    else None
+                )
                 tex = _TexCoordsPortableEncoder(
-                    view, vertex_to_data, pos_for_corner
+                    view, vertex_to_data, pos_for_corner,
+                    pos_values=pos_values,
+                    pos_data_of_corner=pos_corner_map,
                 )
                 corr, wrap = tex.encode(ints, data_to_corner)
                 symbols = corr.reshape(-1).astype(np.uint32)
@@ -965,7 +1112,18 @@ def encode_drc(
             # the decoder's predictor swings over the SEAM-CUT attribute view
             # (decoder.py passes `view` for corner-mapped normals) — must
             # mirror that here or seam-adjacent predictions diverge
-            genc = _GeometricNormalEncoder(view, pos_for_corner, bits)
+            pos_corner_map = (
+                np.asarray(
+                    pos_vertex_to_data[ct_d.vertex[: 3 * num_faces]], np.int32
+                )
+                if pos_values is not None
+                else None
+            )
+            genc = _GeometricNormalEncoder(
+                view, pos_for_corner, bits,
+                pos_values=pos_values,
+                pos_data_of_corner=pos_corner_map,
+            )
             corr = genc.encode(oct_coords, data_to_corner)
             # corrections are already positive modular representatives —
             # the decoder consumes them raw (no zigzag) and mod_max-folds

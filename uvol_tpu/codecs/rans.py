@@ -316,6 +316,10 @@ class RansBitEncoder:
     def encode_bit(self, bit: int) -> None:
         self._bits.append(1 if bit else 0)
 
+    def encode_bits(self, bits) -> None:
+        """Bulk append (numpy array or iterable of 0/1)."""
+        self._bits.extend(int(b) for b in np.asarray(bits, np.uint8))
+
     def flush(self, out: EncoderBuffer) -> None:
         zeros = self._bits.count(0)
         total = len(self._bits)
@@ -324,6 +328,17 @@ class RansBitEncoder:
         else:
             prob_zero = min(255, max(1, (zeros * 256 + total // 2) // total))
         out.u8(prob_zero)
+        if total > 256:  # native C++ emit (identical wire bytes)
+            from uvol_tpu import native
+
+            payload_native = native.rabs_encode_bits_native(
+                np.asarray(self._bits, np.uint8), prob_zero
+            )
+            if payload_native is not None:
+                out.varint(len(payload_native))
+                out.raw(payload_native)
+                self._bits = []
+                return
         p = P8_PRECISION - prob_zero
         state = L_BASE_BITS
         renorm = bytearray()

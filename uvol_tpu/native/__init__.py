@@ -395,3 +395,213 @@ def normals_native(
     if rc != 0:
         raise ValueError(f"native normals predictor failed (rc={rc})")
     return out.reshape(n, 2)
+
+
+# ---------------------------------------------------------------------------
+# Encode-side wrappers (encoder.py hot loops)
+# ---------------------------------------------------------------------------
+
+_enc_bound = False
+
+
+def _bind_encode(lib) -> None:
+    global _enc_bound
+    if _enc_bound:
+        return
+    c = ctypes
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = _i64p
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.uvt_encoder_corner_table.argtypes = [
+        i64p, c.c_int64, c.c_int64, i32p, i32p, i32p]
+    lib.uvt_encoder_corner_table.restype = c.c_int64
+    lib.uvt_parallelogram_encode.argtypes = [
+        i64p, c.c_int64, c.c_int, c.c_int64, c.c_int64,
+        i32p, i32p, c.c_void_p, i32p, i32p, i64p]
+    lib.uvt_parallelogram_encode.restype = c.c_int
+    lib.uvt_texcoords_encode.argtypes = [
+        i64p, c.c_int64, c.c_int64, c.c_int64,
+        i32p, i32p, i32p, i64p, i32p, i64p, u8p]
+    lib.uvt_texcoords_encode.restype = c.c_int64
+    lib.uvt_normals_encode.argtypes = [
+        i64p, c.c_int64, c.c_int64,
+        i32p, i32p, c.c_void_p, i32p, i64p, i32p, i64p, u8p]
+    lib.uvt_normals_encode.restype = c.c_int
+    lib.uvt_quantize_normals.argtypes = [f64p, c.c_int64, c.c_int, i64p]
+    lib.uvt_quantize_normals.restype = c.c_int
+    _enc_bound = True
+
+
+def encoder_corner_table_native(faces: np.ndarray, num_positions: int):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    _bind_encode(lib)
+    faces = np.ascontiguousarray(faces.reshape(-1), np.int64)
+    n = len(faces)
+    opposite = np.empty(n, np.int32)
+    corner_vertex = np.empty(n, np.int32)
+    vertex_corner = np.empty(max(n, 1), np.int32)
+    nv = lib.uvt_encoder_corner_table(
+        faces, n // 3, num_positions, opposite, corner_vertex, vertex_corner
+    )
+    if nv < 0:
+        raise ValueError(f"native encoder corner table failed ({nv})")
+    return opposite, corner_vertex, vertex_corner[:nv]
+
+
+def parallelogram_encode_native(
+    values, nc, mn, mx, opposite, view_vertex, seam_mask, vertex_to_data,
+    data_to_corner,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    _bind_encode(lib)
+    n = values.size // nc
+    corr = np.empty(n * nc, np.int64)
+    ptr_keep = _mask_ptr(seam_mask)
+    rc = lib.uvt_parallelogram_encode(
+        np.ascontiguousarray(values.reshape(-1), np.int64), n, nc, mn, mx,
+        np.ascontiguousarray(opposite, np.int32),
+        np.ascontiguousarray(view_vertex, np.int32),
+        ptr_keep[0] if ptr_keep else None,
+        np.ascontiguousarray(vertex_to_data, np.int32),
+        np.ascontiguousarray(data_to_corner, np.int32),
+        corr,
+    )
+    if rc != 0:
+        raise ValueError("native parallelogram encode failed")
+    return corr.reshape(n, nc)
+
+
+def texcoords_encode_native(
+    values, mn, mx, view_vertex, vertex_to_data, data_to_corner,
+    positions, pos_data_of_corner,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    _bind_encode(lib)
+    n = values.size // 2
+    corr = np.empty(n * 2, np.int64)
+    orients = np.empty(max(n, 1), np.uint8)
+    n_or = lib.uvt_texcoords_encode(
+        np.ascontiguousarray(values.reshape(-1), np.int64), n, mn, mx,
+        np.ascontiguousarray(view_vertex, np.int32),
+        np.ascontiguousarray(vertex_to_data, np.int32),
+        np.ascontiguousarray(data_to_corner, np.int32),
+        np.ascontiguousarray(positions.reshape(-1), np.int64),
+        np.ascontiguousarray(pos_data_of_corner, np.int32),
+        corr, orients,
+    )
+    if n_or < 0:
+        raise ValueError("native texcoords encode failed")
+    return corr.reshape(n, 2), orients[:n_or]
+
+
+def normals_encode_native(
+    oct_coords, max_quantized_value, opposite, view_vertex, seam_mask,
+    data_to_corner, positions, pos_data_of_corner,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    _bind_encode(lib)
+    n = oct_coords.size // 2
+    corr = np.empty(n * 2, np.int64)
+    flips = np.empty(max(n, 1), np.uint8)
+    ptr_keep = _mask_ptr(seam_mask)
+    rc = lib.uvt_normals_encode(
+        np.ascontiguousarray(oct_coords.reshape(-1), np.int64), n,
+        max_quantized_value,
+        np.ascontiguousarray(opposite, np.int32),
+        np.ascontiguousarray(view_vertex, np.int32),
+        ptr_keep[0] if ptr_keep else None,
+        np.ascontiguousarray(data_to_corner, np.int32),
+        np.ascontiguousarray(positions.reshape(-1), np.int64),
+        np.ascontiguousarray(pos_data_of_corner, np.int32),
+        corr, flips,
+    )
+    if rc != 0:
+        raise ValueError("native normals encode failed")
+    return corr.reshape(n, 2), flips[:n]
+
+
+def quantize_normals_native(normals: np.ndarray, bits: int):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    _bind_encode(lib)
+    n = len(normals)
+    out = np.empty(n * 2, np.int64)
+    rc = lib.uvt_quantize_normals(
+        np.ascontiguousarray(normals, np.float64), n, bits, out
+    )
+    if rc != 0:
+        raise ValueError("native quantize normals failed")
+    return out.reshape(n, 2)
+
+
+def _bind_replay(lib) -> None:
+    if getattr(lib, "_replay_bound", False):
+        return
+    c = ctypes
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.uvt_eb_replay_machine.argtypes = [
+        u8p, c.c_int64, c.c_int64, c.c_int64,
+        _i64p, _i64p, u8p, c.c_int64,
+        u8p, c.c_int64,
+        i32p, i32p, i32p, i32p, i32p, _i64p]
+    lib.uvt_eb_replay_machine.restype = c.c_int
+    lib.uvt_rabs_encode_bits.argtypes = [
+        u8p, c.c_int64, c.c_uint32, u8p, c.c_int64]
+    lib.uvt_rabs_encode_bits.restype = c.c_int64
+    lib._replay_bound = True
+
+
+def eb_replay_machine_native(
+    symbols_decode_order, num_faces, max_vertices, splits, sf_bits,
+):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    _bind_replay(lib)
+    syms = np.ascontiguousarray(symbols_decode_order, np.uint8)
+    num_symbols = len(syms)
+    ssrc = np.asarray([s.source_symbol_id for s in splits] or [0], np.int64)
+    sid = np.asarray([s.split_symbol_id for s in splits] or [0], np.int64)
+    sedge = np.asarray([s.source_edge for s in splits] or [0], np.uint8)
+    sfb = np.ascontiguousarray(sf_bits, np.uint8)
+    if len(sfb) == 0:
+        sfb = np.zeros(1, np.uint8)
+    opposite = np.empty(3 * num_faces, np.int32)
+    vertex = np.empty(3 * num_faces, np.int32)
+    vertex_corner = np.empty(max_vertices, np.int32)
+    processed = np.empty(num_faces, np.int32)
+    contexts = np.empty(max(num_symbols, 1), np.int32)
+    counts = np.zeros(4, np.int64)
+    rc = lib.uvt_eb_replay_machine(
+        syms, num_symbols, num_faces, max_vertices,
+        ssrc, sid, sedge, len(splits),
+        sfb, len(sf_bits),
+        opposite, vertex, vertex_corner, processed, contexts, counts,
+    )
+    if rc != 0:
+        raise ValueError(f"native replay machine failed (rc={rc})")
+    return opposite, vertex, vertex_corner, processed, contexts, counts
+
+
+def rabs_encode_bits_native(bits, prob_zero: int):
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    _bind_replay(lib)
+    b = np.ascontiguousarray(bits, np.uint8)
+    out = np.empty(len(b) + 1024, np.uint8)
+    n = lib.uvt_rabs_encode_bits(b, len(b), prob_zero, out, len(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -7,6 +7,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
 #include <vector>
 
 namespace {
@@ -922,6 +923,660 @@ int uvt_normals_predict(
     out[p * 2 + 1] = ot + cv;
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Encode-side counterparts (codecs/draco/encoder.py hot loops)
+// ===========================================================================
+
+extern "C" {
+
+// half-edge corner-table build (encoder.py EncoderCornerTable.__init__):
+// faces [F,3] position ids → opposite[3F], fan-vertex ids per corner,
+// leftmost corner per fan vertex. Returns num fan vertices, or <0 on error.
+int64_t uvt_encoder_corner_table(
+    const int64_t* faces, int64_t num_faces, int64_t num_positions,
+    int32_t* opposite,        // [3F]
+    int32_t* corner_vertex,   // [3F] fan vertex id per corner
+    int32_t* vertex_corner    // [3F] cap; leftmost corner per fan vertex
+) {
+  const int64_t n = 3 * num_faces;
+  for (int64_t i = 0; i < n; ++i) opposite[i] = INVALID;
+  for (int64_t i = 0; i < n; ++i) corner_vertex[i] = INVALID;
+
+  // bucket half-edges by undirected key using a chained hash over positions
+  // key = min*num_positions + max fits in int64 when positions < 2^31
+  std::vector<int64_t> keys(n);
+  auto pos_of = [&](int64_t c) { return faces[c]; };
+  for (int64_t c = 0; c < n; ++c) {
+    int64_t a = pos_of(next_corner((int32_t)c));
+    int64_t b = pos_of(prev_corner((int32_t)c));
+    int64_t lo = a < b ? a : b, hi = a < b ? b : a;
+    keys[c] = lo * num_positions + hi;
+  }
+  // sort corner indices by key, then pair fwd/bwd within each key group
+  std::vector<int32_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = (int32_t)i;
+  std::sort(order.begin(), order.end(),
+            [&](int32_t x, int32_t y) { return keys[x] < keys[y]; });
+  int64_t i = 0;
+  std::vector<int32_t> fwd, bwd;
+  while (i < n) {
+    int64_t j = i;
+    fwd.clear();
+    bwd.clear();
+    while (j < n && keys[order[j]] == keys[order[i]]) {
+      int32_t c = order[j];
+      int64_t a = pos_of(next_corner(c));
+      int64_t b = pos_of(prev_corner(c));
+      int64_t lo = a < b ? a : b;
+      if (a == lo) fwd.push_back(c);
+      else bwd.push_back(c);
+      ++j;
+    }
+    size_t m = fwd.size() < bwd.size() ? fwd.size() : bwd.size();
+    for (size_t k = 0; k < m; ++k) {
+      opposite[fwd[k]] = bwd[k];
+      opposite[bwd[k]] = fwd[k];
+    }
+    i = j;
+  }
+
+  // fan-based vertex ids: group corners of one position into swing fans
+  Table t{opposite, corner_vertex /*unused in swings*/, vertex_corner};
+  auto swing_left = [&](int32_t c) -> int32_t {
+    int32_t o = opposite[next_corner(c)];
+    return o == INVALID ? INVALID : next_corner(o);
+  };
+  auto swing_right = [&](int32_t c) -> int32_t {
+    int32_t o = opposite[prev_corner(c)];
+    return o == INVALID ? INVALID : prev_corner(o);
+  };
+  int64_t num_vertices = 0;
+  for (int64_t c0 = 0; c0 < n; ++c0) {
+    if (corner_vertex[c0] != INVALID) continue;
+    // sweep left to the fan start (or detect a closed fan)
+    int32_t start = (int32_t)c0, cur = (int32_t)c0;
+    int64_t steps = 0;
+    while (true) {
+      int32_t nxt = swing_left(cur);
+      if (nxt == INVALID || nxt == start) break;
+      cur = nxt;
+      if (++steps > n) return -1;  // non-manifold cycle
+    }
+    int32_t first = (swing_left(cur) == INVALID) ? cur : start;
+    int32_t vid = (int32_t)num_vertices++;
+    vertex_corner[vid] = first;
+    int32_t c = first;
+    while (c != INVALID && corner_vertex[c] == INVALID) {
+      corner_vertex[c] = vid;
+      c = swing_right(c);
+    }
+  }
+  return num_vertices;
+}
+
+// wrap-transform signed correction (encoder.py WrapEncoder.correction)
+static inline int64_t wrap_correction(int64_t orig, int64_t pred, int64_t mn,
+                                      int64_t mx, int64_t dif, int64_t min_c,
+                                      int64_t max_c) {
+  if (pred < mn) pred = mn;
+  if (pred > mx) pred = mx;
+  int64_t corr = orig - pred;
+  if (corr < min_c) corr += dif;
+  else if (corr > max_c) corr -= dif;
+  return corr;
+}
+
+// parallelogram ENCODE (encoder.py _encode_parallelogram)
+int uvt_parallelogram_encode(
+    const int64_t* values, int64_t n, int nc, int64_t mn, int64_t mx,
+    const int32_t* opposite, const int32_t* view_vertex,
+    const uint8_t* seam_mask /*nullable*/,
+    const int32_t* vertex_to_data, const int32_t* data_to_corner,
+    int64_t* corr_out) {
+  const int64_t dif = 1 + mx - mn;
+  int64_t max_c = dif / 2;
+  if ((dif % 2) == 0) max_c -= 1;
+  const int64_t min_c = -(dif / 2);
+  auto opp = [&](int32_t c) -> int32_t {
+    if (c == INVALID) return INVALID;
+    if (seam_mask && seam_mask[c]) return INVALID;
+    return opposite[c];
+  };
+  for (int k = 0; k < nc; ++k)
+    corr_out[k] = wrap_correction(values[k], 0, mn, mx, dif, min_c, max_c);
+  int64_t pred[8];
+  for (int64_t p = 1; p < n; ++p) {
+    int32_t ci = data_to_corner[p];
+    int32_t oci = opp(ci);
+    bool have = false;
+    if (oci != INVALID) {
+      int64_t vo = vertex_to_data[view_vertex[oci]];
+      int64_t vn = vertex_to_data[view_vertex[next_corner(oci)]];
+      int64_t vp = vertex_to_data[view_vertex[prev_corner(oci)]];
+      if (vo >= 0 && vo < p && vn >= 0 && vn < p && vp >= 0 && vp < p) {
+        for (int k = 0; k < nc; ++k)
+          pred[k] = values[vn * nc + k] + values[vp * nc + k] -
+                    values[vo * nc + k];
+        have = true;
+      }
+    }
+    if (!have)
+      for (int k = 0; k < nc; ++k) pred[k] = values[(p - 1) * nc + k];
+    for (int k = 0; k < nc; ++k)
+      corr_out[p * nc + k] = wrap_correction(values[p * nc + k], pred[k], mn,
+                                             mx, dif, min_c, max_c);
+  }
+  return 0;
+}
+
+// tex-coords portable ENCODE (encoder.py _TexCoordsPortableEncoder):
+// positive modular corrections + orientation choices (1 byte per geometric
+// prediction, in prediction order). Returns number of orientations.
+int64_t uvt_texcoords_encode(
+    const int64_t* values,  // [n, 2] true UV ints (already decoded order)
+    int64_t n, int64_t mn, int64_t mx,
+    const int32_t* view_vertex, const int32_t* vertex_to_data,
+    const int32_t* data_to_corner,
+    const int64_t* positions, const int32_t* pos_data_of_corner,
+    int64_t* corr_out,       // [n, 2]
+    uint8_t* orientations    // [n] cap
+) {
+  const int64_t dif = 1 + mx - mn;
+  int64_t n_orients = 0;
+  auto posv = [&](int32_t c, int k) -> int64_t {
+    return positions[(int64_t)pos_data_of_corner[c] * 3 + k];
+  };
+  auto pos_mod = [&](int64_t orig, int64_t pred) -> int64_t {
+    if (pred < mn) pred = mn;
+    if (pred > mx) pred = mx;
+    int64_t c = (orig - pred) % dif;
+    if (c < 0) c += dif;
+    return c;
+  };
+  for (int64_t p = 0; p < n; ++p) {
+    int32_t ci = data_to_corner[p];
+    int32_t nc_ = next_corner(ci), pc_ = prev_corner(ci);
+    int64_t next_id = vertex_to_data[view_vertex[nc_]];
+    int64_t prev_id = vertex_to_data[view_vertex[pc_]];
+    int64_t pred[2];
+    bool done = false;
+    if (prev_id >= 0 && prev_id < p && next_id >= 0 && next_id < p) {
+      const int64_t* n_uv = values + next_id * 2;
+      const int64_t* p_uv = values + prev_id * 2;
+      if (p_uv[0] == n_uv[0] && p_uv[1] == n_uv[1]) {
+        pred[0] = p_uv[0];
+        pred[1] = p_uv[1];
+        done = true;
+      } else {
+        int64_t pn[3], cn[3];
+        i128 pn_norm2 = 0;
+        for (int k = 0; k < 3; ++k) {
+          pn[k] = posv(pc_, k) - posv(nc_, k);
+          pn_norm2 += (i128)pn[k] * pn[k];
+        }
+        if (pn_norm2 != 0) {
+          i128 cn_dot_pn = 0;
+          for (int k = 0; k < 3; ++k) {
+            cn[k] = posv(ci, k) - posv(nc_, k);
+            cn_dot_pn += (i128)pn[k] * cn[k];
+          }
+          int64_t pn_uv[2] = {p_uv[0] - n_uv[0], p_uv[1] - n_uv[1]};
+          i128 x_uv[2] = {
+              (i128)n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0],
+              (i128)n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1],
+          };
+          i128 cx_norm2 = 0;
+          for (int k = 0; k < 3; ++k) {
+            int64_t x_pos = posv(nc_, k) + tdiv64(cn_dot_pn * pn[k], pn_norm2);
+            int64_t cx = posv(ci, k) - x_pos;
+            cx_norm2 += (i128)cx * cx;
+          }
+          int64_t pn_uv_perp[2] = {pn_uv[1], -pn_uv[0]};
+          i128 norm_sq = (i128)isqrt128((u128)cx_norm2 * (u128)pn_norm2);
+          int64_t pu_t = tdiv64(x_uv[0] + (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
+          int64_t pv_t = tdiv64(x_uv[1] + (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          int64_t pu_f = tdiv64(x_uv[0] - (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
+          int64_t pv_f = tdiv64(x_uv[1] - (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          const int64_t* tv = values + p * 2;
+          int64_t err_t = (tv[0] > pu_t ? tv[0] - pu_t : pu_t - tv[0]) +
+                          (tv[1] > pv_t ? tv[1] - pv_t : pv_t - tv[1]);
+          int64_t err_f = (tv[0] > pu_f ? tv[0] - pu_f : pu_f - tv[0]) +
+                          (tv[1] > pv_f ? tv[1] - pv_f : pv_f - tv[1]);
+          int orientation = err_t <= err_f ? 1 : 0;
+          orientations[n_orients++] = (uint8_t)orientation;
+          if (orientation) {
+            pred[0] = pu_t;
+            pred[1] = pv_t;
+          } else {
+            pred[0] = pu_f;
+            pred[1] = pv_f;
+          }
+          done = true;
+        }
+      }
+    }
+    if (!done) {
+      if (prev_id >= 0 && prev_id < p) {
+        pred[0] = values[prev_id * 2];
+        pred[1] = values[prev_id * 2 + 1];
+      } else if (next_id >= 0 && next_id < p) {
+        pred[0] = values[next_id * 2];
+        pred[1] = values[next_id * 2 + 1];
+      } else if (p > 0) {
+        pred[0] = values[(p - 1) * 2];
+        pred[1] = values[(p - 1) * 2 + 1];
+      } else {
+        pred[0] = 0;
+        pred[1] = 0;
+      }
+    }
+    corr_out[p * 2] = pos_mod(values[p * 2], pred[0]);
+    corr_out[p * 2 + 1] = pos_mod(values[p * 2 + 1], pred[1]);
+  }
+  return n_orients;
+}
+
+// geometric-normal ENCODE (encoder.py _GeometricNormalEncoder.encode):
+// positive modular corrections + flip bits.
+int uvt_normals_encode(
+    const int64_t* oct_coords,  // [n, 2] target quantized oct ints
+    int64_t n, int64_t max_quantized_value,
+    const int32_t* opposite, const int32_t* view_vertex,
+    const uint8_t* seam_mask /*nullable*/,
+    const int32_t* data_to_corner,
+    const int64_t* positions, const int32_t* pos_data_of_corner,
+    int64_t* corr_out,  // [n, 2] positive modular
+    uint8_t* flip_bits  // [n]
+) {
+  OctTool tb;
+  tb.max_quantized_value = max_quantized_value;
+  int q = 0;
+  while ((1LL << q) <= max_quantized_value) q++;
+  tb.max_value = (1LL << q) - 2;
+  tb.center_value = tb.max_value / 2;
+
+  auto opp = [&](int32_t c) -> int32_t {
+    if (c == INVALID) return INVALID;
+    if (seam_mask && seam_mask[c]) return INVALID;
+    return opposite[c];
+  };
+  auto swing_right = [&](int32_t c) -> int32_t {
+    int32_t o = opp(prev_corner(c));
+    return o == INVALID ? INVALID : prev_corner(o);
+  };
+  auto swing_left = [&](int32_t c) -> int32_t {
+    int32_t o = opp(next_corner(c));
+    return o == INVALID ? INVALID : next_corner(o);
+  };
+  auto posv = [&](int32_t c, int k) -> int64_t {
+    return positions[(int64_t)pos_data_of_corner[c] * 3 + k];
+  };
+  auto add_face_normal = [&](int32_t corner, int64_t* normal) {
+    int64_t c0[3], d1[3], d2[3];
+    int32_t nn = next_corner(corner), pp = prev_corner(corner);
+    for (int k = 0; k < 3; ++k) {
+      c0[k] = posv(corner, k);
+      d1[k] = posv(nn, k) - c0[k];
+      d2[k] = posv(pp, k) - c0[k];
+    }
+    normal[0] += d1[1] * d2[2] - d1[2] * d2[1];
+    normal[1] += d1[2] * d2[0] - d1[0] * d2[2];
+    normal[2] += d1[0] * d2[1] - d1[1] * d2[0];
+  };
+  auto correction = [&](int64_t ps, int64_t pt, int64_t os_, int64_t ot_,
+                        int64_t* cs, int64_t* ct) {
+    int64_t cv = tb.center_value;
+    int64_t s = ps - cv, t = pt - cv;
+    bool ind = tb.in_diamond(s, t);
+    if (!ind) tb.invert_diamond(&s, &t);
+    bool ibl = OctTool::in_bottom_left(s, t);
+    int rot = OctTool::rotation_count(s, t);
+    if (!ibl) OctTool::rotate(&s, &t, rot);
+    int64_t o_s = os_ - cv, o_t = ot_ - cv;
+    if (!ind) tb.invert_diamond(&o_s, &o_t);
+    if (!ibl) OctTool::rotate(&o_s, &o_t, rot);
+    *cs = tb.mod_max(o_s - s);
+    *ct = tb.mod_max(o_t - t);
+  };
+
+  for (int64_t p = 0; p < n; ++p) {
+    int32_t ci = data_to_corner[p];
+    int64_t normal[3] = {0, 0, 0};
+    int32_t start = ci, c = ci;
+    bool wrapped = false;
+    while (c != INVALID) {
+      add_face_normal(c, normal);
+      c = swing_right(c);
+      if (c == start) {
+        wrapped = true;
+        break;
+      }
+    }
+    if (!wrapped) {
+      c = swing_left(start);
+      while (c != INVALID && c != start) {
+        add_face_normal(c, normal);
+        c = swing_left(c);
+      }
+    }
+    tb.canonicalize(normal);
+    int64_t ps, pt, fs, ft;
+    tb.to_quantized(normal, &ps, &pt);
+    int64_t neg[3] = {-normal[0], -normal[1], -normal[2]};
+    tb.to_quantized(neg, &fs, &ft);
+    int64_t os_ = oct_coords[p * 2], ot_ = oct_coords[p * 2 + 1];
+    int64_t c0, c1, f0, f1;
+    correction(ps, pt, os_, ot_, &c0, &c1);
+    correction(fs, ft, os_, ot_, &f0, &f1);
+    auto mag = [](int64_t a, int64_t b) {
+      return (a < 0 ? -a : a) + (b < 0 ? -b : b);
+    };
+    int flip = mag(f0, f1) < mag(c0, c1) ? 1 : 0;
+    flip_bits[p] = (uint8_t)flip;
+    int64_t cs = flip ? f0 : c0, ct = flip ? f1 : c1;
+    int64_t m = max_quantized_value;
+    cs %= m; if (cs < 0) cs += m;
+    ct %= m; if (ct < 0) ct += m;
+    corr_out[p * 2] = cs;
+    corr_out[p * 2 + 1] = ct;
+  }
+  return 0;
+}
+
+// float normals [n,3] -> quantized octahedral ints (encoder.quantize_normals)
+int uvt_quantize_normals(const double* normals, int64_t n, int bits,
+                         int64_t* out_st) {
+  OctTool tb;
+  tb.max_quantized_value = (1LL << bits) - 1;
+  tb.max_value = (1LL << bits) - 2;
+  tb.center_value = tb.max_value / 2;
+  const double scale = (double)(1LL << 29);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t v[3];
+    for (int k = 0; k < 3; ++k) {
+      double x = normals[i * 3 + k] * scale;
+      v[k] = (int64_t)(x >= 0 ? x + 0.5 : x - 0.5);
+    }
+    tb.canonicalize(v);
+    int64_t s, t;
+    tb.to_quantized(v, &s, &t);
+    out_st[i * 2] = s;
+    out_st[i * 2 + 1] = t;
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Replay machine (encoder side): same spirale-reversi body, but symbols come
+// from an array (decode order) and the valence context used for each step is
+// RECORDED (what the encoder must know to bucket symbols), start-face bits
+// come from a scripted array. Outputs the decoder-side corner table.
+// ===========================================================================
+
+extern "C" {
+
+int uvt_eb_replay_machine(
+    const uint8_t* symbols_decode_order,  // topology values (0,1,3,5,7)
+    int64_t num_symbols, int64_t num_faces, int64_t max_vertices,
+    const int64_t* split_source, const int64_t* split_id,
+    const uint8_t* split_edge, int64_t num_splits,
+    const uint8_t* sf_bits, int64_t n_sf_bits,
+    int32_t* opposite, int32_t* vertex, int32_t* vertex_corner,
+    int32_t* processed_corners,
+    int32_t* out_contexts,  // [num_symbols] context consumed per step (-1 first)
+    int64_t* out_counts     // [4]
+) {
+  const int64_t n_corners = 3 * num_faces;
+  for (int64_t i = 0; i < n_corners; ++i) opposite[i] = INVALID;
+  for (int64_t i = 0; i < n_corners; ++i) vertex[i] = INVALID;
+  for (int64_t i = 0; i < max_vertices; ++i) vertex_corner[i] = INVALID;
+
+  std::vector<int64_t> valences(max_vertices, 0);
+  std::vector<int32_t> stack;
+  std::vector<int32_t> split_corner_of;
+  std::vector<int64_t> split_key;
+  int64_t num_vertices = 0;
+  int active_context = -1;
+  int64_t n_processed = 0;
+
+  auto find_split = [&](int64_t key) -> int32_t {
+    for (size_t i = 0; i < split_key.size(); ++i)
+      if (split_key[i] == key) {
+        int32_t c = split_corner_of[i];
+        split_key[i] = -1;
+        return c;
+      }
+    return INVALID;
+  };
+  auto set_opp = [&](int32_t a, int32_t b) {
+    opposite[a] = b;
+    opposite[b] = a;
+  };
+
+  for (int64_t symbol_id = 0; symbol_id < num_symbols; ++symbol_id) {
+    int symbol = symbols_decode_order[symbol_id];
+    out_contexts[symbol_id] = active_context;
+    if (active_context == -1 && symbol != 7) return -20;
+    int32_t corner = (int32_t)(3 * symbol_id);
+    processed_corners[n_processed++] = corner;
+    bool check_split = false;
+
+    if (symbol == 0) {
+      if (stack.empty()) return -3;
+      int32_t corner_a = stack.back();
+      int32_t vertex_x = vertex[next_corner(corner_a)];
+      int32_t corner_b = next_corner(vertex_corner[vertex_x]);
+      if (corner_a == corner_b) return -4;
+      int32_t vert_b_next = vertex[next_corner(corner_b)];
+      int32_t vert_a_prev = vertex[prev_corner(corner_a)];
+      set_opp(corner_a, corner + 1);
+      set_opp(corner_b, corner + 2);
+      vertex[corner] = vertex_x;
+      vertex[corner + 1] = vert_b_next;
+      vertex[corner + 2] = vert_a_prev;
+      vertex_corner[vert_a_prev] = corner + 2;
+      stack.back() = corner;
+    } else if (symbol == 5 || symbol == 3) {
+      if (stack.empty()) return -3;
+      int32_t corner_a = stack.back();
+      int32_t opp_corner, corner_l, corner_r;
+      if (symbol == 5) {
+        opp_corner = corner + 2; corner_l = corner + 1; corner_r = corner;
+      } else {
+        opp_corner = corner + 1; corner_l = corner; corner_r = corner + 2;
+      }
+      set_opp(corner_a, opp_corner);
+      int32_t new_vert = (int32_t)num_vertices++;
+      if (new_vert >= max_vertices) return -5;
+      vertex[opp_corner] = new_vert;
+      vertex_corner[new_vert] = opp_corner;
+      int32_t vertex_r = vertex[prev_corner(corner_a)];
+      vertex[corner_r] = vertex_r;
+      vertex_corner[vertex_r] = corner_r;
+      vertex[corner_l] = vertex[next_corner(corner_a)];
+      stack.back() = corner;
+      check_split = true;
+    } else if (symbol == 7) {
+      if (num_vertices + 3 > max_vertices) return -5;
+      int32_t v0 = (int32_t)num_vertices++;
+      int32_t v1 = (int32_t)num_vertices++;
+      int32_t v2 = (int32_t)num_vertices++;
+      vertex[corner] = v0; vertex[corner + 1] = v1; vertex[corner + 2] = v2;
+      vertex_corner[v0] = corner;
+      vertex_corner[v1] = corner + 1;
+      vertex_corner[v2] = corner + 2;
+      stack.push_back(corner);
+      check_split = true;
+    } else if (symbol == 1) {
+      if (stack.empty()) return -3;
+      int32_t corner_b = stack.back();
+      stack.pop_back();
+      int32_t saved = find_split(symbol_id);
+      if (saved != INVALID) stack.push_back(saved);
+      if (stack.empty()) return -6;
+      int32_t corner_a = stack.back();
+      if (opposite[corner_a] != INVALID || opposite[corner_b] != INVALID)
+        return -7;
+      int32_t vertex_p = vertex[prev_corner(corner_a)];
+      int32_t vertex_q = vertex[next_corner(corner_b)];
+      if (vertex_p == vertex_q) return -8;
+      Table t{opposite, vertex, vertex_corner};
+      int32_t first_q = vertex_corner[vertex_q];
+      int32_t c = first_q;
+      while (c != INVALID) {
+        vertex[c] = vertex_p;
+        c = t.swing_right(c);
+      }
+      set_opp(corner_a, corner + 2);
+      set_opp(corner_b, corner + 1);
+      vertex[corner] = vertex_p;
+      vertex[corner + 1] = vertex[next_corner(corner_a)];
+      vertex[corner + 2] = vertex[prev_corner(corner_b)];
+      vertex_corner[vertex_p] = first_q;
+      vertex_corner[vertex_q] = INVALID;
+      valences[vertex_p] += valences[vertex_q];
+      stack.back() = corner;
+    } else {
+      return -9;
+    }
+
+    if (check_split) {
+      int64_t encoder_symbol_id = num_symbols - symbol_id - 1;
+      for (int64_t s = 0; s < num_splits; ++s) {
+        if (split_source[s] != encoder_symbol_id) continue;
+        int64_t decoder_split_id = num_symbols - split_id[s] - 1;
+        int32_t c = split_edge[s] == 1 ? next_corner(corner)
+                                       : prev_corner(corner);
+        split_key.push_back(decoder_split_id);
+        split_corner_of.push_back(c);
+      }
+    }
+
+    int32_t nxt = next_corner(corner), prv = prev_corner(corner);
+    if (symbol == 0 || symbol == 1) {
+      valences[vertex[nxt]] += 1;
+      valences[vertex[prv]] += 1;
+    } else if (symbol == 5) {
+      valences[vertex[corner]] += 1;
+      valences[vertex[nxt]] += 1;
+      valences[vertex[prv]] += 2;
+    } else if (symbol == 3) {
+      valences[vertex[corner]] += 1;
+      valences[vertex[nxt]] += 2;
+      valences[vertex[prv]] += 1;
+    } else {
+      valences[vertex[corner]] += 2;
+      valences[vertex[nxt]] += 2;
+      valences[vertex[prv]] += 2;
+    }
+    int64_t av = valences[vertex[nxt]];
+    if (av < 2) av = 2;
+    if (av > 7) av = 7;
+    active_context = (int)(av - 2);
+  }
+
+  // init faces from scripted start-face bits
+  int64_t sfi = 0;
+  int64_t num_decoded_faces = num_symbols;
+  int64_t n_init = 0;
+  int64_t n_components = 0;
+  while (!stack.empty()) {
+    int32_t corner = stack.back();
+    stack.pop_back();
+    n_components += 1;
+    if (sfi >= n_sf_bits) return -21;
+    int interior = sf_bits[sfi++];
+    if (interior) {
+      int32_t corner_a = corner;
+      int32_t corner_b = prev_corner(corner_a);
+      while (opposite[corner_b] != INVALID)
+        corner_b = prev_corner(opposite[corner_b]);
+      int32_t corner_c = next_corner(corner_a);
+      while (opposite[corner_c] != INVALID)
+        corner_c = next_corner(opposite[corner_c]);
+      int32_t face_corner = (int32_t)(3 * num_decoded_faces);
+      num_decoded_faces += 1;
+      if (face_corner + 2 >= n_corners) return -12;
+      int32_t vert_n_b = vertex[next_corner(corner_b)];
+      int32_t vert_n_c = vertex[next_corner(corner_c)];
+      int32_t vert_n_a = vertex[next_corner(corner_a)];
+      set_opp(face_corner, corner_a);
+      set_opp(face_corner + 1, corner_b);
+      set_opp(face_corner + 2, corner_c);
+      vertex[face_corner] = vert_n_b;
+      vertex[face_corner + 1] = vert_n_c;
+      vertex[face_corner + 2] = vert_n_a;
+      for (int k = 0; k < 3; ++k) {
+        int32_t x = face_corner + k;
+        int32_t o = opposite[x];
+        if (vertex[next_corner(x)] != vertex[prev_corner(o)] ||
+            vertex[prev_corner(x)] != vertex[next_corner(o)])
+          return -13;
+      }
+      processed_corners[n_processed + n_init] = face_corner;
+      n_init += 1;
+    }
+  }
+  if (num_decoded_faces != num_faces) return -14;
+  out_counts[0] = n_processed;
+  out_counts[1] = n_init;
+  out_counts[2] = num_vertices;
+  out_counts[3] = n_components;
+  return 0;
+}
+
+// rABS bit ENCODE (rans.py RansBitEncoder.flush): bits in FIFO order in;
+// returns payload length (prob byte handled by the caller), writes payload.
+int64_t uvt_rabs_encode_bits(const uint8_t* bits, int64_t n,
+                             uint32_t prob_zero, uint8_t* out,
+                             int64_t out_cap) {
+  const uint32_t IO_BASE = 256, L_BASE = 4096, P8 = 256;
+  uint32_t p = P8 - prob_zero;
+  uint64_t state = L_BASE;
+  std::vector<uint8_t> renorm;
+  renorm.reserve((size_t)(n / 4 + 16));
+  for (int64_t i = n - 1; i >= 0; --i) {
+    uint32_t l_s = bits[i] ? p : prob_zero;
+    uint64_t bound = (uint64_t)(L_BASE / P8) * IO_BASE * l_s;
+    while (state >= bound) {
+      renorm.push_back((uint8_t)(state % IO_BASE));
+      state /= IO_BASE;
+    }
+    uint64_t quot = state / l_s, rem = state % l_s;
+    state = quot * P8 + rem + (bits[i] ? 0 : p);
+  }
+  // final-state marker (rans.py _write_final_state)
+  uint8_t marker[4];
+  int mlen;
+  uint64_t s = state - L_BASE;
+  if (s < (1ULL << 6)) {
+    marker[0] = (uint8_t)s;
+    mlen = 1;
+  } else if (s < (1ULL << 14)) {
+    uint32_t v = (1u << 14) | (uint32_t)s;
+    marker[0] = v & 0xFF; marker[1] = v >> 8;
+    mlen = 2;
+  } else if (s < (1ULL << 22)) {
+    uint32_t v = (2u << 22) | (uint32_t)s;
+    marker[0] = v & 0xFF; marker[1] = (v >> 8) & 0xFF; marker[2] = v >> 16;
+    mlen = 3;
+  } else {
+    uint32_t v = (3u << 30) | (uint32_t)s;
+    marker[0] = v & 0xFF; marker[1] = (v >> 8) & 0xFF;
+    marker[2] = (v >> 16) & 0xFF; marker[3] = v >> 24;
+    mlen = 4;
+  }
+  int64_t total = (int64_t)renorm.size() + mlen;
+  if (total > out_cap) return -1;
+  for (size_t i = 0; i < renorm.size(); ++i) out[i] = renorm[i];
+  for (int i = 0; i < mlen; ++i) out[renorm.size() + i] = marker[i];
+  return total;
 }
 
 }  // extern "C"
