@@ -98,7 +98,7 @@ def main() -> None:
     mverts = nframes * N / (t_geo_enc + t_geo_dec) / 1e6
 
     # ---- real Draco corpus decode (the reference's own playback format) -----
-    liam_fps = liam_fps_pool = None
+    liam_fps = liam_fps_pool = liam_enc_fps = None
     liam_dir = "/root/reference/example/public/liam/output/geometry_draco"
     if os.path.isdir(liam_dir):
         from uvol_tpu.codecs.draco.decoder import decode_drc
@@ -110,9 +110,40 @@ def main() -> None:
         ]
         decode_drc(frames_bin[0])  # warm native build
         t0 = time.perf_counter()
-        for b in frames_bin:
-            decode_drc(b)
+        meshes = [decode_drc(b) for b in frames_bin]
         liam_fps = len(frames_bin) / (time.perf_counter() - t0)
+        # re-encode the decoded frames with OUR Draco encoder
+        from uvol_tpu.codecs.draco import constants as KD
+        from uvol_tpu.codecs.draco.encoder import (
+            AttributeToEncode,
+            encode_drc,
+        )
+
+        def reenc(mm):
+            atts = []
+            for t, bits in ((KD.ATT_POSITION, 11), (KD.ATT_TEX_COORD, 10),
+                            (KD.ATT_NORMAL, 8)):
+                a = mm.attribute_by_type(t)
+                if a is not None:
+                    atts.append(
+                        AttributeToEncode(t, a.values, a.corner_to_value, bits)
+                    )
+            g = mm.attribute_by_type(KD.ATT_GENERIC)
+            if g is not None:
+                atts.append(
+                    AttributeToEncode(
+                        KD.ATT_GENERIC, g.values, g.corner_to_value,
+                        integer=True,
+                    )
+                )
+            faces_idx = atts[0].corner_to_value.reshape(-1, 3)
+            return encode_drc(faces_idx, atts)
+
+        reenc(meshes[0])  # warm
+        t0 = time.perf_counter()
+        for mm in meshes[:4]:
+            reenc(mm)
+        liam_enc_fps = 4 / (time.perf_counter() - t0)
         # DRACOLoader-style 4-worker pool (ctypes releases the GIL)
         pool = PrefetchPool(decode_drc, workers=4)
         t0 = time.perf_counter()
@@ -188,6 +219,9 @@ def main() -> None:
                     ),
                     "liam_draco_decode_fps_pool4": (
                         round(liam_fps_pool, 1) if liam_fps_pool else None
+                    ),
+                    "liam_draco_encode_fps": (
+                        round(liam_enc_fps, 1) if liam_enc_fps else None
                     ),
                     "note": (
                         "end-to-end number is bound by this environment's "
