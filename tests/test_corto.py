@@ -129,3 +129,55 @@ def test_crt_point_cloud():
     mesh = decode_crt(blob)
     assert mesh.nface == 0
     assert mesh.attributes["position"].shape == (500, 3)
+
+
+def test_crt_multigroup_roundtrip():
+    """Multi-group encode (per-group front machines, shared vertex
+    numbering) matches the decoder's per-group CLER restart semantics."""
+    pos, faces = _grid_mesh(12)
+    n = len(faces)
+    groups = [n // 3, 2 * n // 3, n]
+    blob = encode_crt(pos, faces, groups=groups)
+    mesh = decode_crt(blob)
+    assert mesh.nface == n
+    assert [g["end"] for g in mesh.groups] == groups
+    # every encoded face must exist in the source (orientation-preserving,
+    # cyclic rotations allowed), and counts must match exactly
+    def canon(f):
+        f = list(map(int, f))
+        k = f.index(min(f))
+        return tuple(f[k:] + f[:k])
+    dec = mesh.attributes["position"]
+    from scipy.spatial import cKDTree
+    _, idx = cKDTree(pos).query(dec)
+    src = sorted(canon(f) for f in faces)
+    got = sorted(canon([idx[a], idx[b], idx[c]]) for a, b, c in mesh.faces)
+    assert src == got
+
+
+def test_crt_python_native_parity():
+    """Native and pure-Python corto paths emit identical bytes."""
+    import importlib
+    import os
+
+    pos, faces = _grid_mesh(8)
+    r = np.random.default_rng(5)
+    uv = r.uniform(0, 1, (len(pos), 2)).astype(np.float32)
+    blob_native = encode_crt(pos, faces, uvs=uv)
+
+    from uvol_tpu import native as native_mod
+
+    saved = native_mod._corto_lib, native_mod._corto_failed
+    native_mod._corto_lib, native_mod._corto_failed = None, True
+    try:
+        blob_py = encode_crt(pos, faces, uvs=uv)
+        mesh_py = decode_crt(blob_native)
+    finally:
+        native_mod._corto_lib, native_mod._corto_failed = saved
+    assert blob_py == blob_native
+    mesh_nat = decode_crt(blob_native)
+    np.testing.assert_array_equal(mesh_py.faces, mesh_nat.faces)
+    for k in mesh_py.attributes:
+        np.testing.assert_array_equal(
+            mesh_py.attributes[k], mesh_nat.attributes[k]
+        )

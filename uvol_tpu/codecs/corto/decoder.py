@@ -101,21 +101,27 @@ def decode_crt(data: bytes) -> CortoMesh:
     _max_front = s.u32()
     clers = s.decompress_block()
     bitstream = s.read_bitstream()
-
-    faces = np.zeros(nface * 3, np.int64)
-    prediction = np.zeros((nvert, 3), np.int64)
-    vertex_count = 0
-    cler_pos = 0
     splitbits = _ilog2(nvert) + 1
 
-    start = 0
-    for g in groups:
-        end = g["end"] * 3
-        vertex_count, cler_pos = _decode_faces(
-            clers, bitstream, faces, prediction, start, end,
-            vertex_count, cler_pos, splitbits, nvert,
+    from uvol_tpu import native
+
+    group_ends = [g["end"] for g in groups]
+    if native.get_corto_lib() is not None:
+        faces, prediction, _vc = native.corto_decode_faces(
+            clers, bitstream.a, group_ends, splitbits, nvert, nface
         )
-        start = end
+    else:
+        faces = np.zeros(nface * 3, np.int64)
+        prediction = np.zeros((nvert, 3), np.int64)
+        vertex_count = 0
+        cler_pos = 0
+        start = 0
+        for end in group_ends:
+            vertex_count, cler_pos = _decode_faces(
+                clers, bitstream, faces, prediction, start, end * 3,
+                vertex_count, cler_pos, splitbits, nvert,
+            )
+            start = end * 3
 
     # attributes: decode -> deltaDecode -> postDelta -> dequantize
     for a in sorted(attrs.values(), key=lambda a: a.name):
@@ -315,14 +321,28 @@ def _attr_delta_decode(a: CortoAttribute, nvert: int, prediction) -> None:
     v = a.values
     if a.codec == NORMAL_CODEC and a.prediction != PRED_DIFF:
         return
-    if prediction is not None:
-        if a.codec != NORMAL_CODEC and (a.strategy & PARALLEL):
-            for i in range(1, nvert):
-                fa, fb, fc = prediction[i]
-                v[i] += v[fa] + v[fb] - v[fc]
-        else:
-            for i in range(1, nvert):
-                v[i] += v[prediction[i][0]]
+    if prediction is None:
+        mode = 2
+    elif a.codec != NORMAL_CODEC and (a.strategy & PARALLEL):
+        mode = 0
+    else:
+        mode = 1
+
+    from uvol_tpu import native
+
+    if (
+        v.dtype == np.int32
+        and v.flags.c_contiguous
+        and native.corto_delta_decode(v, prediction if mode != 2 else None, mode)
+    ):
+        return
+    if mode == 0:
+        for i in range(1, nvert):
+            fa, fb, fc = prediction[i]
+            v[i] += v[fa] + v[fb] - v[fc]
+    elif mode == 1:
+        for i in range(1, nvert):
+            v[i] += v[prediction[i][0]]
     else:  # point cloud
         for i in range(1, nvert):
             v[i] += v[i - 1]
@@ -334,33 +354,37 @@ def _attr_post_delta(a, nvert, nface, attrs, faces) -> None:
     coord = attrs.get("position")
     if coord is None:
         raise ValueError("normal estimation requires position attribute")
-    est = _estimate_normals(coord.values.astype(np.float64), faces.reshape(-1, 3))
+    f = np.asarray(faces, np.int64).reshape(-1, 3)
+    est = _estimate_normals(coord.values.astype(np.float64), f)
     if a.prediction == PRED_BORDER:
+        # boundary marking via the reference's XOR trick (commutative, so
+        # the per-face loop vectorizes to scatter-XOR)
         boundary = np.zeros(nvert, np.int64)
-        f = faces.reshape(-1, 3)
-        np.add.at(boundary, f[:, 0], 0)  # placeholder; xor below
-        for tri in f:
-            boundary[tri[0]] ^= tri[1] ^ tri[2]
-            boundary[tri[1]] ^= tri[2] ^ tri[0]
-            boundary[tri[2]] ^= tri[0] ^ tri[1]
+        np.bitwise_xor.at(boundary, f[:, 0], f[:, 1] ^ f[:, 2])
+        np.bitwise_xor.at(boundary, f[:, 1], f[:, 2] ^ f[:, 0])
+        np.bitwise_xor.at(boundary, f[:, 2], f[:, 0] ^ f[:, 1])
         mask = boundary != 0
     else:
         mask = np.ones(nvert, bool)
     out = np.zeros((nvert, 3), np.float64)
-    count = 0
-    for i in range(nvert):
-        if mask[i]:
-            o = _to_octa_float(est[i])
-            corr = a.values[count] if a.prediction == PRED_BORDER else a.values[i]
-            # JS Int32Array truncates after the add (corto.ts toOcta)
-            s_ = int(corr[0] + o[0] * a.q)
-            t_ = int(corr[1] + o[1] * a.q)
-            out[i] = _to_sphere(s_, t_, a.q)
-            count += 1
-        else:
-            n = est[i]
-            norm = np.linalg.norm(n)
-            out[i] = n / norm if norm else (0, 0, 1)
+    m = int(mask.sum())
+    if m:
+        # corrections are stored in mask order (ESTIMATED: every vertex)
+        o0, o1 = _to_octa_float_vec(est[mask])
+        corr = np.asarray(a.values[:m], np.float64)
+        # JS Int32Array truncates after the add (corto.ts toOcta)
+        s_ = np.trunc(corr[:, 0] + o0 * a.q).astype(np.int64)
+        t_ = np.trunc(corr[:, 1] + o1 * a.q).astype(np.int64)
+        out[mask] = _to_sphere_vec(s_, t_, a.q)
+    rest = ~mask
+    if rest.any():
+        n = est[rest]
+        norm = np.linalg.norm(n, axis=1)
+        out[rest] = np.where(
+            norm[:, None] > 0,
+            n / np.maximum(norm, 1e-300)[:, None],
+            np.array([0.0, 0.0, 1.0]),
+        )
     a.values = out
     a.prediction = -1  # mark as materialized
 
@@ -369,10 +393,11 @@ def _attr_dequantize(a: CortoAttribute, nvert: int) -> np.ndarray:
     if a.codec == NORMAL_CODEC:
         if a.prediction == -1:  # already float normals from postDelta
             return a.values.astype(np.float32)
-        out = np.zeros((nvert, 3), np.float32)
-        for i in range(nvert):
-            out[i] = _to_sphere(int(a.values[i, 0]), int(a.values[i, 1]), a.q)
-        return out
+        return _to_sphere_vec(
+            a.values[:, 0].astype(np.int64),
+            a.values[:, 1].astype(np.int64),
+            a.q,
+        ).astype(np.float32)
     if a.codec == COLOR_CODEC:
         qc = a.qc
         v = a.values
@@ -416,6 +441,39 @@ def _to_octa_float(n):
 def _to_octa(n, unit: float):
     p0, p1 = _to_octa_float(n)
     return int(p0 * unit), int(p1 * unit)
+
+
+def _to_octa_float_vec(n: np.ndarray):
+    """Vectorized `_to_octa_float` over [N, 3] float64 normals."""
+    length = np.abs(n).sum(1)
+    safe = np.maximum(length, 1e-300)
+    p0 = n[:, 0] / safe
+    p1 = n[:, 1] / safe
+    ap0, ap1 = np.abs(p0), np.abs(p1)
+    p0n = np.where(n[:, 0] >= 0, 1.0 - ap1, ap1 - 1.0)
+    p1n = np.where(n[:, 1] >= 0, 1.0 - ap0, ap0 - 1.0)
+    neg = n[:, 2] < 0
+    p0 = np.where(neg, p0n, p0)
+    p1 = np.where(neg, p1n, p1)
+    zero = length == 0
+    return np.where(zero, 0.0, p0), np.where(zero, 0.0, p1)
+
+
+def _to_sphere_vec(s_: np.ndarray, t_: np.ndarray, unit: float) -> np.ndarray:
+    """Vectorized `_to_sphere` over int arrays."""
+    x = s_.astype(np.float64)
+    y = t_.astype(np.float64)
+    z = unit - np.abs(x) - np.abs(y)
+    neg = z < 0
+    xn = np.where(s_ > 0, unit - np.abs(y), np.abs(y) - unit)
+    yn = np.where(t_ > 0, unit - np.abs(x), np.abs(x) - unit)
+    v = np.stack([np.where(neg, xn, x), np.where(neg, yn, y), z], 1)
+    norm = np.linalg.norm(v, axis=1)
+    return np.where(
+        norm[:, None] > 0,
+        v / np.maximum(norm, 1e-300)[:, None],
+        np.array([0.0, 0.0, 1.0]),
+    )
 
 
 def _to_sphere(s_, t_, unit: float):

@@ -59,14 +59,42 @@ def _build_topology(faces: np.ndarray) -> np.ndarray:
     return opp
 
 
-class _FrontMachine:
-    """Encoder-side CLER emission mirroring encoder.cpp:encodeFaces."""
+def _grouped_topology(
+    faces: np.ndarray, nvert: int, group_ends: List[int]
+) -> np.ndarray:
+    """Per-group adjacency (the reference builds topology on a local copy of
+    each group's faces inside encodeFaces — encoder.cpp:458-467 — so edges
+    never match across group boundaries). Opposite face ids are global."""
+    from uvol_tpu import native
 
-    def __init__(self, faces: np.ndarray, nvert: int, nreferenced: int):
+    nface = len(faces)
+    opp = np.full((nface, 3, 2), -1, np.int32)
+    start = 0
+    for g_end in group_ends:
+        sub = faces[start:g_end]
+        t = native.corto_build_topology(sub, nvert)
+        if t is None:
+            t = _build_topology(sub).astype(np.int32)
+        face_col = t[:, :, 0]
+        t[:, :, 0] = np.where(face_col >= 0, face_col + start, -1)
+        opp[start:g_end] = t
+        start = g_end
+    return opp
+
+
+class _FrontMachine:
+    """Encoder-side CLER emission mirroring encoder.cpp:encodeFaces.
+
+    `encode_group(start, end)` may be called once per group: the front
+    restarts per group while vertex numbering, the CLER stream and the
+    bitstream persist (reference encoder.cpp:280-282)."""
+
+    def __init__(self, faces: np.ndarray, topology: np.ndarray, nvert: int,
+                 splitbits: int):
         self.faces = faces
-        self.topology = _build_topology(faces)
+        self.topology = topology
         self.nvert = nvert
-        self.splitbits = _ilog2(nreferenced) + 1
+        self.splitbits = splitbits
         self.clers: List[int] = []
         self.bitstream = BitWriter()
         self.encoded = np.full(nvert, -1, np.int64)
@@ -74,14 +102,15 @@ class _FrontMachine:
         self.current_vertex = 0
         self.last_index = 0
         self.max_front = 0
+        self.visited = np.zeros(len(faces), bool)
 
-    def encode_all(self) -> None:
+    def encode_group(self, face_start: int, face_end: int) -> None:
         faces = self.faces
         topo = self.topology
-        nf = len(faces)
-        visited = np.zeros(nf, bool)
-        totfaces = nf
-        current = 0
+        visited = self.visited
+        nf = face_end
+        totfaces = face_end - face_start
+        current = face_start
 
         # front edge arrays: face, side, prev, next, deleted
         e_face: List[int] = []
@@ -220,7 +249,7 @@ class _FrontMachine:
             visited[opposite_face] = True
             totfaces -= 1
 
-        self.max_front = len(e_face)
+        self.max_front = max(self.max_front, len(e_face))
 
 
 def encode_crt(
@@ -260,32 +289,54 @@ def encode_crt(
     referenced = np.zeros(nvert, bool)
     referenced[faces.reshape(-1)] = True
     nreferenced = int(referenced.sum())
+    splitbits = _ilog2(nreferenced) + 1
 
-    if len(group_ends) > 1:
-        # encode_all always walks the full face set; running it once per
-        # group would CLER-encode the mesh N times into one corrupt stream
-        # (round-1 ADVICE item 5). Per-group front ranges are not
-        # implemented yet — reject rather than emit malformed output.
-        raise NotImplementedError(
-            "multi-group .crt encoding not supported (single group only)"
+    if group_ends != sorted(group_ends) or (nface and group_ends[-1] != nface):
+        raise ValueError("group ends must be ascending and cover all faces")
+
+    from uvol_tpu import native
+
+    if nface and native.get_corto_lib() is not None:
+        topo = _grouped_topology(
+            np.ascontiguousarray(faces, np.int32), nvert, group_ends
         )
-    machine = _FrontMachine(faces, nvert, nreferenced)
-    machine.encode_all()
+        nm = native.CortoEncoderNative(faces, topo, nvert, splitbits)
+        start = 0
+        for g_end in group_ends:
+            nm.encode_group(start, g_end)
+            start = g_end
+        clers_arr, bs_words, _encoded, quads_arr, new_nvert, max_front = (
+            nm.finish()
+        )
+        machine = None
+        quads = quads_arr.astype(np.int64)  # [new_nvert, 4] (t, a, b, c)
+    else:
+        topo = _grouped_topology(faces, nvert, group_ends).astype(np.int64)
+        machine = _FrontMachine(faces, topo, nvert, splitbits)
+        start = 0
+        for g_end in group_ends:
+            machine.encode_group(start, g_end)
+            start = g_end
+        clers_arr = np.asarray(machine.clers, np.uint8)
+        bs_words = None
+        new_nvert = machine.current_vertex
+        max_front = machine.max_front
+        quads = np.asarray(machine.prediction, np.int64).reshape(-1, 4)
 
-    new_nvert = machine.current_vertex
-    quads = machine.prediction  # (original_t, a, b, c) with original indices
+    # attribute encode: quantize originals, reorder+delta by quads.
+    # quads reference original (pre-traversal) indices of already-encoded
+    # vertices, so the delta is a pure gather — fully vectorized.
+    q_t, q_a, q_b, q_c = quads.T
 
-    # attribute encode: quantize originals, reorder+delta by quads
     def delta_generic(values_q: np.ndarray, strategy: int) -> np.ndarray:
-        n = values_q.shape[1]
-        out = np.zeros((new_nvert, n), np.int64)
-        out[0] = values_q[quads[0][0]]
-        for i in range(1, new_nvert):
-            t, a, b, c = quads[i]
-            if a != b and (strategy & PARALLEL):
-                out[i] = values_q[t] - (values_q[a] + values_q[b] - values_q[c])
-            else:
-                out[i] = values_q[t] - values_q[a]
+        vq = np.asarray(values_q, np.int64)
+        if strategy & PARALLEL:
+            par = (q_a != q_b)[:, None]
+            pred = np.where(par, vq[q_a] + vq[q_b] - vq[q_c], vq[q_a])
+        else:
+            pred = vq[q_a]
+        out = vq[q_t] - pred
+        out[0] = vq[q_t[0]]
         return out
 
     out = CortoOutStream()
@@ -309,13 +360,13 @@ def encode_crt(
                       PARALLEL | CORRELATED, uv_q))
     if normals is not None:
         unit = float((1 << normal_bits) - 1)
-        from uvol_tpu.codecs.corto.decoder import _to_octa_float
+        from uvol_tpu.codecs.corto.decoder import _to_octa_float_vec
 
-        nq = np.zeros((nvert, 2), np.int64)
         nn = np.asarray(normals, np.float64)
-        for i in range(nvert):
-            p0, p1 = _to_octa_float(nn[i])
-            nq[i] = (int(p0 * unit), int(p1 * unit))
+        p0, p1 = _to_octa_float_vec(nn)
+        nq = np.stack(
+            [np.trunc(p0 * unit), np.trunc(p1 * unit)], 1
+        ).astype(np.int64)
         attrs.append(("normal", NORMAL_CODEC, unit, 3, FMT_FLOAT,
                       PARALLEL, nq))
     if colors is not None:
@@ -371,19 +422,20 @@ def encode_crt(
         return out.getvalue()
 
     # index
-    out.u32(machine.max_front)
-    out.compress_block(np.asarray(machine.clers, np.uint8))
-    out.write_bitstream(machine.bitstream)
+    out.u32(max_front)
+    out.compress_block(clers_arr)
+    if bs_words is not None:
+        out._write_words(bs_words)
+    else:
+        out.write_bitstream(machine.bitstream)
 
     # attributes (sorted order == decode order)
     for name, codec, q, ncomp, fmt, strategy, vals in attrs:
         if codec == NORMAL_CODEC:
             out.u8(PRED_DIFF)
-            diffs = np.zeros((new_nvert, 2), np.int64)
-            diffs[0] = vals[quads[0][0]]
-            for i in range(1, new_nvert):
-                t, a, _b, _c = quads[i]
-                diffs[i] = vals[t] - vals[a]
+            vals64 = np.asarray(vals, np.int64)
+            diffs = vals64[q_t] - vals64[q_a]
+            diffs[0] = vals64[q_t[0]]
             out.encode_array(diffs, 2)
             continue
         if codec == COLOR_CODEC:

@@ -90,11 +90,29 @@ class CortoOutStream:
         self.i32(len(payload))
         self.raw(payload)
 
+    def _write_words(self, words: np.ndarray) -> None:
+        """Embed pre-packed bitstream words (native pack fast path)."""
+        words = np.asarray(words, "<u4")
+        self.i32(len(words))
+        pad = len(self._b) & 3
+        if pad:
+            self._b += b"\x00" * (4 - pad)
+        self.raw(words.tobytes())
+
     # -- value coders (reference cstream.h:118-205) --------------------------
     def encode_values(self, values: np.ndarray, n: int) -> None:
         """Per-component logs (uncorrelated components)."""
         values = np.asarray(values, np.int64).reshape(-1, n)
         size = len(values)
+        from uvol_tpu import native
+
+        packed = native.corto_pack_values(values, size, n)
+        if packed is not None:
+            logs, words = packed
+            self._write_words(words)
+            for c in range(n):
+                self.compress_block(logs[c])
+            return
         bw = BitWriter()
         clogs = []
         for c in range(n):
@@ -119,6 +137,14 @@ class CortoOutStream:
         """Shared log per tuple (correlated components)."""
         values = np.asarray(values, np.int64).reshape(-1, n)
         size = len(values)
+        from uvol_tpu import native
+
+        packed = native.corto_pack_tuples(values, size, n)
+        if packed is not None:
+            logs, words = packed
+            self._write_words(words)
+            self.compress_block(logs)
+            return
         bw = BitWriter()
         logs = np.zeros(size, np.uint8)
         for i in range(size):
@@ -135,6 +161,14 @@ class CortoOutStream:
 
     def encode_diffs(self, values: np.ndarray) -> None:
         values = np.asarray(values, np.int64)
+        from uvol_tpu import native
+
+        packed = native.corto_pack_values(values, len(values), 1)
+        if packed is not None:
+            logs, words = packed
+            self._write_words(words)
+            self.compress_block(logs[0])
+            return
         bw = BitWriter()
         logs = np.zeros(len(values), np.uint8)
         for i, val in enumerate(values):
@@ -152,6 +186,14 @@ class CortoOutStream:
 
     def encode_indices(self, values: np.ndarray) -> None:
         values = np.asarray(values, np.int64)
+        from uvol_tpu import native
+
+        packed = native.corto_pack_indices(values, len(values))
+        if packed is not None:
+            logs, words = packed
+            self._write_words(words)
+            self.compress_block(logs)
+            return
         bw = BitWriter()
         logs = np.zeros(len(values), np.uint8)
         for i, v in enumerate(values):
@@ -221,7 +263,14 @@ class CortoInStream:
     # -- value decoders (corto.ts:828-927) -----------------------------------
     def decode_values(self, n: int, size: int) -> np.ndarray:
         bs = self.read_bitstream()
-        out = np.zeros((size, n), np.int64)
+        from uvol_tpu import native
+
+        if native.get_corto_lib() is not None:
+            logs = np.concatenate(
+                [self.decompress_block() for _ in range(n)]
+            ) if n > 1 else self.decompress_block()
+            return native.corto_unpack_values(bs.a, logs, size, n)
+        out = np.zeros((size, n), np.int32)
         for c in range(n):
             logs = self.decompress_block()
             for i in range(size):
@@ -238,7 +287,11 @@ class CortoInStream:
     def decode_array(self, n: int, size: int) -> np.ndarray:
         bs = self.read_bitstream()
         logs = self.decompress_block()
-        out = np.zeros((size, n), np.int64)
+        from uvol_tpu import native
+
+        if native.get_corto_lib() is not None:
+            return native.corto_unpack_tuples(bs.a, logs, size, n)
+        out = np.zeros((size, n), np.int32)
         for i in range(size):
             diff = int(logs[i])
             if diff == 0:
@@ -255,6 +308,14 @@ class CortoInStream:
         We pair with the encoder's actual scheme, same as decodeValues.)"""
         bs = self.read_bitstream()
         logs = self.decompress_block()
+        from uvol_tpu import native
+
+        if native.get_corto_lib() is not None:
+            return (
+                native.corto_unpack_values(bs.a, logs, size, 1)
+                .reshape(-1)
+                .astype(np.int64)
+            )
         out = np.zeros(size, np.int64)
         for i in range(size):
             diff = int(logs[i])
@@ -270,6 +331,12 @@ class CortoInStream:
     def decode_indices(self, size: int) -> np.ndarray:
         bs = self.read_bitstream()
         logs = self.decompress_block()
+        from uvol_tpu import native
+
+        if native.get_corto_lib() is not None:
+            return native.corto_unpack_indices(bs.a, logs, size).astype(
+                np.int64
+            )
         out = np.zeros(size, np.int64)
         for i in range(size):
             ret = int(logs[i])

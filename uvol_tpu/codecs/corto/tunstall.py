@@ -159,6 +159,15 @@ def build_decoding_tables(
     return words, out_lengths
 
 
+def _flat_tables(words: Sequence[bytes]):
+    """(concatenated words, per-word start offsets, per-word lengths)."""
+    lengths = np.fromiter((len(w) for w in words), np.int32, len(words))
+    index = np.zeros(len(words), np.int32)
+    if len(words) > 1:
+        np.cumsum(lengths[:-1], out=index[1:])
+    return b"".join(words), index, lengths
+
+
 class _TrieNode:
     __slots__ = ("children", "word")
 
@@ -176,6 +185,14 @@ def compress(
     if len(probabilities) <= 1:
         return b""
     words, _ = build_decoding_tables(probabilities)
+    from uvol_tpu import native
+
+    flat, index, lengths = _flat_tables(words)
+    parsed = native.tunstall_parse_native(
+        flat, index, lengths, np.asarray(data, np.uint8)
+    )
+    if parsed is not None:
+        return parsed
     root = _TrieNode()
     for wi, w in enumerate(words):
         node = root
@@ -216,6 +233,14 @@ def decompress(
         out[:] = probabilities[0][0]
         return out
     words, _ = build_decoding_tables(probabilities)
+    from uvol_tpu import native
+
+    flat, index, lengths = _flat_tables(words)
+    expanded = native.tunstall_expand_native(
+        flat, index, lengths, bytes(compressed), output_size
+    )
+    if expanded is not None:
+        return expanded
     pos = 0
     for k in range(len(compressed) - 1):
         w = words[compressed[k]]

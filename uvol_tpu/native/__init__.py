@@ -605,3 +605,255 @@ def rabs_encode_bits_native(bits, prob_zero: int):
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Corto hot loops (corto_native.cpp) — 1:1 ports of the Python reference
+# loops in codecs/corto/{stream,decoder,encoder,tunstall}.py with ctypes
+# bindings; every caller falls back to Python when the library is missing.
+# ---------------------------------------------------------------------------
+
+_CORTO_SO = os.path.join(_HERE, "libuvt_corto.so")
+_CORTO_SRC = os.path.join(_HERE, "corto_native.cpp")
+_corto_lib: Optional[ctypes.CDLL] = None
+_corto_failed = False
+
+
+def get_corto_lib() -> Optional[ctypes.CDLL]:
+    global _corto_lib, _corto_failed
+    if _corto_lib is not None or _corto_failed:
+        return _corto_lib
+    if os.environ.get("UVT_DISABLE_NATIVE_CORTO") == "1" or not _compile(
+        _CORTO_SRC, _CORTO_SO
+    ):
+        _corto_failed = True
+        return None
+    lib = ctypes.CDLL(_CORTO_SO)
+    c = ctypes
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = _i64p
+    lib.uvt_corto_unpack_values.argtypes = [
+        u32p, c.c_int64, u8p, c.c_int64, c.c_int, i32p]
+    lib.uvt_corto_unpack_values.restype = c.c_int
+    lib.uvt_corto_unpack_tuples.argtypes = [
+        u32p, c.c_int64, u8p, c.c_int64, c.c_int, i32p]
+    lib.uvt_corto_unpack_tuples.restype = c.c_int
+    lib.uvt_corto_unpack_indices.argtypes = [
+        u32p, c.c_int64, u8p, c.c_int64, i32p]
+    lib.uvt_corto_unpack_indices.restype = c.c_int
+    lib.uvt_corto_pack_values.argtypes = [
+        i64p, c.c_int64, c.c_int, u8p, u32p, c.c_int64]
+    lib.uvt_corto_pack_values.restype = c.c_int64
+    lib.uvt_corto_pack_tuples.argtypes = [
+        i64p, c.c_int64, c.c_int, u8p, u32p, c.c_int64]
+    lib.uvt_corto_pack_tuples.restype = c.c_int64
+    lib.uvt_corto_pack_indices.argtypes = [
+        i64p, c.c_int64, u8p, u32p, c.c_int64]
+    lib.uvt_corto_pack_indices.restype = c.c_int64
+    lib.uvt_corto_decode_faces.argtypes = [
+        u8p, c.c_int64, u32p, c.c_int64, i64p, c.c_int, c.c_int, c.c_int64,
+        i32p, i32p]
+    lib.uvt_corto_decode_faces.restype = c.c_int
+    lib.uvt_corto_delta_decode.argtypes = [
+        i32p, c.c_int64, c.c_int, c.c_void_p, c.c_int]
+    lib.uvt_corto_delta_decode.restype = c.c_int
+    lib.uvt_corto_build_topology.argtypes = [i32p, c.c_int64, c.c_int64, i32p]
+    lib.uvt_corto_build_topology.restype = c.c_int
+    lib.uvt_corto_enc_new.argtypes = [i32p, i32p, c.c_int64, c.c_int64, c.c_int]
+    lib.uvt_corto_enc_new.restype = c.c_void_p
+    lib.uvt_corto_enc_free.argtypes = [c.c_void_p]
+    lib.uvt_corto_enc_group.argtypes = [c.c_void_p, c.c_int64, c.c_int64]
+    lib.uvt_corto_enc_group.restype = c.c_int
+    for name in ("nclers", "nwords", "nverts", "maxfront"):
+        fn = getattr(lib, f"uvt_corto_enc_{name}")
+        fn.argtypes = [c.c_void_p]
+        fn.restype = c.c_int64
+    lib.uvt_corto_enc_get.argtypes = [c.c_void_p, u8p, u32p, i32p, i32p]
+    lib.uvt_corto_enc_get.restype = c.c_int
+    lib.uvt_tunstall_parse.argtypes = [
+        u8p, i32p, i32p, c.c_int, u8p, c.c_int64, u8p, c.c_int64]
+    lib.uvt_tunstall_parse.restype = c.c_int64
+    _corto_lib = lib
+    return lib
+
+
+def corto_unpack_values(words, logs, size, n):
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    out = np.empty((size, n), np.int32)
+    w = np.ascontiguousarray(words, np.uint32)
+    lg = np.ascontiguousarray(logs, np.uint8)
+    lib.uvt_corto_unpack_values(w, len(w), lg, size, n, out)
+    return out
+
+
+def corto_unpack_tuples(words, logs, size, n):
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    out = np.empty((size, n), np.int32)
+    w = np.ascontiguousarray(words, np.uint32)
+    lg = np.ascontiguousarray(logs, np.uint8)
+    lib.uvt_corto_unpack_tuples(w, len(w), lg, size, n, out)
+    return out
+
+
+def corto_unpack_indices(words, logs, size):
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    out = np.empty(size, np.int32)
+    w = np.ascontiguousarray(words, np.uint32)
+    lg = np.ascontiguousarray(logs, np.uint8)
+    lib.uvt_corto_unpack_indices(w, len(w), lg, size, out)
+    return out
+
+
+def corto_pack_values(values, size, n):
+    """Returns (logs [n, size] u8, words u32) or None."""
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.int64).reshape(size, n)
+    logs = np.empty((n, size), np.uint8)
+    cap = size * n + 2
+    words = np.empty(cap, np.uint32)
+    nw = lib.uvt_corto_pack_values(v, size, n, logs.reshape(-1), words, cap)
+    if nw < 0:
+        return None
+    return logs, words[:nw]
+
+
+def corto_pack_tuples(values, size, n):
+    """Returns (logs [size] u8, words u32) or None."""
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.int64).reshape(size, n)
+    logs = np.empty(size, np.uint8)
+    cap = size * n + 2
+    words = np.empty(cap, np.uint32)
+    nw = lib.uvt_corto_pack_tuples(v, size, n, logs, words, cap)
+    if nw < 0:
+        return None
+    return logs, words[:nw]
+
+
+def corto_pack_indices(values, size):
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.int64)
+    logs = np.empty(size, np.uint8)
+    cap = size + 2
+    words = np.empty(cap, np.uint32)
+    nw = lib.uvt_corto_pack_indices(v, size, logs, words, cap)
+    if nw < 0:
+        return None
+    return logs, words[:nw]
+
+
+def corto_decode_faces(clers, words, group_ends, splitbits, nvert, nface):
+    """Returns (faces i32[3F], prediction i32[nvert,3], vertex_count) or None."""
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    cl = np.ascontiguousarray(clers, np.uint8)
+    w = np.ascontiguousarray(words, np.uint32)
+    ge = np.ascontiguousarray(group_ends, np.int64)
+    faces = np.zeros(3 * nface, np.int32)
+    prediction = np.zeros((nvert, 3), np.int32)
+    rc = lib.uvt_corto_decode_faces(
+        cl, len(cl), w, len(w), ge, len(ge), splitbits, nvert, faces, prediction
+    )
+    if rc < 0:
+        raise ValueError(f"corto CLER decode failed (rc={rc})")
+    return faces, prediction, rc
+
+
+def corto_delta_decode(values, prediction, mode):
+    """In-place delta integration on int32 [size, n]. Returns False if the
+    native library is unavailable (caller falls back)."""
+    lib = get_corto_lib()
+    if lib is None:
+        return False
+    assert values.dtype == np.int32 and values.flags.c_contiguous
+    if prediction is None:
+        pred_ptr = None
+    else:
+        prediction = np.ascontiguousarray(prediction, np.int32)
+        pred_ptr = prediction.ctypes.data_as(ctypes.c_void_p)
+    size, n = values.shape
+    lib.uvt_corto_delta_decode(values, size, n, pred_ptr, mode)
+    return True
+
+
+def corto_build_topology(faces, nvert):
+    """Returns opposite i32 [F, 3, 2] or None."""
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(faces, np.int32).reshape(-1, 3)
+    opp = np.empty((len(f), 3, 2), np.int32)
+    lib.uvt_corto_build_topology(f, len(f), nvert, opp)
+    return opp
+
+
+class CortoEncoderNative:
+    """Native CLER front machine (encode side); state persists across
+    per-group calls like the reference's Encoder::encodeFaces."""
+
+    def __init__(self, faces, topology, nvert, splitbits):
+        self._lib = get_corto_lib()
+        if self._lib is None:
+            raise RuntimeError("native corto library unavailable")
+        self._faces = np.ascontiguousarray(faces, np.int32).reshape(-1, 3)
+        self._topo = np.ascontiguousarray(topology, np.int32)
+        self._h = self._lib.uvt_corto_enc_new(
+            self._faces, self._topo, len(self._faces), nvert, splitbits
+        )
+        self._nvert = nvert
+
+    def encode_group(self, start, end):
+        rc = self._lib.uvt_corto_enc_group(self._h, start, end)
+        if rc != 0:
+            raise ValueError(f"native corto encode failed (rc={rc})")
+
+    def finish(self):
+        """Returns (clers u8, words u32, encoded i32[nvert], prediction
+        i32[new_nvert, 4], new_nvert, max_front)."""
+        lib = self._lib
+        nclers = lib.uvt_corto_enc_nclers(self._h)
+        nwords = lib.uvt_corto_enc_nwords(self._h)
+        nverts = lib.uvt_corto_enc_nverts(self._h)
+        maxfront = lib.uvt_corto_enc_maxfront(self._h)
+        clers = np.empty(nclers, np.uint8)
+        words = np.empty(nwords, np.uint32)
+        encoded = np.empty(self._nvert, np.int32)
+        prediction = np.empty((nverts, 4), np.int32)
+        lib.uvt_corto_enc_get(self._h, clers, words, encoded, prediction)
+        return clers, words, encoded, prediction, int(nverts), int(maxfront)
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.uvt_corto_enc_free(self._h)
+            self._h = None
+
+
+def tunstall_parse_native(words, index, lengths, data):
+    """Greedy Tunstall dictionary parse. Returns bytes or None."""
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    w = np.frombuffer(words, np.uint8)
+    idx = np.ascontiguousarray(index, np.int32)
+    ln = np.ascontiguousarray(lengths, np.int32)
+    d = np.ascontiguousarray(data, np.uint8)
+    out = np.empty(len(d) + 16, np.uint8)
+    n = lib.uvt_tunstall_parse(w, idx, ln, len(idx), d, len(d), out, len(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
