@@ -277,30 +277,40 @@ def _decode_drc(data: bytes) -> DracoMesh:
 
     # ---- assemble points ---------------------------------------------------
     keys = np.stack(corner_maps, axis=1)  # [num_corners, num_attributes]
-    # pack each column into bit fields of one int64 when they fit — 1-D
-    # unique is ~10x faster than the lexsort behind unique(axis=0)
-    widths = [
-        max(max(int(keys[:, i].max()), 0).bit_length(), 1)
-        for i in range(keys.shape[1])
-    ]
-    if sum(widths) <= 63:
-        packed = np.zeros(len(keys), np.int64)
-        shift = 0
-        for i in range(keys.shape[1] - 1, -1, -1):
-            packed |= keys[:, i].astype(np.int64) << shift
-            shift += widths[i]
-        uniq_keys, point_of_corner = np.unique(packed, return_inverse=True)
-        uniq = np.empty((len(uniq_keys), keys.shape[1]), np.int64)  # unused
+    from uvol_tpu import native as uvt_native
+
+    assembled = uvt_native.point_assembly_native(
+        keys, [len(a.values) for a in all_attributes]
+    )
+    if assembled is not None:
+        point_of_corner, num_points = assembled
     else:
-        uniq, point_of_corner = np.unique(keys, axis=0, return_inverse=True)
-    # renumber points by first appearance (corner order), like Draco
-    first_seen = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
-    np.minimum.at(first_seen, point_of_corner, np.arange(len(point_of_corner)))
-    order = np.argsort(first_seen, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(len(order))
-    point_of_corner = rank[point_of_corner]
-    num_points = len(uniq)
+        # pack each column into bit fields of one int64 when they fit — 1-D
+        # unique is ~10x faster than the lexsort behind unique(axis=0)
+        widths = [
+            max(max(int(keys[:, i].max()), 0).bit_length(), 1)
+            for i in range(keys.shape[1])
+        ]
+        if sum(widths) <= 63:
+            packed = np.zeros(len(keys), np.int64)
+            shift = 0
+            for i in range(keys.shape[1] - 1, -1, -1):
+                packed |= keys[:, i].astype(np.int64) << shift
+                shift += widths[i]
+            uniq_keys, point_of_corner = np.unique(packed, return_inverse=True)
+            uniq = np.empty((len(uniq_keys), keys.shape[1]), np.int64)  # unused
+        else:
+            uniq, point_of_corner = np.unique(keys, axis=0, return_inverse=True)
+        # renumber points by first appearance (corner order), like Draco
+        first_seen = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(
+            first_seen, point_of_corner, np.arange(len(point_of_corner))
+        )
+        order = np.argsort(first_seen, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        point_of_corner = rank[point_of_corner]
+        num_points = len(uniq)
 
     faces = point_of_corner.reshape(-1, 3).astype(np.int32)
     mesh = DracoMesh(faces=faces, attributes=all_attributes, num_points=num_points)

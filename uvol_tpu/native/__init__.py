@@ -857,3 +857,27 @@ def tunstall_parse_native(words, index, lengths, data):
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def point_assembly_native(keys: np.ndarray, value_counts):
+    """Corner-key rows -> (point_of_corner, num_points), first-appearance
+    numbering. `value_counts[a]` bounds column a's values (bit width source).
+    Returns None when unavailable or keys overflow 63 packed bits."""
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_uvt_pa_bound"):
+        c = ctypes
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.uvt_point_assembly.argtypes = [i32p, c.c_int64, c.c_int, i32p, i32p]
+        lib.uvt_point_assembly.restype = c.c_int64
+        lib._uvt_pa_bound = True
+    k = np.ascontiguousarray(keys, np.int32)
+    widths = np.asarray(
+        [max(int(n - 1).bit_length(), 1) for n in value_counts], np.int32
+    )
+    out = np.empty(len(k), np.int32)
+    n = lib.uvt_point_assembly(k, len(k), k.shape[1], widths, out)
+    if n < 0:
+        return None
+    return out, int(n)

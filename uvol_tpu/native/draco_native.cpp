@@ -1580,3 +1580,62 @@ int64_t uvt_rabs_encode_bits(const uint8_t* bits, int64_t n,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Point assembly (decoder.py _decode_drc tail): unify per-corner attribute
+// value-index tuples into point ids, numbered by first appearance in corner
+// order (Draco's point numbering). Replaces the numpy unique+argsort path.
+// ===========================================================================
+
+#include <unordered_map>
+
+extern "C" {
+
+// keys: [num_corners, num_attrs] int32 (row-major), each component >= 0.
+// widths: packed bit width per column (from the caller's value counts).
+// out:  point_of_corner int32 [num_corners]. Returns num_points, or -1 when
+// the packed key would overflow 63 bits (caller falls back).
+int64_t uvt_point_assembly(const int32_t* keys, int64_t num_corners,
+                           int num_attrs, const int32_t* widths_in,
+                           int32_t* out) {
+  int widths[16];
+  if (num_attrs > 16) return -1;
+  int total_bits = 0;
+  for (int a = 0; a < num_attrs; a++) {
+    widths[a] = widths_in[a];
+    total_bits += widths[a];
+  }
+  if (total_bits > 63) return -1;
+
+  // open-addressing hash (keys fit in 63 bits, so ~0 is a safe empty marker)
+  size_t cap = 1;
+  while (cap < (size_t)num_corners * 2) cap <<= 1;
+  const uint64_t EMPTY = ~0ull;
+  std::vector<uint64_t> slot_key(cap, EMPTY);
+  std::vector<int32_t> slot_id(cap);
+  const size_t mask = cap - 1;
+  int32_t next_id = 0;
+  for (int64_t i = 0; i < num_corners; i++) {
+    uint64_t key = 0;
+    for (int a = 0; a < num_attrs; a++)
+      key = (key << widths[a]) | (uint64_t)keys[i * num_attrs + a];
+    size_t h = (key * 0x9E3779B97F4A7C15ull) >> 1;
+    size_t s = h & mask;
+    while (true) {
+      if (slot_key[s] == EMPTY) {
+        slot_key[s] = key;
+        slot_id[s] = next_id;
+        out[i] = next_id++;
+        break;
+      }
+      if (slot_key[s] == key) {
+        out[i] = slot_id[s];
+        break;
+      }
+      s = (s + 1) & mask;
+    }
+  }
+  return next_id;
+}
+
+}  // extern "C"
