@@ -1,0 +1,165 @@
+"""UVOL 1.0 video texture: MJPEG-MP4 encode + decode with the baked
+binary frame counter.
+
+Capability match for the reference's V1 texture pipeline:
+  - `example/texture_encoder.py` bakes a 16-bit frame index as 8x8
+    black/white blocks into the bottom rows of each frame, then ffmpeg
+    packs H.264 MP4 (deprecated/README.md:63).
+  - `src/V1/player.ts:305-334` reads the counter back from canvas pixels
+    when `requestVideoFrameCallback` is unavailable.
+
+H.264 does not exist in this environment (and bit-exactness there is not a
+goal — the reference also delegates to ffmpeg), so frames are JPEG samples
+in a spec-correct MP4 container (`uvol_tpu.containers.mp4`). The counter
+blocks are 8x8-aligned, which keeps them intact under JPEG's 8x8 DCT.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from uvol_tpu.containers.mp4 import Mp4VideoTrack, read_mp4_video, write_mp4_video
+from uvol_tpu.player.v1 import bake_frame_number, decode_baked_frame_number
+
+
+def _require_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except Exception as e:  # pragma: no cover
+        raise RuntimeError("JPEG video texture requires Pillow") from e
+
+
+def encode_v1_texture_video(
+    frames_rgb: Sequence[np.ndarray],
+    *,
+    fps: float = 30.0,
+    video_size: Optional[int] = None,
+    encoder_window_size: int = 8,
+    encoder_byte_length: int = 16,
+    quality: int = 92,
+) -> bytes:
+    """Bake per-frame counters and pack an MJPEG MP4 (V1 texture stream).
+
+    Mirrors example/texture_encoder.py's output contract: frame i carries
+    stored value i+1 in its bottom-row counter strip. Warns (like
+    src/V1/player.ts:338-345) when the frame count exceeds counter capacity.
+    """
+    Image = _require_pil()
+    n = len(frames_rgb)
+    capacity = (1 << encoder_byte_length) - 2
+    if n > capacity:
+        raise ValueError(
+            f"{n} frames exceed counter capacity {capacity} "
+            f"(2^{encoder_byte_length}-2)"
+        )
+    samples: List[bytes] = []
+    width = height = None
+    for i, frame in enumerate(frames_rgb):
+        img = np.asarray(frame, np.uint8)
+        if video_size is not None and img.shape[:2] != (video_size, video_size):
+            img = np.asarray(
+                Image.fromarray(img).resize(
+                    (video_size, video_size), Image.BILINEAR
+                ),
+                np.uint8,
+            )
+        img = bake_frame_number(
+            img,
+            i,
+            encoder_window_size=encoder_window_size,
+            encoder_byte_length=encoder_byte_length,
+        )
+        height, width = img.shape[:2]
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=quality)
+        samples.append(buf.getvalue())
+    return write_mp4_video(samples, width=width, height=height, fps=fps)
+
+
+class Mp4VideoTexture:
+    """Headless stand-in for the V1 player's <video> element.
+
+    Exposes the reference sync surface: `current_time` / `ended` (the
+    MediaPlayer clock consumed at src/V1/player.ts:120-132 and
+    deprecated/android Actor.java:60-62) plus pixel read-back for the
+    baked-counter path. Decoded frames are LRU-cached — playback touches
+    each frame once, in order.
+    """
+
+    def __init__(self, mp4_bytes: bytes, *, cache_frames: int = 8, clock=None):
+        self.track: Mp4VideoTrack = read_mp4_video(mp4_bytes)
+        if self.track.codec.strip() != "jpeg":
+            raise NotImplementedError(
+                f"cannot pixel-decode codec {self.track.codec!r} "
+                "(only 'jpeg' samples; container parse succeeded)"
+            )
+        self._cache: dict = {}
+        self._cache_frames = cache_frames
+        self._clock = clock  # PlaybackClock: video time follows it when set
+        self._time = 0.0
+        self.playing = False
+
+    # -- clock surface (duck-typed for V1Player.video) -----------------------
+    @property
+    def current_time(self) -> float:
+        if self._clock is not None:
+            return min(self._clock.current_time, self.track.duration)
+        return self._time
+
+    @current_time.setter
+    def current_time(self, t: float) -> None:
+        self._time = t
+
+    @property
+    def duration(self) -> float:
+        return self.track.duration
+
+    @property
+    def ended(self) -> bool:
+        return self.current_time >= self.track.duration - 1e-9
+
+    def play(self) -> None:
+        self.playing = True
+        if self._clock is not None:
+            self._clock.play()
+
+    def pause(self) -> None:
+        self.playing = False
+        if self._clock is not None:
+            self._clock.pause()
+
+    def advance(self, dt: float) -> None:
+        if self.playing and self._clock is None:
+            self._time = min(self._time + dt, self.track.duration)
+
+    # -- pixels ---------------------------------------------------------------
+    def frame_rgb(self, i: int) -> np.ndarray:
+        if i in self._cache:
+            return self._cache[i]
+        Image = _require_pil()
+        img = np.asarray(
+            Image.open(_io.BytesIO(self.track.samples[i])).convert("RGB"),
+            np.uint8,
+        )
+        if len(self._cache) >= self._cache_frames:
+            self._cache.pop(next(iter(self._cache)))
+        self._cache[i] = img
+        return img
+
+    def current_frame_rgb(self) -> np.ndarray:
+        return self.frame_rgb(self.track.frame_at(self.current_time))
+
+    def read_baked_frame_number(
+        self, *, encoder_window_size: int = 8, encoder_byte_length: int = 16
+    ) -> int:
+        """The drawVideoAndGetCurrentFrameNumber path (player.ts:305-334)."""
+        return decode_baked_frame_number(
+            self.current_frame_rgb(),
+            encoder_window_size=encoder_window_size,
+            encoder_byte_length=encoder_byte_length,
+        )

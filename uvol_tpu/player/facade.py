@@ -128,7 +128,7 @@ class Player:
 
                     return decode_crt(data)
 
-                self.v1_instance = V1Player(
+                v1_kwargs = dict(
                     range_fetcher=range_fetcher,
                     geometry_decoder=corto_decoder,
                     on_mesh_buffering=self.on_mesh_buffering,
@@ -139,6 +139,23 @@ class Player:
                     encoder_byte_length=self.encoder_byte_length,
                     video_size=self.video_size,
                 )
+                v1_kwargs.update(self._v1_player_kwargs)
+                self.v1_instance = V1Player(**v1_kwargs)
+            # video texture: .mp4 URL derived from the manifest path like
+            # the reference (src/V1/player.ts:192); track stays playable
+            # without one (clock-synced), matching headless use
+            if self.v1_instance.video is None:
+                try:
+                    mp4_bytes = self.fetcher(
+                        next_path.replace(".manifest", ".mp4")
+                    )
+                    from uvol_tpu.io.video import Mp4VideoTexture
+
+                    self.v1_instance.video = Mp4VideoTexture(
+                        mp4_bytes, clock=self.v1_instance.clock
+                    )
+                except Exception:
+                    pass
         self.play_track()
 
     def play_track(self) -> None:
@@ -162,6 +179,8 @@ class Player:
             return
         if self.is_v2:
             self.v2_instance.pause()
+        elif getattr(self.v1_instance, "video", None) is not None:
+            self.v1_instance.video.pause()
         self.paused = True
         self.stopped = False
 
@@ -170,6 +189,8 @@ class Player:
             return
         if self.is_v2:
             self.v2_instance.play()
+        elif getattr(self.v1_instance, "video", None) is not None:
+            self.v1_instance.video.play()
         self.paused = False
         self.stopped = False
 
@@ -178,6 +199,12 @@ class Player:
             return None
         if self.is_v2:
             return self.v2_instance.update()
+        video = getattr(self.v1_instance, "video", None)
+        if kwargs.get("frame_image") is None and hasattr(
+            video, "current_frame_rgb"
+        ):
+            # baked-counter sync (the reference's canvas read-back path)
+            kwargs["frame_image"] = video.current_frame_rgb()
         return self.v1_instance.update(**kwargs)
 
     def dispose(self) -> None:
