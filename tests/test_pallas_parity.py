@@ -47,7 +47,15 @@ def test_fused_quantize_delta_zigzag_parity():
 
 def test_etc1_pallas_parity():
     r = np.random.default_rng(1)
-    blocks = jnp.asarray(r.integers(0, 256, (300, 4, 4, 3)), jnp.uint8)
+    blocks = np.asarray(r.integers(0, 256, (2048, 4, 4, 3)), np.uint8)
+    # rounding-boundary subblocks: channel sums landing on x.5 means (these
+    # caught a float-association mismatch the random sample missed)
+    blocks[0, :, :, :] = 127
+    blocks[0, 0, 0, :] = 131  # sum near a half-ulp mean boundary
+    blocks[1, :, :, 1] = 128  # mean*31/255 close to n+0.5
+    blocks[2] = 0
+    blocks[3] = 255
+    blocks = jnp.asarray(blocks)
     ref = np.asarray(encode_etc1_blocks(blocks))
     out = np.asarray(encode_etc1_blocks_pallas(blocks, True))
     np.testing.assert_array_equal(out, ref)

@@ -1,16 +1,29 @@
 """Pallas TPU kernel for ETC1 block encoding — the texture hot loop.
 
-Grid over tiles of 4x4 blocks; each kernel instance encodes a [TILE, 48]
-slab of flattened blocks entirely in VMEM: subblock means, the 8-table ×
-4-code modifier search (VPU), and the 64-bit word packing. Differential
-mode with flip search, same output as `encode_etc1_blocks` (tested
-equivalent), with explicit tiling/memory placement for production
-throughput. The modifier table rides along as a kernel input (constant
-capture is not allowed in Pallas) and all code-plane scatters are pure
-reshape/transpose so no index constants are needed.
+Grid over tiles of blocks; each kernel instance encodes a [TILE, 96] slab
+in VMEM. The whole computation is strictly 2-D vector arithmetic
+([sublane=block, lane] shapes only) because Mosaic's vector layout
+inference rejects >2-D shape casts (`tpu.reshape (256x48) -> (256x4x4x3)`
+was the round-2 blocker):
+
+  - the host-side wrapper pre-arranges each block's pixels into four
+    channel-major 24-lane groups — one per (flip, subblock) — so the
+    kernel only ever takes contiguous lane slices;
+  - per-pixel channel sums are three contiguous 8-lane slices added
+    together (no 3-D reduce);
+  - the 8-table x 4-code modifier search is Python-unrolled with scalar
+    modifier constants, selecting winners via compare-chains (argmin
+    first-minimum tie-break preserved);
+  - code-plane packing uses per-flip shift index vectors built from
+    2-D iota.
+
+Differential mode with flip search, bit-identical to `encode_etc1_blocks`
+(parity-tested in tests/test_pallas_parity.py, interpret and compiled).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -23,109 +36,147 @@ from uvol_tpu.codecs.basis.etc import _MODS
 TILE = 256  # blocks per kernel instance
 
 
-def _subblock_encode(sub: jnp.ndarray, base: jnp.ndarray, mods: jnp.ndarray):
-    """sub [T, 8, 3] int32, base [T, 3] extended color → (table, codes, err)."""
-    # cand [T, 8tab, 4code, 3]; err laid out so reductions hit the LAST axis
-    cand = jnp.clip(base[:, None, None, :] + mods[None, :, :, None], 0, 255)
-    diff = cand[:, :, :, None, :] - sub[:, None, None, :, :]
-    # [T, tab, pix, code]; float32 for argmin (Mosaic); < 2^24 so exact
-    err = jnp.swapaxes(
-        jnp.sum(diff * diff, axis=-1), -1, -2
+def _channel_sums(sq: jnp.ndarray) -> jnp.ndarray:
+    """[T, 24] channel-major (lane = ch*8 + pix) -> per-pixel sums [T, 8]."""
+    return sq[:, 0:8] + sq[:, 8:16] + sq[:, 16:24]
+
+
+def _subblock_search(sub24f, base_ch, table_mods):
+    """One subblock against one modifier table (scalar constants).
+
+    sub24f [T, 24] float32; base_ch: three [T, 1] int32 extended colors.
+    Returns (codes [T, 8] int32, table_err [T, 1] float32).
+    """
+    t = sub24f.shape[0]
+    base24 = jnp.concatenate(
+        [jnp.broadcast_to(b, (t, 8)) for b in base_ch], axis=1
     ).astype(jnp.float32)
-    best_code = jnp.argmin(err, axis=-1)  # [T, tab, pix]
-    best_err = jnp.min(err, axis=-1)
-    table_err = jnp.sum(best_err, axis=-1)  # [T, tab]
-    table_idx = jnp.argmin(table_err, axis=-1)  # [T]
-    # one-hot select instead of >2D gather (Mosaic restriction)
-    sel = (
-        jax.lax.broadcasted_iota(jnp.int32, table_err.shape, 1)
-        == table_idx[:, None]
-    )
-    codes = jnp.sum(
-        best_code.astype(jnp.int32) * sel[:, :, None].astype(jnp.int32), axis=1
-    )
-    errv = jnp.sum(table_err * sel.astype(jnp.float32), axis=1)
-    return table_idx.astype(jnp.int32), codes.astype(jnp.int32), errv
-
-
-def _codes_to_column_major(c0, c1, flip: int, t: int):
-    """Subblock code vectors [T, 8] → column-major (j = x*4+y) [T, 16]."""
-    if flip:
-        grid = jnp.concatenate(
-            [c0.reshape(t, 2, 4), c1.reshape(t, 2, 4)], axis=1
-        )  # [T, y, x]
-    else:
-        grid = jnp.concatenate(
-            [c0.reshape(t, 4, 2), c1.reshape(t, 4, 2)], axis=2
-        )  # [T, y, x]
-    return jnp.swapaxes(grid, 1, 2).reshape(t, 16)  # (x, y) raveled = x*4+y
-
-
-def _encode_tile(blocks: jnp.ndarray, mods: jnp.ndarray):
-    """blocks [T, 48] int32 (y, x, rgb) → words [T, 2] uint32."""
-    t = blocks.shape[0]
-    px = blocks.reshape(t, 4, 4, 3)
-
-    def try_flip(flip: int):
-        if flip:
-            sub0 = px[:, 0:2, :, :].reshape(t, 8, 3)
-            sub1 = px[:, 2:4, :, :].reshape(t, 8, 3)
+    best_err = None
+    best_code = None
+    for code, m in enumerate(table_mods):
+        cand = jnp.clip(base24 + float(m), 0.0, 255.0)
+        d = cand - sub24f
+        errpix = _channel_sums(d * d)  # [T, 8] exact in f32 (< 2^24)
+        if best_err is None:
+            best_err, best_code = errpix, jnp.zeros((t, 8), jnp.int32)
         else:
-            sub0 = px[:, :, 0:2, :].reshape(t, 8, 3)
-            sub1 = px[:, :, 2:4, :].reshape(t, 8, 3)
-        m0 = jnp.clip(
-            jnp.round(jnp.mean(sub0.astype(jnp.float32), axis=1) * (31.0 / 255.0)),
-            0, 31,
-        ).astype(jnp.int32)
-        m1 = jnp.clip(
-            jnp.round(jnp.mean(sub1.astype(jnp.float32), axis=1) * (31.0 / 255.0)),
-            0, 31,
-        ).astype(jnp.int32)
-        d = jnp.clip(m1 - m0, -4, 3)
-        b0 = (m0 << 3) | (m0 >> 2)
-        m1c = m0 + d
-        b1 = (m1c << 3) | (m1c >> 2)
-        t0, c0, e0 = _subblock_encode(sub0, b0, mods)
-        t1, c1, e1 = _subblock_encode(sub1, b1, mods)
-        return m0, d, t0, t1, c0, c1, e0 + e1
-
-    r0 = try_flip(0)
-    r1 = try_flip(1)
-    use1 = r1[6] < r0[6]
-    u2 = use1[:, None]
-    m0 = jnp.where(u2, r1[0], r0[0])
-    d = jnp.where(u2, r1[1], r0[1])
-    t0 = jnp.where(use1, r1[2], r0[2]).astype(jnp.int32)
-    t1 = jnp.where(use1, r1[3], r0[3]).astype(jnp.int32)
-    flip = use1.astype(jnp.int32)
-
-    # all packing math in int32 (Mosaic: no unsigned reductions); the final
-    # words are bit patterns, bitcast to uint32 outside the kernel
-    du = d & 0x7
-    word1 = (
-        (m0[:, 0] << 27) | (du[:, 0] << 24)
-        | (m0[:, 1] << 19) | (du[:, 1] << 16)
-        | (m0[:, 2] << 11) | (du[:, 2] << 8)
-        | (t0 << 5) | (t1 << 2) | (1 << 1) | flip
-    )
-
-    codes = jnp.where(
-        u2,
-        _codes_to_column_major(r1[4], r1[5], 1, t),
-        _codes_to_column_major(r0[4], r0[5], 0, t),
-    ).astype(jnp.int32)
-    j = jax.lax.broadcasted_iota(jnp.int32, (t, 16), 1)
-    lsb = codes & 1
-    msb = (codes >> 1) & 1
-    word2 = jnp.sum(lsb << j, axis=1) + jnp.sum(msb << (j + 16), axis=1)
-    return jnp.stack([word1, word2], axis=1)
+            better = errpix < best_err  # strict: first minimum wins ties
+            best_err = jnp.where(better, errpix, best_err)
+            best_code = jnp.where(better, jnp.int32(code), best_code)
+    return best_code, jnp.sum(best_err, axis=1, keepdims=True)
 
 
-def _kernel(blocks_ref, mods_ref, words_ref):
-    words_ref[:] = _encode_tile(blocks_ref[:].astype(jnp.int32), mods_ref[:])
+def _encode_subblock(sub24f, base_ch):
+    """Full 8-table search. Returns (table [T,1] i32, codes [T,8], err [T,1])."""
+    best_tab = best_codes = best_err = None
+    for tab in range(8):
+        codes, err = _subblock_search(sub24f, base_ch, _MODS[tab])
+        if best_err is None:
+            best_tab = jnp.zeros_like(err, dtype=jnp.int32)
+            best_codes, best_err = codes, err
+        else:
+            better = err < best_err  # [T, 1]
+            best_err = jnp.where(better, err, best_err)
+            best_tab = jnp.where(better, jnp.int32(tab), best_tab)
+            best_codes = jnp.where(
+                jnp.broadcast_to(better, codes.shape), codes, best_codes
+            )
+    return best_tab, best_codes, best_err
 
 
-import functools
+def _mean_quant5(sub24f):
+    """Per-channel 5-bit quantized means: three [T, 1] int32 in [0, 31].
+
+    Float op order matches `encode_etc1_blocks` exactly — mean (sum/8,
+    exact in f32), then *31.0, then /255.0, then round — so half-ulp
+    boundary cases round identically."""
+    out = []
+    for c in range(3):
+        s = jnp.sum(sub24f[:, c * 8 : (c + 1) * 8], axis=1, keepdims=True)
+        mean = s * 0.125
+        out.append(
+            jnp.clip(jnp.round(mean * 31.0 / 255.0), 0.0, 31.0).astype(
+                jnp.int32
+            )
+        )
+    return out
+
+
+def _word2(c0, c1, j0, j1):
+    """Code planes -> ETC1 pixel-index word (lsb/msb planes)."""
+    lsb = ((c0 & 1) << j0).sum(axis=1, keepdims=True) + (
+        (c1 & 1) << j1
+    ).sum(axis=1, keepdims=True)
+    msb = (((c0 >> 1) & 1) << j0).sum(axis=1, keepdims=True) + (
+        ((c1 >> 1) & 1) << j1
+    ).sum(axis=1, keepdims=True)
+    return lsb + (msb << 16)
+
+
+def _encode_tile(x96: jnp.ndarray) -> jnp.ndarray:
+    """x96 [T, 96] int32 (4 channel-major 24-lane groups) -> [T, 2] int32."""
+    t = x96.shape[0]
+    xf = x96.astype(jnp.float32)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (t, 8), 1)
+
+    results = []
+    for flip in (0, 1):
+        sub0 = xf[:, flip * 48 : flip * 48 + 24]
+        sub1 = xf[:, flip * 48 + 24 : flip * 48 + 48]
+        m0 = _mean_quant5(sub0)  # three [T,1] in 0..31
+        m1 = _mean_quant5(sub1)
+        d = [jnp.clip(b - a, -4, 3) for a, b in zip(m0, m1)]
+        b0 = [(a << 3) | (a >> 2) for a in m0]
+        m1c = [a + dd for a, dd in zip(m0, d)]
+        b1 = [(a << 3) | (a >> 2) for a in m1c]
+        t0, c0, e0 = _encode_subblock(sub0, b0)
+        t1, c1, e1 = _encode_subblock(sub1, b1)
+        err = e0 + e1
+
+        du = [dd & 0x7 for dd in d]
+        word1 = (
+            (m0[0] << 27) | (du[0] << 24)
+            | (m0[1] << 19) | (du[1] << 16)
+            | (m0[2] << 11) | (du[2] << 8)
+            | (t0 << 5) | (t1 << 2) | (1 << 1) | flip
+        )  # [T, 1]
+        if flip == 0:
+            j0, j1 = iota8, iota8 + 8  # pix = x*4+y within each half
+        else:
+            j0 = (iota8 // 2) * 4 + (iota8 % 2)  # pix = x*2+y, rows 0-1
+            j1 = j0 + 2  # rows 2-3
+        word2 = _word2(c0, c1, j0, j1)
+        results.append((word1, word2, err))
+
+    w1_0, w2_0, e_0 = results[0]
+    w1_1, w2_1, e_1 = results[1]
+    use1 = e_1 < e_0  # [T, 1]
+    word1 = jnp.where(use1, w1_1, w1_0)
+    word2 = jnp.where(use1, w2_1, w2_0)
+    return jnp.concatenate([word1, word2], axis=1)
+
+
+def _kernel(x_ref, words_ref):
+    words_ref[:] = _encode_tile(x_ref[:])
+
+
+def _prepare_layout(blocks: jax.Array) -> jax.Array:
+    """[B, 4, 4, 3] -> [B, 96]: (flip, subblock, ch, pix) lane groups.
+
+    flip 0 pixel order within a subblock is column-major x*4+y; flip 1 is
+    x*2+y — chosen so the kernel's shift vectors are simple iota math.
+    """
+    px = blocks.astype(jnp.int32)  # [B, y, x, ch]
+    groups = []
+    for flip in (0, 1):
+        for sb in (0, 1):
+            if flip == 0:
+                sel = px[:, :, 2 * sb : 2 * sb + 2, :]  # [B, y4, x2, ch]
+            else:
+                sel = px[:, 2 * sb : 2 * sb + 2, :, :]  # [B, y2, x4, ch]
+            arr = jnp.transpose(sel, (0, 3, 2, 1))  # [B, ch, x, y]
+            groups.append(arr.reshape(px.shape[0], 24))
+    return jnp.concatenate(groups, axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -136,20 +187,20 @@ def encode_etc1_blocks_pallas(
 
     `interpret=True` runs through the Pallas interpreter (CPU parity)."""
     b = blocks.shape[0]
-    flat = blocks.reshape(b, 48).astype(jnp.int32)
+    x96 = _prepare_layout(blocks)
     padded = -(-b // TILE) * TILE
     if padded != b:
-        flat = jnp.pad(flat, ((0, padded - b), (0, 0)))
-    mods = jnp.asarray(_MODS, jnp.int32)
+        x96 = jnp.pad(x96, ((0, padded - b), (0, 0)))
     words = pl.pallas_call(
         _kernel,
         grid=(padded // TILE,),
         in_specs=[
-            pl.BlockSpec((TILE, 48), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 96), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((padded, 2), jnp.int32),
         interpret=interpret,
-    )(flat, mods)
+    )(x96)
     return jax.lax.bitcast_convert_type(words[:b], jnp.uint32)
