@@ -386,6 +386,41 @@ def encode_etc1s_slice_bits(
     """
     nby, nbx = eps.shape
     is_p = prev is not None
+
+    # native fast path (etc1s_native.cpp, identical state machines)
+    if (encoders is None) != (freq_out is None):
+        from uvol_tpu import native as uvt_native
+
+        if encoders is None:
+            res = uvt_native.etc1s_slice_native(
+                eps, sels, prev, num_endpoints, num_selectors, history_size
+            )
+            if res is not None:
+                for k in ("pred", "delta", "sel", "rle"):
+                    fr = freq_out[k]
+                    arr = res[k]
+                    if len(fr) < len(arr):
+                        fr.extend([0] * (len(arr) - len(fr)))
+                    for s in np.nonzero(arr)[0]:
+                        fr[int(s)] += int(arr[s])
+                return None
+        else:
+            tables = {}
+            for k, enc in encoders.items():
+                n = len(enc.code_sizes)
+                codes = np.zeros(n, np.uint32)
+                lens = np.zeros(n, np.uint8)
+                for sym, (code, length) in enc.codes.items():
+                    codes[sym] = code
+                    lens[sym] = length
+                tables[k] = (codes, lens)
+            bits = uvt_native.etc1s_slice_native(
+                eps, sels, prev, num_endpoints, num_selectors, history_size,
+                code_tables=tables,
+            )
+            if bits is not None:
+                return bits
+
     bw = BitWriter() if encoders is not None else None
 
     # pre-choose predictions (must be stable across both passes)

@@ -881,3 +881,100 @@ def point_assembly_native(keys: np.ndarray, value_counts):
     if n < 0:
         return None
     return out, int(n)
+
+
+# ---------------------------------------------------------------------------
+# ETC1S/BasisLZ slice emission (etc1s_native.cpp) — the two-pass per-block
+# state machine of codecs/basis/etc1s_encode.py:encode_etc1s_slice_bits.
+# ---------------------------------------------------------------------------
+
+_ETC1S_SO = os.path.join(_HERE, "libuvt_etc1s.so")
+_ETC1S_SRC = os.path.join(_HERE, "etc1s_native.cpp")
+_etc1s_lib: Optional[ctypes.CDLL] = None
+_etc1s_failed = False
+
+
+def get_etc1s_lib() -> Optional[ctypes.CDLL]:
+    global _etc1s_lib, _etc1s_failed
+    if _etc1s_lib is not None or _etc1s_failed:
+        return _etc1s_lib
+    if os.environ.get("UVT_DISABLE_NATIVE_ETC1S") == "1" or not _compile(
+        _ETC1S_SRC, _ETC1S_SO
+    ):
+        _etc1s_failed = True
+        return None
+    lib = ctypes.CDLL(_ETC1S_SO)
+    c = ctypes
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.uvt_etc1s_slice.argtypes = [
+        i32p, i32p, c.c_void_p, c.c_void_p,
+        c.c_int64, c.c_int64, c.c_int, c.c_int, c.c_int, c.c_int,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+        c.c_void_p, c.c_int64,
+    ]
+    lib.uvt_etc1s_slice.restype = c.c_int64
+    _etc1s_lib = lib
+    return lib
+
+
+def _vp(arr):
+    return None if arr is None else arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def etc1s_slice_native(
+    eps, sels, prev, num_endpoints, num_selectors, history_size,
+    *, code_tables=None,
+):
+    """One slice pass. Without `code_tables`: returns dict of per-stream
+    frequency arrays. With `code_tables` ({stream: (codes u32, lens u8)}):
+    returns the emitted bytes. None when the library is unavailable."""
+    lib = get_etc1s_lib()
+    if lib is None:
+        return None
+    eps_i = np.ascontiguousarray(eps, np.int32)
+    sels_i = np.ascontiguousarray(sels, np.int32)
+    nby, nbx = eps_i.shape
+    if prev is not None:
+        pe = np.ascontiguousarray(prev[0], np.int32)
+        ps = np.ascontiguousarray(prev[1], np.int32)
+    else:
+        pe = ps = None
+    if code_tables is None:
+        fp = np.zeros(257, np.int64)
+        fd = np.zeros(num_endpoints, np.int64)
+        fs = np.zeros(num_selectors + history_size + 1, np.int64)
+        fr = np.zeros(64, np.int64)
+        rc = lib.uvt_etc1s_slice(
+            eps_i, sels_i, _vp(pe), _vp(ps), nby, nbx,
+            num_endpoints, num_selectors, history_size, 0,
+            None, None, None, None, None, None, None, None,
+            _vp(fp), _vp(fd), _vp(fs), _vp(fr), None, 0,
+        )
+        if rc != 0:
+            return None
+        return {"pred": fp, "delta": fd, "sel": fs, "rle": fr}
+    tabs = {}
+    for k in ("pred", "delta", "sel", "rle"):
+        codes, lens = code_tables[k]
+        tabs[k] = (
+            np.ascontiguousarray(codes, np.uint32),
+            np.ascontiguousarray(lens, np.uint8),
+        )
+    cap = nby * nbx * 16 + 1024
+    out = np.zeros(cap, np.uint8)
+    nbits = lib.uvt_etc1s_slice(
+        eps_i, sels_i, _vp(pe), _vp(ps), nby, nbx,
+        num_endpoints, num_selectors, history_size, 1,
+        _vp(tabs["pred"][0]), _vp(tabs["pred"][1]),
+        _vp(tabs["delta"][0]), _vp(tabs["delta"][1]),
+        _vp(tabs["sel"][0]), _vp(tabs["sel"][1]),
+        _vp(tabs["rle"][0]), _vp(tabs["rle"][1]),
+        None, None, None, None, _vp(out), cap,
+    )
+    if nbits < 0:
+        return None
+    return out[: (nbits + 7) // 8].tobytes()

@@ -1,0 +1,236 @@
+// uvol-tpu native ETC1S/BasisLZ slice emission (C ABI, ctypes-bound).
+//
+// Port of the per-block state machines in
+// uvol_tpu/codecs/basis/etc1s_encode.py:encode_etc1s_slice_bits — the
+// Python reference stays the spec; this is the ~240k-symbol/segment host
+// serialization loop. One function serves both passes: mode 0 collects
+// per-stream symbol frequencies, mode 1 emits LSB-first Huffman bits
+// (codes supplied by the caller, canonical tables built in Python).
+//
+// Build: g++ -O3 -shared -fPIC etc1s_native.cpp -o libuvt_etc1s.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// transcoder.py constants
+enum { PRED_LEFT = 0, PRED_ABOVE = 1, PRED_CR = 2, PRED_EXPLICIT = 3 };
+const int ENDPOINT_PRED_REPEAT_LAST = 256;
+
+struct LsbBitWriter {
+    uint8_t* out;
+    int64_t cap_bits;
+    int64_t pos = 0;
+    bool overflow = false;
+
+    LsbBitWriter(uint8_t* o, int64_t cap_bytes) : out(o), cap_bits(cap_bytes * 8) {}
+
+    void put_bits(uint32_t value, int n) {
+        if (pos + n > cap_bits) { overflow = true; return; }
+        for (int i = 0; i < n; i++) {
+            if ((value >> i) & 1) out[(pos + i) >> 3] |= (uint8_t)(1u << ((pos + i) & 7));
+        }
+        pos += n;
+    }
+
+    void put_vlc(uint32_t value, int chunk_bits) {
+        uint32_t mask = (1u << chunk_bits) - 1;
+        while (true) {
+            uint32_t chunk = value & mask;
+            value >>= chunk_bits;
+            if (value) put_bits(chunk | (1u << chunk_bits), chunk_bits + 1);
+            else { put_bits(chunk, chunk_bits + 1); return; }
+        }
+    }
+};
+
+struct ApproxMTF {
+    std::vector<int32_t> v;
+    explicit ApproxMTF(int size) : v(size, 0) {}
+    void add(int32_t value) {
+        int half = (int)v.size() / 2;
+        for (int i = (int)v.size() - 1; i > half; i--) v[i] = v[i - 1];
+        v[half] = value;
+    }
+    void use(int index) {
+        if (index) std::swap(v[index - 1], v[index]);
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// mode 0: fill freq_* (sizes: pred 257, delta num_endpoints,
+//         sel num_selectors+history_size+1, rle 64); returns 0.
+// mode 1: emit bits using (codes, lens) per stream; returns bit count
+//         (or -1 on buffer overflow).
+int64_t uvt_etc1s_slice(
+    const int32_t* eps, const int32_t* sels,
+    const int32_t* prev_eps, const int32_t* prev_sels,
+    int64_t nby, int64_t nbx,
+    int num_endpoints, int num_selectors, int history_size, int mode,
+    const uint32_t* pred_codes, const uint8_t* pred_lens,
+    const uint32_t* delta_codes, const uint8_t* delta_lens,
+    const uint32_t* sel_codes, const uint8_t* sel_lens,
+    const uint32_t* rle_codes, const uint8_t* rle_lens,
+    int64_t* freq_pred, int64_t* freq_delta, int64_t* freq_sel,
+    int64_t* freq_rle,
+    uint8_t* out_bits, int64_t out_capacity_bytes) {
+    const bool is_p = prev_eps != nullptr;
+    LsbBitWriter bw(out_bits, mode == 1 ? out_capacity_bytes : 0);
+
+    auto emit = [&](int stream, int sym) {
+        // stream: 0=pred 1=delta 2=sel 3=rle
+        if (mode == 0) {
+            switch (stream) {
+                case 0: freq_pred[sym]++; break;
+                case 1: freq_delta[sym]++; break;
+                case 2: freq_sel[sym]++; break;
+                case 3: freq_rle[sym]++; break;
+            }
+        } else {
+            switch (stream) {
+                case 0: bw.put_bits(pred_codes[sym], pred_lens[sym]); break;
+                case 1: bw.put_bits(delta_codes[sym], delta_lens[sym]); break;
+                case 2: bw.put_bits(sel_codes[sym], sel_lens[sym]); break;
+                case 3: bw.put_bits(rle_codes[sym], rle_lens[sym]); break;
+            }
+        }
+    };
+
+    // prediction choice per block (stable across both passes)
+    std::vector<int32_t> pred(nby * nbx, PRED_EXPLICIT);
+    for (int64_t by = 0; by < nby; by++) {
+        for (int64_t bx = 0; bx < nbx; bx++) {
+            int64_t i = by * nbx + bx;
+            int32_t ep = eps[i];
+            if (is_p && ep == prev_eps[i] && sels[i] == prev_sels[i]) {
+                pred[i] = PRED_CR;
+            } else if (bx > 0 && ep == eps[i - 1]) {
+                pred[i] = PRED_LEFT;
+            } else if (by > 0 && ep == eps[i - nbx]) {
+                pred[i] = PRED_ABOVE;
+            } else {
+                pred[i] = PRED_EXPLICIT;
+            }
+        }
+    }
+
+    // quad symbols + literal/repeat plan
+    std::vector<int32_t> quad_syms;
+    quad_syms.reserve(((nby + 1) / 2) * ((nbx + 1) / 2));
+    for (int64_t by = 0; by < nby; by += 2) {
+        for (int64_t bx = 0; bx < nbx; bx += 2) {
+            int p00 = pred[by * nbx + bx];
+            int p01 = (bx + 1 < nbx) ? pred[by * nbx + bx + 1] : 0;
+            int p10 = (by + 1 < nby) ? pred[(by + 1) * nbx + bx] : 0;
+            int p11 = (by + 1 < nby && bx + 1 < nbx)
+                          ? pred[(by + 1) * nbx + bx + 1]
+                          : 0;
+            quad_syms.push_back(p00 | (p01 << 2) | (p10 << 4) | (p11 << 6));
+        }
+    }
+    // plan[i] = (sym, extra) with sym -1 meaning "no emission"
+    std::vector<int32_t> plan_sym(quad_syms.size(), -1);
+    std::vector<int32_t> plan_extra(quad_syms.size(), -1);
+    {
+        size_t i = 0;
+        while (i < quad_syms.size()) {
+            int32_t sym = quad_syms[i];
+            size_t run = 1;
+            while (i + run < quad_syms.size() && quad_syms[i + run] == sym)
+                run++;
+            plan_sym[i] = sym;
+            int64_t rest = (int64_t)run - 1;
+            if (rest >= 3) {
+                plan_sym[i + 1] = ENDPOINT_PRED_REPEAT_LAST;
+                plan_extra[i + 1] = (int32_t)(rest - 3);
+            } else {
+                for (size_t k = 1; k < run; k++) plan_sym[i + k] = sym;
+            }
+            i += run;
+        }
+    }
+
+    ApproxMTF hist(history_size);
+    int32_t prev_ep_v = 0;
+    int64_t sel_rle_left = 0;
+    size_t qi = 0;
+    for (int64_t by = 0; by < nby; by++) {
+        for (int64_t bx = 0; bx < nbx; bx++) {
+            if ((by & 1) == 0 && (bx & 1) == 0) {
+                int32_t sym = plan_sym[qi];
+                int32_t extra = plan_extra[qi];
+                qi++;
+                if (sym >= 0) {
+                    emit(0, sym);
+                    if (sym == ENDPOINT_PRED_REPEAT_LAST && mode == 1)
+                        bw.put_vlc((uint32_t)extra, 4);
+                }
+            }
+
+            int64_t i = by * nbx + bx;
+            int p = pred[i];
+            int32_t sel = sels[i];
+
+            if (p != PRED_CR) {
+                int32_t ep = eps[i];
+                if (p == PRED_EXPLICIT) {
+                    int64_t d = (int64_t)ep - prev_ep_v;
+                    d %= num_endpoints;
+                    if (d < 0) d += num_endpoints;
+                    emit(1, (int)d);
+                }
+                prev_ep_v = ep;
+            }
+
+            if (sel_rle_left) { sel_rle_left--; continue; }
+            if (sel == hist.v[0] || p == PRED_CR) {
+                // run of hist[0]-or-wildcard blocks starting here
+                int64_t run = 0;
+                int64_t yy = by, xx = bx;
+                while (yy < nby) {
+                    int64_t j = yy * nbx + xx;
+                    if (sels[j] == hist.v[0] || pred[j] == PRED_CR) run++;
+                    else break;
+                    if (++xx == nbx) { xx = 0; yy++; }
+                }
+                if (run >= 2) {
+                    int64_t base_rle = (run - 1) - 1;
+                    if (base_rle >= 63) {
+                        emit(2, num_selectors + history_size);
+                        emit(3, 63);
+                        if (mode == 1)
+                            bw.put_vlc((uint32_t)(base_rle - 63), 7);
+                    } else {
+                        emit(2, num_selectors + history_size);
+                        emit(3, (int)base_rle);
+                    }
+                    sel_rle_left = run - 1;
+                } else {
+                    emit(2, num_selectors + 0);
+                    hist.use(0);
+                }
+                continue;
+            }
+            int idx = -1;
+            for (int k = 0; k < history_size; k++) {
+                if (hist.v[k] == sel) { idx = k; break; }
+            }
+            if (idx > 0) {
+                emit(2, num_selectors + idx);
+                hist.use(idx);
+            } else {
+                emit(2, sel);
+                hist.add(sel);
+            }
+        }
+    }
+    if (mode == 1) return bw.overflow ? -1 : bw.pos;
+    return 0;
+}
+
+}  // extern "C"
