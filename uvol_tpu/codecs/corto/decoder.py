@@ -393,6 +393,11 @@ def _attr_dequantize(a: CortoAttribute, nvert: int) -> np.ndarray:
     if a.codec == NORMAL_CODEC:
         if a.prediction == -1:  # already float normals from postDelta
             return a.values.astype(np.float32)
+        from uvol_tpu import native
+
+        out = native.corto_normals_dequant_native(a.values, a.q)
+        if out is not None:
+            return out
         return _to_sphere_vec(
             a.values[:, 0].astype(np.int64),
             a.values[:, 1].astype(np.int64),

@@ -184,9 +184,17 @@ def compress(
     the decoder's truncation."""
     if len(probabilities) <= 1:
         return b""
-    words, _ = build_decoding_tables(probabilities)
     from uvol_tpu import native
 
+    tables = native.tunstall_tables_native(probabilities)
+    if tables is not None:
+        flat, index, lengths = tables
+        parsed = native.tunstall_parse_native(
+            flat, index, lengths, np.asarray(data, np.uint8)
+        )
+        if parsed is not None:
+            return parsed
+    words, _ = build_decoding_tables(probabilities)
     flat, index, lengths = _flat_tables(words)
     parsed = native.tunstall_parse_native(
         flat, index, lengths, np.asarray(data, np.uint8)
@@ -232,15 +240,19 @@ def decompress(
     if len(probabilities) == 1:
         out[:] = probabilities[0][0]
         return out
-    words, _ = build_decoding_tables(probabilities)
     from uvol_tpu import native
 
-    flat, index, lengths = _flat_tables(words)
+    tables = native.tunstall_tables_native(probabilities)
+    if tables is None:
+        words, _ = build_decoding_tables(probabilities)
+        tables = _flat_tables(words)
+    flat, index, lengths = tables
     expanded = native.tunstall_expand_native(
         flat, index, lengths, bytes(compressed), output_size
     )
     if expanded is not None:
         return expanded
+    words, _ = build_decoding_tables(probabilities)
     pos = 0
     for k in range(len(compressed) - 1):
         w = words[compressed[k]]

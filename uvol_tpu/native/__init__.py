@@ -978,3 +978,51 @@ def etc1s_slice_native(
     if nbits < 0:
         return None
     return out[: (nbits + 7) // 8].tobytes()
+
+
+def _bind_corto_extras(lib) -> None:
+    if hasattr(lib, "_uvt_tt_bound"):
+        return
+    c = ctypes
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.uvt_tunstall_tables.argtypes = [
+        u8p, u8p, c.c_int, u8p, c.c_int64, i32p, i32p]
+    lib.uvt_tunstall_tables.restype = c.c_int
+    lib.uvt_corto_normals_dequant.argtypes = [
+        i32p, c.c_int64, c.c_float,
+        np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+    lib.uvt_corto_normals_dequant.restype = c.c_int
+    lib._uvt_tt_bound = True
+
+
+def tunstall_tables_native(probabilities):
+    """createDecodingTables2 in C++: [(symbol, prob)] -> (words bytes,
+    index i32[n], lengths i32[n]) or None."""
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    _bind_corto_extras(lib)
+    syms = np.asarray([s for s, _ in probabilities], np.uint8)
+    probs = np.asarray([p for _, p in probabilities], np.uint8)
+    cap = 256 * 260
+    words = np.empty(cap, np.uint8)
+    index = np.empty(256, np.int32)
+    lengths = np.empty(256, np.int32)
+    n = lib.uvt_tunstall_tables(syms, probs, len(syms), words, cap, index, lengths)
+    if n < 0:
+        return None
+    total = int(index[n - 1] + lengths[n - 1]) if n else 0
+    return words[:total].tobytes(), index[:n], lengths[:n]
+
+
+def corto_normals_dequant_native(st: np.ndarray, unit: float):
+    """[N, 2] int -> [N, 3] float32 unit normals, or None."""
+    lib = get_corto_lib()
+    if lib is None:
+        return None
+    _bind_corto_extras(lib)
+    s = np.ascontiguousarray(st, np.int32)
+    out = np.empty((len(s), 3), np.float32)
+    lib.uvt_corto_normals_dequant(s, len(s), float(unit), out)
+    return out

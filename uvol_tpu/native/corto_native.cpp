@@ -746,3 +746,162 @@ int64_t uvt_tunstall_parse(const uint8_t* words, const int32_t* index,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tunstall dictionary construction (tunstall.py build_decoding_tables):
+// createDecodingTables2-faithful, including the low-entropy run-table path.
+// probs: (symbol, probability) byte pairs sorted by probability desc.
+// Outputs: words buffer (concatenated), index[256], lengths[256].
+// Returns the word count (or -1 on overflow).
+// ---------------------------------------------------------------------------
+
+extern "C" int uvt_tunstall_tables(const uint8_t* syms_in, const uint8_t* probs_in,
+                                   int n_symbols, uint8_t* words_out,
+                                   int64_t words_capacity, int32_t* index_out,
+                                   int32_t* lengths_out) {
+    const int DICT = 256;
+    if (n_symbols == 0) return 0;
+    if (n_symbols == 1) {
+        if (words_capacity < 1) return -1;
+        words_out[0] = syms_in[0];
+        index_out[0] = 0;
+        lengths_out[0] = 1;
+        return 1;
+    }
+    std::vector<int64_t> queues(2 * DICT, 0);
+    std::vector<int32_t> index(2 * DICT, 0), lengths(2 * DICT, 0);
+    std::vector<uint8_t> buffer(8192);
+    int64_t pos = 0;
+    std::vector<int32_t> starts(n_symbols, 0);
+    int64_t end = 0;
+
+    int64_t p0 = (int64_t)probs_in[0] << 8;
+    int64_t p1 = (int64_t)probs_in[1] << 8;
+    int64_t prob = (p0 * p0) >> 16;
+    int max_count = (DICT - 1) / (n_symbols - 1);
+    int count = 2;
+    while (prob > p1 && count < max_count) {
+        prob = (prob * p0) >> 16;
+        count++;
+    }
+
+    int64_t n_words;
+    if (count >= 16) {
+        buffer[pos++] = syms_in[0];
+        for (int k = 1; k < n_symbols; k++) {
+            for (int c = 0; c < count - 1; c++) buffer[pos++] = syms_in[0];
+            buffer[pos++] = syms_in[k];
+        }
+        starts[0] = (count - 1) * n_symbols;
+        for (int k = 1; k < n_symbols; k++) starts[k] = k;
+        prob = 0;
+        for (int col = 0; col < count; col++) {
+            for (int row = 1; row < n_symbols; row++) {
+                int64_t dest = row + (int64_t)col * n_symbols;
+                if (col == 0) queues[dest] = (int64_t)probs_in[row] << 8;
+                else queues[dest] = (prob * ((int64_t)probs_in[row] << 8)) >> 16;
+                index[dest] = row * count - col;
+                lengths[dest] = col + 1;
+            }
+            if (col == 0) prob = p0;
+            else prob = (prob * p0) >> 16;
+        }
+        int64_t first = (int64_t)(count - 1) * n_symbols;
+        queues[first] = prob;
+        index[first] = 0;
+        lengths[first] = count;
+        n_words = 1 + (int64_t)count * (n_symbols - 1);
+        end = (int64_t)count * n_symbols;
+    } else {
+        n_words = n_symbols;
+        for (int i = 0; i < n_symbols; i++) {
+            starts[i] = i;
+            queues[end] = (int64_t)probs_in[i] << 8;
+            index[end] = (int32_t)pos;
+            lengths[end] = 1;
+            end++;
+            buffer[pos++] = syms_in[i];
+        }
+    }
+
+    while (n_words < DICT) {
+        int best = 0;
+        int64_t max_prob = 0;
+        for (int i = 0; i < n_symbols; i++) {
+            int64_t p = queues[starts[i]];
+            if (p > max_prob) { best = i; max_prob = p; }
+        }
+        int32_t symbol = starts[best];
+        int64_t probability = queues[symbol];
+        int32_t offset = index[symbol];
+        int32_t length = lengths[symbol];
+        if (pos + (int64_t)(length + 1) * n_symbols + 16 > (int64_t)buffer.size())
+            buffer.resize(buffer.size() + std::max<int64_t>(8192, (int64_t)(length + 1) * n_symbols + 16));
+        if (end + n_symbols > (int64_t)queues.size()) {
+            queues.resize(end + n_symbols + DICT);
+            index.resize(end + n_symbols + DICT);
+            lengths.resize(end + n_symbols + DICT);
+        }
+        int r = 0;
+        while (r < n_symbols) {
+            queues[end] = (probability * ((int64_t)probs_in[r] << 8)) >> 16;
+            index[end] = (int32_t)pos;
+            lengths[end] = length + 1;
+            end++;
+            memcpy(buffer.data() + pos, buffer.data() + offset, length);
+            pos += length;
+            buffer[pos++] = syms_in[r];
+            if (n_words + r == DICT - 1) break;
+            r++;
+        }
+        if (r == n_symbols) starts[best] += n_symbols;
+        n_words += n_symbols - 1;
+    }
+
+    // compact: skip removed words (rows whose start has advanced past them)
+    int out_n = 0;
+    int64_t wpos = 0;
+    int row = 0;
+    for (int64_t i = 0; i < end && out_n < DICT; i++) {
+        if (row >= n_symbols) row = 0;
+        if (starts[row] > i) { row++; continue; }
+        int32_t len = lengths[i];
+        if (wpos + len > words_capacity) return -1;
+        memcpy(words_out + wpos, buffer.data() + index[i], len);
+        index_out[out_n] = (int32_t)wpos;
+        lengths_out[out_n] = len;
+        wpos += len;
+        out_n++;
+        row++;
+    }
+    return out_n;
+}
+
+// ---------------------------------------------------------------------------
+// Octahedral normal dequantization (decoder.py _to_sphere over [N, 2] ints).
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+
+extern "C" int uvt_corto_normals_dequant(const int32_t* st, int64_t n,
+                                         float unit, float* out) {
+    for (int64_t i = 0; i < n; i++) {
+        double x = st[i * 2], y = st[i * 2 + 1];
+        double z = unit - std::fabs(x) - std::fabs(y);
+        if (z < 0) {
+            double ax = std::fabs(x), ay = std::fabs(y);
+            double nx = (st[i * 2] > 0) ? unit - ay : ay - unit;
+            double ny = (st[i * 2 + 1] > 0) ? unit - ax : ax - unit;
+            x = nx; y = ny;
+        }
+        double norm = std::sqrt(x * x + y * y + z * z);
+        if (norm > 0) {
+            out[i * 3] = (float)(x / norm);
+            out[i * 3 + 1] = (float)(y / norm);
+            out[i * 3 + 2] = (float)(z / norm);
+        } else {
+            out[i * 3] = 0; out[i * 3 + 1] = 0; out[i * 3 + 2] = 1;
+        }
+    }
+    return 0;
+}
