@@ -76,6 +76,21 @@ class HuffmanTable:
                 return sym
         raise ValueError("invalid Huffman code")
 
+    def flat_lut(self) -> "np.ndarray":
+        """16-bit flat decode table for the native slice decoder:
+        lut[next16] = (sym << 5) | code_len (0 = invalid)."""
+        lut = getattr(self, "_flat_lut", None)
+        if lut is None:
+            if any(length > 16 for length, _ in self.lookup):
+                self._flat_lut = False  # cannot flat-decode; use Python
+            else:
+                lut = np.zeros(1 << 16, np.uint32)
+                for (length, rev), sym in self.lookup.items():
+                    lut[rev :: 1 << length] = (sym << 5) | length
+                self._flat_lut = lut
+        lut = self._flat_lut
+        return None if lut is False else lut
+
 
 def read_huffman_table(br: BitReader) -> Optional[HuffmanTable]:
     total_used_syms = br.get_bits(MAX_SYMS_LOG2)
@@ -280,6 +295,24 @@ def decode_etc1s_slice(
     stream = direct indices | MTF history hits | an RLE escape repeating
     history[0] (count = rle_sym + 1, 63 extends via vlc(7)).
     """
+    from uvol_tpu import native as uvt_native
+
+    if uvt_native.get_etc1s_lib() is not None:
+        luts = (
+            models.endpoint_pred.flat_lut(),
+            models.delta_endpoint.flat_lut(),
+            models.selector.flat_lut(),
+            models.selector_rle.flat_lut(),
+        )
+        if all(l is not None for l in luts):
+            res = uvt_native.etc1s_slice_decode_native(
+                data, num_blocks_y, num_blocks_x,
+                num_endpoints, num_selectors, models.history_size,
+                prev_frame, luts,
+            )
+            if res is not None:
+                return res
+
     br = BitReader(data)
     hist = ApproxMoveToFront(models.history_size)
     out = np.zeros((num_blocks_y, num_blocks_x, 2), np.int32)

@@ -1026,3 +1026,36 @@ def corto_normals_dequant_native(st: np.ndarray, unit: float):
     out = np.empty((len(s), 3), np.float32)
     lib.uvt_corto_normals_dequant(s, len(s), float(unit), out)
     return out
+
+
+def etc1s_slice_decode_native(
+    data, nby, nbx, num_endpoints, num_selectors, history_size, prev, luts
+):
+    """Native slice decode. luts: per-stream uint32[65536] flat Huffman
+    lookups ((sym<<5)|len). Returns [nby, nbx, 2] int32 or None."""
+    lib = get_etc1s_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_uvt_sd_bound"):
+        c = ctypes
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.uvt_etc1s_slice_decode.argtypes = [
+            u8p, c.c_int64, c.c_int64, c.c_int64,
+            c.c_int, c.c_int, c.c_int,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, i32p,
+        ]
+        lib.uvt_etc1s_slice_decode.restype = c.c_int64
+        lib._uvt_sd_bound = True
+    d = np.frombuffer(bytes(data), np.uint8)
+    if prev is not None:
+        prev = np.ascontiguousarray(prev, np.int32)
+    out = np.zeros((nby, nbx, 2), np.int32)
+    rc = lib.uvt_etc1s_slice_decode(
+        d, len(d), nby, nbx, num_endpoints, num_selectors, history_size,
+        _vp(prev), _vp(luts[0]), _vp(luts[1]), _vp(luts[2]), _vp(luts[3]),
+        out,
+    )
+    if rc < 0:
+        return None
+    return out

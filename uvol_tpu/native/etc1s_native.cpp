@@ -234,3 +234,158 @@ int64_t uvt_etc1s_slice(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Slice decode (transcoder.py decode_etc1s_slice): the playback-side block
+// state machine. Huffman decode via 16-bit flat lookup tables built by the
+// caller: lut[next16bits] = (sym << 5) | code_len, 0 = invalid.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct LsbBitReader {
+    const uint8_t* data;
+    int64_t nbytes;
+    int64_t pos = 0;  // bit position
+
+    uint32_t peek16() const {
+        int64_t byte = pos >> 3;
+        uint32_t v = 0;
+        // little-endian 24-bit window, zero-padded past the end
+        for (int k = 0; k < 3; k++)
+            v |= (uint32_t)(byte + k < nbytes ? data[byte + k] : 0) << (8 * k);
+        return (v >> (pos & 7)) & 0xFFFF;
+    }
+
+    uint32_t get_bits(int n) {
+        uint32_t v = 0;
+        for (int i = 0; i < n; i++) {
+            int64_t b = pos >> 3;
+            uint32_t bit = b < nbytes ? (data[b] >> (pos & 7)) & 1 : 0;
+            v |= bit << i;
+            pos++;
+        }
+        return v;
+    }
+
+    int decode(const uint32_t* lut) {
+        uint32_t e = lut[peek16()];
+        if (e == 0) return -1;
+        pos += (int)(e & 31);
+        return (int)(e >> 5);
+    }
+
+    uint32_t get_vlc(int chunk_bits) {
+        uint32_t v = 0;
+        int ofs = 0;
+        while (true) {
+            uint32_t s = get_bits(chunk_bits + 1);
+            v |= (s & ((1u << chunk_bits) - 1)) << ofs;
+            ofs += chunk_bits;
+            if (!(s & (1u << chunk_bits))) return v;
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" int64_t uvt_etc1s_slice_decode(
+    const uint8_t* data, int64_t nbytes, int64_t nby, int64_t nbx,
+    int num_endpoints, int num_selectors, int history_size,
+    const int32_t* prev,  // [nby*nbx*2] or null
+    const uint32_t* lut_pred, const uint32_t* lut_delta,
+    const uint32_t* lut_sel, const uint32_t* lut_rle,
+    int32_t* out) {
+    const int ENDPOINT_PRED_REPEAT = 256;
+    LsbBitReader br{data, nbytes};
+    ApproxMTF hist(history_size);
+
+    int64_t pred_rle = 0;
+    int prev_sym = 0, cur_bits = 0;
+    int32_t prev_ep = 0;
+    int64_t sel_rle = 0;
+    std::vector<int32_t> stored(nbx, 0);
+    bool bad = false;
+
+    auto decode_selector = [&]() -> int32_t {
+        int sym = br.decode(lut_sel);
+        if (sym < 0) { bad = true; return 0; }
+        if (sym == num_selectors + history_size) {
+            int rle = br.decode(lut_rle);
+            if (rle < 0) { bad = true; return 0; }
+            if (rle == 63) rle += (int)br.get_vlc(7);
+            sel_rle = rle + 1;
+            return hist.v[0];
+        }
+        if (sym >= num_selectors) {
+            int idx = sym - num_selectors;
+            int32_t s = hist.v[idx];
+            hist.use(idx);
+            return s;
+        }
+        hist.add(sym);
+        return sym;
+    };
+
+    for (int64_t by = 0; by < nby && !bad; by++) {
+        for (int64_t bx = 0; bx < nbx; bx++) {
+            int pred;
+            if ((by & 1) == 0 && (bx & 1) == 0) {
+                if (pred_rle) {
+                    pred_rle--;
+                    cur_bits = prev_sym;
+                } else {
+                    cur_bits = br.decode(lut_pred);
+                    if (cur_bits < 0) { bad = true; break; }
+                    if (cur_bits == ENDPOINT_PRED_REPEAT) {
+                        pred_rle = (int64_t)br.get_vlc(4) + 2;
+                        cur_bits = prev_sym;
+                    } else {
+                        prev_sym = cur_bits;
+                    }
+                }
+                stored[bx] = (cur_bits >> 4) & 3;
+                if (bx + 1 < nbx) stored[bx + 1] = (cur_bits >> 6) & 3;
+                pred = cur_bits & 3;
+            } else if ((by & 1) == 0) {
+                pred = (cur_bits >> 2) & 3;
+            } else {
+                pred = stored[bx];
+            }
+
+            int64_t i = (by * nbx + bx) * 2;
+            if (pred == PRED_CR) {
+                out[i] = prev ? prev[i] : 0;
+                out[i + 1] = prev ? prev[i + 1] : 0;
+                if (sel_rle) sel_rle--;
+                else decode_selector();
+                continue;
+            }
+
+            int32_t ep;
+            if (pred == PRED_LEFT) {
+                // bx==0 wraps to the same row's last block — not yet
+                // decoded, so 0 (mirrors the Python decoder's negative
+                // indexing; real basisu streams do emit these on edges)
+                int64_t src = by * nbx + (bx == 0 ? nbx - 1 : bx - 1);
+                ep = out[src * 2];
+            } else if (pred == PRED_ABOVE) {
+                int64_t src = (by == 0 ? nby - 1 : by - 1) * nbx + bx;
+                ep = out[src * 2];
+            } else {
+                int delta = br.decode(lut_delta);
+                if (delta < 0) { bad = true; break; }
+                ep = prev_ep + delta;
+                if (ep >= num_endpoints) ep -= num_endpoints;
+            }
+            prev_ep = ep;
+
+            int32_t sel;
+            if (sel_rle) { sel_rle--; sel = hist.v[0]; }
+            else sel = decode_selector();
+            out[i] = ep;
+            out[i + 1] = sel;
+        }
+    }
+    return bad ? -1 : br.pos;
+}

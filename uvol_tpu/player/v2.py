@@ -56,6 +56,13 @@ def default_geometry_decoder(data: bytes):
     return decode_drc(data)
 
 
+#: the headless "device" is ETC-capable: the format-selection table then
+#: picks the compressed ETC1 passthrough (palette lookups only, no pixel
+#: math) exactly like the reference's KTX2Loader on an ETC2 GPU
+#: (src/lib/KTX2Loader.js:591-697). Set to () to force full RGBA decode.
+DEVICE_TEXTURE_CAPABILITIES = ("etc2", "etc1")
+
+
 def default_texture_decoder(data: bytes):
     from uvol_tpu.containers.ktx2 import (
         SUPERCOMPRESSION_BASISLZ,
@@ -64,9 +71,17 @@ def default_texture_decoder(data: bytes):
 
     f = read_ktx2(data)
     if f.header.supercompression_scheme == SUPERCOMPRESSION_BASISLZ:
-        from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+        from uvol_tpu.codecs.basis.transcoder import (
+            select_transcode_target,
+            transcode_ktx2_etc1s,
+        )
 
-        return transcode_ktx2_etc1s(f)
+        target = select_transcode_target(
+            DEVICE_TEXTURE_CAPABILITIES,
+            width=f.header.pixel_width,
+            height=f.header.pixel_height,
+        )
+        return transcode_ktx2_etc1s(f, target=target)
     from uvol_tpu.models.sequence import TextureSequenceCodec
 
     codec = _CODEC_CACHE.setdefault("etc", TextureSequenceCodec())
