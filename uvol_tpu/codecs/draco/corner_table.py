@@ -112,11 +112,10 @@ class MeshAttributeCornerTable:
         self.ct = ct
         n = ct.num_corners
         self.is_edge_on_seam = np.zeros(n, bool)
-        for c in np.asarray(seam_corners, np.int64):
-            self.is_edge_on_seam[c] = True
-            o = ct.opposite[c]
-            if o != INVALID:
-                self.is_edge_on_seam[o] = True
+        seam = np.asarray(seam_corners, np.int64)
+        self.is_edge_on_seam[seam] = True
+        opp = ct.opposite[seam]
+        self.is_edge_on_seam[opp[opp != INVALID]] = True
         self.corner_to_vertex = np.full(n, INVALID, np.int32)
         self.vertex_to_corner: List[int] = []  # attribute vertex -> one corner
         self.vertex_parent: List[int] = []  # attribute vertex -> position vertex
@@ -144,8 +143,8 @@ class MeshAttributeCornerTable:
             )
         if res is not None:
             self.corner_to_vertex, v2c = res
-            self.vertex_to_corner = v2c.tolist()
-            self.vertex_parent = ct.vertex[v2c].tolist()
+            self.vertex_to_corner = v2c
+            self.vertex_parent = ct.vertex[v2c]
         else:
             self._recompute()
 
