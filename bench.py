@@ -172,6 +172,29 @@ def main() -> None:
     dt8 = time.perf_counter() - t0
     per_stream_fps = 4 * STREAMS / dt8 / STREAMS
 
+    # windowed variant through the device ring buffer (SURVEY §7 step 7):
+    # window i+1's host->device upload overlaps window i's device encode
+    from uvol_tpu.runtime.device_stream import stream_frames
+
+    enc_dev8 = geo._encode_device
+    windows = [
+        (
+            np.tile(positions[:4], (STREAMS, 1, 1)),
+            np.tile(uvs[:4], (STREAMS, 1, 1)),
+            np.ones((4 * STREAMS, N), bool),
+        )
+        for _ in range(3)
+    ]
+    fn8 = lambda w: enc_dev8(*w)  # noqa: E731
+    for _, r in stream_frames(windows[:1], fn8):
+        jax.block_until_ready(r)  # warm
+    t0 = time.perf_counter()
+    last = None
+    for _, r in stream_frames(windows, fn8, num_slots=2):
+        last = r
+    jax.block_until_ready(last)
+    streamed_fps = len(windows) * 4 * STREAMS / (time.perf_counter() - t0)
+
     # ---- device-compute-only sub-metric ---------------------------------------
     # isolates the XLA/Pallas pipeline from this environment's host<->device
     # tunnel (~15-30 MB/s — a deployment would have GB/s DMA); same math as
@@ -214,6 +237,7 @@ def main() -> None:
                     "device_compute_only_fps": round(device_fps, 1),
                     "streams8_geometry_fps_per_stream": round(per_stream_fps, 1),
                     "streams8_realtime_multiple": round(per_stream_fps / 30.0, 2),
+                    "streams8_ringbuffer_total_fps": round(streamed_fps, 1),
                     "liam_draco_decode_fps": (
                         round(liam_fps, 1) if liam_fps else None
                     ),
