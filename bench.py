@@ -17,8 +17,24 @@ import time
 import numpy as np
 
 
+def _enable_compile_cache(jax) -> None:
+    """Persistent XLA compilation cache: repeat bench/CLI runs skip the
+    20-40s first-compile (jit programs here are shape-stable)."""
+    try:
+        cache = os.environ.get(
+            "UVT_JAX_CACHE", os.path.expanduser("~/.cache/uvol_tpu_jax")
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
     import jax
+
+    _enable_compile_cache(jax)
 
     from uvol_tpu.containers.ktx2 import read_ktx2
     from uvol_tpu.models.sequence import (

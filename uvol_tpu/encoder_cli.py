@@ -250,6 +250,17 @@ def _encode_geometry_uvtg(cfg: Dict, objs: List[str], out_dir: str) -> str:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    try:  # persistent XLA cache: repeat encodes skip jit warmup
+        import jax
+
+        cache = os.environ.get(
+            "UVT_JAX_CACHE", os.path.expanduser("~/.cache/uvol_tpu_jax")
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print(__doc__)
