@@ -54,3 +54,27 @@ def test_transcode_full_segment(liam_ktx2):
         assert corr > 0.8, (i, corr)
     black = (frames[0].max(-1) < 16).mean()
     assert 0.1 < black < 0.5
+
+
+def test_native_slice_decode_parity_liam(liam_output):
+    """Native ETC1S slice decode must equal the Python reference on real
+    basisu P-frames — including the row-0/column-0 above/left predictions
+    real streams emit (they resolve to the zero-filled wrap; a native
+    out-of-bounds read here was caught by this corpus)."""
+    import uvol_tpu.native as native
+    from uvol_tpu.codecs.basis import transcoder as T
+    from uvol_tpu.containers.ktx2 import read_ktx2_file
+
+    path = (
+        liam_output / "texture_ktx2-fps30-1k_baseColor_default" / "00000.ktx2"
+    )
+    f = read_ktx2_file(str(path))
+    assert native.get_etc1s_lib() is not None
+    rgba_native = np.asarray(T.transcode_ktx2_etc1s(f, target="etc1"))
+    saved = (native._etc1s_failed, native._etc1s_lib)
+    native._etc1s_failed, native._etc1s_lib = True, None
+    try:
+        rgba_python = np.asarray(T.transcode_ktx2_etc1s(f, target="etc1"))
+    finally:
+        native._etc1s_failed, native._etc1s_lib = saved
+    np.testing.assert_array_equal(rgba_native, rgba_python)
