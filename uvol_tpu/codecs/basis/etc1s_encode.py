@@ -258,6 +258,9 @@ def build_palettes(
     num_endpoints: int,
     num_selectors: int,
     kmeans_iters: int = 6,
+    *,
+    rdo: bool = True,
+    rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
 ) -> Palettes:
     """Global palettes + per-block assignments, one jitted MXU program.
 
@@ -281,13 +284,207 @@ def build_palettes(
         _PALETTE_JIT_CACHE[key] = core
     base5, inten, sel_cb, assign, sel_assign = core(blocks)
 
-    return Palettes(
-        color5=np.asarray(base5, np.uint8),
-        inten=np.asarray(inten, np.uint8),
+    pal = Palettes(
+        color5=np.array(np.asarray(base5, np.uint8)),
+        inten=np.array(np.asarray(inten, np.uint8)),
         selectors=np.asarray(sel_cb, np.uint8),
-        block_endpoint=np.asarray(assign, np.int32).reshape(f, nb),
-        block_selector=np.asarray(sel_assign, np.int32).reshape(f, nb),
+        block_endpoint=np.array(
+            np.asarray(assign, np.int32).reshape(f, nb)
+        ),
+        block_selector=np.array(
+            np.asarray(sel_assign, np.int32).reshape(f, nb)
+        ),
     )
+    if rdo:
+        lam, lam_sel, lam_cr = rdo_lambdas
+        rdo_refine_assignments(
+            blocks, pal, h // 4, w // 4,
+            lam=lam, lam_sel=lam_sel, lam_cr=lam_cr,
+        )
+    # relabel the endpoint palette by the actual scan-order bigram
+    # statistics: entries that follow each other in the emitted stream get
+    # nearby indices, shrinking the slice delta stream (the ordering
+    # optimization behind basisu's small endpoint deltas)
+    reorder_endpoint_palette(pal)
+    return pal
+
+
+def reorder_endpoint_palette(pal: "Palettes") -> None:
+    """In-place palette relabel minimizing scan-order index deltas."""
+    e = len(pal.color5)
+    if e <= 2:
+        return
+    ep = pal.block_endpoint
+    # bigram weights over consecutive scan positions (per frame row-major)
+    a = ep[:, :-1].reshape(-1)
+    b = ep[:, 1:].reshape(-1)
+    m = a != b
+    w = np.zeros((e, e), np.float64)
+    np.add.at(w, (a[m], b[m]), 1.0)
+    w += w.T
+    # greedy chain: start at the heaviest node, append the strongest
+    # remaining partner of the current tail (fall back to global max)
+    used = np.zeros(e, bool)
+    order = np.empty(e, np.int64)
+    cur = int(w.sum(1).argmax())
+    for i in range(e):
+        order[i] = cur
+        used[cur] = True
+        if i + 1 == e:
+            break
+        row = np.where(used, -1.0, w[cur])
+        nxt = int(row.argmax())
+        if row[nxt] <= 0:
+            # no edges left from the tail: jump to the heaviest unused
+            tot = np.where(used, -1.0, w.sum(1))
+            nxt = int(tot.argmax())
+        cur = nxt
+    inv = np.empty(e, np.int32)
+    inv[order] = np.arange(e, dtype=np.int32)
+    pal.color5 = pal.color5[order]
+    pal.inten = pal.inten[order]
+    pal.block_endpoint = inv[pal.block_endpoint]
+
+
+_RDO_JIT_CACHE: Dict = {}
+
+
+def _rdo_refine_fn(nby: int, nbx: int):
+    """Rate-distortion refine for one frame's assignments (jitted per shape).
+
+    Snaps a block's endpoint to its left/above neighbor's (and, on
+    P-frames, to the co-located previous-frame (endpoint, selector) pair)
+    whenever the squared-error increase stays within a lambda factor.
+    Spatially coherent assignments turn into LEFT/ABOVE predictions,
+    endpoint-delta runs, selector RLE runs and CR blocks — the rate side
+    of basisu's RDO — while lambda bounds the distortion side.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
+
+    inten_tab = jnp.asarray(INTEN_TABLES, jnp.float32)  # [8, 4]
+
+    def refine(blocks, color5, inten, sel_cb, assign, sel_assign,
+               prev_ep, prev_sel, has_prev, lam, lam_sel, lam_cr):
+        # blocks [N,16,3] f32 · color5 [E,3] · inten [E] · sel_cb [S,16]
+        base = (
+            (color5.astype(jnp.int32) << 3) | (color5.astype(jnp.int32) >> 2)
+        ).astype(jnp.float32)  # [E, 3] extended
+
+        def pair_err(ep_idx, sel_idx):
+            """Exact error of coding each block with (ep, sel)."""
+            b = base[ep_idx]                       # [N, 3]
+            m = inten_tab[inten[ep_idx]]           # [N, 4]
+            codes = sel_cb[sel_idx]                # [N, 16]
+            mod = jnp.take_along_axis(m, codes, axis=1)  # [N, 16]
+            cand = jnp.clip(b[:, None, :] + mod[:, :, None], 0.0, 255.0)
+            d = blocks - cand
+            return jnp.sum(d * d, axis=(1, 2))     # [N]
+
+        grid = lambda a: a.reshape(nby, nbx)  # noqa: E731
+        flat = lambda a: a.reshape(-1)  # noqa: E731
+
+        ep = assign
+        sel = sel_assign
+        for _ in range(2):  # second pass propagates runs
+            g = grid(ep)
+            left = flat(jnp.concatenate([g[:, :1], g[:, :-1]], axis=1))
+            above = flat(jnp.concatenate([g[:1, :], g[:-1, :]], axis=0))
+            e_self = pair_err(ep, sel)
+            e_left = pair_err(left, sel)
+            e_above = pair_err(above, sel)
+            slack = 16.0 * 4.0  # absolute headroom on near-zero errors
+            ep = jnp.where(
+                e_left <= lam * e_self + slack,
+                left,
+                jnp.where(e_above <= lam * e_self + slack, above, ep),
+            )
+        # selector smoothing: adopt the left neighbor's selector when the
+        # pair error stays close — creates the RLE runs the format rewards
+        gs = grid(sel)
+        sel_left = flat(jnp.concatenate([gs[:, :1], gs[:, :-1]], axis=1))
+        e_cur = pair_err(ep, sel)
+        e_sl = pair_err(ep, sel_left)
+        sel = jnp.where(e_sl <= lam_sel * e_cur + 16.0 * 4.0, sel_left, sel)
+
+        # conditional replenishment: copy the co-located previous-frame
+        # pair when its error is close to the refined choice's
+        e_ref = pair_err(ep, sel)
+        e_prev = pair_err(prev_ep, prev_sel)
+        cr = has_prev & (e_prev <= lam_cr * e_ref + 16.0 * 4.0)
+        ep = jnp.where(cr, prev_ep, ep)
+        sel = jnp.where(cr, prev_sel, sel)
+        return ep, sel
+
+    return jax.jit(refine)
+
+
+def rdo_refine_assignments(
+    blocks: np.ndarray,
+    pal: "Palettes",
+    nby: int,
+    nbx: int,
+    *,
+    lam: float = 1.25,
+    lam_sel: float = 1.25,
+    lam_cr: float = 1.5,
+) -> None:
+    """In-place spatial/temporal RDO over per-frame assignments."""
+    import jax.numpy as jnp
+
+    f = pal.block_endpoint.shape[0]
+    nb = nby * nbx
+    key = (nby, nbx)
+    fn = _RDO_JIT_CACHE.get(key)
+    if fn is None:
+        fn = _rdo_refine_fn(nby, nbx)
+        _RDO_JIT_CACHE[key] = fn
+    color5 = jnp.asarray(pal.color5)
+    inten = jnp.asarray(pal.inten, jnp.int32)
+    sel_cb = jnp.asarray(pal.selectors, jnp.int32)
+    prev_ep = jnp.zeros(nb, jnp.int32)
+    prev_sel = jnp.zeros(nb, jnp.int32)
+    has_prev = jnp.zeros(nb, bool)
+    for i in range(f):
+        dev_blocks = jnp.asarray(
+            blocks[i * nb : (i + 1) * nb], jnp.float32
+        )
+        ep, sel = fn(
+            dev_blocks, color5, inten, sel_cb,
+            jnp.asarray(pal.block_endpoint[i], jnp.int32).reshape(-1),
+            jnp.asarray(pal.block_selector[i], jnp.int32).reshape(-1),
+            prev_ep, prev_sel, has_prev,
+            float(lam), float(lam_sel), float(lam_cr),
+        )
+        pal.block_endpoint[i] = np.asarray(ep, np.int32)
+        pal.block_selector[i] = np.asarray(sel, np.int32)
+        prev_ep, prev_sel = ep, sel
+        has_prev = jnp.ones(nb, bool)
+
+
+def _order_endpoints(color5: np.ndarray, inten: np.ndarray) -> np.ndarray:
+    """Greedy nearest-neighbor chain over (color5, inten) features."""
+    e = len(color5)
+    if e <= 2:
+        return np.arange(e)
+    feat = np.concatenate(
+        [color5.astype(np.float32), 2.0 * inten.astype(np.float32)[:, None]],
+        axis=1,
+    )
+    order = np.empty(e, np.int64)
+    dist_to_used = np.full(e, np.inf, np.float32)
+    cur = int(np.argmin(feat.sum(1)))  # start from the darkest entry
+    for i in range(e):
+        order[i] = cur
+        dist_to_used[cur] = -1.0  # mark used
+        if i + 1 == e:
+            break
+        d = np.abs(feat - feat[cur]).sum(1)
+        d[dist_to_used < 0] = np.inf
+        cur = int(np.argmin(d))
+    return order
 
 
 # ---------------------------------------------------------------------------
@@ -579,11 +776,16 @@ def encode_ktx2_etc1s(
     history_size: int = 64,
     kmeans_iters: int = 6,
     srgb: bool = True,
+    rdo: bool = True,
+    rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
 ) -> bytes:
     """[F, H, W, 3] uint8 → BasisLZ-supercompressed KTX2 (video layers)."""
     f, h, w, _ = frames.shape
     nbx, nby = w // 4, h // 4
-    pal = build_palettes(frames, num_endpoints, num_selectors, kmeans_iters)
+    pal = build_palettes(
+        frames, num_endpoints, num_selectors, kmeans_iters,
+        rdo=rdo, rdo_lambdas=rdo_lambdas,
+    )
     num_endpoints = len(pal.color5)
     num_selectors = len(pal.selectors)
 
