@@ -204,6 +204,30 @@ class _Traversal:
 
 
 def _edgebreaker_traverse(ct: EncoderCornerTable) -> _Traversal:
+    # native C++ DFS (draco_native.cpp uvt_eb_traverse, 1:1 port of the
+    # loop below; parity-tested through the liam re-encode goldens)
+    from uvol_tpu import native as uvt_native
+
+    res = None
+    if uvt_native.get_draco_lib() is not None:
+        res = uvt_native.eb_traverse_native(
+            ct.vertex, ct.opposite, ct.vertex_hole_id,
+            ct.num_faces, ct.num_vertices, ct.num_holes,
+        )
+    if res is not None:
+        symbols_a, corners_a, sf_a, (s_src, s_id, s_edge), initc, starts, nss = res
+        return _Traversal(
+            symbols=symbols_a.tolist(),
+            symbol_corners=corners_a.tolist(),
+            start_face_bits=sf_a.tolist(),
+            splits=[
+                TopologySplit(int(a), int(b), int(e))
+                for a, b, e in zip(s_src, s_id, s_edge)
+            ],
+            init_face_corners_enc=initc.tolist(),
+            interior_start_corners=starts.tolist(),
+            num_split_symbols=nss,
+        )
     num_faces = ct.num_faces
     visited_faces = np.zeros(num_faces, bool)
     visited_verts = np.zeros(ct.num_vertices, bool)

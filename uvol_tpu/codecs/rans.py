@@ -308,21 +308,41 @@ class RansBitDecoder:
 
 
 class RansBitEncoder:
-    """Accumulates bits; flush computes prob_zero and emits the stream."""
+    """Accumulates bits; flush computes prob_zero and emits the stream.
+
+    Bits are stored as numpy chunks (single-bit appends are batched) so
+    bulk seam/flip streams never cross per-element Python calls."""
 
     def __init__(self) -> None:
-        self._bits: List[int] = []
+        self._chunks: List[np.ndarray] = []
+        self._singles: List[int] = []
 
     def encode_bit(self, bit: int) -> None:
-        self._bits.append(1 if bit else 0)
+        self._singles.append(1 if bit else 0)
 
     def encode_bits(self, bits) -> None:
         """Bulk append (numpy array or iterable of 0/1)."""
-        self._bits.extend(int(b) for b in np.asarray(bits, np.uint8))
+        if self._singles:
+            self._chunks.append(np.asarray(self._singles, np.uint8))
+            self._singles = []
+        self._chunks.append(
+            (np.asarray(bits).ravel() != 0).astype(np.uint8)
+        )
+
+    def _all_bits(self) -> np.ndarray:
+        if self._singles:
+            self._chunks.append(np.asarray(self._singles, np.uint8))
+            self._singles = []
+        if not self._chunks:
+            return np.zeros(0, np.uint8)
+        if len(self._chunks) > 1:
+            self._chunks = [np.concatenate(self._chunks)]
+        return self._chunks[0]
 
     def flush(self, out: EncoderBuffer) -> None:
-        zeros = self._bits.count(0)
-        total = len(self._bits)
+        bits = self._all_bits()
+        total = len(bits)
+        zeros = total - int(bits.sum())
         if total == 0:
             prob_zero = 128
         else:
@@ -331,18 +351,16 @@ class RansBitEncoder:
         if total > 256:  # native C++ emit (identical wire bytes)
             from uvol_tpu import native
 
-            payload_native = native.rabs_encode_bits_native(
-                np.asarray(self._bits, np.uint8), prob_zero
-            )
+            payload_native = native.rabs_encode_bits_native(bits, prob_zero)
             if payload_native is not None:
                 out.varint(len(payload_native))
                 out.raw(payload_native)
-                self._bits = []
+                self._chunks = []
                 return
         p = P8_PRECISION - prob_zero
         state = L_BASE_BITS
         renorm = bytearray()
-        for bit in reversed(self._bits):
+        for bit in reversed(bits.tolist()):
             l_s = p if bit else prob_zero
             bound = (L_BASE_BITS // P8_PRECISION) * IO_BASE * l_s
             while state >= bound:
@@ -353,4 +371,4 @@ class RansBitEncoder:
         payload = bytes(renorm) + _write_final_state(state, L_BASE_BITS)
         out.varint(len(payload))
         out.raw(payload)
-        self._bits = []
+        self._chunks = []

@@ -1059,3 +1059,50 @@ def etc1s_slice_decode_native(
     if rc < 0:
         return None
     return out
+
+
+def eb_traverse_native(vertex, opposite, hole_of, num_faces, num_vertices,
+                       num_holes):
+    """Encoder-side Edgebreaker DFS. Returns (symbols u8, symbol_corners
+    i32, start_face_bits u8, (split_src, split_id, split_edge),
+    init_face_corners i32, interior_start_corners i32, n_split_symbols)
+    or None."""
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_uvt_ebt_bound"):
+        c = ctypes
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = _i64p
+        lib.uvt_eb_traverse.argtypes = [
+            i32p, i32p, i64p, c.c_int64, c.c_int64, c.c_int64,
+            u8p, i32p, u8p, i64p, i64p, u8p, i32p, i32p, i64p,
+        ]
+        lib.uvt_eb_traverse.restype = c.c_int
+        lib._uvt_ebt_bound = True
+    v = np.ascontiguousarray(vertex, np.int32)
+    o = np.ascontiguousarray(opposite, np.int32)
+    h = np.ascontiguousarray(hole_of, np.int64)
+    f = int(num_faces)
+    symbols = np.empty(max(f, 1), np.uint8)
+    corners = np.empty(max(f, 1), np.int32)
+    sf_bits = np.empty(max(f, 1), np.uint8)
+    s_src = np.empty(max(f, 1), np.int64)
+    s_id = np.empty(max(f, 1), np.int64)
+    s_edge = np.empty(max(f, 1), np.uint8)
+    initc = np.empty(max(f, 1), np.int32)
+    starts = np.empty(max(f, 1), np.int32)
+    cnt = np.zeros(5, np.int64)
+    rc = lib.uvt_eb_traverse(
+        v, o, h, f, int(num_vertices), int(num_holes),
+        symbols, corners, sf_bits, s_src, s_id, s_edge, initc, starts, cnt,
+    )
+    if rc != 0:
+        return None
+    ns, nb, nsp, ni = int(cnt[0]), int(cnt[1]), int(cnt[2]), int(cnt[3])
+    return (
+        symbols[:ns], corners[:ns], sf_bits[:nb],
+        (s_src[:nsp], s_id[:nsp], s_edge[:nsp]),
+        initc[:ni], starts[:ni], int(cnt[4]),
+    )

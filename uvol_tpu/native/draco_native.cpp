@@ -1639,3 +1639,197 @@ int64_t uvt_point_assembly(const int32_t* keys, int64_t num_corners,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Encoder-side Edgebreaker traversal (encoder.py _edgebreaker_traverse):
+// the spirale DFS emitting CLER symbols, topology splits, start-face bits
+// and the per-symbol corner list. Mirrors the Python reference exactly.
+// ===========================================================================
+
+extern "C" int uvt_eb_traverse(
+    const int32_t* vertex, const int32_t* opposite, const int64_t* hole_of,
+    int64_t num_faces, int64_t num_vertices, int64_t num_holes,
+    uint8_t* symbols, int32_t* symbol_corners,      // [num_faces] caps
+    uint8_t* start_face_bits,                       // [num_faces] cap
+    int64_t* split_src, int64_t* split_id, uint8_t* split_edge,  // caps F
+    int32_t* init_face_corners, int32_t* interior_start_corners,  // caps F
+    int64_t* counts  // [5]: n_symbols, n_start_bits, n_splits, n_init, n_split_syms
+) {
+  const uint8_t TOP_C = 0x0, TOP_S = 0x1, TOP_L = 0x3, TOP_R = 0x5,
+                TOP_E = 0x7;
+  const uint8_t LEFT_EDGE = 0, RIGHT_EDGE = 1;
+
+  std::vector<uint8_t> visited_faces(num_faces, 0);
+  std::vector<uint8_t> visited_verts(num_vertices, 0);
+  std::vector<uint8_t> visited_holes(num_holes ? num_holes : 1, 0);
+  std::vector<int64_t> face_to_split(num_faces, -1);
+
+  // per-hole vertex lists (encode_hole marks the whole loop visited)
+  std::vector<int64_t> hole_count(num_holes ? num_holes : 1, 0);
+  for (int64_t v = 0; v < num_vertices; ++v)
+    if (hole_of[v] >= 0) hole_count[hole_of[v]]++;
+  std::vector<int64_t> hole_off(hole_count.size() + 1, 0);
+  for (size_t h = 0; h < hole_count.size(); ++h)
+    hole_off[h + 1] = hole_off[h] + hole_count[h];
+  std::vector<int32_t> hole_verts(hole_off.back());
+  {
+    std::vector<int64_t> cur(hole_off.begin(), hole_off.end() - 1);
+    for (int64_t v = 0; v < num_vertices; ++v)
+      if (hole_of[v] >= 0) hole_verts[cur[hole_of[v]]++] = (int32_t)v;
+  }
+
+  int64_t n_symbols = 0, n_start = 0, n_splits = 0, n_init = 0,
+          n_split_syms = 0, n_interior = 0;
+
+  auto right_c = [&](int32_t c) { return opposite[next_corner(c)]; };
+  auto left_c = [&](int32_t c) { return opposite[prev_corner(c)]; };
+
+  auto encode_hole = [&](int32_t start_corner, bool first) {
+    int32_t v = vertex[start_corner];
+    int64_t hid = hole_of[v];
+    visited_holes[hid] = 1;
+    for (int64_t k = hole_off[hid]; k < hole_off[hid + 1]; ++k)
+      visited_verts[hole_verts[k]] = 1;
+    if (first) visited_verts[v] = 1;
+  };
+
+  auto check_split = [&](int64_t sym_id, uint8_t edge, int64_t nf) {
+    int64_t sid = face_to_split[nf];
+    if (sid >= 0) {
+      face_to_split[nf] = -1;
+      split_src[n_splits] = sym_id;
+      split_id[n_splits] = sid;
+      split_edge[n_splits] = edge;
+      n_splits++;
+    }
+  };
+
+  std::vector<int32_t> stack;
+  auto encode_from_corner = [&](int32_t corner_id) -> int {
+    stack.clear();
+    stack.push_back(corner_id);
+    while (!stack.empty()) {
+      corner_id = stack.back();
+      if (corner_id == INVALID || visited_faces[corner_id / 3]) {
+        stack.pop_back();
+        continue;
+      }
+      while (true) {
+        int64_t face_id = corner_id / 3;
+        visited_faces[face_id] = 1;
+        int64_t symbol_id = n_symbols;
+        symbol_corners[n_symbols] = corner_id;
+        int32_t vert_id = vertex[corner_id];
+        if (!visited_verts[vert_id]) {
+          visited_verts[vert_id] = 1;
+          if (hole_of[vert_id] == -1) {
+            symbols[n_symbols++] = TOP_C;
+            corner_id = right_c(corner_id);
+            if (corner_id == INVALID || visited_faces[corner_id / 3])
+              return -1;  // C into visited/invalid face
+            continue;
+          }
+        }
+        int32_t rc = right_c(corner_id);
+        int32_t lc = left_c(corner_id);
+        int64_t rf = rc == INVALID ? INVALID : rc / 3;
+        int64_t lf = lc == INVALID ? INVALID : lc / 3;
+        bool right_visited = rf == INVALID || visited_faces[rf];
+        bool left_visited = lf == INVALID || visited_faces[lf];
+        if (right_visited) {
+          if (rf != INVALID) check_split(symbol_id, RIGHT_EDGE, rf);
+          if (left_visited) {
+            if (lf != INVALID) check_split(symbol_id, LEFT_EDGE, lf);
+            symbols[n_symbols++] = TOP_E;
+            stack.pop_back();
+            break;
+          }
+          symbols[n_symbols++] = TOP_R;
+          corner_id = lc;
+        } else {
+          if (left_visited) {
+            if (lf != INVALID) check_split(symbol_id, LEFT_EDGE, lf);
+            symbols[n_symbols++] = TOP_L;
+            corner_id = rc;
+          } else {
+            int64_t hid = hole_of[vert_id];
+            if (hid != -1 && !visited_holes[hid])
+              encode_hole(corner_id, false);
+            face_to_split[face_id] = symbol_id;
+            symbols[n_symbols++] = TOP_S;
+            n_split_syms++;
+            stack.back() = lc;
+            stack.push_back(rc);
+            break;
+          }
+        }
+      }
+    }
+    return 0;
+  };
+
+  auto swing_right = [&](int32_t c) -> int32_t {
+    int32_t o = opposite[prev_corner(c)];
+    return o == INVALID ? INVALID : prev_corner(o);
+  };
+
+  for (int64_t c_id = 0; c_id < 3 * num_faces; ++c_id) {
+    int64_t face_id = c_id / 3;
+    if (visited_faces[face_id]) continue;
+    // find_init_face_configuration
+    bool interior = true;
+    int32_t start_corner = (int32_t)(3 * face_id);
+    {
+      int32_t corner = start_corner;
+      bool found = false;
+      for (int k = 0; k < 3; ++k) {
+        if (opposite[corner] == INVALID) {
+          interior = false;
+          start_corner = corner;
+          found = true;
+          break;
+        }
+        if (hole_of[vertex[corner]] != -1) {
+          int32_t right = corner;
+          while (right != INVALID) {
+            corner = right;
+            right = swing_right(right);
+          }
+          interior = false;
+          start_corner = prev_corner(corner);
+          found = true;
+          break;
+        }
+        corner = next_corner(corner);
+      }
+      if (!found) {
+        interior = true;
+        start_corner = corner;
+      }
+    }
+    start_face_bits[n_start++] = interior ? 1 : 0;
+    if (interior) {
+      interior_start_corners[n_interior++] = start_corner;
+      visited_verts[vertex[start_corner]] = 1;
+      visited_verts[vertex[next_corner(start_corner)]] = 1;
+      visited_verts[vertex[prev_corner(start_corner)]] = 1;
+      visited_faces[face_id] = 1;
+      init_face_corners[n_init++] = next_corner(start_corner);
+      int32_t opp_id = opposite[next_corner(start_corner)];
+      if (opp_id != INVALID && !visited_faces[opp_id / 3]) {
+        if (encode_from_corner(opp_id) != 0) return -1;
+      }
+    } else {
+      encode_hole(next_corner(start_corner), true);
+      if (encode_from_corner(start_corner) != 0) return -1;
+    }
+  }
+
+  counts[0] = n_symbols;
+  counts[1] = n_start;
+  counts[2] = n_splits;
+  counts[3] = n_init;
+  counts[4] = n_split_syms;
+  // n_interior == n_init by construction
+  return 0;
+}
