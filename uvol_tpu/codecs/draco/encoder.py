@@ -599,10 +599,9 @@ class _TexCoordsPortableEncoder:
         out.raw(np.asarray([len(self.orientations)], "<i4").tobytes())
         enc = RansBitEncoder()
         # decoder consumes by pop() from the end, delta-coded from last=True
-        last = True
-        for o in reversed(self.orientations):
-            enc.encode_bit(1 if o == last else 0)
-            last = o
+        rev = np.asarray(self.orientations, bool)[::-1]
+        prev = np.concatenate([[True], rev[:-1]])
+        enc.encode_bits(rev == prev)
         enc.flush(out)
 
 
@@ -968,8 +967,7 @@ def encode_drc(
     def write_start_face_and_seams() -> None:
         # start-face bits (component order = decoder pop order)
         sf = RansBitEncoder()
-        for b in trav.start_face_bits:
-            sf.encode_bit(b)
+        sf.encode_bits(trav.start_face_bits)
         sf.flush(out)
         # seam bits (decoder's face-order pass)
         for bits in seam_bit_lists:
@@ -1161,8 +1159,7 @@ def encode_drc(
                 ).tobytes()
             )
             flip = RansBitEncoder()
-            for b in genc.flip_bits:
-                flip.encode_bit(b)
+            flip.encode_bits(genc.flip_bits)
             flip.flush(out)
             out.u8(bits)
         else:
