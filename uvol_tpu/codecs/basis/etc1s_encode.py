@@ -101,18 +101,29 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
         assign = kmeans_assign(feats, cb_q)  # [N]
         mods = jnp.asarray(INTEN_TABLES, jnp.float32)  # [8, 4]
 
+        # All error terms below are CLIP-AWARE: the reconstruction clamps
+        # clip(base + modifier) per channel, so the effective modifier is
+        # m_eff[j, c] = clip(base_c + m_j) - base_c. The earlier unclipped
+        # 3m²-2ms shortcut overestimated error wherever base+mod saturates
+        # — i.e. on every dark/bright region (liam's whole background) —
+        # which distorted both assignment and the Lloyd update.
+
         def cluster_inten(assign, basef):
             """Per-cluster best intensity table under the true error."""
-            s = jnp.sum(dev_blocks, axis=2) - jnp.sum(basef[assign], axis=1)[
-                :, None
-            ]  # [N, 16]
+            base_b = basef[assign]  # [N, 3]
+            d = dev_blocks - base_b[:, None, :]  # [N, 16, 3]
             err_cols = []
-            for t in range(8):  # [N,16,4] peak, not [N,16,8,4]
-                cand_t = (
-                    3.0 * mods[t] ** 2
-                    - 2.0 * mods[t][None, None, :] * s[:, :, None]
-                )
-                err_cols.append(jnp.sum(jnp.min(cand_t, axis=-1), axis=1))
+            for t in range(8):  # peak [N,16,4], not [N,16,8,4]
+                me = (
+                    jnp.clip(
+                        base_b[:, None, :] + mods[t][None, :, None], 0.0, 255.0
+                    )
+                    - base_b[:, None, :]
+                )  # [N, 4, 3]
+                ce = jnp.sum(me**2, -1)[:, None, :] - 2.0 * jnp.einsum(
+                    "bpc,bjc->bpj", d, me, preferred_element_type=jnp.float32
+                )  # [N, 16, 4]
+                err_cols.append(jnp.sum(jnp.min(ce, axis=-1), axis=1))
             err_bt = jnp.stack(err_cols, axis=1)  # [N, 8]
             onehot_e = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
             cluster_err = jnp.dot(onehot_e.T, err_bt)  # [E, 8] — MXU
@@ -121,13 +132,12 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
         inten = cluster_inten(assign, base.astype(jnp.float32))
 
         # ---- exact-metric Lloyd refinement -----------------------------------
-        # err(b, e) = Σ_pix ||p - base_e||² + Σ_pix min_m (3m² - 2·m·s_e)
-        # where s_e[pix] = Σ_c p_c - Σ_c base_e_c: the second term depends on
-        # the endpoint only through (Σ base_e, table_e), so the full N×E
-        # search is a matmul + a scanned per-chunk min — all MXU/VPU.
+        # err(b, e) = Σ_pix min_j Σ_c (p_c - base_ec - m_eff[e,j,c])², with
+        # m_eff the clip-aware effective modifier. Decomposes into a color
+        # cross matmul + per-(endpoint,code) constants + a scanned chunk of
+        # [N,16,C,4] channel matmuls — all MXU/VPU, no N×E×16×4×3 blowup.
         p_sq = jnp.sum(dev_blocks.astype(jnp.float32) ** 2, axis=(1, 2))  # [N]
         p_sum = jnp.sum(dev_blocks, axis=1)  # [N, 3] per-channel pixel sums
-        s0 = jnp.sum(dev_blocks, axis=2)  # [N, 16]
         echunk = 16
         n_chunks = (num_endpoints + echunk - 1) // echunk
         e_pad = n_chunks * echunk
@@ -137,26 +147,34 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
                 p_sum, basef.T, preferred_element_type=jnp.float32
             )  # [N, E]
             base_sq = 16.0 * jnp.sum(basef**2, axis=1)  # [E]
-            bsum = jnp.sum(basef, axis=1)  # [E]
-            emods = mods[inten_idx]  # [E, 4]
-            bsum_p = jnp.pad(bsum, (0, e_pad - num_endpoints))
-            emods_p = jnp.pad(emods, ((0, e_pad - num_endpoints), (0, 0)))
+            # clip-aware effective modifiers per endpoint/code/channel
+            me_e = (
+                jnp.clip(
+                    basef[:, None, :] + mods[inten_idx][:, :, None], 0.0, 255.0
+                )
+                - basef[:, None, :]
+            )  # [E, 4, 3]
+            q_ej = 2.0 * jnp.einsum(
+                "ec,ejc->ej", basef, me_e, preferred_element_type=jnp.float32
+            ) + jnp.sum(me_e**2, -1)  # [E, 4]
+            me_p = jnp.pad(me_e, ((0, e_pad - num_endpoints), (0, 0), (0, 0)))
+            q_p = jnp.pad(q_ej, ((0, e_pad - num_endpoints), (0, 0)))
 
             def chunk(carry, xs):
-                b_c, m_c = xs  # [C], [C, 4]
-                s_e = s0[:, :, None] - b_c[None, None, :]  # [N, 16, C]
-                cand = (
-                    3.0 * m_c[None, None] ** 2
-                    - 2.0 * m_c[None, None] * s_e[..., None]
-                )  # [N, 16, C, 4]
+                me_c, q_c = xs  # [C, 4, 3], [C, 4]
+                p_cross = jnp.einsum(
+                    "npc,kjc->npkj", dev_blocks, me_c,
+                    preferred_element_type=jnp.float32,
+                )  # [N, 16, C, 4] — MXU matmul over channels
+                cand = q_c[None, None] - 2.0 * p_cross
                 return carry, jnp.sum(jnp.min(cand, axis=-1), axis=1)  # [N, C]
 
             _, mod_err = jax.lax.scan(
                 chunk,
                 0,
                 (
-                    bsum_p.reshape(n_chunks, echunk),
-                    emods_p.reshape(n_chunks, echunk, 4),
+                    me_p.reshape(n_chunks, echunk, 4, 3),
+                    q_p.reshape(n_chunks, echunk, 4),
                 ),
             )  # [n_chunks, N, C]
             mod_err = jnp.moveaxis(mod_err, 0, 1).reshape(-1, e_pad)[
@@ -167,20 +185,39 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             )
             return jnp.argmin(err, axis=1).astype(jnp.int32)
 
+        def block_ce(basef, inten_idx, assign):
+            """Per-block per-pixel per-code error (clip-aware, + const).
+
+            Returns (ce [N,16,4], me_b [N,4,3]) — the shared tensor behind
+            ideal selectors, the Lloyd update, and both selector-codebook
+            stages."""
+            base_b = basef[assign]  # [N, 3]
+            me_b = (
+                jnp.clip(
+                    base_b[:, None, :] + mods[inten_idx[assign]][:, :, None],
+                    0.0,
+                    255.0,
+                )
+                - base_b[:, None, :]
+            )  # [N, 4, 3]
+            d = dev_blocks - base_b[:, None, :]  # [N, 16, 3]
+            ce = jnp.sum(me_b**2, -1)[:, None, :] - 2.0 * jnp.einsum(
+                "bpc,bjc->bpj", d, me_b, preferred_element_type=jnp.float32
+            )  # [N, 16, 4]
+            return ce, me_b
+
         for _ in range(2):  # Lloyd iterations on the true metric
             basef = base.astype(jnp.float32)
             assign = exact_assign(basef, inten)
             # base update: mean over member pixels of (p - chosen modifier)
-            s = s0 - jnp.sum(basef[assign], axis=1)[:, None]
-            m_b = mods[inten[assign]]  # [N, 4]
-            cand2 = (
-                3.0 * m_b[:, None, :] ** 2 - 2.0 * m_b[:, None, :] * s[:, :, None]
-            )
-            sel_px = jnp.argmin(cand2, axis=-1)  # [N, 16]
-            m_px = jnp.take_along_axis(m_b[:, None, :], sel_px[..., None], -1)[
-                ..., 0
-            ]  # [N, 16]
-            resid = dev_blocks - m_px[..., None]  # p - m per pixel/channel
+            ce, me_b = block_ce(basef, inten, assign)
+            sel_px = jnp.argmin(ce, axis=-1)  # [N, 16]
+            me_px = jnp.take_along_axis(
+                jnp.broadcast_to(me_b[:, None, :, :], (n, 16, 4, 3)),
+                sel_px[:, :, None, None],
+                axis=2,
+            )[:, :, 0, :]  # [N, 16, 3]
+            resid = dev_blocks - me_px
             onehot = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
             sums = jnp.einsum(
                 "ne,nc->ec",
@@ -200,48 +237,31 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             base = (base5 << 3) | (base5 >> 2)
             inten = cluster_inten(assign, base.astype(jnp.float32))
         assign = exact_assign(base.astype(jnp.float32), inten)
-        s = s0 - jnp.sum(base.astype(jnp.float32)[assign], axis=1)[:, None]
+        ce, _me_b = block_ce(base.astype(jnp.float32), inten, assign)
 
         # ---- ideal per-pixel selectors ---------------------------------------
-        tab = inten[assign]  # [N]
-        m_b = mods[tab]  # [N, 4]
-        cand2 = 3.0 * m_b[:, None, :] ** 2 - 2.0 * m_b[:, None, :] * s[:, :, None]
-        ideal_sel = jnp.argmin(cand2, axis=-1).astype(jnp.int32)  # [N, 16]
+        ideal_sel = jnp.argmin(ce, axis=-1).astype(jnp.int32)  # [N, 16]
 
-        # ---- selector codebook: Lloyd in the TRUE metric ----------------------
-        # assignment: err[b,k] = Σ_pix 3M[t_b,cb[k,p]]² - 2M[t_b,cb[k,p]]s[b,p]
-        # (a [N,16]×[16,S] matmul per table, masked-merge); update: for each
-        # cluster and pixel, the index j minimizing the summed member error —
-        # all segment sums are one-hot matmuls on the MXU.
+        # ---- selector codebook: Lloyd in the TRUE (clip-aware) metric ---------
+        # `ce` already holds each block's per-pixel per-code error, so both
+        # stages are one-hot matmuls on the MXU:
+        #   assignment: err[b, k] = Σ_p ce[b, p, cb[k, p]]
+        #   update:     cb[k, p] = argmin_j Σ_{b∈k} ce[b, p, j]
         def sel_exact_assign(sel_cb):
-            msel = mods[jnp.arange(8)[:, None, None], sel_cb[None]]  # [8,S,16]
-            sq = jnp.sum(3.0 * msel**2, axis=2)  # [8, S]
-            err_ks = jnp.zeros((n, msel.shape[1]), jnp.float32)
-            for t in range(8):
-                cross_t = jnp.dot(
-                    s, msel[t].T, preferred_element_type=jnp.float32
-                )
-                err_ks = jnp.where(
-                    (tab == t)[:, None], sq[t][None, :] - 2.0 * cross_t, err_ks
-                )
+            oh_cb = jax.nn.one_hot(sel_cb, 4, dtype=jnp.float32)  # [S, 16, 4]
+            err_ks = jnp.einsum(
+                "bpj,kpj->bk", ce, oh_cb, preferred_element_type=jnp.float32
+            )
             return jnp.argmin(err_ks, axis=1).astype(jnp.int32)  # [N]
 
         def sel_update(sel_assign):
             onehot_s = jax.nn.one_hot(
                 sel_assign, num_selectors, dtype=jnp.float32
             )  # [N, S]
-            # u[b, j] = M[t_b, j]; per cluster: A_j = Σ u², C_j[p] = Σ u·s[p]
-            u = mods[tab]  # [N, 4]
-            a_kj = jnp.dot(
-                onehot_s.T, u**2, preferred_element_type=jnp.float32
-            )  # [S, 4]
-            # C[k, p, j] = Σ_b onehot[b,k]·u[b,j]·s[b,p]
-            us = u[:, None, :] * s[:, :, None]  # [N, 16, 4]
             c_kpj = jnp.einsum(
-                "bk,bpj->kpj", onehot_s, us, preferred_element_type=jnp.float32
+                "bk,bpj->kpj", onehot_s, ce, preferred_element_type=jnp.float32
             )  # [S, 16, 4]
-            err = 3.0 * a_kj[:, None, :] - 2.0 * c_kpj  # [S, 16, 4]
-            return jnp.argmin(err, axis=-1).astype(jnp.int32)  # [S, 16]
+            return jnp.argmin(c_kpj, axis=-1).astype(jnp.int32)  # [S, 16]
 
         sel_cb = ideal_sel[:: max(1, n // num_selectors)][:num_selectors]
         sel_assign = sel_exact_assign(sel_cb)
