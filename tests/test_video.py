@@ -141,3 +141,94 @@ def test_facade_v1_with_mp4_texture():
             shown.append(r.frame)
         vc.advance(1 / 30)
     assert ended and len(shown) >= n - 2
+
+
+def test_mp4_reader_multi_chunk():
+    """The reader must walk stsc runs over multiple chunks (externally
+    produced MP4s split samples across chunks; our writer uses one)."""
+    import struct
+
+    from uvol_tpu.containers import mp4 as M
+
+    samples = [bytes([i]) * (20 + i) for i in range(5)]
+    # chunks: [s0, s1], [s2, s3], [s4] -> stsc runs (1,2),(3,1)... ISO rules:
+    # run1: first_chunk 1, 2 samples; run2: first_chunk 3, 1 sample
+    chunk_data = [b"".join(samples[0:2]), b"".join(samples[2:4]), samples[4]]
+    ftyp = M._box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mdat = M._box(b"mdat", b"".join(chunk_data))
+    offs = []
+    pos = len(ftyp) + 8
+    for c in chunk_data:
+        offs.append(pos)
+        pos += len(c)
+    ts = 90000
+    stsd = M._full_box(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1)
+        + M._box(
+            b"jpeg",
+            b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+            + struct.pack(">HH", 64, 48) + b"\x00" * 50,
+        ),
+    )
+    stts = M._full_box(b"stts", 0, 0, struct.pack(">III", 1, 5, 3000))
+    stsc = M._full_box(
+        b"stsc", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)
+        + struct.pack(">III", 3, 1, 1),
+    )
+    stsz = M._full_box(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, 5)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = M._full_box(
+        b"stco", 0, 0,
+        struct.pack(">I", 3) + b"".join(struct.pack(">I", o) for o in offs),
+    )
+    stbl = M._box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = M._box(b"minf", M._full_box(b"vmhd", 0, 1, b"\x00" * 8) + stbl)
+    hdlr = M._full_box(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    mdhd = M._full_box(
+        b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, ts, 15000) + b"\x00" * 4
+    )
+    mdia = M._box(b"mdia", mdhd + hdlr + minf)
+    trak = M._box(b"trak", M._full_box(b"tkhd", 0, 7, b"\x00" * 80) + mdia)
+    moov = M._box(b"moov", trak)
+    t = M.read_mp4_video(ftyp + mdat + moov)
+    assert t.samples == samples
+    assert abs(t.fps - 30.0) < 1e-6
+
+
+def test_v2_audio_clock_priority():
+    """An audio object's currentTime drives V2 playback (the reference
+    prefers audio.currentTime over the wall clock, src/V2/player.ts:411)."""
+    import json
+
+    from uvol_tpu.interfaces import parse_manifest
+    from uvol_tpu.player.clock import PlaybackClock, VirtualClock
+    from uvol_tpu.player.v2 import V2Player
+    from tests.test_player import _make_v2_player, _manifest_dict
+
+    class Audio:
+        current_time = 0.0
+        ended = False
+        paused = False
+        played = []
+
+        def play(self):
+            Audio.played.append(1)
+
+    vc = VirtualClock()  # wall clock frozen: only audio advances
+    log = []
+    p = _make_v2_player(vc, log)
+    audio = Audio()
+    p.audio = audio
+    m = parse_manifest(_manifest_dict())
+    p.play_track(m, "/data/liam.uvol.json")
+    assert Audio.played  # play_track starts the audio element
+    r0 = p.update()
+    audio.current_time = 1.0  # jump one second by AUDIO time only
+    r1 = p.update()
+    assert r1.geometry_frame is not None and r1.geometry_frame >= 29
