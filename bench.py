@@ -169,6 +169,46 @@ def main() -> None:
         liam_fps_pool = 3 * len(frames_bin) / (time.perf_counter() - t0)
         pool.close()
 
+    # ---- full-player playback of the real corpus -----------------------------
+    # facade -> V2 interval prefetch -> native Draco decode -> BasisLZ
+    # transcode (compressed ETC1 target), 60 frames on a virtual clock
+    playback_fps = None
+    liam_root = "/root/reference/example/public/liam"
+    if os.path.isdir(os.path.join(liam_root, "output")):
+        from uvol_tpu.containers.manifest import manifest_for_directory
+        from uvol_tpu.player.clock import PlaybackClock, VirtualClock
+        from uvol_tpu.player.facade import Player as FacadePlayer
+        from uvol_tpu.interfaces import PlayMode
+
+        manifest = manifest_for_directory(os.path.join(liam_root, "output"))
+        files = {"/liam.uvol.json": json.dumps(manifest).encode()}
+
+        def _fetch(url):
+            if url in files:
+                return files[url]
+            return open(os.path.join(liam_root, url.lstrip("/")), "rb").read()
+
+        vc = VirtualClock()
+        fp = FacadePlayer(
+            paths=["/liam.uvol.json"],
+            fetcher=_fetch,
+            play_mode=PlayMode.unmanaged,
+            on_track_end=lambda: None,
+            v2_player_kwargs={"clock": PlaybackClock(now=vc)},
+        )
+        t0 = time.perf_counter()
+        fp.set_track_path("/liam.uvol.json")
+        shown, last = 0, -1
+        while shown < 60:
+            rr = fp.update()
+            if rr is None:
+                break
+            if rr.status == "ok" and rr.geometry_frame != last:
+                shown += 1
+                last = rr.geometry_frame
+            vc.advance(1 / 30)
+        playback_fps = shown / (time.perf_counter() - t0)
+
     # ---- 8 concurrent streams (BASELINE "8 streams ≥10× real-time") ----------
     # pure data parallelism over the stream×frame axes: one batched program
     # encodes+decodes geometry for all 8 liam-scale streams; host entropy
@@ -254,6 +294,9 @@ def main() -> None:
                     "streams8_geometry_fps_per_stream": round(per_stream_fps, 1),
                     "streams8_realtime_multiple": round(per_stream_fps / 30.0, 2),
                     "streams8_ringbuffer_total_fps": round(streamed_fps, 1),
+                    "liam_full_player_playback_fps": (
+                        round(playback_fps, 1) if playback_fps else None
+                    ),
                     "liam_draco_decode_fps": (
                         round(liam_fps, 1) if liam_fps else None
                     ),
