@@ -73,6 +73,11 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
 
     def core(dev_blocks_u8):  # [N, 16, 3] uint8 (f32 cast on device: the
         # uint8 upload is 4x smaller over the host<->device link)
+        # NOTE: all error matmuls below run at float32 matmul precision —
+        # the operands (pixel sums up to 4080, effective modifiers up to
+        # ±438) need more than bf16's 8 mantissa bits, and the error terms
+        # cancel pairs of ~3e6-magnitude products, so default-precision MXU
+        # noise would swamp real block-error differences.
         dev_blocks = dev_blocks_u8.astype(jnp.float32)
         n = dev_blocks.shape[0]
         means = jnp.mean(dev_blocks, axis=1)  # [N, 3]
@@ -121,7 +126,9 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
                     - base_b[:, None, :]
                 )  # [N, 4, 3]
                 ce = jnp.sum(me**2, -1)[:, None, :] - 2.0 * jnp.einsum(
-                    "bpc,bjc->bpj", d, me, preferred_element_type=jnp.float32
+                    "bpc,bjc->bpj", d, me,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )  # [N, 16, 4]
                 err_cols.append(jnp.sum(jnp.min(ce, axis=-1), axis=1))
             err_bt = jnp.stack(err_cols, axis=1)  # [N, 8]
@@ -144,7 +151,8 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
 
         def exact_assign(basef, inten_idx):
             color_cross = jnp.dot(
-                p_sum, basef.T, preferred_element_type=jnp.float32
+                p_sum, basef.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [N, E]
             base_sq = 16.0 * jnp.sum(basef**2, axis=1)  # [E]
             # clip-aware effective modifiers per endpoint/code/channel
@@ -155,7 +163,9 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
                 - basef[:, None, :]
             )  # [E, 4, 3]
             q_ej = 2.0 * jnp.einsum(
-                "ec,ejc->ej", basef, me_e, preferred_element_type=jnp.float32
+                "ec,ejc->ej", basef, me_e,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             ) + jnp.sum(me_e**2, -1)  # [E, 4]
             me_p = jnp.pad(me_e, ((0, e_pad - num_endpoints), (0, 0), (0, 0)))
             q_p = jnp.pad(q_ej, ((0, e_pad - num_endpoints), (0, 0)))
@@ -165,6 +175,7 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
                 p_cross = jnp.einsum(
                     "npc,kjc->npkj", dev_blocks, me_c,
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )  # [N, 16, C, 4] — MXU matmul over channels
                 cand = q_c[None, None] - 2.0 * p_cross
                 return carry, jnp.sum(jnp.min(cand, axis=-1), axis=1)  # [N, C]
@@ -202,7 +213,9 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             )  # [N, 4, 3]
             d = dev_blocks - base_b[:, None, :]  # [N, 16, 3]
             ce = jnp.sum(me_b**2, -1)[:, None, :] - 2.0 * jnp.einsum(
-                "bpc,bjc->bpj", d, me_b, preferred_element_type=jnp.float32
+                "bpc,bjc->bpj", d, me_b,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # [N, 16, 4]
             return ce, me_b
 
