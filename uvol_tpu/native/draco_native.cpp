@@ -5,6 +5,7 @@
 // liam corpus); Python keeps stream parsing and orchestration, C++ runs the
 // O(N) inner loops. Build: g++ -O3 -shared -fPIC (see native/__init__.py).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -621,20 +622,21 @@ inline int64_t tdiv64(i128 a, i128 b) {
 }
 
 inline u128 isqrt128(u128 x) {
-  // exact floor sqrt, digit-by-digit (matches Python math.isqrt)
-  u128 res = 0;
-  u128 bit = (u128)1 << 126;
-  while (bit > x) bit >>= 2;
-  while (bit) {
-    if (x >= res + bit) {
-      x -= res + bit;
-      res = (res >> 1) + bit;
-    } else {
-      res >>= 1;
-    }
-    bit >>= 2;
-  }
-  return res;
+  // exact floor sqrt (matches Python math.isqrt): long-double estimate,
+  // then integer correction — ~10x the digit-by-digit loop this replaces
+  if (x == 0) return 0;
+  const u128 U64MAX = (u128)0xFFFFFFFFFFFFFFFFull;
+  long double xf =
+      (long double)(uint64_t)(x >> 64) * 18446744073709551616.0L +
+      (long double)(uint64_t)x;
+  long double sf = sqrtl(xf);
+  u128 s = sf >= 18446744073709551615.0L
+               ? U64MAX
+               : (u128)(unsigned long long)sf;
+  // the estimate is within a few ulps; correct to exact floor
+  while (s > 0 && s * s > x) s--;
+  while (s < U64MAX && (s + 1) * (s + 1) <= x) s++;
+  return s;
 }
 }  // namespace
 
