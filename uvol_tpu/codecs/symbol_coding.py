@@ -63,7 +63,14 @@ def _decode_tagged(num_values: int, num_components: int, buf: DecoderBuffer) -> 
 
 def _decode_raw(num_values: int, buf: DecoderBuffer) -> np.ndarray:
     max_bit_length = buf.u8()
-    decoder = RansSymbolDecoder(buf, rans_precision_bits(max_bit_length))
+    pb = rans_precision_bits(max_bit_length)
+    from uvol_tpu import native
+
+    res = native.rans_stream_decode(buf.data, buf.end, buf.pos, pb, num_values)
+    if res is not None:
+        out, buf.pos = res
+        return out
+    decoder = RansSymbolDecoder(buf, pb)
     return decoder.decode_all(num_values)
 
 

@@ -1106,3 +1106,25 @@ def eb_traverse_native(vertex, opposite, hole_of, num_faces, num_vertices,
         (s_src[:nsp], s_id[:nsp], s_edge[:nsp]),
         initc[:ni], starts[:ni], int(cnt[4]),
     )
+
+
+def rans_stream_decode(data, end: int, pos: int, precision_bits: int, n: int):
+    """Parse + decode a whole Draco rANS symbol section in one call.
+    Returns (symbols uint32[n], new_pos) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_uvt_rsd_bound"):
+        c = ctypes
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.uvt_rans_stream_decode.argtypes = [
+            u8p, c.c_int64, c.c_int64, c.c_int, c.c_int64, u32p]
+        lib.uvt_rans_stream_decode.restype = c.c_int64
+        lib._uvt_rsd_bound = True
+    d = data if isinstance(data, np.ndarray) else np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.uint32)
+    new_pos = lib.uvt_rans_stream_decode(d, end, pos, precision_bits, n, out)
+    if new_pos < 0:
+        return None
+    return out, int(new_pos)

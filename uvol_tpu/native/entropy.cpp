@@ -160,3 +160,58 @@ int uvt_tunstall_expand(const uint8_t* words, const int32_t* index,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// One-call Draco rANS symbol stream decode: varint num_symbols, token-coded
+// probability table, varint payload size, rANS bytes. Replaces the Python
+// header parse + LUT build + per-call glue (codecs/rans.py
+// RansSymbolDecoder + decode_probability_table).
+// Returns the new buffer position, or -1 on malformed input.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t uvt_rans_stream_decode(
+    const uint8_t* data, int64_t end, int64_t pos,
+    int precision_bits, int64_t n, uint32_t* out) {
+    auto varint = [&](int64_t* p) -> uint64_t {
+        uint64_t result = 0;
+        int shift = 0;
+        while (*p < end) {
+            uint8_t b = data[(*p)++];
+            result |= (uint64_t)(b & 0x7F) << shift;
+            if (!(b & 0x80)) return result;
+            shift += 7;
+        }
+        return (uint64_t)-1;
+    };
+
+    int64_t num_symbols = (int64_t)varint(&pos);
+    if (num_symbols < 0 || pos >= end) return -1;
+    std::vector<uint32_t> probs(num_symbols, 0);
+    int64_t i = 0;
+    while (i < num_symbols) {
+        if (pos >= end) return -1;
+        uint8_t d = data[pos++];
+        int token = d & 3;
+        if (token == 3) {
+            i += (d >> 2) + 1;
+            continue;
+        }
+        uint32_t p = d >> 2;
+        for (int b = 1; b <= token; b++) {
+            if (pos >= end) return -1;
+            p |= (uint32_t)data[pos++] << (8 * b - 2);
+        }
+        probs[i++] = p;
+    }
+    const uint32_t precision = 1u << precision_bits;
+    uint64_t total = 0;
+    for (int64_t s = 0; s < num_symbols; s++) total += probs[s];
+    if (total != precision) return -1;
+
+    uint64_t size = varint(&pos);
+    if (size == (uint64_t)-1 || pos + (int64_t)size > end) return -1;
+    int rc = uvt_rans_decode(probs.data(), (int)num_symbols, precision_bits,
+                             data + pos, (int)size, out, (int)n);
+    if (rc != 0) return -1;
+    return pos + (int64_t)size;
+}
