@@ -104,8 +104,8 @@ def _encode_raw(symbols: np.ndarray, out: EncoderBuffer) -> None:
     max_bit_length = max(1, max_value.bit_length())
     out.u8(max_bit_length)
     counts = np.bincount(symbols, minlength=max_value + 1)
-    encoder = RansSymbolEncoder(counts.tolist(), rans_precision_bits(max_bit_length))
-    encoder.encode_all(symbols.tolist(), out)
+    encoder = RansSymbolEncoder(counts, rans_precision_bits(max_bit_length))
+    encoder.encode_all(symbols, out)
 
 
 def _encode_tagged(symbols: np.ndarray, num_components: int, out: EncoderBuffer) -> None:
@@ -116,8 +116,8 @@ def _encode_tagged(symbols: np.ndarray, num_components: int, out: EncoderBuffer)
     for i, row in enumerate(values):
         bit_lengths[i] = max(1, int(row.max()).bit_length()) if row.max() else 0
     counts = np.bincount(bit_lengths, minlength=MAX_TAG_SYMBOL_BIT_LENGTH + 1)
-    tag_encoder = RansSymbolEncoder(counts.tolist(), rans_precision_bits(5))
-    tag_encoder.encode_all(bit_lengths.tolist(), out)
+    tag_encoder = RansSymbolEncoder(counts, rans_precision_bits(5))
+    tag_encoder.encode_all(bit_lengths, out)
     out.start_bit_encoding()
     for i, row in enumerate(values):
         bl = int(bit_lengths[i])
