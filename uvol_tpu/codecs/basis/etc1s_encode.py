@@ -88,9 +88,43 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
         contrast = jnp.std(s_pix, axis=1) / 3.0  # [N]
         feats = jnp.concatenate([means, contrast[:, None]], axis=1)  # [N,4]
 
-        # ---- endpoint k-means on (mean, contrast) features (MXU) -------------
-        stride = max(1, n // num_endpoints)
-        cb = feats[::stride][:num_endpoints]
+        # ---- endpoint clustering on (mean, contrast) features ----------------
+        # init: hierarchical bisection (the shape of basisu's top-down
+        # clusterizer, TPU-expressed): repeatedly split every cluster along
+        # its highest-variance feature at the cluster mean — all
+        # segment-sums, no [N, K] one-hots — then Lloyd-refine on the MXU.
+        def hierarchical_init(e_target):
+            import math
+
+            rounds = max(1, math.ceil(math.log2(e_target)))
+            assign_h = jnp.zeros(n, jnp.int32)
+            ones = jnp.ones((n,), jnp.float32)
+            k = 1
+            for _ in range(rounds):
+                cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
+                sm = jax.ops.segment_sum(feats, assign_h, num_segments=k)
+                sq = jax.ops.segment_sum(feats**2, assign_h, num_segments=k)
+                mean = sm / jnp.maximum(cnt, 1.0)[:, None]
+                var = sq / jnp.maximum(cnt, 1.0)[:, None] - mean**2
+                dim = jnp.argmax(var, axis=1)  # [k] split dimension
+                thr = jnp.take_along_axis(mean, dim[:, None], 1)[:, 0]
+                f_sel = jnp.take_along_axis(
+                    feats, dim[assign_h][:, None], 1
+                )[:, 0]
+                assign_h = assign_h * 2 + (
+                    f_sel > thr[assign_h]
+                ).astype(jnp.int32)
+                k *= 2
+            cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
+            sm = jax.ops.segment_sum(feats, assign_h, num_segments=k)
+            mean = sm / jnp.maximum(cnt, 1.0)[:, None]
+            order = jnp.argsort(-cnt)[:e_target]  # heaviest leaves
+            cb0 = mean[order]
+            good = cnt[order] > 0
+            spread = feats[:: max(1, n // e_target)][:e_target]
+            return jnp.where(good[:, None], cb0, spread)
+
+        cb = hierarchical_init(num_endpoints)
         for _ in range(kmeans_iters):
             cb, _ = kmeans_update(feats, cb)
         base5 = jnp.clip(
