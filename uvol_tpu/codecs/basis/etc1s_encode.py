@@ -310,7 +310,41 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             )  # [S, 16, 4]
             return jnp.argmin(c_kpj, axis=-1).astype(jnp.int32)  # [S, 16]
 
-        sel_cb = ideal_sel[:: max(1, n // num_selectors)][:num_selectors]
+        # selector codebook init: same hierarchical bisection, over the
+        # ideal per-pixel code patterns (16-D in {0..3})
+        def sel_hierarchical_init(s_target):
+            import math
+
+            rounds = max(1, math.ceil(math.log2(s_target)))
+            featsS = ideal_sel.astype(jnp.float32)  # [N, 16]
+            assign_h = jnp.zeros(n, jnp.int32)
+            ones = jnp.ones((n,), jnp.float32)
+            k = 1
+            for _ in range(rounds):
+                cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
+                sm = jax.ops.segment_sum(featsS, assign_h, num_segments=k)
+                sq = jax.ops.segment_sum(featsS**2, assign_h, num_segments=k)
+                mean = sm / jnp.maximum(cnt, 1.0)[:, None]
+                var = sq / jnp.maximum(cnt, 1.0)[:, None] - mean**2
+                dim = jnp.argmax(var, axis=1)
+                thr = jnp.take_along_axis(mean, dim[:, None], 1)[:, 0]
+                f_sel = jnp.take_along_axis(
+                    featsS, dim[assign_h][:, None], 1
+                )[:, 0]
+                assign_h = assign_h * 2 + (
+                    f_sel > thr[assign_h]
+                ).astype(jnp.int32)
+                k *= 2
+            cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
+            sm = jax.ops.segment_sum(featsS, assign_h, num_segments=k)
+            mean = sm / jnp.maximum(cnt, 1.0)[:, None]
+            order = jnp.argsort(-cnt)[:s_target]
+            cb0 = jnp.clip(jnp.round(mean[order]), 0, 3).astype(jnp.int32)
+            good = cnt[order] > 0
+            spread = ideal_sel[:: max(1, n // s_target)][:s_target]
+            return jnp.where(good[:, None], cb0, spread)
+
+        sel_cb = sel_hierarchical_init(num_selectors)
         sel_assign = sel_exact_assign(sel_cb)
         for _ in range(max(2, kmeans_iters // 2)):
             sel_cb = sel_update(sel_assign)
