@@ -349,6 +349,73 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
         for _ in range(max(2, kmeans_iters // 2)):
             sel_cb = sel_update(sel_assign)
             sel_assign = sel_exact_assign(sel_cb)
+
+        # ---- joint refinement: pair-accurate endpoint re-assignment ----------
+        # With each block's CODEBOOK selector fixed, the exact error against
+        # every endpoint collapses into two MXU matmuls:
+        #   err[b,e] = Σd² + Σ_j cnt[b,j]·q[e,j] − 2·Σ_j G[b,j,:]·me[e,j,:]
+        # where G sums block pixels by their selector code. Then re-pick the
+        # selector under the new endpoint; one alternation converges most of
+        # the way (basisu iterates its codebooks similarly).
+        basef = base.astype(jnp.float32)
+        me_e = (
+            jnp.clip(basef[:, None, :] + mods[inten][:, :, None], 0.0, 255.0)
+            - basef[:, None, :]
+        )  # [E, 4, 3]
+        q_ej = 2.0 * jnp.einsum(
+            "ec,ejc->ej", basef, me_e,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + jnp.sum(me_e**2, -1)  # [E, 4]
+        base_sq = 16.0 * jnp.sum(basef**2, axis=1)
+        codes_b = sel_cb[sel_assign]  # [N, 16]
+        oh_codes = jax.nn.one_hot(codes_b, 4, dtype=jnp.float32)  # [N,16,4]
+        g_bjc = jnp.einsum(
+            "bpc,bpj->bjc", dev_blocks, oh_codes,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [N, 4, 3]
+        cnt_bj = jnp.sum(oh_codes, axis=1)  # [N, 4]
+
+        # chunk over blocks: the [N, E] error tile stays ~200 MB
+        bchunk = 32768
+        n_b = (n + bchunk - 1) // bchunk
+        pad_b = n_b * bchunk - n
+
+        def _pad0(a):
+            return jnp.pad(a, ((0, pad_b),) + ((0, 0),) * (a.ndim - 1))
+
+        def pair_chunk(xs):
+            g_c, cnt_c, psq_c, psum_c = xs
+            p2 = jnp.einsum(
+                "bjc,ejc->be", g_c, me_e,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            q2 = jnp.dot(
+                cnt_c, q_ej.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            cross = jnp.dot(
+                psum_c, basef.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            err = psq_c[:, None] - 2.0 * cross + base_sq[None] + q2 - 2.0 * p2
+            return jnp.argmin(err, axis=1).astype(jnp.int32)
+
+        assign = jax.lax.map(
+            pair_chunk,
+            (
+                _pad0(g_bjc).reshape(n_b, bchunk, 4, 3),
+                _pad0(cnt_bj).reshape(n_b, bchunk, 4),
+                _pad0(p_sq).reshape(n_b, bchunk),
+                _pad0(p_sum).reshape(n_b, bchunk, 3),
+            ),
+        ).reshape(-1)[:n]
+        # selector re-pick under the refined endpoints
+        ce, _ = block_ce(basef, inten, assign)
+        sel_assign = sel_exact_assign(sel_cb)
+
         return base5, inten, sel_cb, assign, sel_assign
 
     return jax.jit(core)
