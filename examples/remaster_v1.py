@@ -61,7 +61,14 @@ def main() -> int:
         m = decode_drc(drc)
         pos = m.point_attribute(K.ATT_POSITION)
         uv = m.point_attribute(K.ATT_TEX_COORD)
-        crt = encode_crt(pos, m.faces, uvs=uv)
+        # match the source's quantization (draco qp11/qt10) so the size
+        # comparison is apples-to-apples
+        diag = float(np.linalg.norm(pos.max(0) - pos.min(0)))
+        crt = encode_crt(
+            pos, m.faces, uvs=uv,
+            position_step=(diag if diag > 0 else 1.0) / (1 << 11),
+            uv_step=1.0 / 1024,
+        )
         w.add_frame(crt, vertices=m.num_points, faces=len(m.faces))
         total_drc += len(drc)
         total_crt += len(crt)
