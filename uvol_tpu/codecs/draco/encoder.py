@@ -537,6 +537,7 @@ class _TexCoordsPortableEncoder:
         corr = np.zeros_like(values)
         vertex = self.view.vertex
         v2d = self.vertex_to_data
+        self._wrap = wrap  # orientation choice needs the modular-cost view
         out = values  # predictions read already-"decoded" (== true) values
         for p in range(n):
             ci = int(data_to_corner[p])
@@ -582,9 +583,21 @@ class _TexCoordsPortableEncoder:
                 pu_f = tdiv(x_uv[0] - pn_uv_perp[0] * norm_sq, pn_norm2)
                 pv_f = tdiv(x_uv[1] - pn_uv_perp[1] * norm_sq, pn_norm2)
                 true_uv = out[p]
-                err_t = abs(int(true_uv[0]) - pu_t) + abs(int(true_uv[1]) - pv_t)
-                err_f = abs(int(true_uv[0]) - pu_f) + abs(int(true_uv[1]) - pv_f)
-                orientation = err_t <= err_f
+                # corrections are coded as POSITIVE MODULAR symbols: compare
+                # the bit cost of the modular symbols, not |error| (a small
+                # negative error is an expensive near-`dif` symbol)
+                w = self._wrap
+                dif = w.max_dif
+
+                def _cost(pu, pv):
+                    su = (int(true_uv[0]) - min(max(pu, w.min_value), w.max_value)) % dif
+                    sv = (int(true_uv[1]) - min(max(pv, w.min_value), w.max_value)) % dif
+                    return su.bit_length() + sv.bit_length()
+
+                err_t = _cost(pu_t, pv_t)
+                err_f = _cost(pu_f, pv_f)
+                # ties to the minus branch (see draco_native.cpp note)
+                orientation = err_t < err_f
                 self.orientations.append(orientation)
                 if orientation:
                     return np.array([pu_t, pv_t], np.int64)
@@ -596,6 +609,14 @@ class _TexCoordsPortableEncoder:
         return out[p - 1].copy() if p > 0 else np.zeros(2, np.int64)
 
     def write_orientations(self, out: EncoderBuffer) -> None:
+        # the decoder defaults to orientation=true once the stored list is
+        # exhausted (consumed from the end), so a trailing run of trues in
+        # prediction order need not be stored at all — draco's own streams
+        # store zero orientations on consistently-wound meshes
+        orients = list(self.orientations)
+        while orients and orients[-1]:
+            orients.pop()
+        self.orientations = orients
         out.raw(np.asarray([len(self.orientations)], "<i4").tobytes())
         enc = RansBitEncoder()
         # decoder consumes by pop() from the end, delta-coded from last=True

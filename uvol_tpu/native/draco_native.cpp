@@ -1144,11 +1144,24 @@ int64_t uvt_texcoords_encode(
           int64_t pu_f = tdiv64(x_uv[0] - (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
           int64_t pv_f = tdiv64(x_uv[1] - (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
           const int64_t* tv = values + p * 2;
-          int64_t err_t = (tv[0] > pu_t ? tv[0] - pu_t : pu_t - tv[0]) +
-                          (tv[1] > pv_t ? tv[1] - pv_t : pv_t - tv[1]);
-          int64_t err_f = (tv[0] > pu_f ? tv[0] - pu_f : pu_f - tv[0]) +
-                          (tv[1] > pv_f ? tv[1] - pv_f : pv_f - tv[1]);
-          int orientation = err_t <= err_f ? 1 : 0;
+          // corrections are coded as POSITIVE MODULAR symbols, so a small
+          // NEGATIVE error is an expensive near-`dif` symbol: compare the
+          // bit cost of the modular symbols, not the absolute error (ties
+          // favor orientation=true, which delta-codes to ~zero bits)
+          auto sym_cost = [&](int64_t pu, int64_t pv) -> int64_t {
+            int64_t su = pos_mod(tv[0], pu);
+            int64_t sv = pos_mod(tv[1], pv);
+            int64_t c = 0;
+            while (su) { su >>= 1; c++; }
+            while (sv) { sv >>= 1; c++; }
+            return c;
+          };
+          int64_t err_t = sym_cost(pu_t, pv_t);
+          int64_t err_f = sym_cost(pu_f, pv_f);
+          // ties go to the minus branch: it is the one draco's own encoder
+          // effectively uses (its streams decode with that prediction), so
+          // the orientation bit stream stays near-constant
+          int orientation = err_t < err_f ? 1 : 0;
           orientations[n_orients++] = (uint8_t)orientation;
           if (orientation) {
             pred[0] = pu_t;
