@@ -315,3 +315,29 @@ def test_liam_reencode_roundtrip(liam_output):
     assert nrm_max == 0.0, nrm_max  # oct re-quantization is lossless
     assert gen_max == 0
     assert uv_max < 3e-7, uv_max  # 1-ulp dequant rounding from re-derived range
+
+
+def test_reencode_size_near_draco(liam_output):
+    """Re-encoding a real frame must stay within a few percent of
+    draco_encoder's own output size (locks the UV-orientation and
+    symbol-coding rate work; round 2 reached 1.02-1.03x)."""
+    import uvol_tpu.codecs.draco.decoder as D
+    from uvol_tpu.codecs.draco import constants as K
+
+    data = (liam_output / "geometry_draco" / "00000.drc").read_bytes()
+    m = D.decode_drc(data)
+    atts = []
+    for t, bits in ((K.ATT_POSITION, 11), (K.ATT_TEX_COORD, 10),
+                    (K.ATT_NORMAL, 8)):
+        a = m.attribute_by_type(t)
+        if a is not None:
+            atts.append(AttributeToEncode(t, a.values, a.corner_to_value, bits))
+    g = m.attribute_by_type(K.ATT_GENERIC)
+    if g is not None:
+        atts.append(
+            AttributeToEncode(
+                K.ATT_GENERIC, g.values, g.corner_to_value, integer=True
+            )
+        )
+    blob = encode_drc(atts[0].corner_to_value.reshape(-1, 3), atts)
+    assert len(blob) <= len(data) * 1.06, (len(blob), len(data))
