@@ -133,8 +133,8 @@ def test_etc1s_reencode_liam_segment(liam_output):
 
     The input frames are themselves ETC1S output, i.e. exactly
     representable with palettes of this size — so PSNR here directly
-    measures palette-construction quality (measured 35.7 dB; basisu's own
-    two slices are 119 KB vs our ~155 KB)."""
+    measures palette-construction quality (round-2 final: >40 dB with
+    hierarchical-bisection palettes + clip-aware errors; was 35.7 dB)."""
     path = (
         liam_output
         / "texture_ktx2-fps30-1k_baseColor_default"
@@ -147,5 +147,5 @@ def test_etc1s_reencode_liam_segment(liam_output):
     out = transcode_ktx2_etc1s(read_ktx2(blob))
     mse = ((out.astype(float) - ref.astype(float)) ** 2).mean()
     psnr = 10 * np.log10(255**2 / mse)
-    assert psnr > 32.0, psnr
-    assert len(blob) < 2 * 119_000  # within 2x of basisu's slice bytes
+    assert psnr > 40.0, psnr  # locks the palette-quality work
+    assert len(blob) < 1.5 * 119_000  # near basisu's own slice bytes
