@@ -155,6 +155,25 @@ def decode_endpoints(data: bytes, num_endpoints: int) -> List[Endpoint]:
     inten_model = read_huffman_table(br)
     grayscale = br.get_bits(1)
 
+    from uvol_tpu import native as uvt_native
+
+    luts = (
+        None if color5_model0 is None else color5_model0.flat_lut(),
+        None if color5_model1 is None else color5_model1.flat_lut(),
+        None if color5_model2 is None else color5_model2.flat_lut(),
+        None if inten_model is None else inten_model.flat_lut(),
+    )
+    if all(l is not None for l in luts) and uvt_native.get_etc1s_lib():
+        res = uvt_native.etc1s_palette_endpoints_native(
+            data, br.bit_pos, num_endpoints, grayscale, luts
+        )
+        if res is not None:
+            color5, inten, _pos = res
+            return [
+                Endpoint(int(inten[i]), tuple(int(c) for c in color5[i]))
+                for i in range(num_endpoints)
+            ]
+
     endpoints = []
     prev_color5 = [16, 16, 16]
     prev_inten = 0
@@ -200,6 +219,18 @@ def decode_selectors(data: bytes, num_selectors: int) -> np.ndarray:
                     out[i, y, x] = (byte >> (2 * x)) & 3
         return out
     delta_model = read_huffman_table(br)
+
+    from uvol_tpu import native as uvt_native
+
+    lut = None if delta_model is None else delta_model.flat_lut()
+    if lut is not None and uvt_native.get_etc1s_lib():
+        res = uvt_native.etc1s_palette_selectors_native(
+            data, br.bit_pos, num_selectors, lut
+        )
+        if res is not None:
+            codes, _pos = res
+            return codes.reshape(num_selectors, 4, 4)
+
     prev_bytes = [0, 0, 0, 0]
     for i in range(num_selectors):
         for y in range(4):

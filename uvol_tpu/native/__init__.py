@@ -1128,3 +1128,58 @@ def rans_stream_decode(data, end: int, pos: int, precision_bits: int, n: int):
     if new_pos < 0:
         return None
     return out, int(new_pos)
+
+
+def _bind_etc1s_palette(lib) -> None:
+    if hasattr(lib, "_uvt_pal_bound"):
+        return
+    c = ctypes
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.uvt_etc1s_palette_endpoints.argtypes = [
+        u8p, c.c_int64, c.c_int64, c.c_int64, c.c_int,
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, u8p, u8p]
+    lib.uvt_etc1s_palette_endpoints.restype = c.c_int64
+    lib.uvt_etc1s_palette_selectors.argtypes = [
+        u8p, c.c_int64, c.c_int64, c.c_int64, c.c_void_p, u8p]
+    lib.uvt_etc1s_palette_selectors.restype = c.c_int64
+    lib._uvt_pal_bound = True
+
+
+def etc1s_palette_endpoints_native(
+    data, bit_pos, num_endpoints, grayscale, luts
+):
+    """Native endpoint palette loop. luts: (model0, model1, model2, inten)
+    flat 16-bit Huffman LUTs. Returns (color5 [E,3], inten [E], new_bit_pos)
+    or None."""
+    lib = get_etc1s_lib()
+    if lib is None:
+        return None
+    _bind_etc1s_palette(lib)
+    d = np.frombuffer(bytes(data), np.uint8)
+    color5 = np.empty((num_endpoints, 3), np.uint8)
+    inten = np.empty(num_endpoints, np.uint8)
+    pos = lib.uvt_etc1s_palette_endpoints(
+        d, len(d), bit_pos, num_endpoints, int(grayscale),
+        _vp(luts[0]), _vp(luts[1]), _vp(luts[2]), _vp(luts[3]),
+        color5, inten,
+    )
+    if pos < 0:
+        return None
+    return color5, inten, int(pos)
+
+
+def etc1s_palette_selectors_native(data, bit_pos, num_selectors, lut):
+    """Native selector palette loop. Returns ([S,16] codes, new_bit_pos)
+    or None."""
+    lib = get_etc1s_lib()
+    if lib is None:
+        return None
+    _bind_etc1s_palette(lib)
+    d = np.frombuffer(bytes(data), np.uint8)
+    out = np.empty((num_selectors, 16), np.uint8)
+    pos = lib.uvt_etc1s_palette_selectors(
+        d, len(d), bit_pos, num_selectors, _vp(lut), out
+    )
+    if pos < 0:
+        return None
+    return out, int(pos)

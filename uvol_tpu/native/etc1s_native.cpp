@@ -389,3 +389,69 @@ extern "C" int64_t uvt_etc1s_slice_decode(
     }
     return bad ? -1 : br.pos;
 }
+
+// ---------------------------------------------------------------------------
+// Global palette decode loops (transcoder.py decode_endpoints /
+// decode_selectors tails). Huffman tables are parsed in Python; these are
+// the per-entry symbol loops, driven by 16-bit flat LUTs.
+// ---------------------------------------------------------------------------
+
+extern "C" int64_t uvt_etc1s_palette_endpoints(
+    const uint8_t* data, int64_t nbytes, int64_t bit_pos,
+    int64_t num_endpoints, int grayscale,
+    const uint32_t* lut0, const uint32_t* lut1, const uint32_t* lut2,
+    const uint32_t* lut_inten,
+    uint8_t* color5_out,  // [E, 3]
+    uint8_t* inten_out    // [E]
+) {
+    LsbBitReader br{data, nbytes};
+    br.pos = bit_pos;
+    int prev_color5[3] = {16, 16, 16};
+    int prev_inten = 0;
+    const int pal0_hi = 9, pal1_hi = 21;  // COLOR5_PAL{0,1}_PREV_HI
+    for (int64_t i = 0; i < num_endpoints; i++) {
+        int d = br.decode(lut_inten);
+        if (d < 0) return -1;
+        prev_inten = (d + prev_inten) & 7;
+        inten_out[i] = (uint8_t)prev_inten;
+        int nchan = grayscale ? 1 : 3;
+        for (int c = 0; c < nchan; c++) {
+            int prev = prev_color5[c];
+            const uint32_t* lut =
+                prev <= pal0_hi ? lut0 : (prev <= pal1_hi ? lut1 : lut2);
+            int delta = br.decode(lut);
+            if (delta < 0) return -1;
+            int v = (prev + delta) & 31;
+            color5_out[i * 3 + c] = (uint8_t)v;
+            prev_color5[c] = v;
+        }
+        if (grayscale) {
+            color5_out[i * 3 + 1] = color5_out[i * 3];
+            color5_out[i * 3 + 2] = color5_out[i * 3];
+            prev_color5[1] = prev_color5[0];
+            prev_color5[2] = prev_color5[0];
+        }
+    }
+    return br.pos;
+}
+
+extern "C" int64_t uvt_etc1s_palette_selectors(
+    const uint8_t* data, int64_t nbytes, int64_t bit_pos,
+    int64_t num_selectors, const uint32_t* lut_delta,
+    uint8_t* out  // [S, 16] codes 0..3, row-major y*4+x
+) {
+    LsbBitReader br{data, nbytes};
+    br.pos = bit_pos;
+    int prev_bytes[4] = {0, 0, 0, 0};
+    for (int64_t i = 0; i < num_selectors; i++) {
+        for (int y = 0; y < 4; y++) {
+            int d = br.decode(lut_delta);
+            if (d < 0) return -1;
+            int byte = d ^ prev_bytes[y];
+            prev_bytes[y] = byte;
+            for (int x = 0; x < 4; x++)
+                out[i * 16 + y * 4 + x] = (uint8_t)((byte >> (2 * x)) & 3);
+        }
+    }
+    return br.pos;
+}
