@@ -466,30 +466,29 @@ def blocks_to_etc1_words(
     intensity table (what the native basis transcoder emits for
     ETC1/ETC2-capable devices, src/lib/KTX2Loader.js:591-697 table).
     """
+    # word1 depends only on the endpoint and word2 only on the selector,
+    # so build per-palette-entry tables once and gather (the per-block
+    # work is two index lookups instead of per-pixel bit packing)
     base5 = np.array([list(e.color5) for e in endpoints], np.uint32)  # [E,3]
     inten = np.array([e.inten5 for e in endpoints], np.uint32)
-    ep = blocks[..., 0].reshape(-1)
-    sel = blocks[..., 1].reshape(-1)
-    r5, g5, b5 = base5[ep, 0], base5[ep, 1], base5[ep, 2]
-    t = inten[ep]
-    word1 = (
-        (r5 << 27) | (g5 << 19) | (b5 << 11)
-        | (t << 5) | (t << 2) | (1 << 1)  # diff=1, flip=0
-    ).astype(np.uint32)
+    word1_of = (
+        (base5[:, 0] << 27) | (base5[:, 1] << 19) | (base5[:, 2] << 11)
+        | (inten << 5) | (inten << 2) | (1 << 1)  # diff=1, flip=0
+    ).astype(np.uint32)  # [E]
     # ETC1S selector s (ascending modifier [-L,-s,+s,+L]) → ETC1 pixel code
     # (msb=sign, lsb=magnitude): 0→(1,1) 1→(1,0) 2→(0,0) 3→(0,1)
     msb_of = np.array([1, 1, 0, 0], np.uint32)
     lsb_of = np.array([1, 0, 0, 1], np.uint32)
-    grid = selectors[sel]  # [N, 4, 4] (y, x)
     j = np.arange(16)
     y, x = j % 4, j // 4
-    codes = grid[:, y, x]  # [N, 16] in ETC1 column-major order j = x*4+y
-    lsb = lsb_of[codes]
-    msb = msb_of[codes]
-    word2 = (
-        (lsb << j[None, :]).sum(1) + (msb << (j[None, :] + 16)).sum(1)
-    ).astype(np.uint32)
-    return np.stack([word1, word2], axis=1)
+    codes = selectors[:, y, x]  # [S, 16] in ETC1 column-major order j=x*4+y
+    word2_of = (
+        (lsb_of[codes] << j[None, :]).sum(1)
+        + (msb_of[codes] << (j[None, :] + 16)).sum(1)
+    ).astype(np.uint32)  # [S]
+    ep = blocks[..., 0].reshape(-1)
+    sel = blocks[..., 1].reshape(-1)
+    return np.stack([word1_of[ep], word2_of[sel]], axis=1)
 
 
 #: transcode-target selection table — priorities and constraints per device
