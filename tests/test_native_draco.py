@@ -78,3 +78,38 @@ def test_decode_throughput_real_time(liam_output):
     ms = (time.perf_counter() - t0) / reps * 1000
     # single-thread bound: 4 pool workers at this speed clear 30 fps
     assert ms < 133, f"{ms:.1f} ms/frame"
+
+
+def test_whole_frame_orchestrator_parity(liam_output, monkeypatch):
+    """draco_frame.cpp one-call decode must be bit-identical to the staged
+    pipeline (values, dtypes, corner maps, point numbering) on real frames,
+    including a seam-heavy one."""
+    import uvol_tpu.codecs.draco.decoder as D
+
+    for name in ("00000.drc", "00123.drc", "00249.drc"):
+        data = (liam_output / "geometry_draco" / name).read_bytes()
+        m_fast = D._decode_drc_native(data)
+        assert m_fast is not None, "fast path rejected a liam frame"
+        m_staged = D._decode_drc(data)
+        assert m_fast.num_points == m_staged.num_points
+        np.testing.assert_array_equal(m_fast.faces, m_staged.faces)
+        np.testing.assert_array_equal(
+            m_fast._point_of_corner, m_staged._point_of_corner
+        )
+        assert len(m_fast.attributes) == len(m_staged.attributes)
+        for a, b in zip(m_fast.attributes, m_staged.attributes):
+            assert (a.attribute_type, a.data_type, a.num_components,
+                    a.normalized, a.unique_id) == (
+                b.attribute_type, b.data_type, b.num_components,
+                b.normalized, b.unique_id)
+            assert a.values.dtype == b.values.dtype
+            np.testing.assert_array_equal(a.values, b.values)
+            np.testing.assert_array_equal(a.corner_to_value, b.corner_to_value)
+
+
+def test_whole_frame_orchestrator_rejects_cleanly():
+    """Unsupported/garbage streams must return None (fallback), not crash."""
+    assert native.drc_decode_native(b"") is None
+    assert native.drc_decode_native(b"NOTDRACO" * 4) is None
+    # truncated real header
+    assert native.drc_decode_native(b"DRACO\x02\x02\x01\x01") is None

@@ -79,7 +79,37 @@ def decode_drc(data: bytes) -> DracoMesh:
     from uvol_tpu.utils.stats import STATS
 
     with STATS.timer("draco.decode_s"):
-        return _decode_drc(data)
+        mesh = _decode_drc_native(data)
+        return mesh if mesh is not None else _decode_drc(data)
+
+
+def _decode_drc_native(data: bytes) -> Optional[DracoMesh]:
+    """Whole-frame native fast path (native/draco_frame.cpp): one C call
+    runs container parse → connectivity → traversals → predictions →
+    dequantize → point assembly. Falls back to the staged Python pipeline
+    (`_decode_drc`) for anything the fast path rejects; outputs are
+    bit-identical (parity-locked on the liam corpus by
+    tests/test_native_draco.py)."""
+    from uvol_tpu import native as uvt_native
+
+    res = uvt_native.drc_decode_native(data)
+    if res is None:
+        return None
+    num_faces, num_points, point_of_corner, raw_attrs = res
+    attributes = []
+    for att_type, data_type, ncomp, norm, uid, values, corner_map in raw_attrs:
+        attributes.append(
+            DracoAttribute(
+                att_type, data_type, ncomp, norm, uid,
+                values=values, corner_to_value=corner_map,
+            )
+        )
+    faces = point_of_corner.reshape(-1, 3).astype(np.int32)
+    mesh = DracoMesh(
+        faces=faces, attributes=attributes, num_points=num_points
+    )
+    mesh._point_of_corner = point_of_corner
+    return mesh
 
 
 def _decode_drc(data: bytes) -> DracoMesh:

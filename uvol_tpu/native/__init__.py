@@ -18,18 +18,27 @@ _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libuvt_entropy.so")
 _SRC = os.path.join(_HERE, "entropy.cpp")
 _DRACO_SO = os.path.join(_HERE, "libuvt_draco.so")
-_DRACO_SRC = os.path.join(_HERE, "draco_native.cpp")
+# the draco library links the stage kernels, the whole-frame orchestrator,
+# and the shared entropy kernels into one .so so the orchestrator can call
+# them without crossing a library boundary
+_DRACO_SRC = [
+    os.path.join(_HERE, "draco_native.cpp"),
+    os.path.join(_HERE, "draco_frame.cpp"),
+    _SRC,
+]
 
 _lib: Optional[ctypes.CDLL] = None
 _draco_lib: Optional[ctypes.CDLL] = None
 _draco_failed = False
 
 
-def _compile(src: str, so: str) -> bool:
+def _compile(src, so: str) -> bool:
+    srcs = [src] if isinstance(src, str) else list(src)
     try:
-        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        newest = max(os.path.getmtime(s) for s in srcs)
+        if not os.path.exists(so) or os.path.getmtime(so) < newest:
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so + ".tmp"],
+                ["g++", "-O3", "-shared", "-fPIC", *srcs, "-o", so + ".tmp"],
                 check=True,
                 capture_output=True,
             )
@@ -179,7 +188,7 @@ def get_draco_lib() -> Optional[ctypes.CDLL]:
     lib.uvt_normals_predict.argtypes = [
         i64p, c.c_int64, c.c_int64, c.c_int64,
         i32p, i32p, c.c_void_p, i32p, i64p, i32p,
-        c.c_uint32, u8p, c.c_int64, i64p]
+        c.c_uint32, u8p, c.c_int64, c.c_int64, i64p]
     lib.uvt_normals_predict.restype = c.c_int
     _draco_lib = lib
     return lib
@@ -390,7 +399,8 @@ def normals_native(
         np.ascontiguousarray(data_to_corner, np.int32),
         np.ascontiguousarray(positions.reshape(-1), np.int64),
         np.ascontiguousarray(pos_data_of_corner, np.int32),
-        flip_prob_zero, _u8(flip_buf), len(flip_buf), out,
+        flip_prob_zero, _u8(flip_buf), len(flip_buf),
+        len(opposite) // 3, out,
     )
     if rc != 0:
         raise ValueError(f"native normals predictor failed (rc={rc})")
@@ -881,6 +891,77 @@ def point_assembly_native(keys: np.ndarray, value_counts):
     if n < 0:
         return None
     return out, int(n)
+
+
+def drc_decode_native(data: bytes):
+    """Whole-frame `.drc` decode in one native call (draco_frame.cpp).
+
+    Returns (num_faces, num_points, point_of_corner int32[3F], attrs) where
+    each attrs entry is (att_type, data_type, num_components, normalized,
+    unique_id, values ndarray, corner_to_value int32[3F]) — or None when the
+    stream uses a feature outside the fast path (standard coder, tagged
+    symbols, sequential/point-cloud encodings), in which case the caller
+    runs the Python stage pipeline.
+    """
+    if os.environ.get("UVT_DISABLE_NATIVE_FRAME") == "1":
+        return None
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    c = ctypes
+    if not hasattr(lib, "_uvt_drc_bound"):
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = _i64p
+        lib.uvt_drc_decode.argtypes = [u8p, c.c_int64, i64p]
+        lib.uvt_drc_decode.restype = c.c_void_p
+        lib.uvt_drc_attr_info.argtypes = [c.c_void_p, c.c_int, i64p]
+        lib.uvt_drc_attr_info.restype = c.c_int
+        lib.uvt_drc_attr_fetch.argtypes = [
+            c.c_void_p, c.c_int, c.c_void_p, i32p]
+        lib.uvt_drc_attr_fetch.restype = c.c_int
+        lib.uvt_drc_points_fetch.argtypes = [c.c_void_p, i32p]
+        lib.uvt_drc_points_fetch.restype = c.c_int
+        lib.uvt_drc_free.argtypes = [c.c_void_p]
+        lib.uvt_drc_free.restype = None
+        lib._uvt_drc_bound = True
+    d = np.frombuffer(data, np.uint8)
+    info = np.zeros(4, np.int64)
+    h = lib.uvt_drc_decode(d, len(d), info)
+    if not h or int(info[0]) != 0:
+        return None
+    try:
+        num_attrs, num_faces, num_points = (
+            int(info[1]), int(info[2]), int(info[3]),
+        )
+        n_corners = 3 * num_faces
+        point_of_corner = np.empty(n_corners, np.int32)
+        if lib.uvt_drc_points_fetch(h, point_of_corner) != 0:
+            return None
+        attrs = []
+        info8 = np.zeros(8, np.int64)
+        for i in range(num_attrs):
+            if lib.uvt_drc_attr_info(h, i, info8) != 0:
+                return None
+            (att_type, data_type, ncomp, norm, uid, is_float, nvals,
+             stored_nc) = (int(x) for x in info8)
+            if is_float:
+                values = np.empty((nvals, stored_nc), np.float32)
+            else:
+                values = np.empty((nvals, stored_nc), np.int64)
+            corner_map = np.empty(n_corners, np.int32)
+            rc = lib.uvt_drc_attr_fetch(
+                h, i, values.ctypes.data_as(c.c_void_p), corner_map
+            )
+            if rc != 0:
+                return None
+            attrs.append(
+                (att_type, data_type, ncomp, bool(norm), uid, values,
+                 corner_map)
+            )
+        return num_faces, num_points, point_of_corner, attrs
+    finally:
+        lib.uvt_drc_free(h)
 
 
 # ---------------------------------------------------------------------------

@@ -838,6 +838,8 @@ int uvt_normals_predict(
     const int32_t* data_to_corner,
     const int64_t* positions, const int32_t* pos_data_of_corner,
     uint32_t flip_prob_zero, const uint8_t* flip_buf, int64_t flip_len,
+    int64_t num_faces,  // bounds the face-normal memo (fan walks reach
+                        // faces beyond the data_to_corner entries)
     int64_t* out  // [n, 2]
 ) {
   (void)center_value_wire;
@@ -868,17 +870,31 @@ int uvt_normals_predict(
   auto posv = [&](int32_t c, int k) -> int64_t {
     return positions[(int64_t)pos_data_of_corner[c] * 3 + k];
   };
+  // the integer cross product (B-A)x(C-A) is invariant under cyclic corner
+  // rotation, so each face normal is computed once and the fan walk only
+  // accumulates (saves the 3x per-corner cross recompute). Exact: int64 adds.
+  const int64_t nf = num_faces;
+  std::vector<int64_t> face_normal(nf * 3);  // filled lazily per face
+  std::vector<uint8_t> face_done(nf, 0);
   auto add_face_normal = [&](int32_t corner, int64_t* normal) {
-    int64_t c0[3], d1[3], d2[3];
-    int32_t nn = next_corner(corner), pp = prev_corner(corner);
-    for (int k = 0; k < 3; ++k) {
-      c0[k] = posv(corner, k);
-      d1[k] = posv(nn, k) - c0[k];
-      d2[k] = posv(pp, k) - c0[k];
+    int64_t f = corner / 3;
+    if (!face_done[f]) {
+      int64_t c0[3], d1[3], d2[3];
+      int32_t base = (int32_t)(3 * f);
+      int32_t nn = next_corner(base), pp = prev_corner(base);
+      for (int k = 0; k < 3; ++k) {
+        c0[k] = posv(base, k);
+        d1[k] = posv(nn, k) - c0[k];
+        d2[k] = posv(pp, k) - c0[k];
+      }
+      face_normal[f * 3] = d1[1] * d2[2] - d1[2] * d2[1];
+      face_normal[f * 3 + 1] = d1[2] * d2[0] - d1[0] * d2[2];
+      face_normal[f * 3 + 2] = d1[0] * d2[1] - d1[1] * d2[0];
+      face_done[f] = 1;
     }
-    normal[0] += d1[1] * d2[2] - d1[2] * d2[1];
-    normal[1] += d1[2] * d2[0] - d1[0] * d2[2];
-    normal[2] += d1[0] * d2[1] - d1[1] * d2[0];
+    normal[0] += face_normal[f * 3];
+    normal[1] += face_normal[f * 3 + 1];
+    normal[2] += face_normal[f * 3 + 2];
   };
 
   for (int64_t p = 0; p < n; ++p) {
