@@ -46,32 +46,77 @@ class BitReader:
 
 
 class HuffmanTable:
-    """Canonical Huffman decode (codes emitted LSB-first, i.e. reversed)."""
+    """Canonical Huffman decode (codes emitted LSB-first, i.e. reversed).
 
-    def __init__(self, code_sizes: List[int]):
-        self.code_sizes = code_sizes
-        # canonical assignment: by (length, symbol) ascending
-        max_len = max(code_sizes) if code_sizes else 0
-        self.lookup: Dict[Tuple[int, int], int] = {}
-        code = 0
-        for length in range(1, max_len + 1):
-            for sym, sz in enumerate(code_sizes):
-                if sz == length:
-                    # reverse the canonical code for LSB-first reading
-                    rev = 0
-                    c = code
-                    for _ in range(length):
-                        rev = (rev << 1) | (c & 1)
-                        c >>= 1
-                    self.lookup[(length, rev)] = sym
-                    code += 1
-            code <<= 1
+    The (length, reversed-code) -> symbol dict is built lazily: production
+    decode goes through `flat_lut()` + the native loops, so the dict only
+    materializes on the Python fallback paths.
+    """
+
+    def __init__(self, code_sizes):
+        self.code_sizes = (
+            code_sizes if isinstance(code_sizes, list) else list(code_sizes)
+        )
+        self._lookup: Optional[Dict[Tuple[int, int], int]] = None
+        self._flat = None
+
+    def _canonical(self):
+        """(symbols, lengths, reversed_codes) in canonical (length, symbol)
+        order — vectorized; exact for lengths <= 16."""
+        sizes = np.asarray(self.code_sizes, np.int64)
+        nz = np.nonzero(sizes)[0]
+        if len(nz) == 0:
+            return nz, nz, nz
+        order = nz[np.lexsort((nz, sizes[nz]))]
+        lens = sizes[order]
+        # canonical code c_i = (sum_{j<i} 2^(L-l_j)) >> (L-l_i), L = max len
+        L = int(lens.max())
+        contrib = np.int64(1) << (L - lens)
+        prefix = np.concatenate([[0], np.cumsum(contrib)[:-1]])
+        codes = (prefix >> (L - lens)).astype(np.uint32)
+        # bit-reverse within each code's length for the LSB-first reader
+        v = codes
+        v = ((v & 0x5555) << 1) | ((v >> 1) & 0x5555)
+        v = ((v & 0x3333) << 2) | ((v >> 2) & 0x3333)
+        v = ((v & 0x0F0F) << 4) | ((v >> 4) & 0x0F0F)
+        v = ((v & 0x00FF) << 8) | ((v >> 8) & 0x00FF)
+        rev = v >> (16 - lens).astype(np.uint32)
+        return order, lens, rev
+
+    @property
+    def lookup(self) -> Dict[Tuple[int, int], int]:
+        if self._lookup is None:
+            max_len = max(self.code_sizes) if self.code_sizes else 0
+            if max_len > 16:
+                # rare long-code path: the original sequential construction
+                lk: Dict[Tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, max_len + 1):
+                    for sym, sz in enumerate(self.code_sizes):
+                        if sz == length:
+                            rev = 0
+                            c = code
+                            for _ in range(length):
+                                rev = (rev << 1) | (c & 1)
+                                c >>= 1
+                            lk[(length, rev)] = sym
+                            code += 1
+                    code <<= 1
+                self._lookup = lk
+            else:
+                syms, lens, revs = self._canonical()
+                self._lookup = {
+                    (int(l), int(r)): int(s)
+                    for s, l, r in zip(syms, lens, revs)
+                }
+        return self._lookup
 
     def decode(self, br: BitReader) -> int:
         code = 0
+        lookup = self.lookup
         for length in range(1, 33):
             code |= br.get_bits(1) << (length - 1)
-            sym = self.lookup.get((length, code))
+            sym = lookup.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code")
@@ -79,20 +124,31 @@ class HuffmanTable:
     def flat_lut(self) -> "np.ndarray":
         """16-bit flat decode table for the native slice decoder:
         lut[next16] = (sym << 5) | code_len (0 = invalid)."""
-        lut = getattr(self, "_flat_lut", None)
-        if lut is None:
-            if any(length > 16 for length, _ in self.lookup):
-                self._flat_lut = False  # cannot flat-decode; use Python
+        if self._flat is None:
+            if self.code_sizes and max(self.code_sizes) > 16:
+                self._flat = False  # cannot flat-decode; use Python
             else:
+                syms, lens, revs = self._canonical()
                 lut = np.zeros(1 << 16, np.uint32)
-                for (length, rev), sym in self.lookup.items():
-                    lut[rev :: 1 << length] = (sym << 5) | length
-                self._flat_lut = lut
-        lut = self._flat_lut
-        return None if lut is False else lut
+                for s, l, r in zip(
+                    syms.tolist(), lens.tolist(), revs.tolist()
+                ):
+                    lut[r :: 1 << l] = (s << 5) | l
+                self._flat = lut
+        return None if self._flat is False else self._flat
 
 
 def read_huffman_table(br: BitReader) -> Optional[HuffmanTable]:
+    from uvol_tpu import native as uvt_native
+
+    res = uvt_native.huffman_read_table_native(br.data, br.bit_pos)
+    if res is not None:
+        sizes, br.bit_pos = res
+        return None if sizes is None else HuffmanTable(sizes.tolist())
+    return _read_huffman_table_py(br)
+
+
+def _read_huffman_table_py(br: BitReader) -> Optional[HuffmanTable]:
     total_used_syms = br.get_bits(MAX_SYMS_LOG2)
     if total_used_syms == 0:
         return None
@@ -147,6 +203,29 @@ class Endpoint:
     color5: Tuple[int, int, int]
 
 
+class EndpointList(list):
+    """List of Endpoint with the palette also exposed as arrays
+    (`color5_arr` [E,3] uint8, `inten_arr` [E] uint8) so per-layer
+    transcode table builds stay vectorized."""
+
+    def __init__(self, color5_arr: np.ndarray, inten_arr: np.ndarray):
+        self.color5_arr = color5_arr
+        self.inten_arr = inten_arr
+        super().__init__(
+            Endpoint(int(i), (int(c[0]), int(c[1]), int(c[2])))
+            for i, c in zip(inten_arr, color5_arr)
+        )
+
+
+def _endpoint_arrays(endpoints) -> Tuple[np.ndarray, np.ndarray]:
+    if isinstance(endpoints, EndpointList):
+        return endpoints.color5_arr, endpoints.inten_arr
+    return (
+        np.array([list(e.color5) for e in endpoints], np.uint8),
+        np.array([e.inten5 for e in endpoints], np.uint8),
+    )
+
+
 def decode_endpoints(data: bytes, num_endpoints: int) -> List[Endpoint]:
     br = BitReader(data)
     color5_model0 = read_huffman_table(br)
@@ -169,10 +248,7 @@ def decode_endpoints(data: bytes, num_endpoints: int) -> List[Endpoint]:
         )
         if res is not None:
             color5, inten, _pos = res
-            return [
-                Endpoint(int(inten[i]), tuple(int(c) for c in color5[i]))
-                for i in range(num_endpoints)
-            ]
+            return EndpointList(color5, inten)
 
     endpoints = []
     prev_color5 = [16, 16, 16]
@@ -197,7 +273,10 @@ def decode_endpoints(data: bytes, num_endpoints: int) -> List[Endpoint]:
             color = [color[0]] * 3
             prev_color5 = [color[0]] * 3
         endpoints.append(Endpoint(inten, tuple(color)))
-    return endpoints
+    return EndpointList(
+        np.array([list(e.color5) for e in endpoints], np.uint8),
+        np.array([e.inten5 for e in endpoints], np.uint8),
+    )
 
 
 def decode_selectors(data: bytes, num_selectors: int) -> np.ndarray:
@@ -441,8 +520,9 @@ def blocks_to_rgb(
 ) -> np.ndarray:
     """(endpoint, selector) block indices → [H, W, 3] uint8 pixels."""
     nby, nbx, _ = blocks.shape
-    base = np.array([[(c << 3) | (c >> 2) for c in e.color5] for e in endpoints])
-    inten = np.array([e.inten5 for e in endpoints])
+    color5, inten = _endpoint_arrays(endpoints)
+    c5 = color5.astype(np.int64)
+    base = (c5 << 3) | (c5 >> 2)
     ep_idx = blocks[..., 0]
     sel_idx = blocks[..., 1]
     mods = INTEN_TABLES[inten[ep_idx]]  # [nby, nbx, 4]
@@ -469,8 +549,9 @@ def blocks_to_etc1_words(
     # word1 depends only on the endpoint and word2 only on the selector,
     # so build per-palette-entry tables once and gather (the per-block
     # work is two index lookups instead of per-pixel bit packing)
-    base5 = np.array([list(e.color5) for e in endpoints], np.uint32)  # [E,3]
-    inten = np.array([e.inten5 for e in endpoints], np.uint32)
+    color5, inten5 = _endpoint_arrays(endpoints)
+    base5 = color5.astype(np.uint32)  # [E,3]
+    inten = inten5.astype(np.uint32)
     word1_of = (
         (base5[:, 0] << 27) | (base5[:, 1] << 19) | (base5[:, 2] << 11)
         | (inten << 5) | (inten << 2) | (1 << 1)  # diff=1, flip=0

@@ -1249,6 +1249,31 @@ def etc1s_palette_endpoints_native(
     return color5, inten, int(pos)
 
 
+def huffman_read_table_native(data, bit_pos: int):
+    """Parse one canonical Huffman table header+code sizes
+    (transcoder.read_huffman_table). Returns (code_sizes uint8[n] | None,
+    new_bit_pos) — None sizes = null table — or None when unavailable."""
+    lib = get_etc1s_lib()
+    if lib is None:
+        return None
+    c = ctypes
+    if not hasattr(lib, "_uvt_hrt_bound"):
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.uvt_huffman_read_table.argtypes = [
+            u8p, c.c_int64, c.c_int64, u8p, _i64p]
+        lib.uvt_huffman_read_table.restype = c.c_int64
+        lib._uvt_hrt_bound = True
+    d = data if isinstance(data, np.ndarray) else np.frombuffer(data, np.uint8)
+    sizes = np.zeros(1 << 14, np.uint8)
+    n = np.zeros(1, np.int64)
+    pos = lib.uvt_huffman_read_table(d, len(d), bit_pos, sizes, n)
+    if pos < 0:
+        return None
+    if int(n[0]) == 0:
+        return None, int(pos)
+    return sizes[: int(n[0])].copy(), int(pos)
+
+
 def etc1s_palette_selectors_native(data, bit_pos, num_selectors, lut):
     """Native selector palette loop. Returns ([S,16] codes, new_bit_pos)
     or None."""

@@ -455,3 +455,83 @@ extern "C" int64_t uvt_etc1s_palette_selectors(
     }
     return br.pos;
 }
+
+// ---------------------------------------------------------------------------
+// Canonical Huffman table parse (transcoder.py read_huffman_table): the
+// code-length-coded size stream, decoded with a locally built 7-bit flat
+// table for the 21 code-length codes. Writes the symbol code sizes and
+// returns the new bit position (or a negative error). *out_n = 0 means a
+// null table (total_used_syms == 0).
+// ---------------------------------------------------------------------------
+extern "C" int64_t uvt_huffman_read_table(
+    const uint8_t* data, int64_t nbytes, int64_t bit_pos,
+    uint8_t* out_sizes,  // cap 1 << 14
+    int64_t* out_n) {
+    LsbBitReader br{data, nbytes};
+    br.pos = bit_pos;
+    static const int ORDER[21] = {17, 18, 19, 20, 0, 8, 7, 9,  6, 10, 5,
+                                  11, 4,  12, 3,  13, 2, 14, 1, 15, 16};
+    int64_t total = br.get_bits(14);
+    *out_n = total;
+    if (total == 0) return br.pos;
+    if (total > (1 << 14)) return -1;
+    int num_cl = (int)br.get_bits(5);
+    if (num_cl > 21) return -1;
+    int cl_sizes[21] = {0};
+    for (int i = 0; i < num_cl; i++) cl_sizes[ORDER[i]] = (int)br.get_bits(3);
+
+    // canonical assignment by (length, symbol), codes bit-reversed for the
+    // LSB-first reader; 7-bit flat lut entry = (sym << 5) | len
+    uint32_t cl_lut[128] = {0};
+    {
+        int code = 0;
+        for (int len = 1; len <= 7; len++) {
+            for (int sym = 0; sym < 21; sym++) {
+                if (cl_sizes[sym] != len) continue;
+                int rev = 0, c = code;
+                for (int k = 0; k < len; k++) {
+                    rev = (rev << 1) | (c & 1);
+                    c >>= 1;
+                }
+                for (int f = rev; f < 128; f += 1 << len)
+                    cl_lut[f] = ((uint32_t)sym << 5) | (uint32_t)len;
+                code++;
+            }
+            code <<= 1;
+        }
+    }
+    auto cl_decode = [&]() -> int {
+        int64_t byte = br.pos >> 3;
+        uint32_t v = 0;
+        for (int k = 0; k < 2; k++)
+            v |= (uint32_t)(byte + k < nbytes ? data[byte + k] : 0) << (8 * k);
+        uint32_t e = cl_lut[(v >> (br.pos & 7)) & 0x7F];
+        if (e == 0) return -1;
+        br.pos += (int)(e & 31);
+        return (int)(e >> 5);
+    };
+
+    std::memset(out_sizes, 0, (size_t)total);
+    int64_t cur = 0;
+    int prev_nonzero = 0;
+    while (cur < total) {
+        int c = cl_decode();
+        if (c < 0) return -1;
+        if (c <= 16) {
+            out_sizes[cur++] = (uint8_t)c;
+            if (c) prev_nonzero = c;
+        } else if (c == 17) {  // small zero run
+            cur += (int)br.get_bits(3) + 3;
+        } else if (c == 18) {  // big zero run
+            cur += (int)br.get_bits(7) + 11;
+        } else if (c == 19 || c == 20) {  // repeats of previous nonzero
+            int rep = c == 19 ? (int)br.get_bits(2) + 3
+                              : (int)br.get_bits(7) + 7;
+            if (cur + rep > total) return -1;
+            for (int k = 0; k < rep; k++) out_sizes[cur++] = (uint8_t)prev_nonzero;
+        } else {
+            return -1;
+        }
+    }
+    return br.pos;
+}
