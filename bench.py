@@ -43,6 +43,47 @@ def main() -> None:
         TextureSequenceCodec,
     )
 
+    # ---- full-player playback of the real corpus -----------------------------
+    # facade -> V2 interval prefetch -> native Draco decode -> BasisLZ
+    # transcode (compressed ETC1 target), all 250 frames on a virtual clock;
+    # runs FIRST so the headline is measured on a clean heap
+    playback_fps = None
+    liam_root = "/root/reference/example/public/liam"
+    if os.path.isdir(os.path.join(liam_root, "output")):
+        from uvol_tpu.containers.manifest import manifest_for_directory
+        from uvol_tpu.player.clock import PlaybackClock, VirtualClock
+        from uvol_tpu.player.facade import Player as FacadePlayer
+        from uvol_tpu.interfaces import PlayMode
+
+        manifest = manifest_for_directory(os.path.join(liam_root, "output"))
+        files = {"/liam.uvol.json": json.dumps(manifest).encode()}
+
+        def _fetch(url):
+            if url in files:
+                return files[url]
+            return open(os.path.join(liam_root, url.lstrip("/")), "rb").read()
+
+        vc = VirtualClock()
+        fp = FacadePlayer(
+            paths=["/liam.uvol.json"],
+            fetcher=_fetch,
+            play_mode=PlayMode.unmanaged,
+            on_track_end=lambda: None,
+            v2_player_kwargs={"clock": PlaybackClock(now=vc)},
+        )
+        t0 = time.perf_counter()
+        fp.set_track_path("/liam.uvol.json")
+        shown, last = 0, -1
+        while shown < 250:
+            rr = fp.update()
+            if rr is None:
+                break
+            if rr.status == "ok" and rr.geometry_frame != last:
+                shown += 1
+                last = rr.geometry_frame
+            vc.advance(1 / 30)
+        playback_fps = shown / (time.perf_counter() - t0)
+
     r = np.random.default_rng(0)
     F = 8  # frames per batch
     N = 26145  # liam-scale vertex count
@@ -169,46 +210,6 @@ def main() -> None:
         liam_fps_pool = 3 * len(frames_bin) / (time.perf_counter() - t0)
         pool.close()
 
-    # ---- full-player playback of the real corpus -----------------------------
-    # facade -> V2 interval prefetch -> native Draco decode -> BasisLZ
-    # transcode (compressed ETC1 target), 60 frames on a virtual clock
-    playback_fps = None
-    liam_root = "/root/reference/example/public/liam"
-    if os.path.isdir(os.path.join(liam_root, "output")):
-        from uvol_tpu.containers.manifest import manifest_for_directory
-        from uvol_tpu.player.clock import PlaybackClock, VirtualClock
-        from uvol_tpu.player.facade import Player as FacadePlayer
-        from uvol_tpu.interfaces import PlayMode
-
-        manifest = manifest_for_directory(os.path.join(liam_root, "output"))
-        files = {"/liam.uvol.json": json.dumps(manifest).encode()}
-
-        def _fetch(url):
-            if url in files:
-                return files[url]
-            return open(os.path.join(liam_root, url.lstrip("/")), "rb").read()
-
-        vc = VirtualClock()
-        fp = FacadePlayer(
-            paths=["/liam.uvol.json"],
-            fetcher=_fetch,
-            play_mode=PlayMode.unmanaged,
-            on_track_end=lambda: None,
-            v2_player_kwargs={"clock": PlaybackClock(now=vc)},
-        )
-        t0 = time.perf_counter()
-        fp.set_track_path("/liam.uvol.json")
-        shown, last = 0, -1
-        while shown < 60:
-            rr = fp.update()
-            if rr is None:
-                break
-            if rr.status == "ok" and rr.geometry_frame != last:
-                shown += 1
-                last = rr.geometry_frame
-            vc.advance(1 / 30)
-        playback_fps = shown / (time.perf_counter() - t0)
-
     # ---- 8 concurrent streams (BASELINE "8 streams ≥10× real-time") ----------
     # pure data parallelism over the stream×frame axes: one batched program
     # encodes+decodes geometry for all 8 liam-scale streams; host entropy
@@ -272,17 +273,28 @@ def main() -> None:
         words = tex_enc_dev(dev_tex)
     jax.block_until_ready((out, words))
     device_fps = reps * F / (time.perf_counter() - t0)
+    # Headline: the reference's own workload — play its real 250-frame
+    # corpus (draco_encoder .drc + basisu .ktx2) through the full
+    # production path (facade -> V2 prefetch -> native Draco decode ->
+    # BasisLZ transcode) against the 30 fps real-time bar. Falls back to
+    # the synthetic end-to-end number when the corpus is absent.
+    headline = playback_fps if playback_fps else fps
+    headline_name = (
+        "liam 250-frame full-player playback fps (real reference corpus, "
+        "facade->prefetch->decode->transcode)"
+        if playback_fps
+        else "end-to-end encode+decode frames/s/chip "
+        "(26k-vert geom->bytes->tensors + 1024^2 tex->ktx2->tensors)"
+    )
     print(
         json.dumps(
             {
-                "metric": (
-                    "end-to-end encode+decode frames/s/chip "
-                    "(26k-vert geom->bytes->tensors + 1024^2 tex->ktx2->tensors)"
-                ),
-                "value": round(fps, 2),
+                "metric": headline_name,
+                "value": round(headline, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 2),
+                "vs_baseline": round(headline / 30.0, 2),
                 "detail": {
+                    "synthetic_e2e_fps_tunnel_bound": round(fps, 2),
                     "geometry_encode_fps": round(nframes / t_geo_enc, 1),
                     "geometry_decode_fps": round(nframes / t_geo_dec, 1),
                     "texture_encode_fps": round(nframes / t_tex_enc, 1),
