@@ -111,3 +111,25 @@ def test_cli_end_to_end_and_resume(tmp_path):
         if ended:
             break
     assert ok > 5 and ended
+
+
+def test_cli_uastc_texture_codec(tmp_path):
+    """TEXTURE_CODEC=uastc produces Zstd/UASTC KTX2 segments the facade
+    player plays (reference `basisu -uastc` mode)."""
+    cfg_path = _make_assets(tmp_path, n_frames=3)
+    cfg = json.load(open(cfg_path))
+    cfg["TEXTURE_CODEC"] = "uastc"
+    json.dump(cfg, open(cfg_path, "w"))
+    assert cli_main([cfg_path]) == 0
+    out = f"{tmp_path}/output"
+    tex_dir = f"{out}/texture_uastc-tpu_baseColor_default"
+    segs = sorted(f for f in os.listdir(tex_dir) if f.endswith(".ktx2"))
+    assert segs == ["00000.ktx2"]
+    from uvol_tpu.containers.ktx2 import KHR_DF_MODEL_UASTC, read_ktx2_file
+
+    f = read_ktx2_file(f"{tex_dir}/00000.ktx2")
+    assert f.dfd_color_model() == KHR_DF_MODEL_UASTC
+    from uvol_tpu.player.v2 import default_texture_decoder
+
+    frames = default_texture_decoder(open(f"{tex_dir}/00000.ktx2", "rb").read())
+    assert frames.shape[0] == 3 and frames.shape[-1] == 4

@@ -46,7 +46,10 @@ TEMPLATE = {
     # device-encoded format (declared honestly in the manifest)
     "GEOMETRY_CODEC": "draco",
     # "etc1s": BasisLZ-supercompressed KTX2 (reference-interoperable wire,
-    # scripts/Encoder.py:286-298); "etc": raw ETC2 payload KTX2 (fast path)
+    # scripts/Encoder.py:286-298); "uastc": Zstd-supercompressed UASTC KTX2
+    # (the reference's `basisu -uastc` high-quality mode; see
+    # codecs/basis/uastc.py for offline-interop caveats); "etc": raw ETC2
+    # payload KTX2 (fast path)
     "TEXTURE_CODEC": "etc1s",
     # palette sizes trade quality for rate: 1024/1024 reaches ~45 dB on
     # liam-like 1k video (256/256: ~39 dB at ~10% fewer bytes)
@@ -358,6 +361,17 @@ def main(argv: Optional[List[str]] = None) -> int:
 
                 codec = _Etc1sSegmentCodec()
                 target_name = "etc1s-tpu"
+            elif tex_codec == "uastc":
+                # reference: `basisu -uastc` (scripts/Encoder.py:33-39);
+                # Zstd-supercompressed KTX2, higher quality than ETC1S
+                from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2
+
+                class _UastcSegmentCodec:
+                    def encode_segment(self, px):
+                        return encode_uastc_ktx2(px)
+
+                codec = _UastcSegmentCodec()
+                target_name = "uastc-tpu"
             else:
                 codec = TextureSequenceCodec(sequence_size=batch)
                 target_name = "etc-tpu"

@@ -82,6 +82,14 @@ def default_texture_decoder(data: bytes):
             height=f.header.pixel_height,
         )
         return transcode_ktx2_etc1s(f, target=target)
+    from uvol_tpu.containers.ktx2 import KHR_DF_MODEL_UASTC
+
+    if f.dfd_color_model() == KHR_DF_MODEL_UASTC:
+        # UASTC path (reference: KTX2Loader UASTC table) — full RGBA decode;
+        # compressed passthrough targets are ETC1S-only here
+        from uvol_tpu.codecs.basis.uastc import transcode_uastc
+
+        return transcode_uastc(f, target="rgba")
     from uvol_tpu.models.sequence import TextureSequenceCodec
 
     codec = _CODEC_CACHE.setdefault("etc", TextureSequenceCodec())
