@@ -61,14 +61,17 @@ int uvt_rans_decode(const uint32_t* probs, int num_probs, int precision_bits,
     }
     state += l_base;
 
+    // precision is a power of two: mask/shift instead of runtime div/mod
+    // (the division by a non-constant was ~2x the whole symbol loop)
+    const uint32_t mask = precision - 1;
     for (int i = 0; i < n; i++) {
         while (state < l_base && offset > 0) {
             offset--;
             state = state * 256 + b[offset];
         }
-        uint32_t rem = state % precision;
+        uint32_t rem = (uint32_t)state & mask;
         uint32_t sym = lut[rem];
-        state = (state / precision) * probs[sym] + rem - cum[sym];
+        state = (state >> precision_bits) * probs[sym] + rem - cum[sym];
         out[i] = sym;
     }
     return 0;
