@@ -37,11 +37,20 @@ def _compile(src, so: str) -> bool:
     try:
         newest = max(os.path.getmtime(s) for s in srcs)
         if not os.path.exists(so) or os.path.getmtime(so) < newest:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", *srcs, "-o", so + ".tmp"],
-                check=True,
-                capture_output=True,
-            )
+            # -march=native first (libraries are always rebuilt from source
+            # on this machine, never shipped); plain -O3 as fallback
+            for extra in (["-march=native"], []):
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", *extra, "-shared", "-fPIC", *srcs,
+                         "-o", so + ".tmp"],
+                        check=True,
+                        capture_output=True,
+                    )
+                    break
+                except Exception:
+                    if not extra:
+                        raise
             os.replace(so + ".tmp", so)
         return True
     except Exception:
