@@ -79,6 +79,11 @@ def test_encoders_are_byte_stable():
     )
     assert hashlib.sha256(ktx2).hexdigest() == sha["video.ktx2"]
 
+    from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2
+
+    ua = encode_uastc_ktx2(frames)
+    assert hashlib.sha256(ua).hexdigest() == sha["video_uastc.ktx2"]
+
 
 def test_fixtures_still_decode():
     """Previously written files must keep decoding (backward compat)."""
@@ -95,3 +100,7 @@ def test_fixtures_still_decode():
     assert len(c.faces) == 112
     t = transcode_ktx2_etc1s(read_ktx2((FIXTURES / "video.ktx2").read_bytes()))
     assert t.shape == (3, 32, 32, 3)
+    from uvol_tpu.codecs.basis.uastc import transcode_uastc
+
+    u = transcode_uastc(read_ktx2((FIXTURES / "video_uastc.ktx2").read_bytes()))
+    assert u.shape == (3, 32, 32, 4)
