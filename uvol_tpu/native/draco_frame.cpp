@@ -270,7 +270,18 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
   if (!b.ok) return FB_TRUNCATED;
   if (traversal_type != MESH_EDGEBREAKER_VALENCE_ENCODING)
     return FB_UNSUPPORTED;  // standard coder: Python path
-  if (num_faces <= 0 || num_faces > (int64_t)1 << 40) return FB_MALFORMED;
+  if (num_faces <= 0 || num_faces > (int64_t)1 << 32) return FB_MALFORMED;
+  // bounds that the machine's output buffers depend on (corrupt streams
+  // must fall back / error, never overflow)
+  if (num_encoded_symbols < 0 || num_encoded_symbols > num_faces)
+    return FB_MALFORMED;
+  if (num_encoded_vertices < 0 || num_encoded_vertices > 3 * num_faces + 3)
+    return FB_MALFORMED;
+  if (num_encoded_split_symbols < 0 ||
+      num_encoded_split_symbols > num_faces)
+    return FB_MALFORMED;
+  if (num_attribute_data < 0 || num_attribute_data > 64)
+    return FB_MALFORMED;
   const int64_t n_corners = 3 * num_faces;
 
   // topology splits
