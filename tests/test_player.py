@@ -416,3 +416,62 @@ def test_stats_registry_observability():
     with STATS.timer("t.x"):
         pass
     assert STATS.snapshot()["timings"]["t.x"]["count"] == 1
+
+
+def test_multi_stream_isolation(liam_output):
+    """Two concurrent facade Players on one shared wall: independent
+    prefetch windows / eviction cursors / texture segments must never
+    interfere — every stream shows every frame with zero skips on its
+    virtual clock (the host side of BASELINE's multi-stream bar;
+    examples/play_multi.py is the N-stream driver)."""
+    import json as _json
+
+    from uvol_tpu.containers.manifest import manifest_for_directory
+    from uvol_tpu.interfaces import PlayMode
+    from uvol_tpu.player.clock import PlaybackClock
+    from uvol_tpu.player.facade import Player as FacadePlayer
+
+    manifest_bytes = _json.dumps(
+        manifest_for_directory(str(liam_output))
+    ).encode()
+    root = liam_output.parent
+
+    def fetcher(url):
+        if url == "/liam.uvol.json":
+            return manifest_bytes
+        return (root / url.lstrip("/")).read_bytes()
+
+    streams = []
+    for _ in range(2):
+        vc = VirtualClock()
+        p = FacadePlayer(
+            paths=["/liam.uvol.json"],
+            fetcher=fetcher,
+            play_mode=PlayMode.unmanaged,
+            on_track_end=lambda: None,
+            v2_player_kwargs={"clock": PlaybackClock(now=vc)},
+        )
+        p.set_track_path("/liam.uvol.json")
+        streams.append({"p": p, "vc": vc, "shown": 0, "skipped": 0, "last": -1})
+    # stagger stream 1 by half a texture segment to desynchronize state
+    streams[1]["vc"].advance(2.5 / 30)
+    N = 40
+    live = list(streams)
+    while live:
+        for st in list(live):
+            r = st["p"].update()
+            assert r is not None
+            if r.status == "ok" and r.geometry_frame != st["last"]:
+                st["shown"] += 1
+                st["last"] = r.geometry_frame
+            elif r.status == "skipped":
+                st["skipped"] += 1
+            st["vc"].advance(1 / 30)
+            if st["last"] >= N - 1 + (2 if st is streams[1] else 0):
+                live.remove(st)
+    for st in streams:
+        assert st["skipped"] == 0, st
+        # the staggered stream starts a few frames in; the invariant of
+        # substance is zero skips + reaching the target frame
+        assert st["last"] >= N - 1, st
+        assert st["shown"] >= N - 5, st
