@@ -350,9 +350,9 @@ def _encode_mode_blocks(
         pos += m.ep_bits
         _put_field(bits, pos, m.ep_bits, q1[:, c])
         pos += m.ep_bits
-    pos = _put_bise(bits, pos, wmain, _weight_base(m.weight_levels))
+    pos = _put_bise(bits, pos, wmain, m.weight_levels)
     if m.dual_plane:
-        pos = _put_bise(bits, pos, walpha, _weight_base(m.weight_levels))
+        pos = _put_bise(bits, pos, walpha, m.weight_levels)
     assert pos <= 128, (mode_id, pos)
 
     # measure error through the real decode path
@@ -362,10 +362,6 @@ def _encode_mode_blocks(
     if nc == 3:  # opaque modes must still reproduce alpha=255 to count
         mse = mse + ((255.0 - ref[..., 3]) ** 2).mean(1)
     return _pack_bits(bits), mse
-
-
-def _weight_base(levels: int) -> int:
-    return levels if levels in (3, 5) else levels
 
 
 def encode_uastc_blocks(
@@ -422,11 +418,11 @@ def _decode_mode_payload(bits: np.ndarray, mode_id: int) -> np.ndarray:
         pos += m.ep_bits
     e0 = _expand_endpoint(q0, m.ep_bits)
     e1 = _expand_endpoint(q1, m.ep_bits)
-    widx, pos = _get_bise(bits, pos, 16, _weight_base(m.weight_levels))
+    widx, pos = _get_bise(bits, pos, 16, m.weight_levels)
     w64 = WEIGHT_TABLES[m.weight_levels][widx]  # [B,16]
     out = np.full((B, 16, 4), 255, np.int64)
     if m.dual_plane:
-        widx2, pos = _get_bise(bits, pos, 16, _weight_base(m.weight_levels))
+        widx2, pos = _get_bise(bits, pos, 16, m.weight_levels)
         w64b = WEIGHT_TABLES[m.weight_levels][widx2]
         rgb = _interp(e0[:, None, :3], e1[:, None, :3], w64)
         alpha = _interp(e0[:, None, 3:], e1[:, None, 3:], w64b)[..., 0]

@@ -162,6 +162,10 @@ struct Buf {
     uint64_t result = 0;
     int shift = 0;
     while (pos < end) {
+      if (shift > 63) {  // conforming readers fail after 10 bytes
+        ok = false;
+        return 0;
+      }
       uint8_t b = data[pos++];
       result |= (uint64_t)(b & 0x7F) << shift;
       if (!(b & 0x80)) return result;
@@ -185,7 +189,10 @@ struct RabsBuf {
   bool parse(Buf& b) {
     prob_zero = b.u8();
     len = (int64_t)b.varint();
-    if (!b.ok || b.pos + len > b.end) { b.ok = false; return false; }
+    if (!b.ok || len < 0 || b.pos + len > b.end) {
+      b.ok = false;
+      return false;
+    }
     buf = b.data + b.pos;
     b.pos += len;
     return true;
@@ -209,7 +216,11 @@ int decode_symbols_raw(Buf& b, int64_t n, std::vector<uint32_t>& out) {
   return FB_OK;
 }
 
-void skip_single_metadata(Buf& b) {
+void skip_single_metadata(Buf& b, int depth = 0) {
+  if (depth > 64) {  // bound the native stack on hostile nesting
+    b.ok = false;
+    return;
+  }
   uint64_t num_entries = b.varint();
   for (uint64_t i = 0; i < num_entries && b.ok; ++i) {
     for (int k = 0; k < 2; ++k) b.skip(b.u8());
@@ -217,7 +228,7 @@ void skip_single_metadata(Buf& b) {
   uint64_t num_sub = b.varint();
   for (uint64_t i = 0; i < num_sub && b.ok; ++i) {
     b.skip(b.u8());
-    skip_single_metadata(b);
+    skip_single_metadata(b, depth + 1);
   }
 }
 
@@ -270,7 +281,12 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
   if (!b.ok) return FB_TRUNCATED;
   if (traversal_type != MESH_EDGEBREAKER_VALENCE_ENCODING)
     return FB_UNSUPPORTED;  // standard coder: Python path
-  if (num_faces <= 0 || num_faces > (int64_t)1 << 32) return FB_MALFORMED;
+  // corner ids are int32 (<= INT32_MAX/3 faces), and a frame cannot
+  // plausibly encode more faces than ~1024x its byte size — tiny hostile
+  // headers must not trigger multi-GB scratch allocations
+  if (num_faces <= 0 || num_faces > (int64_t)0x7FFFFFFF / 3 ||
+      num_faces > 1024 * len)
+    return FB_MALFORMED;
   // bounds that the machine's output buffers depend on (corrupt streams
   // must fall back / error, never overflow)
   if (num_encoded_symbols < 0 || num_encoded_symbols > num_faces)
