@@ -826,7 +826,9 @@ def encode_drc(
     from uvol_tpu import native as uvt_native
     from uvol_tpu.codecs.draco.corner_table import CornerTable
 
-    symbols_decode_u8 = np.asarray(list(reversed(trav.symbols)), np.uint8)
+    symbols_decode_u8 = np.ascontiguousarray(
+        np.asarray(trav.symbols, np.uint8)[::-1]
+    )
     replay_contexts = None
     conn = None
     if uvt_native.get_draco_lib() is not None:
@@ -1012,20 +1014,18 @@ def encode_drc(
         write_start_face_and_seams()
         # valence contexts: bucket symbols by the replay-recorded context;
         # the decoder consumes each bucket back-to-front, so store reverse
-        # decode order (== encode order within the bucket)
-        buckets: List[List[int]] = [[] for _ in range(K.NUM_VALENCE_CONTEXTS)]
-        symbols_decode_order = list(reversed(trav.symbols))
-        for step, ctx in enumerate(replay_contexts):
-            if ctx == -1:
-                continue  # implicit E (first decoded symbol)
-            buckets[int(ctx)].append(
-                TOPOLOGY_TO_SYMBOL_IDX[symbols_decode_order[step]]
-            )
-        for bucket in buckets:
-            bucket.reverse()
+        # decode order (== encode order within the bucket) — vectorized
+        # (the per-symbol append loop was ~10 ms/frame on liam)
+        top2idx = np.zeros(8, np.uint32)
+        for t, i in TOPOLOGY_TO_SYMBOL_IDX.items():
+            top2idx[t] = i
+        ctx_arr = np.asarray(replay_contexts, np.int64)
+        sym_idx = top2idx[symbols_decode_u8]
+        for k in range(K.NUM_VALENCE_CONTEXTS):
+            bucket = sym_idx[ctx_arr == k][::-1]
             out.varint(len(bucket))
-            if bucket:
-                encode_symbols(np.asarray(bucket, np.uint32), 1, out)
+            if len(bucket):
+                encode_symbols(np.ascontiguousarray(bucket), 1, out)
 
     # ---- attribute encoding --------------------------------------------------
     # decoder layout mirrored from draco_encoder output (liam):
