@@ -934,12 +934,14 @@ def encode_drc(
 
     seam_bit_lists: List[np.ndarray] = []
     seam_corner_lists: List[np.ndarray] = []
+    nxt_ce, prv_ce = _nxt(ce), _prv(ce)  # loop-invariant across attributes
+    nxt_o, prv_o = _nxt(o_safe), _prv(o_safe)
     for att in non_pos:
         c2v = np.asarray(att.corner_to_value, np.int64)
         bits = (
             (o_enc == INVALID)
-            | (c2v[_nxt(ce)] != c2v[_prv(o_safe)])
-            | (c2v[_prv(ce)] != c2v[_nxt(o_safe)])
+            | (c2v[nxt_ce] != c2v[prv_o])
+            | (c2v[prv_ce] != c2v[nxt_o])
         )
         seam_bit_lists.append(bits.astype(np.uint8))
         pairs = np.column_stack([cs[bits], opp_d[cs[bits]]]).reshape(-1)
