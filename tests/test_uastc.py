@@ -139,3 +139,22 @@ def test_format_selection_uastc_priorities():
         ("astc", "etc2"), is_uastc=True, width=64, height=64
     ) == "astc-4x4"
     assert select_transcode_target((), is_uastc=True) == "rgba"
+
+
+def test_device_encode_matches_host():
+    """The jitted XLA fit+mode-selection path must agree with the host
+    encoder (bit-identical here; the contract is quality parity — both
+    feed the same host bit-packer)."""
+    img = _smooth(128, 128)
+    al = _smooth(128, 128, alpha=True)
+    for im in (img, al):
+        px = U.image_to_blocks_rgba(im)
+        b_host = U.encode_uastc_blocks(px, device=False)
+        b_dev = U.encode_uastc_blocks(px, device=True)
+        d_host = U.decode_uastc_blocks(b_host).astype(float)
+        d_dev = U.decode_uastc_blocks(b_dev).astype(float)
+        ref = px.astype(float)
+        ph = 10 * np.log10(255**2 / max(((d_host - ref) ** 2).mean(), 1e-9))
+        pd = 10 * np.log10(255**2 / max(((d_dev - ref) ** 2).mean(), 1e-9))
+        assert abs(ph - pd) < 0.5, (ph, pd)
+        np.testing.assert_array_equal(b_host, b_dev)

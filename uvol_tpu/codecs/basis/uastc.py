@@ -313,38 +313,23 @@ def _interp(e0_8: np.ndarray, e1_8: np.ndarray, w: np.ndarray) -> np.ndarray:
     return c >> 8
 
 
-def _encode_mode_blocks(
-    px: np.ndarray, mode_id: int
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Encode all blocks with one mode. px: [B,16,4] int. Returns
-    ([B,16] uint8 blocks, [B] float MSE)."""
+def _pack_mode_blocks(
+    mode_id: int,
+    q0: np.ndarray,
+    q1: np.ndarray,
+    wmain: np.ndarray,
+    walpha: Optional[np.ndarray],
+) -> np.ndarray:
+    """Bit-pack pre-quantized fields into [B,16] uint8 blocks."""
     m = MODES[mode_id]
-    B = len(px)
+    B = len(q0)
+    nc = 4 if m.cem == 12 else 3
     bits = np.zeros((B, 128), np.uint8)
     _put_field(bits, 0, 5, np.full(B, mode_id))
     pos = 5
-    nc = 4 if m.cem == 12 else 3
-    pxf = px[..., :nc].astype(np.float64)
-
     if m.dual_plane:
-        # main plane fits RGB; second plane carries alpha (selector = 3)
-        comp = np.full(B, 3)
-        _put_field(bits, pos, 2, comp)
+        _put_field(bits, pos, 2, np.full(B, 3))  # plane 2 = alpha
         pos += 2
-        e0m, e1m, wmain = _fit_endpoints_weights(pxf[..., :3], m.weight_levels)
-        e0a, e1a, walpha = _fit_endpoints_weights(
-            pxf[..., 3:4], m.weight_levels
-        )
-        e0 = np.concatenate([e0m, e0a], -1)
-        e1 = np.concatenate([e1m, e1a], -1)
-    else:
-        e0, e1, wmain = _fit_endpoints_weights(pxf, m.weight_levels)
-        walpha = None
-
-    # endpoint quantization (round to ep_bits, store, expand like a decoder)
-    scale = (1 << m.ep_bits) - 1
-    q0 = np.clip(np.round(e0 * scale / 255.0), 0, scale).astype(np.int64)
-    q1 = np.clip(np.round(e1 * scale / 255.0), 0, scale).astype(np.int64)
     for c in range(nc):
         _put_field(bits, pos, m.ep_bits, q0[:, c])
         pos += m.ep_bits
@@ -354,36 +339,196 @@ def _encode_mode_blocks(
     if m.dual_plane:
         pos = _put_bise(bits, pos, walpha, m.weight_levels)
     assert pos <= 128, (mode_id, pos)
+    return _pack_bits(bits)
 
+
+def _fit_mode(px: np.ndarray, mode_id: int):
+    """Host fit+quantize for one mode: (q0, q1, wmain, walpha)."""
+    m = MODES[mode_id]
+    nc = 4 if m.cem == 12 else 3
+    pxf = px[..., :nc].astype(np.float64)
+    if m.dual_plane:
+        # main plane fits RGB; second plane carries alpha (selector = 3)
+        e0m, e1m, wmain = _fit_endpoints_weights(pxf[..., :3], m.weight_levels)
+        e0a, e1a, walpha = _fit_endpoints_weights(
+            pxf[..., 3:4], m.weight_levels
+        )
+        e0 = np.concatenate([e0m, e0a], -1)
+        e1 = np.concatenate([e1m, e1a], -1)
+    else:
+        e0, e1, wmain = _fit_endpoints_weights(pxf, m.weight_levels)
+        walpha = None
+    scale = (1 << m.ep_bits) - 1
+    q0 = np.clip(np.round(e0 * scale / 255.0), 0, scale).astype(np.int64)
+    q1 = np.clip(np.round(e1 * scale / 255.0), 0, scale).astype(np.int64)
+    return q0, q1, wmain, walpha
+
+
+def _encode_mode_blocks(
+    px: np.ndarray, mode_id: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode all blocks with one mode. px: [B,16,4] int. Returns
+    ([B,16] uint8 blocks, [B] float MSE)."""
+    m = MODES[mode_id]
+    nc = 4 if m.cem == 12 else 3
+    blocks = _pack_mode_blocks(mode_id, *_fit_mode(px, mode_id))
     # measure error through the real decode path
-    dec = _decode_mode_payload(bits, mode_id)
+    dec = _decode_mode_payload(_bits_of(blocks), mode_id)
     ref = px.astype(np.float64)
     mse = ((dec[..., :nc].astype(np.float64) - ref[..., :nc]) ** 2).mean((1, 2))
     if nc == 3:  # opaque modes must still reproduce alpha=255 to count
         mse = mse + ((255.0 - ref[..., 3]) ** 2).mean(1)
-    return _pack_bits(bits), mse
+    return blocks, mse
+
+
+# ---------------------------------------------------------------------------
+# Device (TPU/XLA) encode path — the fit, quantization and exact integer
+# reconstruction error for every candidate mode run as ONE jitted program
+# over the whole block batch (MXU/VPU-friendly: min/max/matvec reductions);
+# the host only packs the winning mode's bits. SURVEY §7 step 6's "block
+# encoders as device kernels" applied to the UASTC profile.
+# ---------------------------------------------------------------------------
+
+_DEVICE_FIT_CACHE: Dict[Tuple[int, ...], object] = {}
+
+
+def _device_fit_fn(mode_ids: Tuple[int, ...]):
+    import jax
+    import jax.numpy as jnp
+
+    fn = _DEVICE_FIT_CACHE.get(mode_ids)
+    if fn is not None:
+        return fn
+
+    def fit_plane(pxf, table_f):
+        e0 = pxf.min(1)
+        e1 = pxf.max(1)
+        d = e1 - e0
+        denom = (d * d).sum(-1)
+        t = jnp.where(
+            denom[:, None] > 0,
+            ((pxf - e0[:, None, :]) * d[:, None, :]).sum(-1)
+            / jnp.maximum(denom[:, None], 1e-9),
+            0.5,
+        )
+        w64 = jnp.clip(t, 0.0, 1.0) * 64.0
+        widx = jnp.argmin(
+            jnp.abs(w64[..., None] - table_f[None, None, :]), -1
+        ).astype(jnp.int32)
+        return e0, e1, widx
+
+    def expand(q, bits):
+        if bits == 8:
+            return q
+        return (q << (8 - bits)) | (q >> (2 * bits - 8))
+
+    def run(px_u8):  # [B,16,4] uint8
+        px_i = px_u8.astype(jnp.int32)
+        outs = []
+        for mode_id in mode_ids:
+            m = MODES[mode_id]
+            nc = 4 if m.cem == 12 else 3
+            table = jnp.asarray(WEIGHT_TABLES[m.weight_levels], jnp.int32)
+            table_f = table.astype(jnp.float32)
+            pxf = px_i[..., :nc].astype(jnp.float32)
+            if m.dual_plane:
+                e0m, e1m, wmain = fit_plane(pxf[..., :3], table_f)
+                e0a, e1a, walpha = fit_plane(pxf[..., 3:4], table_f)
+                e0 = jnp.concatenate([e0m, e0a], -1)
+                e1 = jnp.concatenate([e1m, e1a], -1)
+            else:
+                e0, e1, wmain = fit_plane(pxf, table_f)
+                walpha = jnp.zeros_like(wmain)
+            scale = (1 << m.ep_bits) - 1
+            q0 = jnp.clip(jnp.round(e0 * (scale / 255.0)), 0, scale).astype(
+                jnp.int32
+            )
+            q1 = jnp.clip(jnp.round(e1 * (scale / 255.0)), 0, scale).astype(
+                jnp.int32
+            )
+            # exact integer reconstruction (same math as the decoder)
+            e0_8 = expand(q0, m.ep_bits)
+            e1_8 = expand(q1, m.ep_bits)
+            c0 = (e0_8 << 8) | e0_8
+            c1 = (e1_8 << 8) | e1_8
+            w = table[wmain]
+            rec = (
+                (c0[:, None, :] * (64 - w[..., None])
+                 + c1[:, None, :] * w[..., None] + 32) >> 6
+            ) >> 8
+            if m.dual_plane:
+                wa = table[walpha]
+                rec_a = (
+                    (c0[:, None, 3:] * (64 - wa[..., None])
+                     + c1[:, None, 3:] * wa[..., None] + 32) >> 6
+                ) >> 8
+                rec = jnp.concatenate([rec[..., :3], rec_a], -1)
+            diff = (rec - px_i[..., :nc]).astype(jnp.float32)
+            err = (diff * diff).mean((1, 2))
+            if nc == 3:
+                a = px_i[..., 3].astype(jnp.float32)
+                err = err + ((255.0 - a) ** 2).mean(1)
+            outs.append((q0, q1, wmain, walpha, err))
+        return outs
+
+    fn = jax.jit(run)
+    _DEVICE_FIT_CACHE[mode_ids] = fn
+    return fn
 
 
 def encode_uastc_blocks(
-    px: np.ndarray, modes: Optional[List[int]] = None
+    px: np.ndarray,
+    modes: Optional[List[int]] = None,
+    *,
+    device: object = "auto",
 ) -> np.ndarray:
     """px: [B, 4, 4, 4] uint8 RGBA -> [B, 16] uint8 UASTC blocks.
 
     Tries `modes` (default: solid + the auto set for the content) per
     block and keeps the lowest-MSE encoding, like basisu's quality levels
-    trade candidate modes for speed."""
+    trade candidate modes for speed. `device`: True runs the candidate
+    fits + error model as one jitted XLA program over the batch ("auto":
+    when jax is importable and the batch is large); the wire bytes are
+    produced by the same host packer either way."""
     B = len(px)
     px16 = px.reshape(B, 16, 4).astype(np.int64)
     has_alpha = (px16[..., 3] != 255).any()
     if modes is None:
         modes = [10, 12] if has_alpha else [0, 5]
+    use_device = device is True or (device == "auto" and B >= 16384)
     out = np.zeros((B, 16), np.uint8)
-    best = np.full(B, np.inf)
-    for mode_id in modes:
-        blocks, mse = _encode_mode_blocks(px16, mode_id)
-        take = mse < best
-        out[take] = blocks[take]
-        best[take] = mse[take]
+
+    if use_device:
+        try:
+            fits = _device_fit_fn(tuple(modes))(
+                np.ascontiguousarray(px.reshape(B, 16, 4), np.uint8)
+            )
+            errs = np.stack([np.asarray(f[4]) for f in fits])  # [M, B]
+            winner = errs.argmin(0)
+            for mi, mode_id in enumerate(modes):
+                sel = winner == mi
+                if not sel.any():
+                    continue
+                q0, q1, wmain, walpha, _ = (np.asarray(x) for x in fits[mi])
+                m = MODES[mode_id]
+                out[sel] = _pack_mode_blocks(
+                    mode_id,
+                    q0[sel].astype(np.int64),
+                    q1[sel].astype(np.int64),
+                    wmain[sel].astype(np.int64),
+                    walpha[sel].astype(np.int64) if m.dual_plane else None,
+                )
+        except Exception:
+            use_device = False  # jax unavailable/failed: host path below
+
+    if not use_device:
+        best = np.full(B, np.inf)
+        for mode_id in modes:
+            blocks, mse = _encode_mode_blocks(px16, mode_id)
+            take = mse < best
+            out[take] = blocks[take]
+            best[take] = mse[take]
+
     # solid blocks: exact and smallest — always preferred when lossless
     uniform = (px16 == px16[:, :1]).all((1, 2))
     if uniform.any():
