@@ -78,3 +78,55 @@ def test_native_slice_decode_parity_liam(liam_output):
     finally:
         native._etc1s_failed, native._etc1s_lib = saved
     np.testing.assert_array_equal(rgba_native, rgba_python)
+
+
+def test_bc1_transcode_target(liam_output):
+    """ETC1S → BC1 fast transcode (the reference table's "dxt" target):
+    decoding the BC1 words must stay close to the full RGBA decode on a
+    real basisu segment."""
+    import numpy as np
+
+    from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+    from uvol_tpu.containers.ktx2 import read_ktx2_file
+
+    path = (
+        liam_output
+        / "texture_ktx2-fps30-1k_baseColor_default"
+        / "00000.ktx2"
+    )
+    f = read_ktx2_file(str(path))
+    rgba = transcode_ktx2_etc1s(f, target="rgba")[0].astype(np.float64)
+    words = transcode_ktx2_etc1s(f, target="bc1-bc3")[0]  # [nblocks, 2]
+
+    # reference BC1 decode (4-color mode when color0 > color1)
+    w0 = words[:, 0].astype(np.uint32)
+    c0 = w0 & 0xFFFF
+    c1 = w0 >> 16
+    def un565(q):
+        r = (q >> 11) & 31
+        g = (q >> 5) & 63
+        b = q & 31
+        return np.stack(
+            [(r << 3) | (r >> 2), (g << 2) | (g >> 4), (b << 3) | (b >> 2)],
+            -1,
+        ).astype(np.int64)
+    p0, p1 = un565(c0), un565(c1)
+    pal = np.stack(
+        [p0, p1, (2 * p0 + p1 + 1) // 3, (p0 + 2 * p1 + 1) // 3], 1
+    )  # [N,4,3]
+    j = np.arange(16)
+    codes = (words[:, 1:2].astype(np.uint32) >> (2 * j[None, :])) & 3  # [N,16]
+    texels = np.take_along_axis(
+        pal, codes[..., None].astype(np.int64), axis=1
+    )  # [N,16,3]
+    h, w = rgba.shape[:2]
+    img = (
+        texels.reshape(h // 4, w // 4, 4, 4, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(h, w, 3)
+    )
+    mse = ((img.astype(np.float64) - rgba) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    # BC1 re-quantizes ETC1S output (565 endpoints, thirds vs symmetric
+    # modifiers): expect a faithful but slightly lossy mapping
+    assert psnr > 32, psnr

@@ -135,3 +135,30 @@ def test_whole_frame_orchestrator_fuzz_no_crash(liam_output):
             pass  # malformed-stream errors are fine; crashes are not
         blob[i] = old
     assert D._decode_drc_native(bytes(blob)) is not None
+
+
+def test_whole_frame_decode_thread_safety(liam_output):
+    """The one-call decoder releases the GIL; 4 workers decoding the same
+    frames must produce bit-identical results to serial decode."""
+    import uvol_tpu.codecs.draco.decoder as D
+    from uvol_tpu.runtime.prefetch import PrefetchPool
+
+    blobs = [
+        (liam_output / "geometry_draco" / f"{i:05d}.drc").read_bytes()
+        for i in range(6)
+    ]
+    serial = [D.decode_drc(b) for b in blobs]
+    pool = PrefetchPool(D.decode_drc, workers=4)
+    for i, b in enumerate(blobs * 2):
+        pool.request(i, b)
+    pool.wait_idle(120)
+    done = pool.poll()
+    pool.close()
+    assert len(done) == 12
+    for i in range(12):
+        mesh, err = done[i]
+        assert err is None
+        ref = serial[i % 6]
+        np.testing.assert_array_equal(mesh.faces, ref.faces)
+        for a, b in zip(mesh.attributes, ref.attributes):
+            np.testing.assert_array_equal(a.values, b.values)

@@ -572,6 +572,51 @@ def blocks_to_etc1_words(
     return np.stack([word1_of[ep], word2_of[sel]], axis=1)
 
 
+def blocks_to_bc1_words(
+    blocks: np.ndarray, endpoints, selectors: np.ndarray
+) -> np.ndarray:
+    """(endpoint, selector) indices → BC1/DXT1 block words [nby*nbx, 2]
+    uint32 (word0 = color0 | color1<<16 in RGB565, word1 = 2-bit codes).
+
+    The "dxt" fast-transcode target of the reference's format table
+    (src/lib/KTX2Loader.js:591-697): each ETC1S block spans the segment
+    [base+mod0 .. base+mod3]; its ends quantize to the BC1 endpoints and
+    the two middle modifiers map to the 1/3-2/3 interpolants. Like the
+    ETC1 target, per-palette-entry tables make the per-block work two
+    gathers."""
+    color5, inten5 = _endpoint_arrays(endpoints)
+    c5 = color5.astype(np.int64)
+    base8 = (c5 << 3) | (c5 >> 2)  # [E,3]
+    mods = INTEN_TABLES[inten5.astype(np.int64)]  # [E,4]
+    lo8 = np.clip(base8 + mods[:, 0:1], 0, 255)  # [E,3]
+    hi8 = np.clip(base8 + mods[:, 3:4], 0, 255)
+
+    def to565(rgb8):
+        r = (rgb8[:, 0] * 31 + 127) // 255
+        g = (rgb8[:, 1] * 63 + 127) // 255
+        b = (rgb8[:, 2] * 31 + 127) // 255
+        return (r << 11) | (g << 5) | b
+
+    q_lo = to565(lo8)
+    q_hi = to565(hi8)  # channel-wise >= q_lo, so u16 >= q_lo
+    equal = q_hi == q_lo
+    # 4-color mode needs color0 > color1: color0 = high end, color1 = low
+    word1_of = np.where(
+        equal, q_lo | (q_lo << 16), q_hi | (q_lo << 16)
+    ).astype(np.uint32)
+    # ETC1S selector s (ascending [-L,-s,+s,+L]) → BC1 code with color0 =
+    # high: 3 (nearest low+1/3), 2 (nearest high-1/3), endpoints 1 / 0
+    code_of = np.array([1, 3, 2, 0], np.uint32)
+    j = np.arange(16)
+    y, x = j // 4, j % 4  # BC1 texel order: i = y*4 + x, 2 bits LSB-first
+    codes = code_of[selectors[:, y, x].astype(np.int64)]  # [S,16]
+    word2_4c = (codes << (2 * j[None, :])).sum(1).astype(np.uint32)
+    ep = blocks[..., 0].reshape(-1)
+    sel = blocks[..., 1].reshape(-1)
+    word2 = np.where(equal[ep], np.uint32(0), word2_4c[sel])
+    return np.stack([word1_of[ep], word2.astype(np.uint32)], axis=1)
+
+
 #: transcode-target selection table — priorities and constraints per device
 #: capability, mirroring the reference's FORMAT_OPTIONS
 #: (src/lib/KTX2Loader.js:591-697): lower priority number wins among
@@ -642,6 +687,8 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
         prev_blocks = blocks
         if target == "etc1":
             frames.append(blocks_to_etc1_words(blocks, endpoints, selectors))
+        elif target == "bc1-bc3":
+            frames.append(blocks_to_bc1_words(blocks, endpoints, selectors))
         else:
             frames.append(blocks_to_rgb(blocks, endpoints, selectors))
     return np.stack(frames)
