@@ -149,3 +149,42 @@ def test_etc1s_reencode_liam_segment(liam_output):
     psnr = 10 * np.log10(255**2 / mse)
     assert psnr > 40.0, psnr  # locks the palette-quality work
     assert len(blob) < 1.5 * 119_000  # near basisu's own slice bytes
+
+
+def test_alpha_slices_roundtrip():
+    """RGBA video → BasisLZ with per-image alpha slices (basisu
+    -force_alpha layout: gray ETC1S slices sharing the global codebooks,
+    own CR chain) → rgba transcode recovers color AND alpha."""
+    import numpy as np
+
+    from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+    from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    frames = np.zeros((3, 32, 32, 4), np.uint8)
+    for f in range(3):
+        frames[f, ..., 0] = (xx * 8 + f * 16) % 256
+        frames[f, ..., 1] = (yy * 8) % 256
+        frames[f, ..., 2] = ((xx + yy) * 4) % 256
+        frames[f, ..., 3] = (xx * 8) % 256
+    blob = encode_ktx2_etc1s(
+        frames, num_endpoints=48, num_selectors=48, kmeans_iters=4
+    )
+    kf = read_ktx2(blob)
+    assert all(d.alpha_slice_byte_length > 0 for d in kf.basis_lz.image_descs)
+    out = transcode_ktx2_etc1s(kf, target="rgba")
+    assert out.shape == (3, 32, 32, 4)
+    err = np.abs(out.astype(float) - frames.astype(float))
+    assert err[..., :3].mean() < 12, err[..., :3].mean()
+    assert err[..., 3].mean() < 12, err[..., 3].mean()
+    # compressed targets must refuse rather than silently drop alpha
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        transcode_ktx2_etc1s(kf, target="etc1")
+    # the player's decoder falls back to rgba on alpha files
+    from uvol_tpu.player.v2 import default_texture_decoder
+
+    frames_out = default_texture_decoder(blob)
+    assert frames_out.shape[-1] == 4

@@ -947,18 +947,40 @@ def encode_ktx2_etc1s(
     rdo: bool = True,
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
 ) -> bytes:
-    """[F, H, W, 3] uint8 → BasisLZ-supercompressed KTX2 (video layers)."""
-    f, h, w, _ = frames.shape
+    """[F, H, W, 3|4] uint8 → BasisLZ-supercompressed KTX2 (video layers).
+
+    RGBA input with a non-opaque alpha channel adds one alpha slice per
+    image (basisu's `-force_alpha` layout): alpha is coded as an ETC1S
+    gray slice sharing the global endpoint/selector codebooks, with its
+    own conditional-replenishment chain; the transcoder reads the decoded
+    green channel back as alpha."""
+    f, h, w, nch = frames.shape
     nbx, nby = w // 4, h // 4
+    has_alpha = nch == 4 and bool((frames[..., 3] != 255).any())
+    rgb = frames[..., :3]
+    if has_alpha:
+        alpha_rgb = np.repeat(frames[..., 3:4], 3, axis=-1)
+        pal_input = np.concatenate([rgb, alpha_rgb], axis=0)
+    else:
+        pal_input = rgb
+    n_slices = 2 * f if has_alpha else f
     pal = build_palettes(
-        frames, num_endpoints, num_selectors, kmeans_iters,
+        pal_input, num_endpoints, num_selectors, kmeans_iters,
         rdo=rdo, rdo_lambdas=rdo_lambdas,
     )
     num_endpoints = len(pal.color5)
     num_selectors = len(pal.selectors)
 
-    eps_f = pal.block_endpoint.reshape(f, nby, nbx)
-    sels_f = pal.block_selector.reshape(f, nby, nbx)
+    # slice s of image i: rgb = index i, alpha = index f + i
+    eps_f = pal.block_endpoint.reshape(n_slices, nby, nbx)
+    sels_f = pal.block_selector.reshape(n_slices, nby, nbx)
+
+    def slice_plan():
+        """(slice_index, prev_slice_index | None) per slice, emit order."""
+        for i in range(f):
+            yield i, (i - 1 if i > 0 else None)
+            if has_alpha:
+                yield f + i, (f + i - 1 if i > 0 else None)
 
     # pass 1: frequencies over all slices
     freqs: Dict[str, List[int]] = {
@@ -967,10 +989,10 @@ def encode_ktx2_etc1s(
         "sel": [0] * (num_selectors + history_size + 1),
         "rle": [0] * 64,
     }
-    for i in range(f):
-        prev = (eps_f[i - 1], sels_f[i - 1]) if i > 0 else None
+    for si, pi in slice_plan():
+        prev = (eps_f[pi], sels_f[pi]) if pi is not None else None
         encode_etc1s_slice_bits(
-            eps_f[i], sels_f[i], prev, num_endpoints, num_selectors,
+            eps_f[si], sels_f[si], prev, num_endpoints, num_selectors,
             history_size, freq_out=freqs,
         )
     # pad alphabets to full size expected by the decoder's index space
@@ -998,16 +1020,27 @@ def encode_ktx2_etc1s(
             eps_f[i], sels_f[i], prev, num_endpoints, num_selectors,
             history_size, encoders=encoders,
         )
+        a_off = a_len = 0
+        rgb_off = len(level)
+        level.extend(bits)
+        if has_alpha:
+            pa = (eps_f[f + i - 1], sels_f[f + i - 1]) if i > 0 else None
+            abits = encode_etc1s_slice_bits(
+                eps_f[f + i], sels_f[f + i], pa, num_endpoints,
+                num_selectors, history_size, encoders=encoders,
+            )
+            a_off = len(level)
+            a_len = len(abits)
+            level.extend(abits)
         descs.append(
             KTX2ImageDesc(
                 image_flags=KTX2ImageDesc.IS_P_FRAME if i > 0 else 0,
-                rgb_slice_byte_offset=len(level),
+                rgb_slice_byte_offset=rgb_off,
                 rgb_slice_byte_length=len(bits),
-                alpha_slice_byte_offset=0,
-                alpha_slice_byte_length=0,
+                alpha_slice_byte_offset=a_off,
+                alpha_slice_byte_length=a_len,
             )
         )
-        level.extend(bits)
 
     g = BasisLZGlobalData(
         endpoint_count=num_endpoints,
@@ -1032,6 +1065,6 @@ def encode_ktx2_etc1s(
     return write_ktx2(
         header,
         [KTX2Level(bytes(level), len(level))],
-        dfd=make_basis_dfd(srgb=srgb),
+        dfd=make_basis_dfd(srgb=srgb, has_alpha=has_alpha),
         basis_lz=g,
     )

@@ -674,8 +674,15 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
     selectors = decode_selectors(g.selectors_data, g.selector_count)
     models = decode_slice_models(g.tables_data)
     level = ktx2_file.levels[0].data
+    has_alpha = any(d.alpha_slice_byte_length for d in g.image_descs)
+    if has_alpha and target != "rgba":
+        # compressed alpha targets (ETC2 EAC / BC3 alpha blocks) are a
+        # separate block format; callers fall back to the full decode like
+        # the reference does on devices with no matching alpha format
+        raise NotImplementedError("alpha slices: rgba target only")
     frames = []
     prev_blocks = None
+    prev_alpha_blocks = None
     for d in g.image_descs:
         sl = level[
             d.rgb_slice_byte_offset : d.rgb_slice_byte_offset + d.rgb_slice_byte_length
@@ -690,5 +697,19 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
         elif target == "bc1-bc3":
             frames.append(blocks_to_bc1_words(blocks, endpoints, selectors))
         else:
-            frames.append(blocks_to_rgb(blocks, endpoints, selectors))
+            rgb = blocks_to_rgb(blocks, endpoints, selectors)
+            if has_alpha:
+                asl = level[
+                    d.alpha_slice_byte_offset :
+                    d.alpha_slice_byte_offset + d.alpha_slice_byte_length
+                ]
+                ablocks = decode_etc1s_slice(
+                    asl, nbx, nby, models, g.endpoint_count,
+                    g.selector_count, prev_frame=prev_alpha_blocks,
+                )
+                prev_alpha_blocks = ablocks
+                # alpha rides the decoded green channel (gray ETC1S slice)
+                alpha = blocks_to_rgb(ablocks, endpoints, selectors)[..., 1:2]
+                rgb = np.concatenate([rgb, alpha], axis=-1)
+            frames.append(rgb)
     return np.stack(frames)

@@ -81,6 +81,10 @@ def default_texture_decoder(data: bytes):
             width=f.header.pixel_width,
             height=f.header.pixel_height,
         )
+        if f.basis_lz is not None and any(
+            d.alpha_slice_byte_length for d in f.basis_lz.image_descs
+        ):
+            target = "rgba"  # compressed alpha targets not implemented
         return transcode_ktx2_etc1s(f, target=target)
     from uvol_tpu.containers.ktx2 import KHR_DF_MODEL_UASTC
 
