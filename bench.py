@@ -36,6 +36,15 @@ def main() -> None:
 
     _enable_compile_cache(jax)
 
+    def _force(tree):
+        """Force remote execution: fetch one element per leaf. On the
+        axon tunnel block_until_ready returns before remote execution;
+        the queue runs in order, so a tiny fetch drains everything
+        dispatched before it."""
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "ravel"):
+                np.asarray(leaf.ravel()[0])
+
     from uvol_tpu.containers.ktx2 import read_ktx2
     from uvol_tpu.models.sequence import (
         GeometryFrameSet,
@@ -244,18 +253,22 @@ def main() -> None:
     ]
     fn8 = lambda w: enc_dev8(*w)  # noqa: E731
     for _, r in stream_frames(windows[:1], fn8):
-        jax.block_until_ready(r)  # warm
+        _force(r)  # warm (and drain the remote queue)
     t0 = time.perf_counter()
     last = None
     for _, r in stream_frames(windows, fn8, num_slots=2):
         last = r
-    jax.block_until_ready(last)
+    _force(last)
     streamed_fps = len(windows) * 4 * STREAMS / (time.perf_counter() - t0)
 
     # ---- device-compute-only sub-metric ---------------------------------------
     # isolates the XLA/Pallas pipeline from this environment's host<->device
     # tunnel (~15-30 MB/s — a deployment would have GB/s DMA); same math as
-    # the end-to-end loop minus transfers and host entropy.
+    # the end-to-end loop minus bulk transfers and host entropy. NOTE: on
+    # the axon tunnel, jax.block_until_ready returns BEFORE remote
+    # execution (verified: 50 "blocked" dispatches in 4 ms, then a fetch
+    # waited for all of them) — every timed region must therefore end with
+    # a tiny host fetch, which forces the whole in-order queue.
     import jax.numpy as jnp
 
     dev_pos = jnp.asarray(positions)
@@ -266,12 +279,14 @@ def main() -> None:
     tex_enc_dev = texc._encode
     out = enc_dev(dev_pos, dev_uv, dev_mask)
     words = tex_enc_dev(dev_tex)
-    jax.block_until_ready((out, words))
+    _force(out)
+    _force(words)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = enc_dev(dev_pos, dev_uv, dev_mask)
         words = tex_enc_dev(dev_tex)
-    jax.block_until_ready((out, words))
+    _force(out)
+    _force(words)
     device_fps = reps * F / (time.perf_counter() - t0)
     # Headline: the reference's own workload — play its real 250-frame
     # corpus (draco_encoder .drc + basisu .ktx2) through the full
