@@ -15,7 +15,10 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <memory>
 #include <string>
 #include <vector>
@@ -248,7 +251,27 @@ struct Frame {
   std::vector<FrameAttr> attrs;
 };
 
+struct StageTimer {
+  // UVT_FRAME_TIMING=1: per-stage wall times to stderr (diagnostics only)
+  bool on;
+  struct timespec t;
+  StageTimer() {
+    const char* e = getenv("UVT_FRAME_TIMING");
+    on = e && e[0] == '1';
+    if (on) clock_gettime(CLOCK_MONOTONIC, &t);
+  }
+  void mark(const char* name) {
+    if (!on) return;
+    struct timespec n;
+    clock_gettime(CLOCK_MONOTONIC, &n);
+    double ms = (n.tv_sec - t.tv_sec) * 1e3 + (n.tv_nsec - t.tv_nsec) * 1e-6;
+    fprintf(stderr, "uvt_frame %-14s %7.3f ms\n", name, ms);
+    t = n;
+  }
+};
+
 int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
+  StageTimer timer;
   Buf b{data, 0, len};
   // ---- header (decoder.py _decode_drc) ------------------------------------
   if (len < 11 || std::memcmp(data, "DRACO", 5) != 0) return FB_NOT_DRACO;
@@ -373,6 +396,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
         vertex, vertex_corner, processed, machine_counts);
     if (rc != 0) return FB_MALFORMED;
   }
+  timer.mark("machine");
   const int64_t n_processed = machine_counts[0] + machine_counts[1];
   const int64_t num_ct_vertices = machine_counts[2];
 
@@ -409,6 +433,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
     seam_corners[i].insert(seam_corners[i].end(), boundary.begin(),
                            boundary.end());
 
+  timer.mark("seams");
   // ---- attribute decoder headers (decoder.py) ------------------------------
   int num_decoders = b.u8();
   if (!b.ok || num_decoders <= 0 || num_decoders > 127) return FB_MALFORMED;
@@ -723,6 +748,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
     }
 
     for (auto& at : dh.attrs) out.attrs.push_back(std::move(at));
+    timer.mark("decoder");
   }
   if (b.pos != b.end) return FB_MALFORMED;  // undecoded bytes at end
 
@@ -772,6 +798,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
       out.point_of_corner[c] = e;
     }
     out.num_points = (int64_t)ent_rest.size();
+    timer.mark("points");
   }
   out.num_faces = num_faces;
   return FB_OK;
