@@ -705,7 +705,10 @@ def corto_unpack_values(words, logs, size, n):
     out = np.empty((size, n), np.int32)
     w = np.ascontiguousarray(words, np.uint32)
     lg = np.ascontiguousarray(logs, np.uint8)
-    lib.uvt_corto_unpack_values(w, len(w), lg, size, n, out)
+    if lg.size < size * n:  # malformed: Tunstall logs shorter than claimed
+        raise ValueError("corto value stream: log bytes underrun")
+    if lib.uvt_corto_unpack_values(w, len(w), lg, size, n, out) != 0:
+        raise ValueError("corto value stream: malformed bit stream")
     return out
 
 
@@ -716,7 +719,10 @@ def corto_unpack_tuples(words, logs, size, n):
     out = np.empty((size, n), np.int32)
     w = np.ascontiguousarray(words, np.uint32)
     lg = np.ascontiguousarray(logs, np.uint8)
-    lib.uvt_corto_unpack_tuples(w, len(w), lg, size, n, out)
+    if lg.size < size:
+        raise ValueError("corto value stream: log bytes underrun")
+    if lib.uvt_corto_unpack_tuples(w, len(w), lg, size, n, out) != 0:
+        raise ValueError("corto value stream: malformed bit stream")
     return out
 
 
@@ -727,7 +733,10 @@ def corto_unpack_indices(words, logs, size):
     out = np.empty(size, np.int32)
     w = np.ascontiguousarray(words, np.uint32)
     lg = np.ascontiguousarray(logs, np.uint8)
-    lib.uvt_corto_unpack_indices(w, len(w), lg, size, out)
+    if lg.size < size:
+        raise ValueError("corto value stream: log bytes underrun")
+    if lib.uvt_corto_unpack_indices(w, len(w), lg, size, out) != 0:
+        raise ValueError("corto value stream: malformed bit stream")
     return out
 
 
@@ -783,6 +792,11 @@ def corto_decode_faces(clers, words, group_ends, splitbits, nvert, nface):
     cl = np.ascontiguousarray(clers, np.uint8)
     w = np.ascontiguousarray(words, np.uint32)
     ge = np.ascontiguousarray(group_ends, np.int64)
+    # corrupt group tables must not index past the face buffer
+    if len(ge) == 0 or (np.diff(ge) < 0).any() or ge[0] < 0 or ge[-1] > nface:
+        raise ValueError("corto group table out of range")
+    if not 0 <= splitbits <= 32:
+        raise ValueError("corto splitbits out of range")
     faces = np.zeros(3 * nface, np.int32)
     prediction = np.zeros((nvert, 3), np.int32)
     rc = lib.uvt_corto_decode_faces(
@@ -806,7 +820,10 @@ def corto_delta_decode(values, prediction, mode):
         prediction = np.ascontiguousarray(prediction, np.int32)
         pred_ptr = prediction.ctypes.data_as(ctypes.c_void_p)
     size, n = values.shape
-    lib.uvt_corto_delta_decode(values, size, n, pred_ptr, mode)
+    if pred_ptr is not None and len(prediction) < size:
+        raise ValueError("corto prediction table shorter than value count")
+    if lib.uvt_corto_delta_decode(values, size, n, pred_ptr, mode) != 0:
+        raise ValueError("corto delta decode: corrupt prediction indices")
     return True
 
 

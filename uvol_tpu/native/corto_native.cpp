@@ -29,9 +29,11 @@ struct BitReader {
     int64_t position = 0;
     uint32_t current = 0;
     int pending = 32;
+    bool overflow = false;  // set when a malformed stream reads past the end
 
     BitReader(const uint32_t* words, int64_t n) : a(words), nwords(n) {
         current = n ? a[0] : 0;
+        if (!n) overflow = true;
     }
 
     uint32_t read(int bits) {
@@ -41,7 +43,12 @@ struct BitReader {
             uint32_t result = (uint32_t)(((uint64_t)current << over) & 0xFFFFFFFFu);
             pending = 32 - over;
             position++;
-            current = a[position];
+            if (position >= nwords) {  // malformed: zero-fill + flag
+                overflow = true;
+                current = 0;
+            } else {
+                current = a[position];
+            }
             result |= current >> pending;
             current &= (pending == 32) ? 0xFFFFFFFFu : ((1u << pending) - 1);
             return result;
@@ -119,6 +126,7 @@ int uvt_corto_unpack_values(const uint32_t* words, int64_t nwords,
             int diff = lg[i];
             int32_t v = 0;
             if (diff) {
+                if (diff > 32) return -1;  // malformed log byte
                 uint32_t val = bs.read(diff);
                 uint32_t middle = (1u << diff) >> 1;
                 v = (val < middle) ? -(int32_t)val - (int32_t)middle : (int32_t)val;
@@ -126,7 +134,7 @@ int uvt_corto_unpack_values(const uint32_t* words, int64_t nwords,
             out[i * n + c] = v;
         }
     }
-    return 0;
+    return bs.overflow ? -1 : 0;
 }
 
 // decode_array: shared log per tuple; logs[size], out[size*n].
@@ -140,11 +148,12 @@ int uvt_corto_unpack_tuples(const uint32_t* words, int64_t nwords,
             for (int c = 0; c < n; c++) out[i * n + c] = 0;
             continue;
         }
+        if (diff > 32) return -1;  // malformed log byte
         int32_t mx = (int32_t)((1u << diff) >> 1);
         for (int c = 0; c < n; c++)
             out[i * n + c] = (int32_t)bs.read(diff) - mx;
     }
-    return 0;
+    return bs.overflow ? -1 : 0;
 }
 
 // decode_indices: out[i] = (1<<ret) + read(ret) - 1 (ret==0 -> 0).
@@ -153,9 +162,10 @@ int uvt_corto_unpack_indices(const uint32_t* words, int64_t nwords,
     BitReader bs(words, nwords);
     for (int64_t i = 0; i < size; i++) {
         int ret = logs[i];
+        if (ret > 30) return -1;  // malformed: exceeds int32 index space
         out[i] = ret ? (int32_t)((1u << ret) + bs.read(ret) - 1) : 0;
     }
-    return 0;
+    return bs.overflow ? -1 : 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -275,6 +285,7 @@ int uvt_corto_decode_faces(const uint8_t* clers, int64_t nclers,
                     int64_t v;
                     if (split & (1u << k)) {
                         v = bs.read(splitbits);
+                        if (v >= nvert) return -3;  // corrupt split ref
                     } else {
                         if (vertex_count >= nvert) return -2;
                         prediction[vertex_count * 3 + 0] = (int32_t)last_index;
@@ -402,6 +413,10 @@ int uvt_corto_delta_decode(int32_t* values, int64_t nvert, int n,
         for (int64_t i = 1; i < nvert; i++) {
             int64_t a = prediction[i * 3], b = prediction[i * 3 + 1],
                     cc = prediction[i * 3 + 2];
+            if ((uint64_t)a >= (uint64_t)nvert ||
+                (uint64_t)b >= (uint64_t)nvert ||
+                (uint64_t)cc >= (uint64_t)nvert)
+                return -1;  // corrupt prediction indices
             for (int c = 0; c < n; c++)
                 values[i * n + c] +=
                     values[a * n + c] + values[b * n + c] - values[cc * n + c];
@@ -410,6 +425,7 @@ int uvt_corto_delta_decode(int32_t* values, int64_t nvert, int n,
     }
     for (int64_t i = 1; i < nvert; i++) {
         int64_t a = prediction[i * 3];
+        if ((uint64_t)a >= (uint64_t)nvert) return -1;
         for (int c = 0; c < n; c++) values[i * n + c] += values[a * n + c];
     }
     return 0;
