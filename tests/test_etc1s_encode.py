@@ -178,11 +178,39 @@ def test_alpha_slices_roundtrip():
     err = np.abs(out.astype(float) - frames.astype(float))
     assert err[..., :3].mean() < 12, err[..., :3].mean()
     assert err[..., 3].mean() < 12, err[..., 3].mean()
-    # compressed targets must refuse rather than silently drop alpha
+    # etc1 must refuse rather than silently drop alpha
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
         transcode_ktx2_etc1s(kf, target="etc1")
+
+    # BC3 = BC4 alpha + BC1 color: decode both halves and compare
+    bc3 = transcode_ktx2_etc1s(kf, target="bc1-bc3")[0]  # [N, 4] u32
+    assert bc3.shape[1] == 4
+    # BC4 alpha decode (a0 > a1 8-step mode, floor interpolation)
+    a0 = (bc3[:, 0] & 0xFF).astype(np.int64)
+    a1 = ((bc3[:, 0] >> 8) & 0xFF).astype(np.int64)
+    field = ((bc3[:, 0].astype(np.uint64) >> 16) & 0xFFFF) | (
+        bc3[:, 1].astype(np.uint64) << 16
+    )
+    pal = np.empty((len(a0), 8), np.int64)
+    pal[:, 0] = a0
+    pal[:, 1] = a1
+    for j in range(2, 8):
+        pal[:, j] = ((8 - j) * a0 + (j - 1) * a1) // 7
+    j16 = np.arange(16)
+    codes = (
+        (field[:, None] >> (3 * j16[None, :]).astype(np.uint64)) & np.uint64(7)
+    ).astype(np.int64)
+    texels = np.take_along_axis(pal, codes, axis=1)  # [N,16]
+    h, w = out.shape[1:3]
+    alpha_img = (
+        texels.reshape(h // 4, w // 4, 4, 4)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+    aerr = np.abs(alpha_img.astype(float) - out[0, ..., 3].astype(float))
+    assert aerr.mean() < 8, aerr.mean()
     # the player's decoder falls back to rgba on alpha files
     from uvol_tpu.player.v2 import default_texture_decoder
 

@@ -617,6 +617,53 @@ def blocks_to_bc1_words(
     return np.stack([word1_of[ep], word2.astype(np.uint32)], axis=1)
 
 
+def alpha_blocks_to_bc4_words(
+    blocks: np.ndarray, endpoints, selectors: np.ndarray
+) -> np.ndarray:
+    """ETC1S gray *alpha* slice blocks → BC4 alpha words [N, 2] uint32
+    (the alpha half of a BC3 block: a0, a1, then 16 3-bit codes).
+
+    a0 = the block's highest alpha level, a1 = the lowest (a0 > a1
+    selects BC4's 8-step mode); each ETC1S selector maps to the 3-bit
+    code whose interpolant is nearest its level. The code map depends on
+    the endpoint entry, so it is a per-palette-entry [E, 4] table
+    gathered per texel."""
+    color5, inten5 = _endpoint_arrays(endpoints)
+    g5 = color5[:, 1].astype(np.int64)  # alpha rides the green channel
+    base8 = (g5 << 3) | (g5 >> 2)  # [E]
+    mods = INTEN_TABLES[inten5.astype(np.int64)]  # [E,4] ascending
+    levels = np.clip(base8[:, None] + mods, 0, 255)  # [E,4]
+    a1 = levels[:, 0]
+    a0 = levels[:, 3]
+    equal = a0 <= a1  # uniform block: all codes 0, a0==a1
+    a0 = np.where(equal, a1, a0)
+    # BC4 8-step palette for a0 > a1: p0=a0, p1=a1, pk=( (8-k)*a0+(k-1)*a1 )/7
+    k = np.arange(8)
+    pal = np.empty((len(a0), 8), np.int64)
+    pal[:, 0] = a0
+    pal[:, 1] = a1
+    for j in range(2, 8):
+        pal[:, j] = ((8 - j) * a0 + (j - 1) * a1) // 7
+    # per-entry map: ETC1S selector s (level index) -> nearest BC4 code
+    code_map = np.abs(levels[:, :, None] - pal[:, None, :]).argmin(-1)  # [E,4]
+    code_map[equal] = 0
+    ep = blocks[..., 0].reshape(-1)
+    sel = blocks[..., 1].reshape(-1)
+    # texel order i = y*4 + x, 3 bits LSB-first over the 48-bit field
+    j16 = np.arange(16)
+    y, x = j16 // 4, j16 % 4
+    sel_codes = selectors[:, y, x]  # [S,16] level indices 0..3
+    codes = code_map[ep[:, None], sel_codes[sel]]  # [N,16] 3-bit codes
+    field = (codes.astype(np.uint64) << (3 * j16[None, :]).astype(np.uint64)).sum(1)
+    w0 = (
+        a0[ep].astype(np.uint64)
+        | (a1[ep].astype(np.uint64) << 8)
+        | ((field & 0xFFFF) << 16)
+    )
+    w1 = field >> 16
+    return np.stack([w0.astype(np.uint32), w1.astype(np.uint32)], axis=1)
+
+
 #: transcode-target selection table — priorities and constraints per device
 #: capability, mirroring the reference's FORMAT_OPTIONS
 #: (src/lib/KTX2Loader.js:591-697): lower priority number wins among
@@ -675,11 +722,11 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
     models = decode_slice_models(g.tables_data)
     level = ktx2_file.levels[0].data
     has_alpha = any(d.alpha_slice_byte_length for d in g.image_descs)
-    if has_alpha and target != "rgba":
-        # compressed alpha targets (ETC2 EAC / BC3 alpha blocks) are a
-        # separate block format; callers fall back to the full decode like
-        # the reference does on devices with no matching alpha format
-        raise NotImplementedError("alpha slices: rgba target only")
+    if has_alpha and target not in ("rgba", "bc1-bc3"):
+        # ETC2 EAC alpha blocks are a separate format; callers fall back to
+        # the full decode like the reference on devices with no matching
+        # alpha format (bc1-bc3 upgrades to BC3 = BC1 color + BC4 alpha)
+        raise NotImplementedError(f"alpha slices: no {target!r} target")
     frames = []
     prev_blocks = None
     prev_alpha_blocks = None
@@ -692,24 +739,39 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
             prev_frame=prev_blocks,
         )
         prev_blocks = blocks
+
+        def _alpha_blocks():
+            nonlocal prev_alpha_blocks
+            asl = level[
+                d.alpha_slice_byte_offset :
+                d.alpha_slice_byte_offset + d.alpha_slice_byte_length
+            ]
+            ab = decode_etc1s_slice(
+                asl, nbx, nby, models, g.endpoint_count,
+                g.selector_count, prev_frame=prev_alpha_blocks,
+            )
+            prev_alpha_blocks = ab
+            return ab
+
         if target == "etc1":
             frames.append(blocks_to_etc1_words(blocks, endpoints, selectors))
         elif target == "bc1-bc3":
-            frames.append(blocks_to_bc1_words(blocks, endpoints, selectors))
+            color = blocks_to_bc1_words(blocks, endpoints, selectors)
+            if has_alpha:
+                # BC3 block = 8 bytes BC4 alpha then 8 bytes BC1 color
+                alpha = alpha_blocks_to_bc4_words(
+                    _alpha_blocks(), endpoints, selectors
+                )
+                frames.append(np.concatenate([alpha, color], axis=1))
+            else:
+                frames.append(color)
         else:
             rgb = blocks_to_rgb(blocks, endpoints, selectors)
             if has_alpha:
-                asl = level[
-                    d.alpha_slice_byte_offset :
-                    d.alpha_slice_byte_offset + d.alpha_slice_byte_length
-                ]
-                ablocks = decode_etc1s_slice(
-                    asl, nbx, nby, models, g.endpoint_count,
-                    g.selector_count, prev_frame=prev_alpha_blocks,
-                )
-                prev_alpha_blocks = ablocks
                 # alpha rides the decoded green channel (gray ETC1S slice)
-                alpha = blocks_to_rgb(ablocks, endpoints, selectors)[..., 1:2]
+                alpha = blocks_to_rgb(
+                    _alpha_blocks(), endpoints, selectors
+                )[..., 1:2]
                 rgb = np.concatenate([rgb, alpha], axis=-1)
             frames.append(rgb)
     return np.stack(frames)
