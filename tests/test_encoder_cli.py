@@ -133,3 +133,21 @@ def test_cli_uastc_texture_codec(tmp_path):
 
     frames = default_texture_decoder(open(f"{tex_dir}/00000.ktx2", "rb").read())
     assert frames.shape[0] == 3 and frames.shape[-1] == 4
+
+
+def test_cli_multi_target_textures(tmp_path):
+    """TEXTURE_CODEC="etc1s,uastc" publishes BOTH targets in the manifest
+    Record (reference multi-target projects); the facade player then picks
+    by TEXTURE_FORMAT_PRIORITY + device support."""
+    cfg_path = _make_assets(tmp_path, n_frames=3)
+    cfg = json.load(open(cfg_path))
+    cfg["TEXTURE_CODEC"] = "etc1s,uastc"
+    json.dump(cfg, open(cfg_path, "w"))
+    assert cli_main([cfg_path]) == 0
+    out = f"{tmp_path}/output"
+    manifest = json.load(open(f"{out}/clitest.uvol.json"))
+    targets = manifest["texture"]["targets"]
+    assert set(targets) == {"etc1s-tpu", "uastc-tpu"}
+    for name in targets:
+        seg = f"{out}/texture_{name}_baseColor_default/00000.ktx2"
+        assert os.path.exists(seg), seg

@@ -347,77 +347,89 @@ def main(argv: Optional[List[str]] = None) -> int:
         imgs = _expand(cfg["ImagesPath"])
         if imgs:
             batch = cfg["KTX2_BATCH_SIZE"]
-            tex_codec = cfg.get("TEXTURE_CODEC", "etc1s")
-            if tex_codec == "etc1s":
-                from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
-
-                class _Etc1sSegmentCodec:
-                    def encode_segment(self, px):
-                        return encode_ktx2_etc1s(
-                            px,
-                            num_endpoints=cfg["ETC1S_ENDPOINTS"],
-                            num_selectors=cfg["ETC1S_SELECTORS"],
-                        )
-
-                codec = _Etc1sSegmentCodec()
-                target_name = "etc1s-tpu"
-            elif tex_codec == "uastc":
-                # reference: `basisu -uastc` (scripts/Encoder.py:33-39);
-                # Zstd-supercompressed KTX2, higher quality than ETC1S
-                from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2
-
-                class _UastcSegmentCodec:
-                    def encode_segment(self, px):
-                        return encode_uastc_ktx2(px)
-
-                codec = _UastcSegmentCodec()
-                target_name = "uastc-tpu"
-            else:
-                codec = TextureSequenceCodec(sequence_size=batch)
-                target_name = "etc-tpu"
-            tex_dir = os.path.join(
-                out_dir, f"texture_{target_name}_baseColor_default"
+            tex_cfg = cfg.get("TEXTURE_CODEC", "etc1s")
+            # one or several targets: the V2 manifest is a Record of
+            # targets and the player picks by TEXTURE_FORMAT_PRIORITY +
+            # device support (reference src/V2/player.ts:207-222), so
+            # "etc1s,uastc" publishes both like a multi-target project
+            codec_names = (
+                [c.strip() for c in tex_cfg.split(",") if c.strip()]
+                if isinstance(tex_cfg, str)
+                else list(tex_cfg)
             )
-            os.makedirs(tex_dir, exist_ok=True)
-            resume = _ResumeIndex(tex_dir)
-            n_seg = 0
-            h = w = 0
-            for s in range(0, len(imgs), batch):
-                chunk = imgs[s : s + batch]
-                seg_name = f"{s // batch:05d}.ktx2"
-                target = os.path.join(tex_dir, seg_name)
-                ch = _content_hash(
-                    *[open(p, "rb").read() for p in chunk], str(batch)
-                )
-                n_seg += 1
-                if resume.fresh(seg_name, ch, target):
-                    if not (h and w):
-                        from PIL import Image
+            tex_targets = {}
+            for codec_name in codec_names:
+                if codec_name == "etc1s":
+                    from uvol_tpu.codecs.basis.etc1s_encode import (
+                        encode_ktx2_etc1s,
+                    )
 
-                        w, h = Image.open(chunk[0]).size
-                    continue
-                frames_px = np.stack([load_image(p) for p in chunk])
-                h, w = frames_px.shape[1:3]
-                blob = codec.encode_segment(frames_px)
-                with open(target, "wb") as f:
-                    f.write(blob)
-                resume.record(seg_name, ch)
-            resume.save()
+                    class _Etc1sSegmentCodec:
+                        def encode_segment(self, px):
+                            return encode_ktx2_etc1s(
+                                px,
+                                num_endpoints=cfg["ETC1S_ENDPOINTS"],
+                                num_selectors=cfg["ETC1S_SELECTORS"],
+                            )
+
+                    codec = _Etc1sSegmentCodec()
+                    target_name = "etc1s-tpu"
+                elif codec_name == "uastc":
+                    # reference: `basisu -uastc` (scripts/Encoder.py:33-39);
+                    # Zstd-supercompressed KTX2, higher quality than ETC1S
+                    from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2
+
+                    class _UastcSegmentCodec:
+                        def encode_segment(self, px):
+                            return encode_uastc_ktx2(px)
+
+                    codec = _UastcSegmentCodec()
+                    target_name = "uastc-tpu"
+                else:
+                    codec = TextureSequenceCodec(sequence_size=batch)
+                    target_name = "etc-tpu"
+                tex_dir = os.path.join(
+                    out_dir, f"texture_{target_name}_baseColor_default"
+                )
+                os.makedirs(tex_dir, exist_ok=True)
+                resume = _ResumeIndex(tex_dir)
+                n_seg = 0
+                h = w = 0
+                for s in range(0, len(imgs), batch):
+                    chunk = imgs[s : s + batch]
+                    seg_name = f"{s // batch:05d}.ktx2"
+                    target = os.path.join(tex_dir, seg_name)
+                    ch = _content_hash(
+                        *[open(p, "rb").read() for p in chunk], str(batch)
+                    )
+                    n_seg += 1
+                    if resume.fresh(seg_name, ch, target):
+                        if not (h and w):
+                            from PIL import Image
+
+                            w, h = Image.open(chunk[0]).size
+                        continue
+                    frames_px = np.stack([load_image(p) for p in chunk])
+                    h, w = frames_px.shape[1:3]
+                    blob = codec.encode_segment(frames_px)
+                    with open(target, "wb") as f:
+                        f.write(blob)
+                    resume.record(seg_name, ch)
+                resume.save()
+                tex_targets[target_name] = {
+                    "format": "ktx2",
+                    "frameRate": cfg["TEXTURE_FRAME_RATE"],
+                    "resolution": [w, h],
+                    "sequenceSize": batch,
+                    "sequenceCount": n_seg,
+                    "type": "baseColor",
+                    "tag": "default",
+                }
+                print(f"texture: {n_seg} segments -> {tex_dir}")
             manifest["texture"] = {
-                "targets": {
-                    target_name: {
-                        "format": "ktx2",
-                        "frameRate": cfg["TEXTURE_FRAME_RATE"],
-                        "resolution": [w, h],
-                        "sequenceSize": batch,
-                        "sequenceCount": n_seg,
-                        "type": "baseColor",
-                        "tag": "default",
-                    }
-                },
+                "targets": tex_targets,
                 "path": "texture_[target]_[type]_[tag]/[#####][ext]",
             }
-            print(f"texture: {n_seg} segments -> {tex_dir}")
 
     # ---- frame-count/rate cross-validation (reference :103-154) ------------
     from uvol_tpu.containers.manifest import save_manifest, validate_v2_manifest
