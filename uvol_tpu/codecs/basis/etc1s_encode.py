@@ -428,6 +428,7 @@ def build_palettes(
     kmeans_iters: int = 6,
     *,
     rdo: bool = True,
+    rdo_chain_breaks: Sequence[int] = (),
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
 ) -> Palettes:
     """Global palettes + per-block assignments, one jitted MXU program.
@@ -468,6 +469,7 @@ def build_palettes(
         rdo_refine_assignments(
             blocks, pal, h // 4, w // 4,
             lam=lam, lam_sel=lam_sel, lam_cr=lam_cr,
+            chain_breaks=rdo_chain_breaks,
         )
     # relabel the endpoint palette by the actual scan-order bigram
     # statistics: entries that follow each other in the emitted stream get
@@ -598,8 +600,14 @@ def rdo_refine_assignments(
     lam: float = 1.25,
     lam_sel: float = 1.25,
     lam_cr: float = 1.5,
+    chain_breaks: Sequence[int] = (),
 ) -> None:
-    """In-place spatial/temporal RDO over per-frame assignments."""
+    """In-place spatial/temporal RDO over per-frame assignments.
+
+    `chain_breaks`: frame indices whose slice is emitted as an I-slice
+    (no CR symbols) — the temporal term must not reward matching the
+    previous frame there (e.g. the first alpha slice when rgb and alpha
+    frames share one linear array)."""
     import jax.numpy as jnp
 
     f = pal.block_endpoint.shape[0]
@@ -615,7 +623,10 @@ def rdo_refine_assignments(
     prev_ep = jnp.zeros(nb, jnp.int32)
     prev_sel = jnp.zeros(nb, jnp.int32)
     has_prev = jnp.zeros(nb, bool)
+    breaks = set(chain_breaks)
     for i in range(f):
+        if i in breaks:
+            has_prev = jnp.zeros(nb, bool)
         dev_blocks = jnp.asarray(
             blocks[i * nb : (i + 1) * nb], jnp.float32
         )
@@ -949,14 +960,15 @@ def encode_ktx2_etc1s(
 ) -> bytes:
     """[F, H, W, 3|4] uint8 → BasisLZ-supercompressed KTX2 (video layers).
 
-    RGBA input with a non-opaque alpha channel adds one alpha slice per
-    image (basisu's `-force_alpha` layout): alpha is coded as an ETC1S
+    RGBA input adds one alpha slice per image — even when the channel is
+    fully opaque, matching basisu `-force_alpha`, so segment-by-segment
+    callers always get the same output shape: alpha is coded as an ETC1S
     gray slice sharing the global endpoint/selector codebooks, with its
     own conditional-replenishment chain; the transcoder reads the decoded
-    green channel back as alpha."""
+    green channel back as alpha. Pass 3-channel input for RGB-only."""
     f, h, w, nch = frames.shape
     nbx, nby = w // 4, h // 4
-    has_alpha = nch == 4 and bool((frames[..., 3] != 255).any())
+    has_alpha = nch == 4
     rgb = frames[..., :3]
     if has_alpha:
         alpha_rgb = np.repeat(frames[..., 3:4], 3, axis=-1)
@@ -967,6 +979,8 @@ def encode_ktx2_etc1s(
     pal = build_palettes(
         pal_input, num_endpoints, num_selectors, kmeans_iters,
         rdo=rdo, rdo_lambdas=rdo_lambdas,
+        # the alpha chain starts a fresh I-slice at index f
+        rdo_chain_breaks=(f,) if has_alpha else (),
     )
     num_endpoints = len(pal.color5)
     num_selectors = len(pal.selectors)

@@ -518,8 +518,15 @@ def encode_uastc_blocks(
                     wmain[sel].astype(np.int64),
                     walpha[sel].astype(np.int64) if m.dual_plane else None,
                 )
-        except Exception:
-            use_device = False  # jax unavailable/failed: host path below
+        except Exception as e:  # pragma: no cover - environment-specific
+            import warnings
+
+            warnings.warn(
+                f"UASTC device encode failed ({type(e).__name__}: {e}); "
+                "falling back to the host encoder",
+                RuntimeWarning,
+            )
+            use_device = False
 
     if not use_device:
         best = np.full(B, np.inf)

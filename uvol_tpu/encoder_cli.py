@@ -356,8 +356,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 [c.strip() for c in tex_cfg.split(",") if c.strip()]
                 if isinstance(tex_cfg, str)
                 else list(tex_cfg)
-            )
+            ) or ["etc"]  # empty config value keeps the fast-path target
             tex_targets = {}
+            # codec setups first; then one pass over segments so each
+            # chunk's bytes/pixels are read and decoded once, not once
+            # per codec
+            setups = []
             for codec_name in codec_names:
                 if codec_name == "etc1s":
                     from uvol_tpu.codecs.basis.etc1s_encode import (
@@ -392,40 +396,50 @@ def main(argv: Optional[List[str]] = None) -> int:
                     out_dir, f"texture_{target_name}_baseColor_default"
                 )
                 os.makedirs(tex_dir, exist_ok=True)
-                resume = _ResumeIndex(tex_dir)
-                n_seg = 0
-                h = w = 0
-                for s in range(0, len(imgs), batch):
-                    chunk = imgs[s : s + batch]
-                    seg_name = f"{s // batch:05d}.ktx2"
-                    target = os.path.join(tex_dir, seg_name)
-                    ch = _content_hash(
-                        *[open(p, "rb").read() for p in chunk], str(batch)
-                    )
-                    n_seg += 1
-                    if resume.fresh(seg_name, ch, target):
+                setups.append(
+                    {
+                        "codec": codec,
+                        "name": target_name,
+                        "dir": tex_dir,
+                        "resume": _ResumeIndex(tex_dir),
+                        "n_seg": 0,
+                    }
+                )
+            h = w = 0
+            for s0 in range(0, len(imgs), batch):
+                chunk = imgs[s0 : s0 + batch]
+                seg_name = f"{s0 // batch:05d}.ktx2"
+                chunk_bytes = [open(p, "rb").read() for p in chunk]
+                ch = _content_hash(*chunk_bytes, str(batch))
+                frames_px = None  # decoded lazily, shared across codecs
+                for st in setups:
+                    target = os.path.join(st["dir"], seg_name)
+                    st["n_seg"] += 1
+                    if st["resume"].fresh(seg_name, ch, target):
                         if not (h and w):
                             from PIL import Image
 
                             w, h = Image.open(chunk[0]).size
                         continue
-                    frames_px = np.stack([load_image(p) for p in chunk])
-                    h, w = frames_px.shape[1:3]
-                    blob = codec.encode_segment(frames_px)
+                    if frames_px is None:
+                        frames_px = np.stack([load_image(p) for p in chunk])
+                        h, w = frames_px.shape[1:3]
+                    blob = st["codec"].encode_segment(frames_px)
                     with open(target, "wb") as f:
                         f.write(blob)
-                    resume.record(seg_name, ch)
-                resume.save()
-                tex_targets[target_name] = {
+                    st["resume"].record(seg_name, ch)
+            for st in setups:
+                st["resume"].save()
+                tex_targets[st["name"]] = {
                     "format": "ktx2",
                     "frameRate": cfg["TEXTURE_FRAME_RATE"],
                     "resolution": [w, h],
                     "sequenceSize": batch,
-                    "sequenceCount": n_seg,
+                    "sequenceCount": st["n_seg"],
                     "type": "baseColor",
                     "tag": "default",
                 }
-                print(f"texture: {n_seg} segments -> {tex_dir}")
+                print(f"texture: {st['n_seg']} segments -> {st['dir']}")
             manifest["texture"] = {
                 "targets": tex_targets,
                 "path": "texture_[target]_[type]_[tag]/[#####][ext]",

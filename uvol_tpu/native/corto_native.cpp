@@ -29,26 +29,23 @@ struct BitReader {
     int64_t position = 0;
     uint32_t current = 0;
     int pending = 32;
+    int64_t consumed = 0;  // exact bits-read accounting
     bool overflow = false;  // set when a malformed stream reads past the end
 
     BitReader(const uint32_t* words, int64_t n) : a(words), nwords(n) {
         current = n ? a[0] : 0;
-        if (!n) overflow = true;
     }
 
     uint32_t read(int bits) {
         if (bits == 0) return 0;
+        consumed += bits;
+        if (consumed > nwords * 32) overflow = true;  // zero-bit streams OK
         if (bits > pending) {
             int over = bits - pending;
             uint32_t result = (uint32_t)(((uint64_t)current << over) & 0xFFFFFFFFu);
             pending = 32 - over;
             position++;
-            if (position >= nwords) {  // malformed: zero-fill + flag
-                overflow = true;
-                current = 0;
-            } else {
-                current = a[position];
-            }
+            current = position < nwords ? a[position] : 0;
             result |= current >> pending;
             current &= (pending == 32) ? 0xFFFFFFFFu : ((1u << pending) - 1);
             return result;
