@@ -475,3 +475,147 @@ def test_multi_stream_isolation(liam_output):
         # substance is zero skips + reaching the target frame
         assert st["last"] >= N - 1, st
         assert st["shown"] >= N - 5, st
+
+
+def test_plan_prefetch_fractional_buffer_duration():
+    """The reference's JS loop ceils bufferDuration; int() truncation made
+    durations < 1 disable prefetch entirely."""
+    from uvol_tpu.player.scheduler import PrefetchState, plan_prefetch
+
+    st = PrefetchState()
+    plan = plan_prefetch(
+        st,
+        current_time=0.0,
+        geometry_frame_rate=30,
+        geometry_frame_count=300,
+        texture_frame_rate=30,
+        texture_sequence_size=5,
+        texture_sequence_count=60,
+        buffer_duration=0.5,
+    )
+    assert plan.geometry_frames, "sub-second buffer_duration must prefetch"
+
+
+def test_v2_async_track_switch_generation(tmp_path, liam_output):
+    """Switching tracks mid-play in async mode must re-fetch everything:
+    pool dedup keys are generation-scoped so the second track's frame 0
+    is not refused and stale decodes don't land in the new maps."""
+    import json as _json
+
+    from uvol_tpu.containers.manifest import manifest_for_directory
+    from uvol_tpu.interfaces import PlayMode
+    from uvol_tpu.player.clock import PlaybackClock
+    from uvol_tpu.player.facade import Player as FacadePlayer
+
+    manifest_bytes = _json.dumps(
+        manifest_for_directory(str(liam_output))
+    ).encode()
+    root = liam_output.parent
+
+    def fetcher(url):
+        if url.endswith(".uvol.json"):
+            return manifest_bytes
+        return (root / url.lstrip("/")).read_bytes()
+
+    vc = VirtualClock()
+    p = FacadePlayer(
+        paths=["/a.uvol.json", "/b.uvol.json"],
+        fetcher=fetcher,
+        play_mode=PlayMode.unmanaged,
+        on_track_end=lambda: None,
+        v2_player_kwargs={
+            "clock": PlaybackClock(now=vc), "async_prefetch": True,
+        },
+    )
+    import time as _time
+
+    def play_some(n_ok, max_wall=60.0):
+        shown = 0
+        t0 = _time.monotonic()
+        while shown < n_ok and _time.monotonic() - t0 < max_wall:
+            r = p.update()
+            assert r is not None
+            if r.status == "ok":
+                shown += 1
+                vc.advance(1 / 60)  # advance only when frames flow
+            else:
+                _time.sleep(0.01)  # let the worker pool decode
+        return shown
+
+    p.set_track_path("/a.uvol.json")
+    assert play_some(5) >= 5
+    # switch track (same dataset under a different manifest URL)
+    p.set_track_path("/b.uvol.json")
+    shown2 = play_some(5)
+    p.v2_instance.dispose()
+    assert shown2 >= 5, "second track starved (dedup keys not re-scoped)"
+
+
+def test_v1_loop_replays_with_video(tmp_path):
+    """PlayMode.loop over a V1 track with a video texture: the second pass
+    must show frames again (fresh video texture + clock epoch restart —
+    previously `ended` stayed True forever)."""
+    import json as _json
+
+    import numpy as np
+
+    from uvol_tpu.codecs.corto.encoder import encode_crt
+    from uvol_tpu.containers.drcs import DrcsWriter
+    from uvol_tpu.interfaces import PlayMode
+    from uvol_tpu.io.video import encode_v1_texture_video
+    from uvol_tpu.player.clock import PlaybackClock
+    from uvol_tpu.player.facade import Player as FacadePlayer
+
+    n_frames, fps = 6, 10
+    pos = np.array([[i, j, 0] for i in range(3) for j in range(3)], np.float32)
+    faces = np.array([[0, 1, 4], [0, 4, 3], [1, 2, 5], [1, 5, 4]], np.int32)
+    w = DrcsWriter(frame_rate=fps)
+    for f in range(n_frames):
+        crt = encode_crt(pos + 0.01 * f, faces)
+        w.add_frame(crt, vertices=len(pos), faces=len(faces))
+    drcs = w.getvalue()
+    manifest = _json.dumps(w.manifest.to_json()).encode()
+    from uvol_tpu.player.v1 import bake_frame_number
+
+    tex = np.full((n_frames, 128, 128, 3), 128, np.uint8)
+    for f in range(n_frames):
+        tex[f] = bake_frame_number(tex[f], f)
+    mp4 = encode_v1_texture_video(tex, fps=fps)
+    files = {
+        "/clip.manifest": manifest,
+        "/clip.drcs": drcs,
+        "/clip.mp4": mp4,
+    }
+
+    vc = VirtualClock()
+    plays = {"count": 0}
+
+    def on_end():  # the reference demo calls setTrackPath from onTrackEnd
+        plays["count"] += 1
+        if plays["count"] < 3:
+            p.set_track_path()
+
+    p = FacadePlayer(
+        paths=["/clip.manifest"],
+        fetcher=lambda u: files[u],
+        play_mode=PlayMode.loop,
+        on_track_end=on_end,
+        v1_player_kwargs={"clock": PlaybackClock(now=vc)},
+    )
+    p.set_track_path("/clip.manifest")
+    frames_per_pass = []
+    seen = set()
+    for _ in range(int(n_frames / fps / (1 / 30) * 4) + 200):
+        r = p.update()
+        if r is None:
+            break
+        if getattr(r, "status", None) == "ok":
+            seen.add(r.frame)
+        if plays["count"] >= len(frames_per_pass) + 1:
+            frames_per_pass.append(len(seen))
+            seen = set()
+        if len(frames_per_pass) >= 2:
+            break
+        vc.advance(1 / 30)
+    assert len(frames_per_pass) >= 2, f"looped only {plays['count']} times"
+    assert frames_per_pass[1] >= n_frames - 2, frames_per_pass

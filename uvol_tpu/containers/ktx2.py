@@ -238,7 +238,6 @@ def _align(n: int, a: int) -> int:
 def make_basis_dfd(
     *,
     color_model: int = KHR_DF_MODEL_ETC1S,
-    width_blocks4: bool = True,
     srgb: bool = True,
     has_alpha: bool = False,
 ) -> bytes:

@@ -159,11 +159,17 @@ def load_ply(path: str) -> LoadedMesh:
     with open(path, "rb") as f:
         data = f.read()
     # header
-    end = data.find(b"end_header\n")
+    # accept CRLF headers (Windows-authored PLYs; tinyply does)
+    end = data.find(b"end_header")
     if not data.startswith(b"ply") or end < 0:
         raise ValueError("not a PLY file")
-    header = data[: end + 11].decode("ascii", "replace")
-    body = data[end + 11 :]
+    body_start = end + len(b"end_header")
+    if data[body_start : body_start + 2] == b"\r\n":
+        body_start += 2
+    elif data[body_start : body_start + 1] == b"\n":
+        body_start += 1
+    header = data[:body_start].decode("ascii", "replace").replace("\r", "")
+    body = data[body_start:]
     fmt = "ascii"
     elements: List[Tuple[str, int, List]] = []  # (name, count, props)
     comments: Dict[str, str] = {}

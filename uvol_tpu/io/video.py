@@ -113,6 +113,15 @@ class Mp4VideoTexture:
 
     @current_time.setter
     def current_time(self, t: float) -> None:
+        if self._clock is not None:
+            # clock-driven time: a seek to 0 restarts the epoch (track
+            # replay); other seeks are unsupported rather than silent
+            if t == 0.0:
+                self._clock.start()
+                return
+            raise NotImplementedError(
+                "seek on a clock-driven video (only rewind-to-0 supported)"
+            )
         self._time = t
 
     @property

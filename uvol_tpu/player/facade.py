@@ -120,8 +120,16 @@ class Player:
             if self.v1_instance is None:
                 from uvol_tpu.player.v1 import V1Player
 
+                blob_cache: dict = {}
+
                 def range_fetcher(url: str, start: int, end: int) -> bytes:
-                    return self.fetcher(url)[start:end]
+                    # one whole-blob fetch per .drcs, sliced per range (the
+                    # reference's HTTP Range requests; re-downloading the
+                    # full blob per range would multiply transfer)
+                    if url not in blob_cache:
+                        blob_cache.clear()
+                        blob_cache[url] = self.fetcher(url)
+                    return blob_cache[url][start:end]
 
                 def corto_decoder(data: bytes):
                     from uvol_tpu.codecs.corto.decoder import decode_crt
@@ -143,19 +151,20 @@ class Player:
                 self.v1_instance = V1Player(**v1_kwargs)
             # video texture: .mp4 URL derived from the manifest path like
             # the reference (src/V1/player.ts:192); track stays playable
-            # without one (clock-synced), matching headless use
-            if self.v1_instance.video is None:
-                try:
-                    mp4_bytes = self.fetcher(
-                        next_path.replace(".manifest", ".mp4")
-                    )
-                    from uvol_tpu.io.video import Mp4VideoTexture
+            # without one (clock-synced), matching headless use. Always
+            # rebuilt on track change — reusing the previous track's video
+            # left `ended` permanently True on replay/looping.
+            try:
+                mp4_bytes = self.fetcher(
+                    next_path.replace(".manifest", ".mp4")
+                )
+                from uvol_tpu.io.video import Mp4VideoTexture
 
-                    self.v1_instance.video = Mp4VideoTexture(
-                        mp4_bytes, clock=self.v1_instance.clock
-                    )
-                except Exception:
-                    pass
+                self.v1_instance.video = Mp4VideoTexture(
+                    mp4_bytes, clock=self.v1_instance.clock
+                )
+            except Exception:
+                self.v1_instance.video = None
         self.play_track()
 
     def play_track(self) -> None:
@@ -181,6 +190,8 @@ class Player:
             self.v2_instance.pause()
         elif getattr(self.v1_instance, "video", None) is not None:
             self.v1_instance.video.pause()
+        else:
+            self.v1_instance.clock.pause()  # clock-synced V1 track
         self.paused = True
         self.stopped = False
 
@@ -191,6 +202,8 @@ class Player:
             self.v2_instance.play()
         elif getattr(self.v1_instance, "video", None) is not None:
             self.v1_instance.video.play()
+        else:
+            self.v1_instance.clock.play()
         self.paused = False
         self.stopped = False
 
@@ -199,12 +212,10 @@ class Player:
             return None
         if self.is_v2:
             return self.v2_instance.update()
-        video = getattr(self.v1_instance, "video", None)
-        if kwargs.get("frame_image") is None and hasattr(
-            video, "current_frame_rgb"
-        ):
-            # baked-counter sync (the reference's canvas read-back path)
-            kwargs["frame_image"] = video.current_frame_rgb()
+        # baked-counter read-back happens inside V1Player.update so it
+        # samples the video AFTER buffer_loop may have (re)started the
+        # clock — reading here returned the previous epoch's last frame
+        # on replay and mis-evicted the fresh buffer
         return self.v1_instance.update(**kwargs)
 
     def dispose(self) -> None:

@@ -62,7 +62,10 @@ def plan_prefetch(
     current_texture_frame = get_current_frame(texture_frame_rate, current_time)
     current_texture_segment = current_texture_frame // texture_sequence_size
 
-    for i in range(int(buffer_duration)):
+    # the reference's `for (i = 0; i < bufferDuration; i++)` ceils
+    # fractional durations (JS compares the float); int() would truncate
+    # and a duration < 1 would disable prefetch entirely
+    for i in range(math.ceil(buffer_duration)):
         geometry_request_end = min(
             int(current_geometry_frame + (i + 1) * geometry_buffer_size),
             geometry_frame_count - 1,

@@ -161,13 +161,20 @@ class V1Player:
         self.mesh_buffer.clear()
         self._playing = False
         self._ended = False
+        # replay/track-change: generation-scope the pool keys so the
+        # dedup cache never refuses this track's ranges and late results
+        # from the previous track are dropped, not merged
+        self._track_gen = getattr(self, "_track_gen", 0) + 1
 
     # -- the worker loop (src/V1/player.ts:206-246 + worker) -----------------
     def buffer_loop(self) -> None:
         assert self.manifest is not None and self._pacer is not None
         if self._pool is not None:
             # drain completed ranges, releasing their in-flight slots
-            for _key, (result, err) in self._pool.poll().items():
+            gen = self._track_gen
+            for key, (result, err) in self._pool.poll().items():
+                if key[0] != gen:
+                    continue  # stale: a previous track's range
                 if err is None:
                     self.mesh_buffer.update(result)
                 self._pacer.on_response()
@@ -175,7 +182,8 @@ class V1Player:
                 rng = self._pacer.next_range(len(self.mesh_buffer))
                 if rng is None:
                     break
-                self._pool.request(rng, rng[0], rng[1])
+                if not self._pool.request((gen,) + rng, rng[0], rng[1]):
+                    self._pacer.on_response()  # refused: release the slot
         else:
             while True:
                 rng = self._pacer.next_range(len(self.mesh_buffer))
@@ -189,10 +197,11 @@ class V1Player:
 
         if not self._playing and self._pacer.can_start_playback(len(self.mesh_buffer)):
             self._playing = True
+            # restart the epoch so a replayed track begins at t=0 (the
+            # reference swaps in a fresh <video>; our clock is shared)
+            self.clock.start()
             if self.video is not None and hasattr(self.video, "play"):
                 self.video.play()
-            else:
-                self.clock.start()
 
     @property
     def current_time(self) -> float:
@@ -230,6 +239,11 @@ class V1Player:
             if self.on_track_end:
                 self.on_track_end()
             return V1FrameResult("ended")
+        if frame_image is None and hasattr(self.video, "current_frame_rgb"):
+            # baked-counter sync (the reference's canvas read-back path),
+            # sampled after buffer_loop so a freshly restarted clock is
+            # already in effect
+            frame_image = self.video.current_frame_rgb()
         frame = self.current_frame(frame_image)
         if frame >= len(self.manifest.frameData):
             self._ended = True

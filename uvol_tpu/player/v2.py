@@ -234,6 +234,10 @@ class V2Player:
         self._ended = False
         self.mesh_map.clear()
         self.texture_map.clear()
+        # generation-scope async pool keys: a track switch must not hit the
+        # previous track's dedup entries, and its late decodes must not
+        # land in the new track's maps
+        self._track_gen = getattr(self, "_track_gen", 0) + 1
         if self._async and (self._geo_pool is None or self._geo_pool._closed):
             self._make_pools()
         self.fetch_buffers()
@@ -287,10 +291,13 @@ class V2Player:
             buffer_duration=self.buffer_duration,
         )
         if self._async:
+            gen = self._track_gen
             for frame in plan.geometry_frames:
-                self._geo_pool.request(frame, self.geometry_url(frame))
+                self._geo_pool.request((gen, frame), self.geometry_url(frame))
             for segment in plan.texture_segments:
-                self._tex_pool.request(segment, self.texture_url(segment))
+                self._tex_pool.request(
+                    (gen, segment), self.texture_url(segment)
+                )
             self._drain_pools()
             return
         for frame in plan.geometry_frames:
@@ -305,11 +312,12 @@ class V2Player:
     def _drain_pools(self) -> None:
         """Move completed async decodes into the playback maps; decode
         failures degrade to a missing entry (skip / fail-material path)."""
-        for frame, (result, err) in self._geo_pool.poll().items():
-            if err is None:
+        gen = self._track_gen
+        for (g_, frame), (result, err) in self._geo_pool.poll().items():
+            if g_ == gen and err is None:
                 self.mesh_map[frame] = result
-        for segment, (result, err) in self._tex_pool.poll().items():
-            if err is None:
+        for (g_, segment), (result, err) in self._tex_pool.poll().items():
+            if g_ == gen and err is None:
                 self.texture_map[segment] = result
 
     # -- per-tick processing (src/V2/player.ts:388-531) ----------------------
