@@ -643,34 +643,6 @@ def rdo_refine_assignments(
         has_prev = jnp.ones(nb, bool)
 
 
-def _order_endpoints(color5: np.ndarray, inten: np.ndarray) -> np.ndarray:
-    """Greedy nearest-neighbor chain over (color5, inten) features."""
-    e = len(color5)
-    if e <= 2:
-        return np.arange(e)
-    feat = np.concatenate(
-        [color5.astype(np.float32), 2.0 * inten.astype(np.float32)[:, None]],
-        axis=1,
-    )
-    order = np.empty(e, np.int64)
-    dist_to_used = np.full(e, np.inf, np.float32)
-    cur = int(np.argmin(feat.sum(1)))  # start from the darkest entry
-    for i in range(e):
-        order[i] = cur
-        dist_to_used[cur] = -1.0  # mark used
-        if i + 1 == e:
-            break
-        d = np.abs(feat - feat[cur]).sum(1)
-        d[dist_to_used < 0] = np.inf
-        cur = int(np.argmin(d))
-    return order
-
-
-# ---------------------------------------------------------------------------
-# Global palette streams (inverse of transcoder.decode_endpoints/selectors)
-# ---------------------------------------------------------------------------
-
-
 def encode_endpoints_stream(color5: np.ndarray, inten: np.ndarray) -> bytes:
     deltas: List[Tuple[int, int]] = []  # (model, delta) per color component
     inten_deltas: List[int] = []

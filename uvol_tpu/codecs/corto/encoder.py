@@ -282,9 +282,14 @@ def encode_crt(
         & (faces[:, 1] != faces[:, 2])
         & (faces[:, 0] != faces[:, 2])
     )
-    faces = faces[good]
+    removed_before = np.cumsum(~good)  # remap caller group ends like the
+    faces = faces[good]                # reference (encoder.cpp adjusts ends)
     nface = len(faces)
-    group_ends = groups or [nface]
+    if groups:
+        group_ends = [int(g - removed_before[g - 1]) if g > 0 else 0
+                      for g in groups]
+    else:
+        group_ends = [nface]
 
     referenced = np.zeros(nvert, bool)
     referenced[faces.reshape(-1)] = True

@@ -157,22 +157,33 @@ def _encode_draco_frame(args):
     from uvol_tpu.io.meshio import load_mesh
 
     m = load_mesh(path)
+    # drop degenerate triangles like draco_encoder does (the reference
+    # pipeline encodes scan frames containing slivers without failing)
+    faces = np.asarray(m.faces)
+    good = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    faces = faces[good]
     atts = [
-        AttributeToEncode(
-            K.ATT_POSITION, m.positions, m.faces.reshape(-1), qp
-        )
+        AttributeToEncode(K.ATT_POSITION, m.positions, faces.reshape(-1), qp)
     ]
     if m.uvs is not None:
         atts.append(
-            AttributeToEncode(K.ATT_TEX_COORD, m.uvs, m.uv_faces.reshape(-1), qt)
+            AttributeToEncode(
+                K.ATT_TEX_COORD, m.uvs,
+                np.asarray(m.uv_faces)[good].reshape(-1), qt,
+            )
         )
     if m.normals is not None:
         atts.append(
             AttributeToEncode(
-                K.ATT_NORMAL, m.normals, m.normal_faces.reshape(-1), qn
+                K.ATT_NORMAL, m.normals,
+                np.asarray(m.normal_faces)[good].reshape(-1), qn,
             )
         )
-    return encode_drc(m.faces, atts)
+    return encode_drc(faces, atts)
 
 
 def load_image(path: str) -> np.ndarray:

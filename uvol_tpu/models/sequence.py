@@ -70,7 +70,7 @@ class GeometryFrameSet:
 def _pallas_available() -> bool:
     """Pallas kernels run on the real TPU backend; tests run the interpret
     path explicitly."""
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() == "tpu"
 
 
 class GeometrySequenceCodec:
@@ -125,11 +125,18 @@ class GeometrySequenceCodec:
             return out
 
         @jax.jit
-        def _decode_device(pos_syms, pos_min, pos_range, uv_syms, uv_min, uv_range):
+        def _decode_device(pos_syms, pos_min, pos_scale, uv_syms, uv_min, uv_scale):
+            # per-frame scale = range / ((1<<bits_of_blob) - 1): the blob
+            # header's quantization bits rule, NOT this codec instance's
+            # defaults (mixed-bits batches dequantize correctly)
             qpos = delta_decode(zigzag_decode(pos_syms))
-            pos = dequantize(QuantizedAttr(qpos, pos_min, pos_range), position_bits)
+            pos = pos_min[..., None, :] + (
+                qpos.astype(jnp.float32) * pos_scale[..., None, None]
+            )
             quv = delta_decode(zigzag_decode(uv_syms))
-            uv = dequantize(QuantizedAttr(quv, uv_min, uv_range), uv_bits)
+            uv = uv_min[..., None, :] + (
+                quv.astype(jnp.float32) * uv_scale[..., None, None]
+            )
             return pos, uv
 
         self._encode_device = _encode_device
@@ -240,26 +247,31 @@ class GeometrySequenceCodec:
         pos_batch = np.zeros((f, max_n, 3), np.uint32)
         uv_batch = np.zeros((f, max_n, 2), np.uint32)
         pmin = np.zeros((f, 3), np.float32)
-        prange = np.zeros(f, np.float32)
+        pscale = np.zeros(f, np.float32)
         umin = np.zeros((f, 2), np.float32)
-        urange = np.ones(f, np.float32)
+        uscale = np.zeros(f, np.float32)
+        any_uv = False
         for i in range(f):
             c = int(counts[i])
             pos_batch[i, :c] = pos_syms[i]
             pmin[i] = metas[i]["pmin"]
-            prange[i] = metas[i]["prange"]
+            pscale[i] = metas[i]["prange"] / ((1 << metas[i]["pbits"]) - 1)
             if uv_syms[i] is not None:
+                any_uv = True
                 uv_batch[i, :c] = uv_syms[i]
                 umin[i] = metas[i]["umin"]
-                urange[i] = metas[i]["urange"]
+                uscale[i] = metas[i]["urange"] / ((1 << metas[i]["ubits"]) - 1)
         pos, uv = self._decode_device(
-            jnp.asarray(pos_batch), jnp.asarray(pmin), jnp.asarray(prange),
-            jnp.asarray(uv_batch), jnp.asarray(umin), jnp.asarray(urange),
+            jnp.asarray(pos_batch), jnp.asarray(pmin), jnp.asarray(pscale),
+            jnp.asarray(uv_batch), jnp.asarray(umin), jnp.asarray(uscale),
         )
+        if not any_uv:
+            uv = None  # UV-less streams: honor the Optional contract
         if as_numpy:
-            pos, uv = np.asarray(pos), np.asarray(uv)
+            pos = np.asarray(pos)
+            uv = np.asarray(uv) if uv is not None else None
         else:
-            jax.block_until_ready((pos, uv))
+            jax.block_until_ready(pos if uv is None else (pos, uv))
         return GeometryFrameSet(
             positions=pos,
             uvs=uv,
@@ -282,6 +294,11 @@ class TextureSequenceCodec:
         use_pallas: Optional[bool] = None,
     ):
         self.sequence_size = sequence_size
+        if supercompression not in ("none", "zstd"):
+            raise ValueError(
+                f"unknown supercompression {supercompression!r} "
+                "(supported: 'none', 'zstd')"
+            )
         self.supercompression = supercompression
         # The ETC1 tile kernel is strictly 2-D vector code (etc_pallas.py),
         # lowers through Mosaic, and is bit-identical to the XLA op chain —
