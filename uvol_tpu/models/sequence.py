@@ -70,7 +70,9 @@ class GeometryFrameSet:
 def _pallas_available() -> bool:
     """Pallas kernels run on the real TPU backend; tests run the interpret
     path explicitly."""
-    return jax.default_backend() == "tpu"
+    # "axon" is this environment's tunneled TPU plugin; GPU and other
+    # non-TPU backends cannot lower the Mosaic kernels
+    return jax.default_backend() in ("tpu", "axon")
 
 
 class GeometrySequenceCodec:
