@@ -127,3 +127,47 @@ def test_morton_order_locality():
     perm = morton_order(q)
     sorted_codes = np.asarray(morton30(jnp.take_along_axis(q, perm[..., None], axis=-2)))
     assert np.all(np.diff(sorted_codes[0].astype(np.int64)) >= 0)
+
+
+def test_morton_order_21bit_coords():
+    """Coordinate bit 20 must participate in the sort with z>y>x
+    significance (it was dropped for x and mis-ordered for y/z)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvol_tpu.ops.morton import morton_order
+
+    big = 1 << 20
+    q = jnp.asarray(
+        np.array([[big, 0, 0], [0, 0, 0], [0, 0, big], [big - 1, 0, 0]],
+                 np.int32)[None]
+    )
+    perm = np.asarray(morton_order(q))[0]
+    # ascending morton: origin first, then x-bit20, then z-bit20 (highest)
+    assert list(perm) == [1, 3, 0, 2], list(perm)
+
+
+def test_parallelogram_roundtrip_first_delta_false():
+    """Vertex 0 must predict from zero in BOTH directions (the encoder's
+    rolled `prev` used values[N-1] for row 0 when first_delta=False)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uvol_tpu.ops.prediction import (
+        parallelogram_decode,
+        parallelogram_encode,
+    )
+
+    r = np.random.default_rng(0)
+    vals = jnp.asarray(r.integers(-50, 50, (6, 3)).astype(np.int32))
+    pidx = jnp.asarray(
+        np.array(
+            [[-1, 0, 0], [-1, 0, 0], [0, 1, 0], [1, 2, 0], [-1, 0, 0],
+             [2, 3, 1]],
+            np.int32,
+        )
+    )
+    for fd in (True, False):
+        res = parallelogram_encode(vals, pidx, first_delta=fd)
+        back = parallelogram_decode(res, pidx, first_delta=fd)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(vals))

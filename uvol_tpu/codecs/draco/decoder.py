@@ -98,6 +98,8 @@ def _decode_drc_native(data: bytes) -> Optional[DracoMesh]:
     num_faces, num_points, point_of_corner, raw_attrs = res
     attributes = []
     for att_type, data_type, ncomp, norm, uid, values, corner_map in raw_attrs:
+        if values.dtype == np.int64:  # integer attrs: declared wire dtype
+            values = values.astype(integer_dtype(data_type))
         attributes.append(
             DracoAttribute(
                 att_type, data_type, ncomp, norm, uid,
@@ -250,7 +252,9 @@ def _decode_drc(data: bytes) -> DracoMesh:
                     delta = rng / ((1 << qbits) - 1)
                     attr.values = (mins + ints * delta).astype(np.float32)
                 else:
-                    attr.values = ints
+                    # honor the declared wire data_type (DT_UINT8 generics
+                    # round-trip as uint8, not int64)
+                    attr.values = ints.astype(integer_dtype(attr.data_type))
                 if attr.attribute_type == K.ATT_POSITION:
                     pos_values = ints
                     pos_vertex_to_data = vertex_to_data
@@ -321,7 +325,10 @@ def _decode_drc(data: bytes) -> DracoMesh:
             max(max(int(keys[:, i].max()), 0).bit_length(), 1)
             for i in range(keys.shape[1])
         ]
-        if sum(widths) <= 63:
+        # negative entries (INVALID on malformed streams) would smear sign
+        # bits across the packed columns — the unique(axis=0) path handles
+        # them correctly
+        if sum(widths) <= 63 and int(keys.min()) >= 0:
             packed = np.zeros(len(keys), np.int64)
             shift = 0
             for i in range(keys.shape[1] - 1, -1, -1):
@@ -348,6 +355,19 @@ def _decode_drc(data: bytes) -> DracoMesh:
     if buf.remaining() != 0:
         raise ValueError(f"{buf.remaining()} undecoded bytes at end of stream")
     return mesh
+
+
+_INT_DTYPES = {
+    K.DT_INT8: np.int8, K.DT_UINT8: np.uint8,
+    K.DT_INT16: np.int16, K.DT_UINT16: np.uint16,
+    K.DT_INT32: np.int32, K.DT_UINT32: np.uint32,
+    K.DT_INT64: np.int64, K.DT_UINT64: np.uint64,
+}
+
+
+def integer_dtype(data_type: int):
+    """numpy dtype for a Draco integer data_type (default int64)."""
+    return _INT_DTYPES.get(data_type, np.int64)
 
 
 def _i8(v: int) -> int:

@@ -247,6 +247,8 @@ def run_connectivity_machine(
         check_topology_split = False
 
         if symbol == TOPOLOGY_C:
+            if not active_corner_stack:
+                raise ValueError(f"C with empty stack at symbol {symbol_id}")
             corner_a = active_corner_stack[-1]
             vertex_x = int(vert[next_corner(corner_a)])
             corner_b = next_corner(ct.left_most_corner(vertex_x))
@@ -264,6 +266,8 @@ def run_connectivity_machine(
             active_corner_stack[-1] = corner
 
         elif symbol == TOPOLOGY_R or symbol == TOPOLOGY_L:
+            if not active_corner_stack:
+                raise ValueError(f"R/L with empty stack at symbol {symbol_id}")
             corner_a = active_corner_stack[-1]
             if symbol == TOPOLOGY_R:
                 opp_corner, corner_l, corner_r = corner + 2, corner + 1, corner
@@ -292,6 +296,8 @@ def run_connectivity_machine(
             check_topology_split = True
 
         elif symbol == TOPOLOGY_S:
+            if not active_corner_stack:
+                raise ValueError(f"S with empty stack at symbol {symbol_id}")
             corner_b = active_corner_stack.pop()
             saved = topology_split_active_corners.pop(symbol_id, None)
             if saved is not None:
@@ -308,9 +314,13 @@ def run_connectivity_machine(
             # remap all corners of q to p: sweep right from q's left-most
             first_q_corner = ct.left_most_corner(vertex_q)
             c = first_q_corner
+            steps = 0
             while c != INVALID:
                 vert[c] = vertex_p
                 c = ct.swing_right(c)
+                steps += 1
+                if steps > 3 * num_faces:  # hostile: closed-fan S ref
+                    raise ValueError(f"S sweep cycle at symbol {symbol_id}")
             ct.set_opposite(corner_a, corner + 2)
             ct.set_opposite(corner_b, corner + 1)
             ct.map_corner_to_vertex(corner, vertex_p)

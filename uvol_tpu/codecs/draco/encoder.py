@@ -468,6 +468,8 @@ def _encode_parallelogram(
             return res, wrap
 
     corr = np.zeros_like(values)
+    if n == 0:
+        return corr, wrap
     corr[0] = wrap.correction(values[0], np.zeros(nc, np.int64))
     for p in range(1, n):
         ci = int(data_to_corner[p])

@@ -93,7 +93,9 @@ def _read_attribute(buf: DecoderBuffer, attr, num_values: int) -> np.ndarray:
         qbits = buf.u8()
         delta = rng / ((1 << qbits) - 1)
         return (mins + ints * delta).astype(np.float32)
-    return ints
+    from uvol_tpu.codecs.draco.decoder import integer_dtype
+
+    return ints.astype(integer_dtype(attr.data_type))
 
 
 def _write_attribute_headers(out: EncoderBuffer, attributes) -> None:

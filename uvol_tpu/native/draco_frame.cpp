@@ -743,8 +743,11 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
       }
 
       attr.corner_to_value.resize(n_corners);
-      for (int64_t c = 0; c < n_corners; ++c)
-        attr.corner_to_value[c] = v2d[corner_vertex[c]];
+      for (int64_t c = 0; c < n_corners; ++c) {
+        int32_t v = v2d[corner_vertex[c]];
+        if (v < 0) return FB_MALFORMED;  // unvisited attribute vertex
+        attr.corner_to_value[c] = v;
+      }
     }
 
     for (auto& at : dh.attrs) out.attrs.push_back(std::move(at));

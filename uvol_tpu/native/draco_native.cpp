@@ -251,9 +251,11 @@ int uvt_eb_valence_machine(
       Table t{opposite, vertex, vertex_corner};
       int32_t first_q = vertex_corner[vertex_q];
       int32_t c = first_q;
+      int64_t sweep_steps = 0;
       while (c != INVALID) {
         vertex[c] = vertex_p;
         c = t.swing_right(c);
+        if (++sweep_steps > n_corners) return -15;  // closed-fan S ref
       }
       set_opp(corner_a, corner + 2);
       set_opp(corner_b, corner + 1);
@@ -1460,9 +1462,11 @@ int uvt_eb_replay_machine(
       Table t{opposite, vertex, vertex_corner};
       int32_t first_q = vertex_corner[vertex_q];
       int32_t c = first_q;
+      int64_t sweep_steps = 0;
       while (c != INVALID) {
         vertex[c] = vertex_p;
         c = t.swing_right(c);
+        if (++sweep_steps > n_corners) return -15;  // closed-fan S ref
       }
       set_opp(corner_a, corner + 2);
       set_opp(corner_b, corner + 1);

@@ -37,19 +37,19 @@ def morton30(q: Array) -> Array:
     )
 
 
-def morton63(q: Array) -> Tuple[Array, Array]:
-    """[..., 3] int coords (≤21 bits each) → (hi, lo) uint32 Morton halves.
+def morton63(q: Array) -> Tuple[Array, Array, Array]:
+    """[..., 3] int coords (≤21 bits each) → (top, mid, lo) uint32 Morton
+    key words, compared lexicographically (z > y > x significance like
+    morton30: z in the highest interleave position of every triple).
 
-    63 interleaved bits split across two words; compare (hi, lo)
-    lexicographically. Avoids needing x64 mode.
+    63 interleaved bits = 3 (coordinate bit 20 of z,y,x) + 30 (bits
+    10..19) + 30 (bits 0..9); three words avoid x64 mode.
     """
     lo = morton30(q & 0x3FF)
-    hi_bits = (q >> 10) & 0x7FF  # upper 11 bits per axis → 33 bits: keep 30+3
-    hi = morton30(hi_bits) | (
-        (((hi_bits[..., 1] >> 10) & 1) << 31)
-        | (((hi_bits[..., 2] >> 10) & 1) << 30)
-    )
-    return hi, lo
+    mid = morton30((q >> 10) & 0x3FF)
+    b20 = (q >> 20) & 1
+    top = (b20[..., 2] << 2) | (b20[..., 1] << 1) | b20[..., 0]
+    return top.astype(jnp.uint32), mid, lo
 
 
 def morton_order(q: Array) -> Array:
@@ -57,12 +57,9 @@ def morton_order(q: Array) -> Array:
 
     q: [..., N, 3] int32 quantized coordinates → [..., N] int32 argsort.
     """
-    hi, lo = morton63(q)
-    # single sortable key in float-free integer space: sort by hi then lo
-    key = hi.astype(jnp.int64) if False else None  # x64 often off; use 2-key sort
-    n = q.shape[-2]
+    top, mid, lo = morton63(q)
     idx = jax.lax.broadcasted_iota(jnp.int32, q.shape[:-1], len(q.shape) - 2)
-    _, _, perm = jax.lax.sort((hi, lo, idx), num_keys=2)
+    _, _, _, perm = jax.lax.sort((top, mid, lo, idx), num_keys=3)
     return perm
 
 

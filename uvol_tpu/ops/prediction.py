@@ -44,7 +44,10 @@ def parallelogram_encode(
     n = values.shape[-2]
     idx = jax.lax.broadcasted_iota(jnp.int32, values.shape[:-1], len(values.shape) - 2)
     prev = jnp.roll(values, 1, axis=-2)
-    prev = jnp.where((idx == 0)[..., None], 0 if first_delta else prev, prev)
+    # vertex 0 always predicts from zero — the decoder's scan carry starts
+    # at zeros for both first_delta settings, and the rolled row 0 would
+    # otherwise wrap around to values[N-1] and break the round-trip
+    prev = jnp.where((idx == 0)[..., None], 0, prev)
 
     pred = jnp.where((a >= 0)[..., None], par, prev)
     return values - pred

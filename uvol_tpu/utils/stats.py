@@ -24,7 +24,7 @@ class _Histogram:
         self.count = 0
         self.total = 0.0
         self.min = float("inf")
-        self.max = 0.0
+        self.max = float("-inf")
         self._samples: List[float] = []  # reservoir (first 512)
 
     def observe(self, v: float) -> None:
