@@ -669,7 +669,9 @@ def alpha_blocks_to_bc4_words(
 #: (src/lib/KTX2Loader.js:591-697): lower priority number wins among
 #: supported formats; PVRTC-class targets require power-of-two textures.
 FORMAT_OPTIONS = [
-    {"cap": "astc", "target": "astc-4x4", "priority_etc1s": 10,
+    # ETC1S cannot be transcoded to ASTC blocks (reference marks this
+    # priorityETC1S: Infinity, src/lib/KTX2Loader.js): etc1s priority None
+    {"cap": "astc", "target": "astc-4x4", "priority_etc1s": None,
      "priority_uastc": 1, "needs_pow2": False},
     {"cap": "bptc", "target": "bc7", "priority_etc1s": 3,
      "priority_uastc": 2, "needs_pow2": False},
@@ -695,6 +697,8 @@ def select_transcode_target(
     key = "priority_uastc" if is_uastc else "priority_etc1s"
     best = None
     for opt in FORMAT_OPTIONS:
+        if opt[key] is None:  # source format cannot reach this target
+            continue
         if opt["cap"] not in capabilities:
             continue
         if opt["needs_pow2"] and not (pow2(width) and pow2(height)):
@@ -716,7 +720,9 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
         raise ValueError("not a BasisLZ ktx2 file")
     h = ktx2_file.header.pixel_height
     w = ktx2_file.header.pixel_width
-    nbx, nby = w // 4, h // 4
+    # slices carry ceil(dim/4) blocks (basisu pads the last row/column);
+    # floor would desync every row of a non-multiple-of-4 texture
+    nbx, nby = (w + 3) // 4, (h + 3) // 4
     endpoints = decode_endpoints(g.endpoints_data, g.endpoint_count)
     selectors = decode_selectors(g.selectors_data, g.selector_count)
     models = decode_slice_models(g.tables_data)
@@ -766,12 +772,12 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
             else:
                 frames.append(color)
         else:
-            rgb = blocks_to_rgb(blocks, endpoints, selectors)
+            rgb = blocks_to_rgb(blocks, endpoints, selectors)[:h, :w]
             if has_alpha:
                 # alpha rides the decoded green channel (gray ETC1S slice)
                 alpha = blocks_to_rgb(
                     _alpha_blocks(), endpoints, selectors
-                )[..., 1:2]
+                )[:h, :w, 1:2]
                 rgb = np.concatenate([rgb, alpha], axis=-1)
             frames.append(rgb)
     return np.stack(frames)

@@ -60,12 +60,7 @@ class CortoMesh:
     exif: Dict[str, str]
 
 
-def _ilog2(p: int) -> int:
-    k = 0
-    while p > 1:
-        p >>= 1
-        k += 1
-    return k
+from uvol_tpu.codecs.corto.stream import ilog2 as _ilog2  # shared helper
 
 
 def decode_crt(data: bytes) -> CortoMesh:
@@ -428,26 +423,6 @@ def _estimate_normals(coords: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return est
 
 
-def _to_octa_float(n):
-    """Octahedral (u, v) in [-1, 1] floats (quantization applied by caller)."""
-    length = abs(n[0]) + abs(n[1]) + abs(n[2])
-    if length == 0:
-        return 0.0, 0.0
-    p0 = n[0] / length
-    p1 = n[1] / length
-    if n[2] < 0:
-        ap0, ap1 = abs(p0), abs(p1)
-        p0n = (1.0 - ap1) if n[0] >= 0 else (ap1 - 1.0)
-        p1n = (1.0 - ap0) if n[1] >= 0 else (ap0 - 1.0)
-        p0, p1 = p0n, p1n
-    return p0, p1
-
-
-def _to_octa(n, unit: float):
-    p0, p1 = _to_octa_float(n)
-    return int(p0 * unit), int(p1 * unit)
-
-
 def _to_octa_float_vec(n: np.ndarray):
     """Vectorized `_to_octa_float` over [N, 3] float64 normals."""
     length = np.abs(n).sum(1)
@@ -481,12 +456,3 @@ def _to_sphere_vec(s_: np.ndarray, t_: np.ndarray, unit: float) -> np.ndarray:
     )
 
 
-def _to_sphere(s_, t_, unit: float):
-    x, y = float(s_), float(t_)
-    z = unit - abs(x) - abs(y)
-    if z < 0:
-        x = (unit - abs(t_)) if s_ > 0 else (abs(t_) - unit)
-        y = (unit - abs(s_)) if t_ > 0 else (abs(s_) - unit)
-    v = np.asarray([x, y, z], np.float64)
-    norm = np.linalg.norm(v)
-    return v / norm if norm else np.asarray([0.0, 0.0, 1.0])

@@ -86,6 +86,13 @@ def normalize_probabilities(counts: Sequence[int], precision: int) -> List[int]:
     total = sum(counts)
     if total == 0:
         raise ValueError("no symbols")
+    nonzero = sum(1 for c in counts if c)
+    if nonzero > precision:
+        # every nonzero symbol needs >= 1 slot; the redistribution loop
+        # below cannot converge (it used to spin forever)
+        raise ValueError(
+            f"{nonzero} symbols cannot fit precision {precision}"
+        )
     probs = [0] * len(counts)
     used = 0
     for i, c in enumerate(counts):
@@ -185,9 +192,12 @@ class RansSymbolDecoder:
         self._buf = buf.raw(size)
         self.state, self.offset = _read_final_state(self._buf, self.l_base)
         self._initial_state = self.state
+        self._consumed = False
         self._marker_len = len(self._buf) - self.offset
 
     def decode_symbol(self) -> int:
+        if self._consumed:
+            raise ValueError("rANS decoder already fully consumed")
         state = self.state
         while state < self.l_base and self.offset > 0:
             self.offset -= 1
@@ -200,22 +210,29 @@ class RansSymbolDecoder:
 
     def decode_all(self, n: int) -> np.ndarray:
         """Decode n symbols (native C++ hot loop when available)."""
-        if self.state is not None and self.offset is not None:
-            from uvol_tpu import native
+        if self._consumed:
+            raise ValueError(
+                "rANS decoder already fully consumed by a single-shot "
+                "decode_all (per-stream decoders are one-shot)"
+            )
+        from uvol_tpu import native
 
-            if (
-                self.offset == len(self._buf) - self._marker_len
-                and self.state == self._initial_state
-            ):
-                out = native.rans_decode_native(
-                    np.asarray(self.probs, np.uint32),
-                    (self.precision - 1).bit_length(),
-                    self._buf,
-                    n,
-                )
-                if out is not None:
-                    self.offset = 0  # fully consumed (single-shot decode)
-                    return out
+        if (
+            self.offset == len(self._buf) - self._marker_len
+            and self.state == self._initial_state
+        ):
+            out = native.rans_decode_native(
+                np.asarray(self.probs, np.uint32),
+                (self.precision - 1).bit_length(),
+                self._buf,
+                n,
+            )
+            if out is not None:
+                # the native single-shot call does not return the final
+                # state; mark the decoder consumed so a later call errors
+                # instead of silently decoding garbage
+                self._consumed = True
+                return out
         out = np.empty(n, np.uint32)
         state = self.state
         offset = self.offset

@@ -87,6 +87,8 @@ def encode_symbols(
     estimated cost); TAGGED is implemented for format completeness.
     """
     symbols = np.asarray(symbols, np.uint32)
+    if symbols.size == 0:
+        return  # Draco EncodeSymbols: nothing written for zero values
     if scheme is None:
         scheme = RAW
         max_value = int(symbols.max()) if symbols.size else 0
