@@ -221,3 +221,62 @@ def test_decode_crt_fuzz_no_crash():
         except Exception:
             pass
     assert len(decode_crt(bytes(crt)).faces) == 49  # pristine still decodes
+
+
+def test_entropy_zlib_lz4_roundtrip():
+    """Full .crt roundtrip with the reference's ENTROPY_TESTS modes
+    (cstream.h:39 enum, cstream.cpp:124-168 wire framing): ZLIB via
+    stdlib zlib, LZ4 via the block codec in codecs/corto/lz4.py."""
+    from uvol_tpu.codecs.corto.stream import (
+        ENTROPY_LZ4,
+        ENTROPY_NONE,
+        ENTROPY_ZLIB,
+    )
+
+    pos, faces = _grid_mesh()
+    ref = decode_crt(encode_crt(pos, faces))  # tunstall baseline
+    for entropy in (ENTROPY_NONE, ENTROPY_ZLIB, ENTROPY_LZ4):
+        blob = encode_crt(pos, faces, entropy=entropy)
+        mesh = decode_crt(blob)
+        np.testing.assert_array_equal(mesh.faces, ref.faces)
+        np.testing.assert_allclose(
+            mesh.attributes["position"], ref.attributes["position"]
+        )
+
+
+def test_entropy_huffman_rejected_like_reference():
+    """HUFFMAN (=2) has no implementation in the reference either — its
+    dispatch throws "Unknown entropy" (cstream.cpp:55-57)."""
+    from uvol_tpu.codecs.corto.stream import ENTROPY_HUFFMAN
+
+    pos, faces = _grid_mesh(4)
+    with pytest.raises(ValueError, match="entropy"):
+        encode_crt(pos, faces, entropy=ENTROPY_HUFFMAN)
+
+
+def test_lz4_block_codec():
+    """LZ4 block codec: compressible + incompressible + edge sizes, and
+    overlapping-match replication (offset < length)."""
+    from uvol_tpu.codecs.corto import lz4
+
+    r = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 100,
+        bytes(r.integers(0, 256, 1000, dtype=np.uint8)),
+        bytes(r.integers(0, 4, 5000, dtype=np.uint8)),
+        b"x" * 64,  # overlap: offset 1 match
+    ]
+    for raw in cases:
+        enc = lz4.compress(raw)
+        assert lz4.decompress(enc, len(raw)) == raw
+    # a hand-built overlapping-match stream: 4 literals then a 12-byte
+    # match at offset 1 replicates the last byte
+    stream = bytes([0x48, ord("a"), ord("b"), ord("c"), ord("d"), 1, 0, 0x50, ord("e")])
+    # token 0x48: 4 literals, match_len 8+4=12... then final seq: 5 literals
+    out = lz4.decompress(
+        bytes([0x48]) + b"abcd" + bytes([1, 0]) + bytes([0x50]) + b"efghi",
+        4 + 12 + 5,
+    )
+    assert out == b"abcd" + b"d" * 12 + b"efghi"

@@ -341,3 +341,35 @@ def test_reencode_size_near_draco(liam_output):
         )
     blob = encode_drc(atts[0].corner_to_value.reshape(-1, 3), atts)
     assert len(blob) <= len(data) * 1.06, (len(blob), len(data))
+
+
+def test_vertex_color_srgb_to_linear():
+    """decode_drc(vertex_color_space="srgb") converts COLOR attributes
+    with the three.js SRGBToLinear curve (DRACOLoader.js:222-240),
+    normalizing integer colors to [0,1] float and leaving alpha alone."""
+    from uvol_tpu.codecs.draco.decoder import srgb_to_linear
+
+    pos, faces = tri_grid(5, 5)
+    r = np.random.default_rng(11)
+    rgba = r.integers(0, 256, (len(pos), 4)).astype(np.uint8)
+    atts = [
+        AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), 14),
+        AttributeToEncode(
+            K.ATT_COLOR, rgba, faces.reshape(-1), integer=True
+        ),
+    ]
+    blob = encode_drc(faces, atts)
+
+    plain = decode_drc(blob)
+    lin = decode_drc(blob, vertex_color_space="srgb")
+    c_plain = plain.attribute_by_type(K.ATT_COLOR).values
+    c_lin = lin.attribute_by_type(K.ATT_COLOR).values
+    assert c_lin.dtype == np.float32 and c_lin.shape == c_plain.shape
+    norm = c_plain.astype(np.float32) / 255.0
+    np.testing.assert_allclose(c_lin[:, :3], srgb_to_linear(norm[:, :3]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(c_lin[:, 3], norm[:, 3], rtol=1e-6)  # alpha
+    # curve sanity: endpoints fixed, strictly below identity mid-range
+    assert srgb_to_linear(np.float32(0.0)) == 0.0
+    assert abs(srgb_to_linear(np.float32(1.0)) - 1.0) < 1e-6
+    assert srgb_to_linear(np.float32(0.5)) < 0.5

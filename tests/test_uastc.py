@@ -158,3 +158,39 @@ def test_device_encode_matches_host():
         pd = 10 * np.log10(255**2 / max(((d_dev - ref) ** 2).mean(), 1e-9))
         assert abs(ph - pd) < 0.5, (ph, pd)
         np.testing.assert_array_equal(b_host, b_dev)
+
+
+def test_profile_marker_written_and_checked():
+    """Files carry the UVTUASTCProfile key/value marker; transcoding a
+    file WITHOUT it (i.e. foreign/basisu UASTC whose bit layout this
+    self-profile decoder does not understand) warns (round-1 advisor)."""
+    import warnings
+
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    imgs = _smooth()[None]
+    blob = U.encode_uastc_ktx2(imgs, zstd=False)
+    f = read_ktx2(blob)
+    assert (
+        f.key_value[U.UASTC_PROFILE_KEY].rstrip(b"\x00")
+        == U.UASTC_PROFILE_VALUE
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # marked file: no warning
+        U.transcode_uastc(f)
+    f.key_value.pop(U.UASTC_PROFILE_KEY)
+    with pytest.warns(RuntimeWarning, match="self-profile"):
+        U.transcode_uastc(f)
+
+
+def test_non_multiple_of_4_roundtrip():
+    """ceil(dim/4) blocks per row + crop (round-1 advisor: floor
+    mis-sliced layers and broke the reshape on e.g. 66x70 textures)."""
+    img = _smooth(68, 72)[:66, :70]  # 66x70: partial border blocks
+    blob = U.encode_uastc_ktx2(np.stack([img, img]), zstd=False)
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    out = U.transcode_uastc(read_ktx2(blob))
+    assert out.shape == (2, 66, 70, 4)
+    mse = ((out[0].astype(float) - img.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 33, mse

@@ -38,6 +38,12 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+#: KTX2 key/value marker stamped on every file this encoder writes; its
+#: absence on read means "foreign UASTC file" (real basisu output) whose
+#: bit layout this self-profile decoder does NOT understand.
+UASTC_PROFILE_KEY = b"UVTUASTCProfile"
+UASTC_PROFILE_VALUE = b"uvol_tpu-v1"
+
 # ---------------------------------------------------------------------------
 # BISE — ASTC integer sequence encoding (trits and quints)
 # ---------------------------------------------------------------------------
@@ -489,7 +495,13 @@ def encode_uastc_blocks(
     trade candidate modes for speed. `device`: True runs the candidate
     fits + error model as one jitted XLA program over the batch ("auto":
     when jax is importable and the batch is large); the wire bytes are
-    produced by the same host packer either way."""
+    produced by the same host packer either way.
+
+    Determinism caveat (round-1 advisor): the device fit is float32 and
+    its round/argmin ties can pick different (equally valid) winning
+    modes than the float64 host fit, so "auto" output bytes can differ
+    by batch size / backend. Pass device=False where byte-stable wire
+    output matters (encode_uastc_ktx2 does)."""
     B = len(px)
     px16 = px.reshape(B, 16, 4).astype(np.int64)
     has_alpha = (px16[..., 3] != 255).any()
@@ -625,28 +637,48 @@ def decode_uastc_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 def image_to_blocks_rgba(img: np.ndarray) -> np.ndarray:
-    """[H,W,4] -> [nby*nbx, 4, 4, 4] (H, W multiples of 4)."""
+    """[H,W,4] -> [ceil(H/4)*ceil(W/4), 4, 4, 4].
+
+    Non-multiple-of-4 dimensions are edge-replicated into the partial
+    border blocks (the KTX2/UASTC convention: ceil(dim/4) blocks per row,
+    decoders crop back to [H, W])."""
     h, w, _ = img.shape
+    hp, wp = -(-h // 4) * 4, -(-w // 4) * 4
+    if (hp, wp) != (h, w):
+        img = np.pad(img, ((0, hp - h), (0, wp - w), (0, 0)), mode="edge")
     return (
-        img.reshape(h // 4, 4, w // 4, 4, 4)
+        img.reshape(hp // 4, 4, wp // 4, 4, 4)
         .transpose(0, 2, 1, 3, 4)
         .reshape(-1, 4, 4, 4)
     )
 
 
 def blocks_to_image_rgba(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Inverse of image_to_blocks_rgba: ceil(dim/4) block rows/cols,
+    cropped back to the true [h, w] (round-1 advisor: floor mis-sliced
+    non-multiple-of-4 textures)."""
+    nby, nbx = -(-h // 4), -(-w // 4)
     return (
-        blocks.reshape(h // 4, w // 4, 4, 4, 4)
+        blocks.reshape(nby, nbx, 4, 4, 4)
         .transpose(0, 2, 1, 3, 4)
-        .reshape(h, w, 4)
+        .reshape(nby * 4, nbx * 4, 4)[:h, :w]
     )
 
 
 def encode_uastc_ktx2(
-    images: np.ndarray, *, zstd: bool = True, zstd_level: int = 6
+    images: np.ndarray,
+    *,
+    zstd: bool = True,
+    zstd_level: int = 6,
+    device: object = False,
 ) -> bytes:
     """[layers, H, W, 3|4] uint8 -> UASTC .ktx2 bytes (array texture),
-    Zstd-supercompressed by default like `basisu -uastc -ktx2`."""
+    Zstd-supercompressed by default like `basisu -uastc -ktx2`.
+
+    `device=False` (default) pins the float64 host fit so wire bytes are
+    deterministic across environments; pass True/"auto" for the jitted
+    device fit, whose f32 round/argmin ties can pick different (equally
+    valid) winning modes (round-1 advisor note)."""
     from uvol_tpu.containers.ktx2 import (
         KHR_DF_MODEL_UASTC,
         KTX2Header,
@@ -667,7 +699,9 @@ def encode_uastc_ktx2(
             [images, np.full(images.shape[:-1] + (1,), 255, np.uint8)], -1
         )
     payload = b"".join(
-        encode_uastc_blocks(image_to_blocks_rgba(images[i])).tobytes()
+        encode_uastc_blocks(
+            image_to_blocks_rgba(images[i]), device=device
+        ).tobytes()
         for i in range(L)
     )
     uncompressed = len(payload)
@@ -690,6 +724,11 @@ def encode_uastc_ktx2(
         header,
         [KTX2Level(data=payload, uncompressed_byte_length=uncompressed)],
         dfd=make_basis_dfd(color_model=KHR_DF_MODEL_UASTC, has_alpha=True),
+        # machine-detectable marker that the block bit layout is THIS
+        # module's documented profile, not verified-spec UASTC (round-1
+        # advisor: without it a conformant consumer would decode garbage
+        # with no way to tell the file apart from real basisu output)
+        key_value={UASTC_PROFILE_KEY: UASTC_PROFILE_VALUE + b"\x00"},
     )
 
 
@@ -702,11 +741,26 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
     way)."""
     if target != "rgba":
         raise NotImplementedError(f"UASTC transcode target {target!r}")
+    marker = ktx2_file.key_value.get(UASTC_PROFILE_KEY)
+    if marker is None or marker.rstrip(b"\x00") != UASTC_PROFILE_VALUE:
+        import warnings
+
+        warnings.warn(
+            "KTX2 file lacks the "
+            f"{UASTC_PROFILE_KEY.decode()}={UASTC_PROFILE_VALUE.decode()} "
+            "marker: it was not written by this encoder, and this module's "
+            "block bit layout is a documented self-profile, not verified "
+            "spec UASTC — decode output for foreign (e.g. basisu) files is "
+            "undefined (see module docstring)",
+            RuntimeWarning,
+        )
     h = ktx2_file.header.pixel_height
     w = ktx2_file.header.pixel_width
     layers = max(1, ktx2_file.header.layer_count)
     data = ktx2_file.level_payload(0)
-    per = (h // 4) * (w // 4) * 16
+    # ceil(dim/4) blocks per row/column (floor mis-sliced layers of
+    # non-multiple-of-4 textures; blocks_to_image_rgba crops to [h, w])
+    per = (-(-h // 4)) * (-(-w // 4)) * 16
     frames = []
     for i in range(layers):
         blocks = np.frombuffer(

@@ -265,8 +265,13 @@ def encode_crt(
     color_bits: Tuple[int, int, int, int] = (6, 7, 6, 5),
     exif: Optional[Dict[str, str]] = None,
     groups: Optional[List[int]] = None,
+    entropy: int = 1,
 ) -> bytes:
-    """Encode a mesh into a `.crt` the reference JS/C++ decoders accept."""
+    """Encode a mesh into a `.crt` the reference JS/C++ decoders accept.
+
+    `entropy` selects the stream entropy coder per the reference enum
+    (cstream.h:39): 1=TUNSTALL (default, what the corto CLI emits),
+    0=NONE, 3=ZLIB, 4=LZ4 (the reference's ENTROPY_TESTS modes)."""
     positions = np.asarray(positions, np.float32)
     faces = np.asarray(faces, np.int64).reshape(-1, 3)
     nvert = len(positions)
@@ -344,7 +349,7 @@ def encode_crt(
         out[0] = vq[q_t[0]]
         return out
 
-    out = CortoOutStream()
+    out = CortoOutStream(entropy=entropy)
     out.u32(MAGIC)
     out.u32(1)
     out.u8(out.entropy)

@@ -20,8 +20,16 @@ import numpy as np
 from uvol_tpu.codecs.corto.bitstream import BitReader, BitWriter
 from uvol_tpu.codecs.corto import tunstall
 
+#: reference enum (cstream.h:39): NONE=0 TUNSTALL=1 HUFFMAN=2 ZLIB=3 LZ4=4.
+#: HUFFMAN has no implementation in the reference either (its dispatch
+#: throws "Unknown entropy" — cstream.cpp:41-58); ZLIB/LZ4 wrap raw
+#: zlib / LZ4-block payloads in an `i32 size, i32 csize, payload` frame
+#: (cstream.cpp:124-168, behind ENTROPY_TESTS).
 ENTROPY_NONE = 0
 ENTROPY_TUNSTALL = 1
+ENTROPY_HUFFMAN = 2
+ENTROPY_ZLIB = 3
+ENTROPY_LZ4 = 4
 
 
 def ilog2(p: int) -> int:
@@ -80,6 +88,26 @@ class CortoOutStream:
             self.u32(len(data))
             self.raw(data.tobytes())
             return
+        if self.entropy == ENTROPY_ZLIB:
+            import zlib
+
+            payload = zlib.compress(data.tobytes(), 9)  # cstream.cpp:126 level 9
+            self.i32(len(data))
+            self.i32(len(payload))
+            self.raw(payload)
+            return
+        if self.entropy == ENTROPY_LZ4:
+            from uvol_tpu.codecs.corto import lz4
+
+            payload = lz4.compress(data.tobytes())
+            self.i32(len(data))
+            self.i32(len(payload))
+            self.raw(payload)
+            return
+        if self.entropy != ENTROPY_TUNSTALL:
+            # parity with the reference: HUFFMAN & unknown values throw
+            # (cstream.cpp:55-57 "Unknown entropy")
+            raise ValueError(f"unknown corto entropy {self.entropy}")
         probabilities = tunstall.get_probabilities(data) if len(data) else []
         payload = tunstall.compress(data, probabilities)
         self.u8(len(probabilities))
@@ -248,6 +276,28 @@ class CortoInStream:
             out = np.frombuffer(self.data, np.uint8, count=size, offset=self.pos).copy()
             self.pos += size
             return out
+        if self.entropy in (ENTROPY_ZLIB, ENTROPY_LZ4):
+            size = self.u32()
+            csize = self.u32()
+            payload = self.data[self.pos : self.pos + csize]
+            if len(payload) != csize:
+                raise ValueError("corto stream: truncated entropy payload")
+            self.pos += csize
+            if not size:
+                return np.zeros(0, np.uint8)
+            if self.entropy == ENTROPY_ZLIB:
+                import zlib
+
+                raw = zlib.decompress(payload, bufsize=size)
+            else:
+                from uvol_tpu.codecs.corto import lz4
+
+                raw = lz4.decompress(payload, size)
+            if len(raw) != size:
+                raise ValueError("corto stream: entropy size mismatch")
+            return np.frombuffer(raw, np.uint8).copy()
+        if self.entropy != ENTROPY_TUNSTALL:
+            raise ValueError(f"unknown corto entropy {self.entropy}")
         nsymbols = self.u8()
         probabilities = []
         for _ in range(nsymbols):

@@ -75,12 +75,55 @@ class DracoMesh:
     _point_of_corner: np.ndarray = dataclasses.field(default=None, repr=False)
 
 
-def decode_drc(data: bytes) -> DracoMesh:
+def srgb_to_linear(c: np.ndarray) -> np.ndarray:
+    """Per-component sRGB → linear, the three.js `SRGBToLinear` curve the
+    reference applies to Draco vertex colors (src/lib/DRACOLoader.js:
+    222-240 `_assignVertexColorSpace` → Color.convertSRGBToLinear).
+    Input/output are normalized [0, 1] float."""
+    c = np.asarray(c, np.float32)
+    return np.where(
+        c < 0.04045,
+        c * np.float32(0.0773993808),
+        (c * np.float32(0.9478672986) + np.float32(0.0521327014)) ** 2.4,
+    ).astype(np.float32)
+
+
+def convert_vertex_colors_srgb_to_linear(mesh: "DracoMesh") -> None:
+    """In-place sRGB→linear on every COLOR attribute's RGB channels
+    (alpha untouched, like the reference's setXYZ loop). Integer color
+    attrs are normalized to [0,1] float32 first — the reference decodes
+    every attribute as Float32Array anyway (DRACOLoader.js:36-39)."""
+    for a in mesh.attributes:
+        if a.attribute_type != K.ATT_COLOR or a.values is None:
+            continue
+        vals = a.values
+        if np.issubdtype(vals.dtype, np.integer):
+            scale = np.float32(np.iinfo(vals.dtype).max)
+            vals = vals.astype(np.float32) / scale
+        else:
+            vals = vals.astype(np.float32)
+        n = min(3, vals.shape[1])
+        vals[:, :n] = srgb_to_linear(vals[:, :n])
+        a.values = vals
+
+
+def decode_drc(data: bytes, *, vertex_color_space: str = "linear") -> DracoMesh:
+    """`vertex_color_space="srgb"` mirrors the reference's standalone
+    `.load()`/`.parse()` behavior: .drc files don't declare a colorspace,
+    official tooling writes sRGB, so vertex colors are converted to
+    linear (DRACOLoader.js:222-231). Default "linear" leaves values
+    untouched (the glTF-style path)."""
     from uvol_tpu.utils.stats import STATS
 
     with STATS.timer("draco.decode_s"):
         mesh = _decode_drc_native(data)
-        return mesh if mesh is not None else _decode_drc(data)
+        if mesh is None:
+            mesh = _decode_drc(data)
+        if vertex_color_space == "srgb":
+            convert_vertex_colors_srgb_to_linear(mesh)
+        elif vertex_color_space != "linear":
+            raise ValueError(f"unknown vertex_color_space {vertex_color_space!r}")
+        return mesh
 
 
 def _decode_drc_native(data: bytes) -> Optional[DracoMesh]:

@@ -390,8 +390,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     codec = _Etc1sSegmentCodec()
                     target_name = "etc1s-tpu"
                 elif codec_name == "uastc":
-                    # reference: `basisu -uastc` (scripts/Encoder.py:33-39);
-                    # Zstd-supercompressed KTX2, higher quality than ETC1S
+                    # fills the role of `basisu -uastc`
+                    # (scripts/Encoder.py:33-39): Zstd-supercompressed KTX2,
+                    # higher quality than ETC1S — but the block layout is
+                    # uvol_tpu's own documented profile, NOT basisu-wire-
+                    # compatible (see codecs/basis/uastc.py docstring)
                     from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2
 
                     class _UastcSegmentCodec:

@@ -63,7 +63,45 @@ def default_geometry_decoder(data: bytes):
 DEVICE_TEXTURE_CAPABILITIES = ("etc2", "etc1")
 
 
-def default_texture_decoder(data: bytes):
+@dataclasses.dataclass
+class DecodedTexture:
+    """Tagged texture-decode result: `format` names the payload layout
+    instead of making consumers sniff it per segment (round-1 advisor
+    finding). `format` is the transcode target actually produced:
+
+      - ``"rgba"``: `data` is [F, H, W, 3|4] uint8 pixels,
+      - ``"etc1"`` / ``"etc2"``: [F, nblocks, 2] uint32 block words
+        (compressed passthrough, upload-ready),
+      - ``"bc1"`` / ``"bc3"``: packed block words per transcoder docs.
+
+    Array-protocol passthroughs keep ndarray-style consumers working.
+    """
+
+    format: str
+    data: Any
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def __array__(self, dtype=None, copy=None):
+        import numpy as _np
+
+        a = _np.asarray(self.data)
+        return a.astype(dtype) if dtype is not None else a
+
+    def __getitem__(self, key):
+        return self.data[key]
+
+    def astype(self, dtype):
+        return self.data.astype(dtype)
+
+
+def default_texture_decoder(data: bytes) -> DecodedTexture:
     from uvol_tpu.containers.ktx2 import (
         SUPERCOMPRESSION_BASISLZ,
         read_ktx2,
@@ -85,7 +123,7 @@ def default_texture_decoder(data: bytes):
             d.alpha_slice_byte_length for d in f.basis_lz.image_descs
         ):
             target = "rgba"  # compressed alpha targets not implemented
-        return transcode_ktx2_etc1s(f, target=target)
+        return DecodedTexture(target, transcode_ktx2_etc1s(f, target=target))
     from uvol_tpu.containers.ktx2 import KHR_DF_MODEL_UASTC
 
     if f.dfd_color_model() == KHR_DF_MODEL_UASTC:
@@ -93,11 +131,11 @@ def default_texture_decoder(data: bytes):
         # compressed passthrough targets are ETC1S-only here
         from uvol_tpu.codecs.basis.uastc import transcode_uastc
 
-        return transcode_uastc(f, target="rgba")
+        return DecodedTexture("rgba", transcode_uastc(f, target="rgba"))
     from uvol_tpu.models.sequence import TextureSequenceCodec
 
     codec = _CODEC_CACHE.setdefault("etc", TextureSequenceCodec())
-    return codec.decode_segment(f)
+    return DecodedTexture("rgba", codec.decode_segment(f))
 
 
 @dataclasses.dataclass
