@@ -64,12 +64,38 @@ class Palettes:
 _PALETTE_JIT_CACHE: Dict[Tuple, object] = {}
 
 
-def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
-    """One fused XLA program for the entire palette build (per shape)."""
+def _palette_core_fn(
+    num_endpoints: int,
+    num_selectors: int,
+    kmeans_iters: int,
+    axis_name: str | None = None,
+):
+    """One fused XLA program for the entire palette build (per shape).
+
+    `axis_name`: when set, the core runs as the per-device body of a
+    `shard_map` over the block axis — every cross-block reduction
+    (hierarchical-init segment sums, Lloyd centroid sums, cluster error
+    matmuls, selector-codebook updates) gets a `psum` over that axis, and
+    the strided spread samples come from a tiled `all_gather` so they see
+    the global block order. Per-block phases (assignments, block_ce, the
+    pair refinement) stay local — pure dp. Outputs: the codebooks are
+    replicated (identical collectives on every device), the per-block
+    assignments stay sharded."""
     import jax
     import jax.numpy as jnp
 
     from uvol_tpu.models.codebook import kmeans_assign, kmeans_update
+
+    def gsum(x):
+        """Global (cross-shard) reduction of a locally-reduced quantity."""
+        return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+    def gathered(x):
+        """Global view of a per-block array (original order; shards are
+        contiguous axis-0 slices)."""
+        if axis_name is None:
+            return x
+        return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
 
     def core(dev_blocks_u8):  # [N, 16, 3] uint8 (f32 cast on device: the
         # uint8 upload is 4x smaller over the host<->device link)
@@ -101,9 +127,11 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             ones = jnp.ones((n,), jnp.float32)
             k = 1
             for _ in range(rounds):
-                cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
-                sm = jax.ops.segment_sum(feats, assign_h, num_segments=k)
-                sq = jax.ops.segment_sum(feats**2, assign_h, num_segments=k)
+                cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
+                sm = gsum(jax.ops.segment_sum(feats, assign_h, num_segments=k))
+                sq = gsum(
+                    jax.ops.segment_sum(feats**2, assign_h, num_segments=k)
+                )
                 mean = sm / jnp.maximum(cnt, 1.0)[:, None]
                 var = sq / jnp.maximum(cnt, 1.0)[:, None] - mean**2
                 dim = jnp.argmax(var, axis=1)  # [k] split dimension
@@ -115,18 +143,20 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
                     f_sel > thr[assign_h]
                 ).astype(jnp.int32)
                 k *= 2
-            cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
-            sm = jax.ops.segment_sum(feats, assign_h, num_segments=k)
+            cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
+            sm = gsum(jax.ops.segment_sum(feats, assign_h, num_segments=k))
             mean = sm / jnp.maximum(cnt, 1.0)[:, None]
             order = jnp.argsort(-cnt)[:e_target]  # heaviest leaves
             cb0 = mean[order]
             good = cnt[order] > 0
-            spread = feats[:: max(1, n // e_target)][:e_target]
+            feats_g = gathered(feats)
+            n_g = feats_g.shape[0]
+            spread = feats_g[:: max(1, n_g // e_target)][:e_target]
             return jnp.where(good[:, None], cb0, spread)
 
         cb = hierarchical_init(num_endpoints)
         for _ in range(kmeans_iters):
-            cb, _ = kmeans_update(feats, cb)
+            cb, _ = kmeans_update(feats, cb, axis_name=axis_name)
         base5 = jnp.clip(
             jnp.round(cb[:, :3] * 31.0 / 255.0), 0, 31
         ).astype(jnp.int32)
@@ -167,7 +197,7 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
                 err_cols.append(jnp.sum(jnp.min(ce, axis=-1), axis=1))
             err_bt = jnp.stack(err_cols, axis=1)  # [N, 8]
             onehot_e = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
-            cluster_err = jnp.dot(onehot_e.T, err_bt)  # [E, 8] — MXU
+            cluster_err = gsum(jnp.dot(onehot_e.T, err_bt))  # [E, 8] — MXU
             return jnp.argmin(cluster_err, axis=1).astype(jnp.int32)
 
         inten = cluster_inten(assign, base.astype(jnp.float32))
@@ -266,13 +296,15 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             )[:, :, 0, :]  # [N, 16, 3]
             resid = dev_blocks - me_px
             onehot = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
-            sums = jnp.einsum(
-                "ne,nc->ec",
-                onehot,
-                jnp.mean(resid, axis=1),
-                preferred_element_type=jnp.float32,
+            sums = gsum(
+                jnp.einsum(
+                    "ne,nc->ec",
+                    onehot,
+                    jnp.mean(resid, axis=1),
+                    preferred_element_type=jnp.float32,
+                )
             )
-            counts = jnp.sum(onehot, axis=0)
+            counts = gsum(jnp.sum(onehot, axis=0))
             new_mean = jnp.where(
                 counts[:, None] > 0,
                 sums / jnp.maximum(counts, 1.0)[:, None],
@@ -305,8 +337,11 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             onehot_s = jax.nn.one_hot(
                 sel_assign, num_selectors, dtype=jnp.float32
             )  # [N, S]
-            c_kpj = jnp.einsum(
-                "bk,bpj->kpj", onehot_s, ce, preferred_element_type=jnp.float32
+            c_kpj = gsum(
+                jnp.einsum(
+                    "bk,bpj->kpj", onehot_s, ce,
+                    preferred_element_type=jnp.float32,
+                )
             )  # [S, 16, 4]
             return jnp.argmin(c_kpj, axis=-1).astype(jnp.int32)  # [S, 16]
 
@@ -321,9 +356,11 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
             ones = jnp.ones((n,), jnp.float32)
             k = 1
             for _ in range(rounds):
-                cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
-                sm = jax.ops.segment_sum(featsS, assign_h, num_segments=k)
-                sq = jax.ops.segment_sum(featsS**2, assign_h, num_segments=k)
+                cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
+                sm = gsum(jax.ops.segment_sum(featsS, assign_h, num_segments=k))
+                sq = gsum(
+                    jax.ops.segment_sum(featsS**2, assign_h, num_segments=k)
+                )
                 mean = sm / jnp.maximum(cnt, 1.0)[:, None]
                 var = sq / jnp.maximum(cnt, 1.0)[:, None] - mean**2
                 dim = jnp.argmax(var, axis=1)
@@ -335,13 +372,15 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
                     f_sel > thr[assign_h]
                 ).astype(jnp.int32)
                 k *= 2
-            cnt = jax.ops.segment_sum(ones, assign_h, num_segments=k)
-            sm = jax.ops.segment_sum(featsS, assign_h, num_segments=k)
+            cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
+            sm = gsum(jax.ops.segment_sum(featsS, assign_h, num_segments=k))
             mean = sm / jnp.maximum(cnt, 1.0)[:, None]
             order = jnp.argsort(-cnt)[:s_target]
             cb0 = jnp.clip(jnp.round(mean[order]), 0, 3).astype(jnp.int32)
             good = cnt[order] > 0
-            spread = ideal_sel[:: max(1, n // s_target)][:s_target]
+            sel_g = gathered(ideal_sel)
+            n_g = sel_g.shape[0]
+            spread = sel_g[:: max(1, n_g // s_target)][:s_target]
             return jnp.where(good[:, None], cb0, spread)
 
         sel_cb = sel_hierarchical_init(num_selectors)
@@ -418,7 +457,7 @@ def _palette_core_fn(num_endpoints: int, num_selectors: int, kmeans_iters: int):
 
         return base5, inten, sel_cb, assign, sel_assign
 
-    return jax.jit(core)
+    return core
 
 
 def build_palettes(
@@ -430,11 +469,21 @@ def build_palettes(
     rdo: bool = True,
     rdo_chain_breaks: Sequence[int] = (),
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
+    mesh: Optional["object"] = None,
 ) -> Palettes:
     """Global palettes + per-block assignments, one jitted MXU program.
 
     frames: [F, H, W, 3] uint8.
-    """
+
+    `mesh`: a `jax.sharding.Mesh` with a `frames` axis — the block axis
+    is then sharded over the mesh via `shard_map` with psum/all_gather
+    collectives inside the core (the production form of the reference's
+    per-segment worker-pool parallelism, SURVEY §2.4). Assignments are
+    bit-exact per block; the shared codebooks can differ from the
+    single-device build in float-sum order only (cross-shard psum vs
+    one-device segment-sum), so the contract is quality parity, not
+    byte identity (asserted by tests/test_multichip.py). Block counts
+    not divisible by the mesh size fall back to single-device."""
     f, h, w, _ = frames.shape
     nb = (h // 4) * (w // 4)
     blocks = np.ascontiguousarray(
@@ -446,10 +495,45 @@ def build_palettes(
     num_endpoints = min(num_endpoints, n)
     num_selectors = min(num_selectors, n)
 
-    key = (num_endpoints, num_selectors, kmeans_iters)
+    from uvol_tpu.parallel.mesh import FRAME_AXIS
+
+    if mesh is not None and n % mesh.shape[FRAME_AXIS] != 0:
+        import warnings
+
+        warnings.warn(
+            f"build_palettes: {n} blocks not divisible by the "
+            f"{mesh.shape[FRAME_AXIS]}-device frame axis; "
+            "running single-device",
+            RuntimeWarning,
+        )
+        mesh = None
+
+    key = (num_endpoints, num_selectors, kmeans_iters, mesh)
     core = _PALETTE_JIT_CACHE.get(key)
     if core is None:
-        core = _palette_core_fn(*key)
+        import jax
+
+        if mesh is None:
+            core = jax.jit(
+                _palette_core_fn(num_endpoints, num_selectors, kmeans_iters)
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            body = _palette_core_fn(
+                num_endpoints, num_selectors, kmeans_iters,
+                axis_name=FRAME_AXIS,
+            )
+            spec = P(FRAME_AXIS)
+            core = jax.jit(
+                jax.shard_map(
+                    body, mesh=mesh, in_specs=(spec,),
+                    # codebooks replicated (identical collectives on every
+                    # device); per-block assignments stay sharded
+                    out_specs=(P(), P(), P(), spec, spec),
+                    check_vma=False,
+                )
+            )
         _PALETTE_JIT_CACHE[key] = core
     base5, inten, sel_cb, assign, sel_assign = core(blocks)
 
@@ -929,8 +1013,12 @@ def encode_ktx2_etc1s(
     srgb: bool = True,
     rdo: bool = True,
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
+    mesh: Optional["object"] = None,
 ) -> bytes:
     """[F, H, W, 3|4] uint8 → BasisLZ-supercompressed KTX2 (video layers).
+
+    `mesh` shards the palette build's block axis over a `frames` device
+    mesh (see build_palettes).
 
     RGBA input adds one alpha slice per image — even when the channel is
     fully opaque, matching basisu `-force_alpha`, so segment-by-segment
@@ -953,6 +1041,7 @@ def encode_ktx2_etc1s(
         rdo=rdo, rdo_lambdas=rdo_lambdas,
         # the alpha chain starts a fresh I-slice at index f
         rdo_chain_breaks=(f,) if has_alpha else (),
+        mesh=mesh,
     )
     num_endpoints = len(pal.color5)
     num_selectors = len(pal.selectors)

@@ -1,24 +1,25 @@
 """Pallas TPU kernel for ETC1 block encoding — the texture hot loop.
 
-Grid over tiles of blocks; each kernel instance encodes a [TILE, 96] slab
-in VMEM. The whole computation is strictly 2-D vector arithmetic
-([sublane=block, lane] shapes only) because Mosaic's vector layout
-inference rejects >2-D shape casts (`tpu.reshape (256x48) -> (256x4x4x3)`
-was the round-2 blocker):
+Layout: **blocks ride the lane axis**. The host-side wrapper arranges
+each 4x4 block's pixels into 96 sublane rows — (flip, subblock, channel,
+pixel) — over a [96, B] uint8 array, so every vector op in the kernel
+runs at full 128-lane width (the round-1 kernel kept blocks on sublanes
+and pixels on lanes, using 8-24 of 128 lanes; this layout is ~7x faster
+at bit-identical output).
 
-  - the host-side wrapper pre-arranges each block's pixels into four
-    channel-major 24-lane groups — one per (flip, subblock) — so the
-    kernel only ever takes contiguous lane slices;
-  - per-pixel channel sums are three contiguous 8-lane slices added
-    together (no 3-D reduce);
-  - the 8-table x 4-code modifier search is Python-unrolled with scalar
-    modifier constants, selecting winners via compare-chains (argmin
-    first-minimum tie-break preserved);
-  - code-plane packing uses per-flip shift index vectors built from
-    2-D iota.
+Search math: for a candidate modifier m, the per-pixel error
+``sum_ch (clip(base_ch+m) - p_ch)^2`` decomposes as
+``K - 2*dot + sum_ch p_ch^2`` with ``K = sum_ch cb_ch^2`` (scalar per
+block) and ``dot = sum_ch cb_ch * p_ch``; the ``sum p^2`` term is
+constant across candidates, so code/table/flip selection compares
+``K - 2*dot`` only — 6 row-ops per candidate instead of a full 24-lane
+recompute. All quantities are integers below 2^24, exact in f32, so
+every compare (and argmin tie-break) is identical to the reference op
+chain `encode_etc1_blocks` — parity-tested in
+tests/test_pallas_parity.py, interpret and compiled.
 
-Differential mode with flip search, bit-identical to `encode_etc1_blocks`
-(parity-tested in tests/test_pallas_parity.py, interpret and compiled).
+Differential mode with flip search, bit-identical to
+`encode_etc1_blocks` (codecs/basis/etc.py).
 """
 
 from __future__ import annotations
@@ -27,72 +28,23 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from uvol_tpu.codecs.basis.etc import _MODS
 
-TILE = 256  # blocks per kernel instance
+TILE_L = 1024  # blocks (lanes) per kernel instance
 
 
-def _channel_sums(sq: jnp.ndarray) -> jnp.ndarray:
-    """[T, 24] channel-major (lane = ch*8 + pix) -> per-pixel sums [T, 8]."""
-    return sq[:, 0:8] + sq[:, 8:16] + sq[:, 16:24]
-
-
-def _subblock_search(sub24f, base_ch, table_mods):
-    """One subblock against one modifier table (scalar constants).
-
-    sub24f [T, 24] float32; base_ch: three [T, 1] int32 extended colors.
-    Returns (codes [T, 8] int32, table_err [T, 1] float32).
-    """
-    t = sub24f.shape[0]
-    base24 = jnp.concatenate(
-        [jnp.broadcast_to(b, (t, 8)) for b in base_ch], axis=1
-    ).astype(jnp.float32)
-    best_err = None
-    best_code = None
-    for code, m in enumerate(table_mods):
-        cand = jnp.clip(base24 + float(m), 0.0, 255.0)
-        d = cand - sub24f
-        errpix = _channel_sums(d * d)  # [T, 8] exact in f32 (< 2^24)
-        if best_err is None:
-            best_err, best_code = errpix, jnp.zeros((t, 8), jnp.int32)
-        else:
-            better = errpix < best_err  # strict: first minimum wins ties
-            best_err = jnp.where(better, errpix, best_err)
-            best_code = jnp.where(better, jnp.int32(code), best_code)
-    return best_code, jnp.sum(best_err, axis=1, keepdims=True)
-
-
-def _encode_subblock(sub24f, base_ch):
-    """Full 8-table search. Returns (table [T,1] i32, codes [T,8], err [T,1])."""
-    best_tab = best_codes = best_err = None
-    for tab in range(8):
-        codes, err = _subblock_search(sub24f, base_ch, _MODS[tab])
-        if best_err is None:
-            best_tab = jnp.zeros_like(err, dtype=jnp.int32)
-            best_codes, best_err = codes, err
-        else:
-            better = err < best_err  # [T, 1]
-            best_err = jnp.where(better, err, best_err)
-            best_tab = jnp.where(better, jnp.int32(tab), best_tab)
-            best_codes = jnp.where(
-                jnp.broadcast_to(better, codes.shape), codes, best_codes
-            )
-    return best_tab, best_codes, best_err
-
-
-def _mean_quant5(sub24f):
-    """Per-channel 5-bit quantized means: three [T, 1] int32 in [0, 31].
+def _mean_quant5(sub):
+    """[24, T] f32 -> three [1, T] i32 5-bit means.
 
     Float op order matches `encode_etc1_blocks` exactly — mean (sum/8,
     exact in f32), then *31.0, then /255.0, then round — so half-ulp
     boundary cases round identically."""
     out = []
     for c in range(3):
-        s = jnp.sum(sub24f[:, c * 8 : (c + 1) * 8], axis=1, keepdims=True)
+        s = jnp.sum(sub[c * 8 : (c + 1) * 8, :], axis=0, keepdims=True)
         mean = s * 0.125
         out.append(
             jnp.clip(jnp.round(mean * 31.0 / 255.0), 0.0, 31.0).astype(
@@ -102,28 +54,58 @@ def _mean_quant5(sub24f):
     return out
 
 
-def _word2(c0, c1, j0, j1):
-    """Code planes -> ETC1 pixel-index word (lsb/msb planes)."""
-    lsb = ((c0 & 1) << j0).sum(axis=1, keepdims=True) + (
-        (c1 & 1) << j1
-    ).sum(axis=1, keepdims=True)
-    msb = (((c0 >> 1) & 1) << j0).sum(axis=1, keepdims=True) + (
-        ((c1 >> 1) & 1) << j1
-    ).sum(axis=1, keepdims=True)
-    return lsb + (msb << 16)
+def _encode_subblock(sub, base_ch):
+    """Full 8-table x 4-code search for one subblock.
+
+    sub [24, T] f32 (channel-major pixel rows); base_ch three [1, T] i32
+    extended colors. Returns (table [1,T] i32, codes [8,T] i32,
+    err [1,T] f32 — the TRUE total squared error, for the flip compare).
+    """
+    P = [sub[0:8, :], sub[8:16, :], sub[16:24, :]]
+    psq = P[0] * P[0] + P[1] * P[1] + P[2] * P[2]  # [8,T] const across cands
+    basef = [b.astype(jnp.float32) for b in base_ch]
+    best_tab = best_codes = best_red = None
+    for tab in range(8):
+        tab_best_red = tab_codes = None
+        for code, m in enumerate(_MODS[tab]):
+            mf = float(m)
+            cb = [jnp.clip(b + mf, 0.0, 255.0) for b in basef]  # [1,T]
+            K = cb[0] * cb[0] + cb[1] * cb[1] + cb[2] * cb[2]
+            dot = cb[0] * P[0] + cb[1] * P[1] + cb[2] * P[2]  # [8,T]
+            red = K - 2.0 * dot  # reduced err; true err = red + psq
+            if tab_best_red is None:
+                tab_best_red = red
+                tab_codes = jnp.zeros(red.shape, jnp.int32)
+            else:
+                better = red < tab_best_red  # strict: first minimum wins
+                tab_best_red = jnp.where(better, red, tab_best_red)
+                tab_codes = jnp.where(better, jnp.int32(code), tab_codes)
+        tab_err = jnp.sum(tab_best_red, axis=0, keepdims=True)  # [1,T]
+        if best_red is None:
+            best_tab = jnp.zeros(tab_err.shape, jnp.int32)
+            best_codes, best_red = tab_codes, tab_err
+        else:
+            better = tab_err < best_red
+            best_red = jnp.where(better, tab_err, best_red)
+            best_tab = jnp.where(better, jnp.int32(tab), best_tab)
+            best_codes = jnp.where(
+                jnp.broadcast_to(better, tab_codes.shape), tab_codes, best_codes
+            )
+    true_err = best_red + jnp.sum(psq, axis=0, keepdims=True)
+    return best_tab, best_codes, true_err
 
 
-def _encode_tile(x96: jnp.ndarray) -> jnp.ndarray:
-    """x96 [T, 96] int32 (4 channel-major 24-lane groups) -> [T, 2] int32."""
-    t = x96.shape[0]
-    xf = x96.astype(jnp.float32)
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (t, 8), 1)
+def _kernel(x_ref, out_ref):
+    # Mosaic has no direct u8->f32 cast; hop through int32
+    xf = x_ref[:].astype(jnp.int32).astype(jnp.float32)  # [96, T]
+    t = xf.shape[1]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, t), 0)
 
     results = []
     for flip in (0, 1):
-        sub0 = xf[:, flip * 48 : flip * 48 + 24]
-        sub1 = xf[:, flip * 48 + 24 : flip * 48 + 48]
-        m0 = _mean_quant5(sub0)  # three [T,1] in 0..31
+        sub0 = xf[flip * 48 : flip * 48 + 24, :]
+        sub1 = xf[flip * 48 + 24 : flip * 48 + 48, :]
+        m0 = _mean_quant5(sub0)  # three [1,T] in 0..31
         m1 = _mean_quant5(sub1)
         d = [jnp.clip(b - a, -4, 3) for a, b in zip(m0, m1)]
         b0 = [(a << 3) | (a >> 2) for a in m0]
@@ -131,42 +113,45 @@ def _encode_tile(x96: jnp.ndarray) -> jnp.ndarray:
         b1 = [(a << 3) | (a >> 2) for a in m1c]
         t0, c0, e0 = _encode_subblock(sub0, b0)
         t1, c1, e1 = _encode_subblock(sub1, b1)
-        err = e0 + e1
-
+        err = e0 + e1  # [1,T]
         du = [dd & 0x7 for dd in d]
         word1 = (
             (m0[0] << 27) | (du[0] << 24)
             | (m0[1] << 19) | (du[1] << 16)
             | (m0[2] << 11) | (du[2] << 8)
             | (t0 << 5) | (t1 << 2) | (1 << 1) | flip
-        )  # [T, 1]
+        )  # [1,T]
+        # pixel-index planes: per-row static shifts (j = x*4+y per spec)
         if flip == 0:
-            j0, j1 = iota8, iota8 + 8  # pix = x*4+y within each half
+            j0, j1 = iota8, iota8 + 8  # pix order x*4+y within each half
         else:
-            j0 = (iota8 // 2) * 4 + (iota8 % 2)  # pix = x*2+y, rows 0-1
+            j0 = (iota8 // 2) * 4 + (iota8 % 2)  # pix order x*2+y, rows 0-1
             j1 = j0 + 2  # rows 2-3
-        word2 = _word2(c0, c1, j0, j1)
+        lsb = jnp.sum((c0 & 1) << j0, axis=0, keepdims=True) + jnp.sum(
+            (c1 & 1) << j1, axis=0, keepdims=True
+        )
+        msb = jnp.sum(((c0 >> 1) & 1) << j0, axis=0, keepdims=True) + jnp.sum(
+            ((c1 >> 1) & 1) << j1, axis=0, keepdims=True
+        )
+        word2 = lsb + (msb << 16)
         results.append((word1, word2, err))
 
     w1_0, w2_0, e_0 = results[0]
     w1_1, w2_1, e_1 = results[1]
-    use1 = e_1 < e_0  # [T, 1]
+    use1 = e_1 < e_0
     word1 = jnp.where(use1, w1_1, w1_0)
     word2 = jnp.where(use1, w2_1, w2_0)
-    return jnp.concatenate([word1, word2], axis=1)
-
-
-def _kernel(x_ref, words_ref):
-    words_ref[:] = _encode_tile(x_ref[:])
+    out_ref[:] = jnp.concatenate([word1, word2], axis=0)  # [2, T]
 
 
 def _prepare_layout(blocks: jax.Array) -> jax.Array:
-    """[B, 4, 4, 3] -> [B, 96]: (flip, subblock, ch, pix) lane groups.
+    """[B, 4, 4, 3] uint8 -> [96, B] uint8 lane-major layout.
 
-    flip 0 pixel order within a subblock is column-major x*4+y; flip 1 is
-    x*2+y — chosen so the kernel's shift vectors are simple iota math.
-    """
-    px = blocks.astype(jnp.int32)  # [B, y, x, ch]
+    Row r = (flip, subblock, channel, pixel): four 24-row groups, one per
+    (flip, subblock); within a group, channel-major with pixel order
+    x*4+y (flip 0) / x*2+y (flip 1) so the kernel's shift vectors are
+    simple iota math."""
+    px = blocks  # [B, y, x, ch] uint8
     groups = []
     for flip in (0, 1):
         for sb in (0, 1):
@@ -174,9 +159,9 @@ def _prepare_layout(blocks: jax.Array) -> jax.Array:
                 sel = px[:, :, 2 * sb : 2 * sb + 2, :]  # [B, y4, x2, ch]
             else:
                 sel = px[:, 2 * sb : 2 * sb + 2, :, :]  # [B, y2, x4, ch]
-            arr = jnp.transpose(sel, (0, 3, 2, 1))  # [B, ch, x, y]
-            groups.append(arr.reshape(px.shape[0], 24))
-    return jnp.concatenate(groups, axis=1)
+            arr = jnp.transpose(sel, (3, 2, 1, 0))  # [ch, x, y, B]
+            groups.append(arr.reshape(24, px.shape[0]))
+    return jnp.concatenate(groups, axis=0)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -187,20 +172,23 @@ def encode_etc1_blocks_pallas(
 
     `interpret=True` runs through the Pallas interpreter (CPU parity)."""
     b = blocks.shape[0]
-    x96 = _prepare_layout(blocks)
-    padded = -(-b // TILE) * TILE
+    x96 = _prepare_layout(blocks.astype(jnp.uint8))
+    padded = -(-b // TILE_L) * TILE_L
     if padded != b:
-        x96 = jnp.pad(x96, ((0, padded - b), (0, 0)))
+        x96 = jnp.pad(x96, ((0, 0), (0, padded - b)))
     words = pl.pallas_call(
         _kernel,
-        grid=(padded // TILE,),
+        grid=(padded // TILE_L,),
         in_specs=[
-            pl.BlockSpec((TILE, 96), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((96, TILE_L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (2, TILE_L), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((padded, 2), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((2, padded), jnp.int32),
         interpret=interpret,
     )(x96)
-    return jax.lax.bitcast_convert_type(words[:b], jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        jnp.transpose(words[:, :b], (1, 0)), jnp.uint32
+    )

@@ -108,6 +108,36 @@ def load_obj(path: str):
     return v, u, m.faces.astype(np.int32)
 
 
+def _extract_abc_frames(cfg: Dict, out_dir: str) -> str:
+    """ABC → per-frame OBJ extraction stage, mirroring the reference's
+    Blender import/export loop (scripts/Encoder.py:207-242: per frame
+    `frame_set` + `export_scene.obj` into OutputDirectory/OBJ) — here the
+    `.abc` is read directly (io/alembic.py), no DCC subprocess. Returns
+    the OBJ path template for the downstream geometry stages."""
+    from uvol_tpu.io.alembic import AbcPolyMesh, read_abc
+
+    archive = read_abc(cfg["ABCFilePath"])
+    mesh = AbcPolyMesh(archive)
+    obj_dir = os.path.join(out_dir, "OBJ")
+    os.makedirs(obj_dir, exist_ok=True)
+    for i in range(mesh.num_samples):
+        s = mesh.sample(i)
+        lines = [f"v {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}" for p in s.positions]
+        if s.uvs is not None:
+            lines += [f"vt {u[0]:.6f} {u[1]:.6f}" for u in s.uvs]
+            lines += [
+                "f {0}/{0} {1}/{1} {2}/{2}".format(*(f + 1))
+                for f in s.faces
+            ]
+        else:
+            lines += ["f {} {} {}".format(*(f + 1)) for f in s.faces]
+        with open(os.path.join(obj_dir, f"{i:05d}.obj"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    cfg.setdefault("GEOMETRY_FRAME_RATE", archive.fps)
+    print(f"alembic: {mesh.num_samples} samples -> {obj_dir}")
+    return os.path.join(obj_dir, "[#####].obj")
+
+
 def _content_hash(*arrays) -> str:
     import hashlib
 
@@ -311,6 +341,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # ---- geometry -----------------------------------------------------------
     n_geo = 0
+    # ABCFilePath is the primary input when present (the reference's ABC
+    # stage likewise exports per-frame OBJs that feed the rest of the
+    # pipeline, scripts/Encoder.py:207-242)
+    if cfg.get("ABCFilePath"):
+        cfg["OBJFilesPath"] = _extract_abc_frames(cfg, out_dir)
     if cfg.get("OBJFilesPath"):
         objs = _expand(cfg["OBJFilesPath"])
         if not objs:

@@ -89,9 +89,16 @@ class GeometrySequenceCodec:
         position_bits: int = 11,
         uv_bits: int = 10,
         use_pallas: Optional[bool] = None,
+        mesh: Optional["jax.sharding.Mesh"] = None,
     ):
+        """`mesh`: a `jax.sharding.Mesh` with a `frames` axis — the device
+        batch then runs as one `shard_map`ped SPMD program with each
+        device owning a frame slice (the production form of SURVEY §2.4's
+        frame-parallel mandate; byte-identical to single-device output,
+        asserted by tests/test_multichip.py)."""
         self.position_bits = position_bits
         self.uv_bits = uv_bits
+        self.mesh = mesh
         if use_pallas is None:
             use_pallas = _pallas_available()
         self.use_pallas = use_pallas
@@ -113,8 +120,7 @@ class GeometrySequenceCodec:
                 syms = zigzag_encode(delta_encode(q.values))
             return syms, mn, rng
 
-        @jax.jit
-        def _encode_device(pos, uv, mask):
+        def _encode_fn(pos, uv, mask):
             pos_syms, pmin, prng = _syms(pos, position_bits, mask)
             out = {
                 "pos_syms": pos_syms,
@@ -126,8 +132,7 @@ class GeometrySequenceCodec:
                 out.update(uv_syms=uv_syms, uv_min=umin, uv_range=urng)
             return out
 
-        @jax.jit
-        def _decode_device(pos_syms, pos_min, pos_scale, uv_syms, uv_min, uv_scale):
+        def _decode_fn(pos_syms, pos_min, pos_scale, uv_syms, uv_min, uv_scale):
             # per-frame scale = range / ((1<<bits_of_blob) - 1): the blob
             # header's quantization bits rule, NOT this codec instance's
             # defaults (mixed-bits batches dequantize correctly)
@@ -141,19 +146,69 @@ class GeometrySequenceCodec:
             )
             return pos, uv
 
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from uvol_tpu.parallel.mesh import FRAME_AXIS
+
+            spec = P(FRAME_AXIS)
+            # every stage is per-frame math — pure dp, no collectives;
+            # shard_map (not auto-spmd) so the Pallas kernel partitions
+            _encode_device = jax.jit(
+                jax.shard_map(
+                    _encode_fn, mesh=mesh,
+                    in_specs=(spec, spec, spec), out_specs=spec,
+                )
+            )
+            _decode_device = jax.jit(
+                jax.shard_map(
+                    _decode_fn, mesh=mesh,
+                    in_specs=(spec,) * 6, out_specs=(spec, spec),
+                )
+            )
+        else:
+            _encode_device = jax.jit(_encode_fn)
+            _decode_device = jax.jit(_decode_fn)
+
         self._encode_device = _encode_device
         self._decode_device = _decode_device
+
+    def _pad_frames(self, *arrays):
+        """Pad the frame axis to a multiple of the mesh's frame-axis size
+        (ragged sequences are the norm; SURVEY §7 hard part (d))."""
+        if self.mesh is None:
+            return arrays, arrays[0].shape[0]
+        from uvol_tpu.parallel.mesh import FRAME_AXIS
+
+        per = self.mesh.shape[FRAME_AXIS]
+        f = arrays[0].shape[0]
+        target = -(-f // per) * per
+        if target == f:
+            return arrays, f
+        out = []
+        for a in arrays:
+            pad = [(0, target - f)] + [(0, 0)] * (a.ndim - 1)
+            out.append(np.pad(a, pad))
+        return tuple(out), f
 
     # -- encode --------------------------------------------------------------
     def encode(self, frames: GeometryFrameSet) -> List[bytes]:
         """Returns one `.uvtg` blob per frame (device batch + host entropy)."""
         f, n, _ = frames.positions.shape
         mask = np.arange(n)[None, :] < frames.counts[:, None]
+        if frames.uvs is not None:
+            (pos_in, uv_in, mask_in), _ = self._pad_frames(
+                frames.positions, frames.uvs, mask
+            )
+        else:
+            (pos_in, mask_in), _ = self._pad_frames(frames.positions, mask)
+            uv_in = None
         dev = self._encode_device(
-            jnp.asarray(frames.positions),
-            jnp.asarray(frames.uvs) if frames.uvs is not None else None,
-            jnp.asarray(mask),
+            jnp.asarray(pos_in),
+            jnp.asarray(uv_in) if uv_in is not None else None,
+            jnp.asarray(mask_in),
         )
+        # mesh-padded frames are dropped by the [:f] host loop below
         dev = jax.tree.map(np.asarray, dev)
 
         def frame_blob(i: int) -> bytes:
@@ -263,10 +318,14 @@ class GeometrySequenceCodec:
                 uv_batch[i, :c] = uv_syms[i]
                 umin[i] = metas[i]["umin"]
                 uscale[i] = metas[i]["urange"] / ((1 << metas[i]["ubits"]) - 1)
+        (pos_batch, pmin, pscale, uv_batch, umin, uscale), _ = self._pad_frames(
+            pos_batch, pmin, pscale, uv_batch, umin, uscale
+        )
         pos, uv = self._decode_device(
             jnp.asarray(pos_batch), jnp.asarray(pmin), jnp.asarray(pscale),
             jnp.asarray(uv_batch), jnp.asarray(umin), jnp.asarray(uscale),
         )
+        pos, uv = pos[:f], uv[:f]  # drop mesh padding
         if not any_uv:
             uv = None  # UV-less streams: honor the Optional contract
         if as_numpy:
@@ -294,8 +353,14 @@ class TextureSequenceCodec:
         sequence_size: int = 5,
         supercompression: str = "none",
         use_pallas: Optional[bool] = None,
+        mesh: Optional["jax.sharding.Mesh"] = None,
     ):
+        """`mesh`: shard the layer (frame) axis of each segment over the
+        mesh's `frames` axis via shard_map — the KTX2_BATCH_SIZE layer
+        batch is the natural dp unit (SURVEY §2.4). Byte-identical to the
+        single-device encode."""
         self.sequence_size = sequence_size
+        self.mesh = mesh
         if supercompression not in ("none", "zstd"):
             raise ValueError(
                 f"unknown supercompression {supercompression!r} "
@@ -311,27 +376,63 @@ class TextureSequenceCodec:
 
         from uvol_tpu.codecs.basis.etc_pallas import encode_etc1_blocks_pallas
 
-        @jax.jit
-        def _encode(frames_u8):  # [L, H, W, 3]
+        def _encode_fn(frames_u8):  # [L, H, W, 3]
             blocks = image_to_blocks(frames_u8)
             if use_pallas:  # fused VMEM tile encoder (etc_pallas.py)
                 return jax.vmap(encode_etc1_blocks_pallas)(blocks)
             return jax.vmap(encode_etc1_blocks)(blocks)  # [L, nb, 2] uint32
 
-        from functools import partial
-
-        @partial(jax.jit, static_argnums=(1, 2))
-        def _decode(words, h, w):  # [L, nb, 2]
+        def _decode_fn(words, h, w):  # [L, nb, 2]
             blocks = jax.vmap(decode_etc1_blocks)(words)
             return jax.vmap(lambda b: blocks_to_image(b, h, w))(blocks)
+
+        from functools import partial
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from uvol_tpu.parallel.mesh import FRAME_AXIS
+
+            spec = P(FRAME_AXIS)
+            _encode = jax.jit(
+                jax.shard_map(
+                    _encode_fn, mesh=mesh, in_specs=(spec,), out_specs=spec
+                )
+            )
+
+            @partial(jax.jit, static_argnums=(1, 2))
+            def _decode(words, h, w):
+                return jax.shard_map(
+                    lambda ws: _decode_fn(ws, h, w),
+                    mesh=mesh, in_specs=(spec,), out_specs=spec,
+                )(words)
+
+        else:
+            _encode = jax.jit(_encode_fn)
+            _decode = partial(jax.jit, static_argnums=(1, 2))(_decode_fn)
 
         self._encode = _encode
         self._decode = _decode
 
+    def _pad_layers(self, arr: np.ndarray):
+        """Pad the layer axis to a multiple of the mesh frame-axis size."""
+        if self.mesh is None:
+            return arr, arr.shape[0]
+        from uvol_tpu.parallel.mesh import FRAME_AXIS
+
+        per = self.mesh.shape[FRAME_AXIS]
+        l = arr.shape[0]
+        target = -(-l // per) * per
+        if target == l:
+            return arr, l
+        pad = [(0, target - l)] + [(0, 0)] * (arr.ndim - 1)
+        return np.pad(arr, pad), l
+
     def encode_segment(self, frames: np.ndarray) -> bytes:
         """[L, H, W, 3] uint8 → one `.ktx2` (layers = frames, ETC2 RGB)."""
         l, h, w, _ = frames.shape
-        words = np.asarray(self._encode(jnp.asarray(frames)))
+        frames_in, _ = self._pad_layers(np.asarray(frames))
+        words = np.asarray(self._encode(jnp.asarray(frames_in)))[:l]
         payload = b"".join(pack_etc1_payload(words[i]) for i in range(l))
         raw_len = len(payload)
         scheme = SUPERCOMPRESSION_NONE
@@ -367,7 +468,8 @@ class TextureSequenceCodec:
         words = np.stack(
             [unpack_etc1_payload(data[i * per : (i + 1) * per]) for i in range(l)]
         )
-        out = self._decode(jnp.asarray(words), h, w)
+        words_in, _ = self._pad_layers(words)
+        out = self._decode(jnp.asarray(words_in), h, w)[:l]
         if as_numpy:
             return np.asarray(out)
         return jax.block_until_ready(out)
