@@ -68,14 +68,24 @@ def test_every_mode_roundtrips():
     px = U.image_to_blocks_rgba(img).reshape(-1, 16, 4).astype(np.int64)
     for mode_id, m in U.MODES.items():
         blocks, mse = U._encode_mode_blocks(px, mode_id)
-        dec = U.decode_uastc_blocks(blocks)
-        nc = 4 if m.cem == 12 else 3
-        rms = float(
-            np.sqrt(
-                ((dec.reshape(-1, 16, 4)[..., :nc].astype(float)
-                  - px[..., :nc].astype(float)) ** 2).mean()
+        dec = U.decode_uastc_blocks(blocks).reshape(-1, 16, 4)
+        if m.cem == 4:
+            # LA modes reproduce (gray, alpha), not color
+            ref = np.concatenate(
+                [px[..., :3].mean(-1, keepdims=True), px[..., 3:4]], -1
             )
-        )
+            got = np.stack(
+                [dec[..., :3].mean(-1), dec[..., 3].astype(float)], -1
+            )
+            rms = float(np.sqrt(((got - ref) ** 2).mean()))
+        else:
+            nc = 4 if m.cem == 12 else 3
+            rms = float(
+                np.sqrt(
+                    ((dec[..., :nc].astype(float)
+                      - px[..., :nc].astype(float)) ** 2).mean()
+                )
+            )
         assert rms < 12, (mode_id, rms)
         if m.cem == 8:
             assert (dec[..., 3] == 255).all()
@@ -92,7 +102,7 @@ def test_smooth_quality_bar():
 
 def test_unknown_mode_raises():
     bits = np.zeros((1, 128), np.uint8)
-    U._put_field(bits, 0, 5, np.array([7]))  # multi-subset mode: unimplemented
+    U._put_field(bits, 0, 5, np.array([19]))  # id outside the mode table
     with pytest.raises(NotImplementedError):
         U.decode_uastc_blocks(U._pack_bits(bits))
 
@@ -194,3 +204,75 @@ def test_non_multiple_of_4_roundtrip():
     assert out.shape == (2, 66, 70, 4)
     mse = ((out[0].astype(float) - img.astype(float)) ** 2).mean()
     assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 33, mse
+
+
+def test_astc_partition_function_properties():
+    """astc_partition_4x4 is the spec hash52 pattern generator: values in
+    range, deterministic, seed-sensitive, and both subsets non-empty for
+    a healthy fraction of seeds (basisu restricts its seed list the same
+    way)."""
+    seeds = np.arange(0, 1024, 7)
+    for pc in (2, 3):
+        parts = U.astc_partition_4x4(seeds, pc)
+        assert parts.shape == (len(seeds), 16)
+        assert parts.min() >= 0 and parts.max() < pc
+        # scalar call matches the vectorized call
+        np.testing.assert_array_equal(
+            U.astc_partition_4x4(int(seeds[3]), pc), parts[3]
+        )
+        nonempty = sum(
+            1 for row in parts if len(np.unique(row)) == pc
+        )
+        # on a tiny 4x4 block many seeds degenerate (basisu restricts its
+        # seed lists for the same reason); 3-subset patterns degenerate
+        # more often than 2-subset ones
+        bar = 0.5 if pc == 2 else 0.3
+        assert nonempty > len(seeds) * bar, (pc, nonempty)
+    # distinct seeds mostly give distinct patterns
+    uniq = {tuple(r) for r in U.astc_partition_4x4(np.arange(64), 2)}
+    assert len(uniq) > 16
+
+
+def test_multi_subset_beats_single_on_two_color_blocks():
+    """A hard two-region block (left red / right blue, per-side gradients
+    in opposite channels) forces a single diagonal fit to fail; 2-subset
+    mode 3 must cut the RMS roughly in half."""
+    px = np.zeros((8, 16, 4), np.int64)
+    px[..., 3] = 255
+    r = np.random.default_rng(0)
+    for b in range(8):
+        for j in range(16):
+            x = j % 4
+            if x < 2:
+                px[b, j, 0] = 200 + 10 * (j // 4)
+                px[b, j, 1] = 30 + 12 * x
+                px[b, j, 2] = 20
+            else:
+                px[b, j, 0] = 15
+                px[b, j, 1] = 220 - 12 * x
+                px[b, j, 2] = 180 + 8 * (j // 4)
+    _, mse_single = U._encode_mode_blocks(px, 0)
+    _, mse_multi = U._encode_mode_blocks(px, 3)
+    assert mse_multi.mean() < mse_single.mean() * 0.55, (
+        mse_single.mean(), mse_multi.mean()
+    )
+
+
+def test_subset_and_la_modes_roundtrip_via_public_api():
+    """Forcing subset / LA candidate modes through encode_uastc_blocks →
+    decode_uastc_blocks roundtrips within the quality bar."""
+    img = _smooth(32, 32)
+    px = U.image_to_blocks_rgba(img)
+    for modes in ([3], [4], [7], [9], [16], [15], [18]):
+        blocks = U.encode_uastc_blocks(px, modes=modes)
+        dec = U.decode_uastc_blocks(blocks)
+        m = U.MODES[modes[0]]
+        if m.cem == 4:
+            ref = px[..., :3].astype(float).mean(-1)
+            got = dec.astype(float)[..., :3].mean(-1)
+        else:
+            ref = px[..., :3].astype(float)
+            got = dec[..., :3].astype(float)
+        mse = ((got - ref) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+        assert psnr > 27, (modes, psnr)

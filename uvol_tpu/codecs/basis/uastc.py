@@ -172,21 +172,106 @@ def bise_bits(n_values: int, base: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class UastcMode:
-    cem: int          # 8 = RGB direct, 12 = RGBA direct
+    cem: int          # 4 = LA direct, 8 = RGB direct, 12 = RGBA direct
     ep_bits: int      # endpoint component bits (bit-replicated to 8)
     weight_levels: int  # 3 / 4 / 5 / 8 / 16 (3, 5 go through BISE)
     dual_plane: bool = False
+    subsets: int = 1  # ASTC partitions; >1 adds a 10-bit seed field
+
+
+def _ncomp(m: UastcMode) -> int:
+    """Endpoint components per subset for a mode's CEM."""
+    return {4: 2, 8: 3, 12: 4}[m.cem]
 
 
 MODE_SOLID = 8
+#: Mode table (this profile's numbering follows UASTC's semantics: modes
+#: 0-7 RGB, 8 solid, 9-14 RGBA, 15-17 LA, 18 extra RGB — with multi-
+#: subset modes using the REAL ASTC partition-pattern function
+#: (astc_partition_4x4, Khronos spec hash52) for texel->subset mapping).
 MODES: Dict[int, UastcMode] = {
     0: UastcMode(cem=8, ep_bits=8, weight_levels=16),
     2: UastcMode(cem=8, ep_bits=8, weight_levels=3),
+    3: UastcMode(cem=8, ep_bits=5, weight_levels=4, subsets=2),
+    4: UastcMode(cem=8, ep_bits=4, weight_levels=3, subsets=3),
     5: UastcMode(cem=8, ep_bits=8, weight_levels=8),
+    7: UastcMode(cem=8, ep_bits=6, weight_levels=3, subsets=2),
+    9: UastcMode(cem=12, ep_bits=4, weight_levels=3, subsets=2),
     10: UastcMode(cem=12, ep_bits=8, weight_levels=8),
     12: UastcMode(cem=12, ep_bits=8, weight_levels=5),
+    15: UastcMode(cem=4, ep_bits=8, weight_levels=8),
+    16: UastcMode(cem=4, ep_bits=8, weight_levels=4, subsets=2),
     17: UastcMode(cem=12, ep_bits=6, weight_levels=4, dual_plane=True),
+    18: UastcMode(cem=8, ep_bits=8, weight_levels=5),
 }
+
+#: candidate partition seeds tried by the encoder (the wire field is the
+#: full 10-bit ASTC seed, so any conformant seed decodes)
+PARTITION_SEEDS = tuple(range(0, 1024, 32))
+
+
+def _hash52(p: np.ndarray) -> np.ndarray:
+    """Khronos ASTC spec hash52 (all arithmetic mod 2^32)."""
+    p = p.astype(np.uint64) & 0xFFFFFFFF
+    M = np.uint64(0xFFFFFFFF)
+    p ^= p >> np.uint64(15); p &= M
+    p = (p - ((p << np.uint64(17)) & M)) & M
+    p = (p + ((p << np.uint64(7)) & M)) & M
+    p = (p + ((p << np.uint64(4)) & M)) & M
+    p ^= p >> np.uint64(5); p &= M
+    p = (p + ((p << np.uint64(16)) & M)) & M
+    p ^= p >> np.uint64(7)
+    p ^= p >> np.uint64(3)
+    p ^= (p << np.uint64(6)) & M; p &= M
+    p ^= p >> np.uint64(17); p &= M
+    return p
+
+
+def astc_partition_4x4(seed, partition_count: int) -> np.ndarray:
+    """ASTC spec `select_partition` for a 4x4 block (small-block path:
+    coordinates doubled). seed: scalar or [S] array of 10-bit seeds.
+    Returns [S, 16] (or [16]) texel->subset indices, texel order y*4+x.
+    """
+    scalar = np.isscalar(seed)
+    seeds = np.atleast_1d(np.asarray(seed, np.int64))  # [S]
+    j = np.arange(16)
+    x = (j % 4) << 1  # small block: x,y doubled
+    y = (j // 4) << 1
+    rnum = _hash52(seeds + (partition_count - 1) * 1024)[:, None]  # [S,1]
+    sv = [None] * 13
+    shifts = [0, 4, 8, 12, 16, 20, 24, 28, 18, 22, 26]
+    for i, sh in enumerate(shifts, start=1):
+        sv[i] = ((rnum >> np.uint64(sh)) & np.uint64(0xF)).astype(np.int64)
+    sv[12] = (
+        ((rnum >> np.uint64(30)) | (rnum << np.uint64(2))) & np.uint64(0xF)
+    ).astype(np.int64)
+    for i in range(1, 13):
+        sv[i] = sv[i] * sv[i]
+    s = seeds[:, None]
+    # spec: sh1/sh2 swap roles by seed parity; the parity-independent one
+    # is 6 for 3 partitions, else 5
+    sh_pc = 6 if partition_count == 3 else 5
+    sh1 = np.where(s & 1, np.where(s & 2, 4, 5), sh_pc)
+    sh2 = np.where(s & 1, sh_pc, np.where(s & 2, 4, 5))
+    sh3 = np.where(s & 0x10, sh1, sh2)
+    sv[1] >>= sh1; sv[2] >>= sh2; sv[3] >>= sh1; sv[4] >>= sh2
+    sv[5] >>= sh1; sv[6] >>= sh2; sv[7] >>= sh1; sv[8] >>= sh2
+    sv[9] >>= sh3; sv[10] >>= sh3; sv[11] >>= sh3; sv[12] >>= sh3
+    rn = rnum.astype(np.int64)
+    a = (sv[1] * x + sv[2] * y + (rn >> 14)) & 0x3F
+    b = (sv[3] * x + sv[4] * y + (rn >> 10)) & 0x3F
+    c = (sv[5] * x + sv[6] * y + (rn >> 6)) & 0x3F
+    d = (sv[7] * x + sv[8] * y + (rn >> 2)) & 0x3F
+    if partition_count <= 3:
+        d = np.zeros_like(d)
+    if partition_count <= 2:
+        c = np.zeros_like(c)
+    out = np.where(
+        (a >= b) & (a >= c) & (a >= d),
+        0,
+        np.where((b >= c) & (b >= d), 1, np.where(c >= d, 2, 3)),
+    ).astype(np.int32)
+    return out[0] if scalar else out
 
 #: weight dequantization to 0..64 (exact rational rounding — see docstring)
 WEIGHT_TABLES: Dict[int, np.ndarray] = {
@@ -325,22 +410,36 @@ def _pack_mode_blocks(
     q1: np.ndarray,
     wmain: np.ndarray,
     walpha: Optional[np.ndarray],
+    seed: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Bit-pack pre-quantized fields into [B,16] uint8 blocks."""
+    """Bit-pack pre-quantized fields into [B,16] uint8 blocks.
+
+    Single-subset modes take q0/q1 [B, C]; multi-subset modes take
+    [B, subsets, C] plus the per-block 10-bit partition `seed`."""
     m = MODES[mode_id]
     B = len(q0)
-    nc = 4 if m.cem == 12 else 3
+    nc = _ncomp(m)
     bits = np.zeros((B, 128), np.uint8)
     _put_field(bits, 0, 5, np.full(B, mode_id))
     pos = 5
     if m.dual_plane:
         _put_field(bits, pos, 2, np.full(B, 3))  # plane 2 = alpha
         pos += 2
-    for c in range(nc):
-        _put_field(bits, pos, m.ep_bits, q0[:, c])
-        pos += m.ep_bits
-        _put_field(bits, pos, m.ep_bits, q1[:, c])
-        pos += m.ep_bits
+    if m.subsets > 1:
+        _put_field(bits, pos, 10, seed)
+        pos += 10
+        for p in range(m.subsets):
+            for c in range(nc):
+                _put_field(bits, pos, m.ep_bits, q0[:, p, c])
+                pos += m.ep_bits
+                _put_field(bits, pos, m.ep_bits, q1[:, p, c])
+                pos += m.ep_bits
+    else:
+        for c in range(nc):
+            _put_field(bits, pos, m.ep_bits, q0[:, c])
+            pos += m.ep_bits
+            _put_field(bits, pos, m.ep_bits, q1[:, c])
+            pos += m.ep_bits
     pos = _put_bise(bits, pos, wmain, m.weight_levels)
     if m.dual_plane:
         pos = _put_bise(bits, pos, walpha, m.weight_levels)
@@ -348,12 +447,76 @@ def _pack_mode_blocks(
     return _pack_bits(bits)
 
 
+def _mode_pixels(px_f: np.ndarray, m: UastcMode) -> np.ndarray:
+    """Per-mode fit target: RGBA/RGB slices, or [gray, alpha] for LA."""
+    if m.cem == 4:
+        gray = px_f[..., :3].mean(-1, keepdims=True)
+        return np.concatenate([gray, px_f[..., 3:4]], -1)
+    return px_f[..., : _ncomp(m)]
+
+
+def _fit_subsets(pxf: np.ndarray, part: np.ndarray, levels: int, subsets: int):
+    """Per-subset diagonal fit. pxf [B,16,C], part [B,16] subset index →
+    (e0 [B,P,C], e1 [B,P,C], widx [B,16])."""
+    big = 1e30
+    e0s, e1s = [], []
+    for p in range(subsets):
+        msk = (part == p)[..., None]
+        e0s.append(np.where(msk, pxf, big).min(1))
+        e1s.append(np.where(msk, pxf, -big).max(1))
+    e0 = np.stack(e0s, 1)
+    e1 = np.stack(e1s, 1)
+    empty = e0 > big / 2  # subset with no texels
+    e0 = np.where(empty, 0.0, e0)
+    e1 = np.where(empty, 0.0, e1)
+    bidx = np.arange(len(pxf))[:, None]
+    e0_t = e0[bidx, part]  # [B,16,C]
+    d_t = (e1 - e0)[bidx, part]
+    denom = (d_t * d_t).sum(-1)
+    t = np.where(
+        denom > 0,
+        ((pxf - e0_t) * d_t).sum(-1) / np.maximum(denom, 1e-9),
+        0.5,
+    )
+    table = WEIGHT_TABLES[levels].astype(np.float64)
+    w64 = np.clip(t, 0.0, 1.0) * 64.0
+    widx = np.abs(w64[..., None] - table[None, None, :]).argmin(-1)
+    return e0, e1, widx
+
+
+def _best_partition_seed(pxf: np.ndarray, m: UastcMode) -> np.ndarray:
+    """Pick the candidate ASTC seed minimizing the unquantized fit error
+    per block (the encoder's seed search; the wire carries the full
+    10-bit seed so decode accepts any seed)."""
+    parts = astc_partition_4x4(np.asarray(PARTITION_SEEDS), m.subsets)  # [S,16]
+    table = WEIGHT_TABLES[m.weight_levels].astype(np.float64)
+    best_err = np.full(len(pxf), np.inf)
+    best_seed = np.zeros(len(pxf), np.int64)
+    for si, seed in enumerate(PARTITION_SEEDS):
+        part = np.broadcast_to(parts[si], pxf.shape[:2])
+        e0, e1, widx = _fit_subsets(pxf, part, m.weight_levels, m.subsets)
+        bidx = np.arange(len(pxf))[:, None]
+        rec = e0[bidx, part] + (table[widx] / 64.0)[..., None] * (e1 - e0)[
+            bidx, part
+        ]
+        err = ((rec - pxf) ** 2).sum((1, 2))
+        take = err < best_err
+        best_err[take] = err[take]
+        best_seed[take] = seed
+    return best_seed
+
+
 def _fit_mode(px: np.ndarray, mode_id: int):
-    """Host fit+quantize for one mode: (q0, q1, wmain, walpha)."""
+    """Host fit+quantize for one mode: (q0, q1, wmain, walpha, seed)."""
     m = MODES[mode_id]
-    nc = 4 if m.cem == 12 else 3
-    pxf = px[..., :nc].astype(np.float64)
-    if m.dual_plane:
+    pxf = _mode_pixels(px.astype(np.float64), m)
+    seed = None
+    if m.subsets > 1:
+        seed = _best_partition_seed(pxf, m)
+        part = astc_partition_4x4(seed, m.subsets)  # [B, 16]
+        e0, e1, wmain = _fit_subsets(pxf, part, m.weight_levels, m.subsets)
+        walpha = None
+    elif m.dual_plane:
         # main plane fits RGB; second plane carries alpha (selector = 3)
         e0m, e1m, wmain = _fit_endpoints_weights(pxf[..., :3], m.weight_levels)
         e0a, e1a, walpha = _fit_endpoints_weights(
@@ -367,7 +530,7 @@ def _fit_mode(px: np.ndarray, mode_id: int):
     scale = (1 << m.ep_bits) - 1
     q0 = np.clip(np.round(e0 * scale / 255.0), 0, scale).astype(np.int64)
     q1 = np.clip(np.round(e1 * scale / 255.0), 0, scale).astype(np.int64)
-    return q0, q1, wmain, walpha
+    return q0, q1, wmain, walpha, seed
 
 
 def _encode_mode_blocks(
@@ -376,14 +539,11 @@ def _encode_mode_blocks(
     """Encode all blocks with one mode. px: [B,16,4] int. Returns
     ([B,16] uint8 blocks, [B] float MSE)."""
     m = MODES[mode_id]
-    nc = 4 if m.cem == 12 else 3
     blocks = _pack_mode_blocks(mode_id, *_fit_mode(px, mode_id))
-    # measure error through the real decode path
+    # measure error through the real decode path (always full RGBA)
     dec = _decode_mode_payload(_bits_of(blocks), mode_id)
     ref = px.astype(np.float64)
-    mse = ((dec[..., :nc].astype(np.float64) - ref[..., :nc]) ** 2).mean((1, 2))
-    if nc == 3:  # opaque modes must still reproduce alpha=255 to count
-        mse = mse + ((255.0 - ref[..., 3]) ** 2).mean(1)
+    mse = ((dec.astype(np.float64) - ref) ** 2).mean((1, 2))
     return blocks, mse
 
 
@@ -507,7 +667,15 @@ def encode_uastc_blocks(
     has_alpha = (px16[..., 3] != 255).any()
     if modes is None:
         modes = [10, 12] if has_alpha else [0, 5]
-    use_device = device is True or (device == "auto" and B >= 16384)
+    # the jitted fit covers single-subset RGB/RGBA modes; multi-subset
+    # and LA candidates route through the host fit (partition seed search
+    # is host-side)
+    device_ok = all(
+        MODES[mid].subsets == 1 and MODES[mid].cem != 4 for mid in modes
+    )
+    use_device = device_ok and (
+        device is True or (device == "auto" and B >= 16384)
+    )
     out = np.zeros((B, 16), np.uint8)
 
     if use_device:
@@ -572,7 +740,32 @@ def _decode_mode_payload(bits: np.ndarray, mode_id: int) -> np.ndarray:
     if m.dual_plane:
         comp = _get_field(bits, pos, 2)
         pos += 2
-    nc = 4 if m.cem == 12 else 3
+    nc = _ncomp(m)
+    if m.subsets > 1:
+        seed = _get_field(bits, pos, 10)
+        pos += 10
+        q0 = np.zeros((B, m.subsets, nc), np.int64)
+        q1 = np.zeros((B, m.subsets, nc), np.int64)
+        for p in range(m.subsets):
+            for c in range(nc):
+                q0[:, p, c] = _get_field(bits, pos, m.ep_bits)
+                pos += m.ep_bits
+                q1[:, p, c] = _get_field(bits, pos, m.ep_bits)
+                pos += m.ep_bits
+        widx, pos = _get_bise(bits, pos, 16, m.weight_levels)
+        w64 = WEIGHT_TABLES[m.weight_levels][widx]  # [B,16]
+        part = astc_partition_4x4(seed, m.subsets)  # [B,16]
+        bidx = np.arange(B)[:, None]
+        e0 = _expand_endpoint(q0, m.ep_bits)[bidx, part]  # [B,16,nc]
+        e1 = _expand_endpoint(q1, m.ep_bits)[bidx, part]
+        vals = _interp(e0, e1, w64)
+        out = np.full((B, 16, 4), 255, np.int64)
+        if m.cem == 4:  # LA: L replicated to RGB, A separate
+            out[..., :3] = vals[..., 0:1]
+            out[..., 3] = vals[..., 1]
+        else:
+            out[..., :nc] = vals
+        return out.astype(np.uint8)
     q0 = np.zeros((B, nc), np.int64)
     q1 = np.zeros((B, nc), np.int64)
     for c in range(nc):
@@ -603,7 +796,11 @@ def _decode_mode_payload(bits: np.ndarray, mode_id: int) -> np.ndarray:
                 out[sel, :, c] = alpha[sel]
     else:
         vals = _interp(e0[:, None, :], e1[:, None, :], w64)
-        out[..., :nc] = vals
+        if m.cem == 4:  # LA: L replicated to RGB, A separate
+            out[..., :3] = vals[..., 0:1]
+            out[..., 3] = vals[..., 1]
+        else:
+            out[..., :nc] = vals
     return out.astype(np.uint8)
 
 
