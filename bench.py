@@ -94,7 +94,10 @@ def main() -> None:
         playback_fps = shown / (time.perf_counter() - t0)
 
     r = np.random.default_rng(0)
-    F = 8  # frames per batch
+    # 32-frame batches: per-dispatch overhead on the tunnel is ~20 ms
+    # regardless of batch size (measured round 2), so the device metrics
+    # batch >1 s of 30 fps video per dispatch — the production shape
+    F = 32  # frames per batch
     N = 26145  # liam-scale vertex count
     H = W = 1024  # liam texture resolution
 
@@ -262,9 +265,11 @@ def main() -> None:
     streamed_fps = len(windows) * 4 * STREAMS / (time.perf_counter() - t0)
 
     # ---- device-compute-only sub-metric ---------------------------------------
-    # isolates the XLA/Pallas pipeline from this environment's host<->device
-    # tunnel (~15-30 MB/s — a deployment would have GB/s DMA); same math as
-    # the end-to-end loop minus bulk transfers and host entropy. NOTE: on
+    # the FULL per-frame codec chain — geometry quantize+delta+zigzag
+    # encode AND dequantize+integrate decode, ETC1 block encode AND
+    # decode for a 1024² texture — with device-resident tensors: isolates
+    # the XLA/Pallas pipeline from this environment's host<->device
+    # tunnel (~15-30 MB/s — a deployment would have GB/s DMA). NOTE: on
     # the axon tunnel, jax.block_until_ready returns BEFORE remote
     # execution (verified: 50 "blocked" dispatches in 4 ms, then a fetch
     # waited for all of them) — every timed region must therefore end with
@@ -277,17 +282,62 @@ def main() -> None:
     dev_tex = jnp.asarray(textures)
     enc_dev = geo._encode_device
     tex_enc_dev = texc._encode
-    out = enc_dev(dev_pos, dev_uv, dev_mask)
-    words = tex_enc_dev(dev_tex)
-    _force(out)
-    _force(words)
-    t0 = time.perf_counter()
-    for _ in range(reps):
+    dec_dev = geo._decode_device
+    tex_dec_dev = texc._decode
+
+    @jax.jit
+    def device_chain():
         out = enc_dev(dev_pos, dev_uv, dev_mask)
         words = tex_enc_dev(dev_tex)
-    _force(out)
-    _force(words)
+        pos2, uv2 = dec_dev(
+            out["pos_syms"],
+            out["pos_min"],
+            out["pos_range"] / 2047.0,
+            out["uv_syms"],
+            out["uv_min"],
+            out["uv_range"] / 1023.0,
+        )
+        imgs = tex_dec_dev(words, H, W)
+        return out, words, pos2, uv2, imgs
+
+    res = device_chain()
+    _force(res)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = device_chain()
+    _force(res)
     device_fps = reps * F / (time.perf_counter() - t0)
+
+    # ---- device-only 8-stream metric (VERDICT r1 item 5) ---------------------
+    # 8 concurrent liam-scale streams × 4 frames as ONE device batch
+    # through the same full enc+dec chain — pure device residency; the
+    # streams×frames axes are exactly what shard_map splits over a real
+    # multi-chip mesh (tests/test_multichip.py runs that path on 8
+    # virtual devices; one physical chip here).
+    s_pos = jnp.asarray(np.tile(positions[:4], (STREAMS, 1, 1)))
+    s_uv = jnp.asarray(np.tile(uvs[:4], (STREAMS, 1, 1)))
+    s_mask = jnp.asarray(np.ones((4 * STREAMS, N), bool))
+    s_tex = jnp.asarray(np.tile(textures[:4], (STREAMS, 1, 1, 1)))
+
+    @jax.jit
+    def stream_chain():
+        out = enc_dev(s_pos, s_uv, s_mask)
+        words = tex_enc_dev(s_tex)
+        pos2, uv2 = dec_dev(
+            out["pos_syms"], out["pos_min"], out["pos_range"] / 2047.0,
+            out["uv_syms"], out["uv_min"], out["uv_range"] / 1023.0,
+        )
+        imgs = tex_dec_dev(words, H, W)
+        return out, words, pos2, uv2, imgs
+
+    sres = stream_chain()
+    _force(sres)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sres = stream_chain()
+    _force(sres)
+    dt_s = time.perf_counter() - t0
+    streams8_device_fps_per_stream = reps * 4 / dt_s  # per-stream frames/s
     # Headline: the reference's own workload — play its real 250-frame
     # corpus (draco_encoder .drc + basisu .ktx2) through the full
     # production path (facade -> V2 prefetch -> native Draco decode ->
@@ -321,6 +371,12 @@ def main() -> None:
                     "streams8_geometry_fps_per_stream": round(per_stream_fps, 1),
                     "streams8_realtime_multiple": round(per_stream_fps / 30.0, 2),
                     "streams8_ringbuffer_total_fps": round(streamed_fps, 1),
+                    "streams8_device_fps_per_stream": round(
+                        streams8_device_fps_per_stream, 1
+                    ),
+                    "streams8_device_realtime_multiple": round(
+                        streams8_device_fps_per_stream / 30.0, 2
+                    ),
                     "liam_full_player_playback_fps": (
                         round(playback_fps, 1) if playback_fps else None
                     ),
@@ -336,8 +392,9 @@ def main() -> None:
                     "note": (
                         "end-to-end number is bound by this environment's "
                         "host<->device tunnel (~15-30 MB/s); "
-                        "device_compute_only_fps isolates the XLA/Pallas "
-                        "pipeline"
+                        "device_compute_only_fps is the FULL enc+dec codec "
+                        "chain (geometry + 1024^2 ETC1 texture, both "
+                        "directions) on device-resident tensors"
                     ),
                 },
             }

@@ -217,15 +217,17 @@ def _edgebreaker_traverse(ct: EncoderCornerTable) -> _Traversal:
     if res is not None:
         symbols_a, corners_a, sf_a, (s_src, s_id, s_edge), initc, starts, nss = res
         return _Traversal(
-            symbols=symbols_a.tolist(),
-            symbol_corners=corners_a.tolist(),
-            start_face_bits=sf_a.tolist(),
+            # ndarrays, not lists: .tolist() + re-asarray cost ~5 ms per
+            # liam frame; every consumer is ndarray-compatible
+            symbols=symbols_a,
+            symbol_corners=corners_a,
+            start_face_bits=sf_a,
             splits=[
                 TopologySplit(int(a), int(b), int(e))
                 for a, b, e in zip(s_src, s_id, s_edge)
             ],
-            init_face_corners_enc=initc.tolist(),
-            interior_start_corners=starts.tolist(),
+            init_face_corners_enc=initc,
+            interior_start_corners=starts,
             num_split_symbols=nss,
         )
     num_faces = ct.num_faces
@@ -533,7 +535,9 @@ class _TexCoordsPortableEncoder:
             )
             if res is not None:
                 corr, orients = res
-                self.orientations = [bool(o) for o in orients]
+                # keep the ndarray: per-element list conversion was ~4 ms
+                # per liam frame on the 1-core bench host
+                self.orientations = orients.astype(bool)
                 return corr, wrap
 
         corr = np.zeros_like(values)
@@ -615,9 +619,9 @@ class _TexCoordsPortableEncoder:
         # exhausted (consumed from the end), so a trailing run of trues in
         # prediction order need not be stored at all — draco's own streams
         # store zero orientations on consistently-wound meshes
-        orients = list(self.orientations)
-        while orients and orients[-1]:
-            orients.pop()
+        orients = np.asarray(self.orientations, bool)
+        false_idx = np.nonzero(~orients)[0]
+        orients = orients[: false_idx[-1] + 1] if len(false_idx) else orients[:0]
         self.orientations = orients
         out.raw(np.asarray([len(self.orientations)], "<i4").tobytes())
         enc = RansBitEncoder()
@@ -702,7 +706,7 @@ class _GeometricNormalEncoder:
             )
             if res is not None:
                 corr, flips = res
-                self.flip_bits = [int(b) for b in flips]
+                self.flip_bits = np.asarray(flips, np.uint8)  # ndarray, not list
                 return corr
 
         corr = np.zeros((n, 2), np.int64)
@@ -1006,7 +1010,8 @@ def encode_drc(
         # bit-coded CLER symbols in decode order: C = '0', others
         # '1' + 2-bit suffix with symbol = (suffix << 1) | 1
         out.start_bit_encoding()
-        for sym in reversed(trav.symbols):
+        # python ints: numpy uint8 symbols would poison put_bits' int state
+        for sym in reversed(np.asarray(trav.symbols).tolist()):
             if sym == K.TOPOLOGY_C:
                 out.put_bits(0, 1)
             else:
@@ -1073,6 +1078,7 @@ def encode_drc(
     pos_values: Optional[np.ndarray] = None
     pos_vertex_to_data: Optional[np.ndarray] = None
 
+    vertex_traversal_cache = None  # pos + integer attrs traverse identically
     for att_data_id, dec_type, att in decoder_plan:
         if dec_type == K.MESH_CORNER_ATTRIBUTE:
             att_table = MeshAttributeCornerTable(
@@ -1081,13 +1087,22 @@ def encode_drc(
             view = _TableView(att_table, num_faces)
             corner_vertex = att_table.corner_to_vertex
             table_for_traversal = att_table
+            vertex_to_data, data_to_corner = traverse_depth_first(
+                table_for_traversal, num_faces,
+                corner_order=conn.processed_corners,
+            )
         else:
             view = _TableView(ct_d, num_faces)
             corner_vertex = ct_d.vertex
             table_for_traversal = ct_d
-        vertex_to_data, data_to_corner = traverse_depth_first(
-            table_for_traversal, num_faces, corner_order=conn.processed_corners
-        )
+            # seamless vertex attributes (POSITION + every integer attr)
+            # share one DFS over ct_d — identical inputs, identical result
+            if vertex_traversal_cache is None:
+                vertex_traversal_cache = traverse_depth_first(
+                    table_for_traversal, num_faces,
+                    corner_order=conn.processed_corners,
+                )
+            vertex_to_data, data_to_corner = vertex_traversal_cache
         num_values = len(data_to_corner)
 
         # values in decoder data order: decoder corner → encoder corner →

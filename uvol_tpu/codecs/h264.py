@@ -1,0 +1,474 @@
+"""H.264/AVC baseline codec — I_PCM macroblocks (lossless, conformant wire).
+
+The reference's UVOL 1.0 texture track is an H.264 MP4
+(deprecated/README.md:63; played via src/V1/player.ts:120-132). No H.264
+tooling exists in this offline image, so round 1 substituted Motion-JPEG
+samples. This module closes that gap with a REAL H.264 bitstream: every
+macroblock is coded as I_PCM (mb_type 25) — raw samples carried inside a
+spec-conformant Annex-B stream. I_PCM needs no transforms, no CAVLC
+residual coding and no deblocking (the slice header disables the filter,
+so conformant decoders reproduce the samples bit-exactly); the only
+entropy layer is Exp-Golomb slice/parameter-set headers, which this
+module implements in full. The cost is rate (PCM ≈ raw YUV420), which is
+acceptable for an offline-verifiable V1 texture path; any external H.264
+decoder can play these streams.
+
+Layout notes:
+  - baseline profile (66), pic_order_cnt_type=2, frame_mbs_only,
+    every frame an IDR slice (random access at every frame — exactly
+    what the V1 player's frame-seek behavior wants),
+  - 4:2:0 full-range JFIF color (the same matrix io/video.py's JPEG path
+    uses), chroma = 2x2 box mean,
+  - emulation-prevention (0x03) applied over every NAL payload.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Bit I/O (MSB-first) + Exp-Golomb
+# ---------------------------------------------------------------------------
+
+
+class BitWriter:
+    def __init__(self):
+        self._bytes = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def u(self, value: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self._bytes.append(self._acc)
+                self._acc = 0
+                self._n = 0
+
+    def ue(self, v: int) -> None:
+        """Unsigned Exp-Golomb."""
+        v += 1
+        nbits = v.bit_length()
+        self.u(0, nbits - 1)
+        self.u(v, nbits)
+
+    def se(self, v: int) -> None:
+        """Signed Exp-Golomb (0, 1, -1, 2, -2, ...)."""
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def align(self) -> None:
+        while self._n:
+            self.u(0, 1)
+
+    @property
+    def bit_position(self) -> int:
+        return 8 * len(self._bytes) + self._n
+
+    def raw_bytes(self, data: bytes) -> None:
+        assert self._n == 0, "raw bytes must be byte-aligned"
+        self._bytes += data
+
+    def rbsp_trailing(self) -> None:
+        self.u(1, 1)
+        self.align()
+
+    def getvalue(self) -> bytes:
+        assert self._n == 0
+        return bytes(self._bytes)
+
+
+class BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("h264: bad exp-golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def bytes_at(self, n: int) -> bytes:
+        assert self.pos % 8 == 0
+        start = self.pos >> 3
+        out = self.data[start : start + n]
+        if len(out) != n:
+            raise ValueError("h264: truncated PCM samples")
+        self.pos += 8 * n
+        return out
+
+
+# ---------------------------------------------------------------------------
+# NAL framing
+# ---------------------------------------------------------------------------
+
+
+def _escape(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention 0x03 after 00 00 before {00,01,02,03}."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _unescape(ebsp: bytes) -> bytes:
+    out = bytearray()
+    zeros = 0
+    i = 0
+    n = len(ebsp)
+    while i < n:
+        b = ebsp[i]
+        if zeros >= 2 and b == 3 and i + 1 < n and ebsp[i + 1] <= 3:
+            zeros = 0
+            i += 1
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + _escape(rbsp)
+
+
+def split_nals(stream: bytes) -> List[bytes]:
+    """Annex-B stream → list of NAL units (header byte + EBSP payload)."""
+    out = []
+    i = 0
+    n = len(stream)
+    starts = []
+    while i + 3 <= n:
+        if stream[i : i + 3] == b"\x00\x00\x01":
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for k, s in enumerate(starts):
+        e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
+        while e > s and stream[e - 1] == 0:  # trailing zero padding
+            e -= 1
+        out.append(stream[s:e])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parameter sets
+# ---------------------------------------------------------------------------
+
+
+def make_sps(width: int, height: int) -> bytes:
+    if width % 16 or height % 16:
+        raise ValueError("h264 I_PCM writer requires multiple-of-16 dims")
+    w = BitWriter()
+    w.u(66, 8)  # profile_idc: baseline
+    w.u(0, 8)  # constraint flags + reserved
+    w.u(40, 8)  # level 4.0
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4 → 4-bit frame_num
+    w.ue(2)  # pic_order_cnt_type 2 (output order == decode order)
+    w.ue(0)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed
+    w.ue(width // 16 - 1)
+    w.ue(height // 16 - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(0, 1)  # direct_8x8_inference
+    w.u(0, 1)  # frame_cropping
+    w.u(0, 1)  # vui_parameters_present
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+def make_pps() -> bytes:
+    w = BitWriter()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1, 1)  # deblocking_filter_control_present (slices disable it)
+    w.u(0, 1)  # constrained_intra_pred
+    w.u(0, 1)  # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return w.getvalue()
+
+
+@dataclasses.dataclass
+class Sps:
+    width: int
+    height: int
+    log2_max_frame_num: int
+
+
+def parse_sps(rbsp: bytes) -> Sps:
+    r = BitReader(rbsp)
+    profile = r.u(8)
+    r.u(8)
+    r.u(8)
+    r.ue()  # sps id
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        chroma = r.ue()
+        if chroma == 3:
+            r.u(1)
+        r.ue()
+        r.ue()
+        r.u(1)
+        if r.u(1):
+            raise NotImplementedError("h264: scaling matrices")
+    log2_mfn = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)
+    w_mbs = r.ue() + 1
+    h_mbs = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        raise NotImplementedError("h264: interlaced streams")
+    r.u(1)  # direct_8x8
+    width, height = 16 * w_mbs, 16 * h_mbs
+    if r.u(1):  # cropping
+        left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
+        width -= 2 * (left + right)
+        height -= 2 * (top + bottom)
+    return Sps(width, height, log2_mfn)
+
+
+# ---------------------------------------------------------------------------
+# Color conversion (full-range JFIF BT.601, matching io/video.py's JPEG)
+# ---------------------------------------------------------------------------
+
+
+def rgb_to_yuv420(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    f = rgb.astype(np.float32)
+    r_, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r_ + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g - 0.081312 * b
+    sub = lambda p: p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean((1, 3))
+    to8 = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)
+    return to8(y), to8(sub(cb)), to8(sub(cr))
+
+
+def yuv420_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    up = lambda p: np.repeat(np.repeat(p, 2, 0), 2, 1)
+    yf = y.astype(np.float32)
+    cbf = up(cb).astype(np.float32) - 128.0
+    crf = up(cr).astype(np.float32) - 128.0
+    r_ = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.round(np.stack([r_, g, b], -1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+def _mb_pcm_payload(y, cb, cr, mby, mbx) -> bytes:
+    """256 luma + 64 Cb + 64 Cr raster bytes for one 16x16 macroblock."""
+    ly = y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16]
+    lcb = cb[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8]
+    lcr = cr[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8]
+    return ly.tobytes() + lcb.tobytes() + lcr.tobytes()
+
+
+def encode_idr_frame(rgb: np.ndarray, idr_pic_id: int = 0) -> bytes:
+    """One RGB frame → IDR slice NAL (I_PCM macroblocks)."""
+    h, w_ = rgb.shape[:2]
+    y, cb, cr = rgb_to_yuv420(rgb)
+    bw = BitWriter()
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(7)  # slice_type: I (all slices in picture)
+    bw.ue(0)  # pic_parameter_set_id
+    bw.u(0, 4)  # frame_num (log2_max_frame_num = 4; IDR → 0)
+    bw.ue(idr_pic_id & 0xFFFF)
+    # poc_type 2 → no POC fields
+    bw.u(0, 1)  # no_output_of_prior_pics
+    bw.u(0, 1)  # long_term_reference
+    bw.se(0)  # slice_qp_delta
+    bw.ue(1)  # disable_deblocking_filter_idc = 1 (off → PCM is bit-exact)
+    for mby in range(h // 16):
+        for mbx in range(w_ // 16):
+            bw.ue(25)  # mb_type I_PCM
+            bw.align()  # pcm_alignment_zero_bit(s)
+            bw.raw_bytes(_mb_pcm_payload(y, cb, cr, mby, mbx))
+    bw.rbsp_trailing()
+    return nal(5, bw.getvalue())
+
+
+def encode_annexb(frames: np.ndarray) -> bytes:
+    """[F, H, W, 3] uint8 RGB → Annex-B H.264 stream (SPS+PPS+F IDRs)."""
+    f, h, w_ = frames.shape[:3]
+    out = [nal(7, make_sps(w_, h)), nal(8, make_pps())]
+    for i in range(f):
+        out.append(encode_idr_frame(frames[i], idr_pic_id=i % 2))
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Decode (I_PCM-only parser)
+# ---------------------------------------------------------------------------
+
+
+def decode_annexb(stream: bytes) -> np.ndarray:
+    """Annex-B H.264 (as produced here: baseline, I_PCM) → [F, H, W, 3].
+
+    A full H.264 decoder is out of scope offline; this parser handles the
+    profile this encoder emits (plus cropping/frame_num variants) and
+    rejects residual-coded macroblocks with a clear error."""
+    sps = None
+    frames = []
+    for unit in split_nals(stream):
+        ntype = unit[0] & 0x1F
+        rbsp = _unescape(unit[1:])
+        if ntype == 7:
+            sps = parse_sps(rbsp)
+        elif ntype == 8:
+            continue
+        elif ntype == 5:
+            if sps is None:
+                raise ValueError("h264: slice before SPS")
+            frames.append(_decode_slice(rbsp, sps))
+        elif ntype == 1:
+            raise NotImplementedError(
+                "h264: non-IDR slice (this I_PCM profile emits IDR only)"
+            )
+    if not frames:
+        raise ValueError("h264: no slices")
+    return np.stack(frames)
+
+
+def _decode_slice(rbsp: bytes, sps: Sps) -> np.ndarray:
+    r = BitReader(rbsp)
+    if r.ue() != 0:
+        raise NotImplementedError("h264: multi-slice pictures")
+    slice_type = r.ue()
+    if slice_type % 5 != 2:  # I slice
+        raise NotImplementedError("h264: non-I slice (I_PCM profile only)")
+    r.ue()  # pps id
+    r.u(sps.log2_max_frame_num)  # frame_num
+    r.ue()  # idr_pic_id (IDR assumed; non-IDR I also lands here… see below)
+    r.u(1)
+    r.u(1)  # dec_ref_pic_marking (IDR form)
+    r.se()  # slice_qp_delta
+    r.ue()  # disable_deblocking_filter_idc (1 → no extra fields)
+    w_mb, h_mb = sps.width // 16, sps.height // 16
+    y = np.zeros((sps.height, sps.width), np.uint8)
+    cb = np.zeros((sps.height // 2, sps.width // 2), np.uint8)
+    cr = np.zeros((sps.height // 2, sps.width // 2), np.uint8)
+    for mby in range(h_mb):
+        for mbx in range(w_mb):
+            mb_type = r.ue()
+            if mb_type != 25:
+                raise NotImplementedError(
+                    f"h264: mb_type {mb_type} (only I_PCM is decodable "
+                    "offline; this stream was not produced by this encoder)"
+                )
+            r.align()
+            ly = np.frombuffer(r.bytes_at(256), np.uint8).reshape(16, 16)
+            lcb = np.frombuffer(r.bytes_at(64), np.uint8).reshape(8, 8)
+            lcr = np.frombuffer(r.bytes_at(64), np.uint8).reshape(8, 8)
+            y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = ly
+            cb[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = lcb
+            cr[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = lcr
+    return yuv420_to_rgb(y, cb, cr)
+
+
+# ---------------------------------------------------------------------------
+# MP4 (avc1) sample packaging helpers
+# ---------------------------------------------------------------------------
+
+
+def make_avcc(width: int, height: int) -> bytes:
+    """AVCDecoderConfigurationRecord for the streams this module writes."""
+    sps = make_sps(width, height)
+    pps = make_pps()
+    sps_nal = bytes([0x67]) + _escape(sps)
+    pps_nal = bytes([0x68]) + _escape(pps)
+    return (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFF, 0xE1])
+        + len(sps_nal).to_bytes(2, "big")
+        + sps_nal
+        + bytes([1])
+        + len(pps_nal).to_bytes(2, "big")
+        + pps_nal
+    )
+
+
+def encode_avc_samples(frames: np.ndarray) -> List[bytes]:
+    """Per-frame MP4 samples: 4-byte-length-prefixed IDR NAL (no SPS/PPS
+    in-band — they live in the avcC box)."""
+    out = []
+    for i in range(len(frames)):
+        unit = encode_idr_frame(frames[i], idr_pic_id=i % 2)[4:]  # strip SC
+        out.append(len(unit).to_bytes(4, "big") + unit)
+    return out
+
+
+def decode_avc_sample(sample: bytes, sps: Sps) -> np.ndarray:
+    """One length-prefixed MP4 sample → RGB frame."""
+    pos = 0
+    frame = None
+    while pos + 4 <= len(sample):
+        n = int.from_bytes(sample[pos : pos + 4], "big")
+        unit = sample[pos + 4 : pos + 4 + n]
+        pos += 4 + n
+        if unit and (unit[0] & 0x1F) == 5:
+            frame = _decode_slice(_unescape(unit[1:]), sps)
+    if frame is None:
+        raise ValueError("h264: sample holds no slice NAL")
+    return frame
+
+
+def parse_avcc(avcc: bytes) -> Sps:
+    if not avcc or avcc[0] != 1:
+        raise ValueError("h264: bad avcC record")
+    n_sps = avcc[5] & 0x1F
+    if n_sps < 1:
+        raise ValueError("h264: avcC without SPS")
+    ln = int.from_bytes(avcc[6:8], "big")
+    sps_nal = avcc[8 : 8 + ln]
+    return parse_sps(_unescape(sps_nal[1:]))

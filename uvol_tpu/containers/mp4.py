@@ -47,11 +47,16 @@ def write_mp4_video(
     fps: float,
     codec: bytes = b"jpeg",
     timescale: int = 90000,
+    avcc: bytes = b"",
 ) -> bytes:
     """Pack encoded video frames (one sample each) into a faithful MP4.
 
     Layout: ftyp | mdat | moov. One track, one chunk (all samples
-    contiguous in mdat), constant frame duration.
+    contiguous in mdat), constant frame duration. `codec=b"avc1"` writes
+    a real H.264 track: pass the AVCDecoderConfigurationRecord as `avcc`
+    (codecs/h264.make_avcc) and length-prefixed NAL samples
+    (codecs/h264.encode_avc_samples) — the reference's V1 texture wire
+    (deprecated/README.md:63).
     """
     n = len(samples)
     if n == 0:
@@ -107,7 +112,7 @@ def write_mp4_video(
     )
 
     # sample description: VisualSampleEntry
-    compressor = b"Motion JPEG"
+    compressor = b"AVC Coding" if codec == b"avc1" else b"Motion JPEG"
     entry = (
         b"\x00" * 6
         + struct.pack(">H", 1)  # data reference index
@@ -120,6 +125,10 @@ def write_mp4_video(
         + compressor.ljust(31, b"\x00")
         + struct.pack(">Hh", 24, -1)  # depth, pre_defined
     )
+    if codec == b"avc1":
+        if not avcc:
+            raise ValueError("avc1 track requires an avcC record")
+        entry += _box(b"avcC", avcc)
     stsd = _full_box(b"stsd", 0, 0, _U32.pack(1) + _box(codec, entry))
     stts = _full_box(b"stts", 0, 0, _U32.pack(1) + struct.pack(">II", n, delta))
     stsc = _full_box(b"stsc", 0, 0, _U32.pack(1) + struct.pack(">III", 1, n, 1))
@@ -157,6 +166,7 @@ class Mp4VideoTrack:
     timescale: int
     sample_deltas: List[int]  # per-sample durations (timescale units)
     samples: List[bytes]
+    avcc: bytes = b""  # AVCDecoderConfigurationRecord (avc1 tracks)
 
     @property
     def num_frames(self) -> int:
@@ -243,6 +253,14 @@ def read_mp4_video(data: bytes) -> Mp4VideoTrack:
         entry_fourcc = data[stsd[0] + 12 : stsd[0] + 16]
         entry = stsd[0] + 16
         width, height = struct.unpack_from(">HH", data, entry + 24)
+        # avc1: the avcC config record lives in a sub-box after the
+        # 78-byte VisualSampleEntry body
+        avcc = b""
+        if entry_fourcc == b"avc1":
+            entry_size = _U32.unpack_from(data, stsd[0] + 8)[0]
+            sub = _find(data, entry + 78, stsd[0] + 8 + entry_size, b"avcC")
+            if sub is not None:
+                avcc = data[sub[0] : sub[1]]
 
         # stts
         stts = _find(data, *stbl, b"stts")
@@ -307,5 +325,6 @@ def read_mp4_video(data: bytes) -> Mp4VideoTrack:
             timescale=timescale,
             sample_deltas=deltas,
             samples=samples,
+            avcc=avcc,
         )
     raise ValueError("no video track")

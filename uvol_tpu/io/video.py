@@ -8,10 +8,13 @@ Capability match for the reference's V1 texture pipeline:
   - `src/V1/player.ts:305-334` reads the counter back from canvas pixels
     when `requestVideoFrameCallback` is unavailable.
 
-H.264 does not exist in this environment (and bit-exactness there is not a
-goal — the reference also delegates to ffmpeg), so frames are JPEG samples
-in a spec-correct MP4 container (`uvol_tpu.containers.mp4`). The counter
-blocks are 8x8-aligned, which keeps them intact under JPEG's 8x8 DCT.
+Two sample codecs:
+  - ``codec="jpeg"`` (default): Motion-JPEG samples — compact, lossy.
+  - ``codec="h264"``: REAL H.264/AVC — I_PCM macroblocks in a conformant
+    avc1 track (codecs/h264.py), matching the reference's wire codec;
+    lossless luma (counter strip reads back exactly), raw-YUV420 rate.
+The counter blocks are 8x8-aligned, which keeps them intact under both
+JPEG's DCT and 4:2:0 subsampling.
 """
 
 from __future__ import annotations
@@ -42,8 +45,10 @@ def encode_v1_texture_video(
     encoder_window_size: int = 8,
     encoder_byte_length: int = 16,
     quality: int = 92,
+    codec: str = "jpeg",
 ) -> bytes:
-    """Bake per-frame counters and pack an MJPEG MP4 (V1 texture stream).
+    """Bake per-frame counters and pack an MJPEG or H.264 MP4 (V1 texture
+    stream).
 
     Mirrors example/texture_encoder.py's output contract: frame i carries
     stored value i+1 in its bottom-row counter strip. Warns (like
@@ -57,7 +62,7 @@ def encode_v1_texture_video(
             f"{n} frames exceed counter capacity {capacity} "
             f"(2^{encoder_byte_length}-2)"
         )
-    samples: List[bytes] = []
+    baked: List[np.ndarray] = []
     width = height = None
     for i, frame in enumerate(frames_rgb):
         img = np.asarray(frame, np.uint8)
@@ -75,6 +80,22 @@ def encode_v1_texture_video(
             encoder_byte_length=encoder_byte_length,
         )
         height, width = img.shape[:2]
+        baked.append(img)
+    if codec == "h264":
+        from uvol_tpu.codecs import h264
+
+        return write_mp4_video(
+            h264.encode_avc_samples(np.stack(baked)),
+            width=width,
+            height=height,
+            fps=fps,
+            codec=b"avc1",
+            avcc=h264.make_avcc(width, height),
+        )
+    if codec != "jpeg":
+        raise ValueError(f"unknown V1 texture codec {codec!r}")
+    samples: List[bytes] = []
+    for img in baked:
         buf = _io.BytesIO()
         Image.fromarray(img).save(buf, "JPEG", quality=quality)
         samples.append(buf.getvalue())
@@ -93,10 +114,16 @@ class Mp4VideoTexture:
 
     def __init__(self, mp4_bytes: bytes, *, cache_frames: int = 8, clock=None):
         self.track: Mp4VideoTrack = read_mp4_video(mp4_bytes)
-        if self.track.codec.strip() != "jpeg":
+        self._sps = None
+        codec = self.track.codec.strip()
+        if codec == "avc1":
+            from uvol_tpu.codecs import h264
+
+            self._sps = h264.parse_avcc(self.track.avcc)
+        elif codec != "jpeg":
             raise NotImplementedError(
                 f"cannot pixel-decode codec {self.track.codec!r} "
-                "(only 'jpeg' samples; container parse succeeded)"
+                "(only 'jpeg'/'avc1' samples; container parse succeeded)"
             )
         self._cache: dict = {}
         self._cache_frames = cache_frames
@@ -150,11 +177,16 @@ class Mp4VideoTexture:
     def frame_rgb(self, i: int) -> np.ndarray:
         if i in self._cache:
             return self._cache[i]
-        Image = _require_pil()
-        img = np.asarray(
-            Image.open(_io.BytesIO(self.track.samples[i])).convert("RGB"),
-            np.uint8,
-        )
+        if self._sps is not None:  # avc1 (I_PCM H.264)
+            from uvol_tpu.codecs import h264
+
+            img = h264.decode_avc_sample(self.track.samples[i], self._sps)
+        else:
+            Image = _require_pil()
+            img = np.asarray(
+                Image.open(_io.BytesIO(self.track.samples[i])).convert("RGB"),
+                np.uint8,
+            )
         if len(self._cache) >= self._cache_frames:
             self._cache.pop(next(iter(self._cache)))
         self._cache[i] = img

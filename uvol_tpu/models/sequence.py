@@ -78,10 +78,12 @@ def _pallas_available() -> bool:
 class GeometrySequenceCodec:
     """Batched quantize+predict+entropy codec for mesh attribute sequences.
 
-    The device encode uses the fused Pallas quantize+delta+zigzag kernel on
-    TPU (one HBM pass; `ops/pallas_kernels.py`), with the plain XLA op
-    chain as the CPU/test path — both produce identical symbols (parity
-    asserted in tests via the Pallas interpreter).
+    The device encode is a transposed-layout XLA chain ([F, C, N] with
+    vertices on the lane axis — see `_syms`); `use_pallas` is kept for
+    API compatibility and reporting but no longer switches this path:
+    the round-1 VMEM kernel (`ops/pallas_kernels.py`, retained with its
+    interpreter parity test) measured slower than this formulation on a
+    v5e chip because its layout padded C=3 to 128 lanes.
     """
 
     def __init__(
@@ -103,22 +105,25 @@ class GeometrySequenceCodec:
             use_pallas = _pallas_available()
         self.use_pallas = use_pallas
 
-        from uvol_tpu.ops.pallas_kernels import fused_quantize_delta_zigzag
         from uvol_tpu.ops.quantize import compute_quantization_transform
 
         def _syms(x, bits, mask):
+            """Quantize+delta+zigzag in a transposed [F, C, N] layout:
+            the vertex axis rides the 128-lane dimension, so every
+            elementwise op runs at full VPU width (C=2..3 on lanes wastes
+            125 of 128). Measured faster than both the [F, N, C] XLA
+            chain and the round-1 VMEM Pallas kernel (which padded C to
+            128 lanes — ~40x dead traffic); produces identical symbols
+            (delta along N commutes with the transpose)."""
             mn, rng = compute_quantization_transform(x, mask)
-            if use_pallas:
-                xm = jnp.where(mask[..., None], x, mn[..., None, :])
-                xm = xm - mn[..., None, :]
-                inv = ((1 << bits) - 1) / rng
-                syms = fused_quantize_delta_zigzag(
-                    xm, inv, x.shape[-1]
-                ).astype(jnp.uint32)
-            else:
-                q = quantize(x, bits, mask=mask, min_value=mn, range_value=rng)
-                syms = zigzag_encode(delta_encode(q.values))
-            return syms, mn, rng
+            xt = jnp.swapaxes(x, 1, 2)  # [F, C, N]
+            inv = ((1 << bits) - 1) / rng
+            xm = jnp.where(mask[:, None, :], xt - mn[..., None], 0.0)
+            q = jnp.floor(xm * inv[:, None, None] + 0.5).astype(jnp.int32)
+            prev = jnp.pad(q[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+            d = q - prev
+            syms = ((d >> 31) ^ (d << 1)).astype(jnp.uint32)
+            return jnp.swapaxes(syms, 1, 2), mn, rng
 
         def _encode_fn(pos, uv, mask):
             pos_syms, pmin, prng = _syms(pos, position_bits, mask)

@@ -1,11 +1,18 @@
-"""Production Pallas TPU kernels for the geometry hot path.
+"""Pallas TPU kernel for fused geometry quantize+delta+zigzag.
+
+STATUS (round 2): retained as a reference formulation with its
+interpreter parity test, but NOT on the production path anymore — the
+[TILE_N, 128] layout pads C=2..3 components to 128 lanes (~40x dead HBM
+traffic), and the transposed [F, C, N] XLA chain in
+`models/sequence.py:_syms` measured faster on a v5e chip at identical
+symbols. A lane-major rewrite (vertices on lanes, like
+`codecs/basis/etc_pallas.py`) would close the gap, but the op is launch-
+overhead-bound at production batch sizes, so XLA is the right tool here.
 
 `fused_quantize_delta_zigzag`: one VMEM pass over a padded [F, N, C]
 attribute batch producing entropy-ready symbols — quantization, successive
 difference along the vertex axis, and zigzag mapping fused into a single
-kernel (one HBM read + write instead of three XLA op groups). Layout is
-strictly 2D per grid step ([TILE_N, 128] slabs) to match Mosaic's vector
-model; the cross-tile delta seam is carried by a precomputed
+kernel. The cross-tile delta seam is carried by a precomputed
 previous-row input per tile.
 """
 
