@@ -127,32 +127,43 @@ def main() -> None:
     geo = GeometrySequenceCodec(position_bits=11, uv_bits=10)
     texc = TextureSequenceCodec(sequence_size=F)
     frames = GeometryFrameSet(positions, uvs, counts, faces)
+    # the e2e loop re-uploads its batch every rep over the ~20 MB/s
+    # tunnel, so it runs an 8-frame slice (the device metrics below use
+    # the full 32-frame batch with device-resident tensors)
+    F_E2E = 8
+    texc_e2e = TextureSequenceCodec(sequence_size=F_E2E)
+    frames_e2e = GeometryFrameSet(
+        positions[:F_E2E], uvs[:F_E2E], counts[:F_E2E], faces[:F_E2E]
+    )
+    tex_e2e = textures[:F_E2E]
 
     # ---- warmup / compile ---------------------------------------------------
-    blobs = geo.encode(frames)
+    blobs = geo.encode(frames_e2e)
     dec = geo.decode(blobs, as_numpy=False)
-    tex_blob = texc.encode_segment(textures)
-    tex_dec = texc.decode_segment(read_ktx2(tex_blob), as_numpy=False)
+    tex_blob = texc_e2e.encode_segment(tex_e2e)
+    tex_dec = texc_e2e.decode_segment(read_ktx2(tex_blob), as_numpy=False)
 
     # ---- timed loop: bytes out → tensors back --------------------------------
-    reps = 3
+    reps = 2
     t_geo_enc = t_geo_dec = t_tex_enc = t_tex_dec = 0.0
     t0 = time.perf_counter()
     for _ in range(reps):
         t = time.perf_counter()
-        blobs = geo.encode(frames)
+        blobs = geo.encode(frames_e2e)
         t_geo_enc += time.perf_counter() - t
         t = time.perf_counter()
-        tex_blob = texc.encode_segment(textures)
+        tex_blob = texc_e2e.encode_segment(tex_e2e)
         t_tex_enc += time.perf_counter() - t
         t = time.perf_counter()
         dec = geo.decode(blobs, as_numpy=False)  # tensors stay on device
         t_geo_dec += time.perf_counter() - t
         t = time.perf_counter()
-        tex_dec = texc.decode_segment(read_ktx2(tex_blob), as_numpy=False)
+        tex_dec = texc_e2e.decode_segment(
+            read_ktx2(tex_blob), as_numpy=False
+        )
         t_tex_dec += time.perf_counter() - t
     dt = time.perf_counter() - t0
-    fps = reps * F / dt
+    fps = reps * F_E2E / dt
 
     # ---- correctness gates ----------------------------------------------------
     step = float(
@@ -160,14 +171,15 @@ def main() -> None:
     ) / 2047
     err = float(np.abs(np.asarray(dec.positions)[0, :N] - positions[0]).max())
     assert err <= step, (err, step)
-    assert tex_dec.shape == textures.shape
+    assert tex_dec.shape == tex_e2e.shape
     total_bytes = sum(len(b) for b in blobs) + len(tex_blob)
 
-    nframes = reps * F
+    nframes = reps * F_E2E
     mverts = nframes * N / (t_geo_enc + t_geo_dec) / 1e6
 
     # ---- real Draco corpus decode (the reference's own playback format) -----
     liam_fps = liam_fps_pool = liam_enc_fps = None
+    liam_device_decode_fps = liam_device_decode_mverts = None
     liam_dir = "/root/reference/example/public/liam/output/geometry_draco"
     if os.path.isdir(liam_dir):
         from uvol_tpu.codecs.draco.decoder import decode_drc
@@ -221,6 +233,23 @@ def main() -> None:
         pool.wait_idle(60)
         liam_fps_pool = 3 * len(frames_bin) / (time.perf_counter() - t0)
         pool.close()
+
+        # real .drc -> DEVICE-resident tensors: host C wire stages
+        # (sequential recurrences) + batched device dequantize/oct->unit
+        # (models/drc_device.py; VERDICT r1 item 4)
+        from uvol_tpu.models.drc_device import decode_drc_batch
+
+        decode_drc_batch(frames_bin)  # warm compile (same shapes)
+        t0 = time.perf_counter()
+        dbatch = decode_drc_batch(frames_bin)
+        _force(
+            [v for v in dbatch.values.values() if not isinstance(v, list)]
+        )
+        dt_dd = time.perf_counter() - t0
+        liam_device_decode_fps = len(frames_bin) / dt_dd
+        liam_device_decode_mverts = (
+            sum(int(c) for c in dbatch.counts[0]) / dt_dd / 1e6
+        )
 
     # ---- 8 concurrent streams (BASELINE "8 streams ≥10× real-time") ----------
     # pure data parallelism over the stream×frame axes: one batched program
@@ -276,10 +305,14 @@ def main() -> None:
     # a tiny host fetch, which forces the whole in-order queue.
     import jax.numpy as jnp
 
-    dev_pos = jnp.asarray(positions)
-    dev_uv = jnp.asarray(uvs)
-    dev_mask = jnp.asarray(np.ones((F, N), bool))
-    dev_tex = jnp.asarray(textures)
+    # upload only the 8-frame slice (~28 MB) and tile to the 32-frame
+    # batch ON DEVICE — the full-batch upload alone would cost minutes
+    # on this tunnel and is not what the metric measures
+    rep_n = F // F_E2E
+    dev_pos = jnp.tile(jnp.asarray(positions[:F_E2E]), (rep_n, 1, 1))
+    dev_uv = jnp.tile(jnp.asarray(uvs[:F_E2E]), (rep_n, 1, 1))
+    dev_mask = jnp.ones((F, N), bool)
+    dev_tex = jnp.tile(jnp.asarray(tex_e2e), (rep_n, 1, 1, 1))
     enc_dev = geo._encode_device
     tex_enc_dev = texc._encode
     dec_dev = geo._decode_device
@@ -302,11 +335,12 @@ def main() -> None:
 
     res = device_chain()
     _force(res)
+    dev_reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(dev_reps):
         res = device_chain()
     _force(res)
-    device_fps = reps * F / (time.perf_counter() - t0)
+    device_fps = dev_reps * F / (time.perf_counter() - t0)
 
     # ---- device-only 8-stream metric (VERDICT r1 item 5) ---------------------
     # 8 concurrent liam-scale streams × 4 frames as ONE device batch
@@ -314,10 +348,10 @@ def main() -> None:
     # streams×frames axes are exactly what shard_map splits over a real
     # multi-chip mesh (tests/test_multichip.py runs that path on 8
     # virtual devices; one physical chip here).
-    s_pos = jnp.asarray(np.tile(positions[:4], (STREAMS, 1, 1)))
-    s_uv = jnp.asarray(np.tile(uvs[:4], (STREAMS, 1, 1)))
-    s_mask = jnp.asarray(np.ones((4 * STREAMS, N), bool))
-    s_tex = jnp.asarray(np.tile(textures[:4], (STREAMS, 1, 1, 1)))
+    s_pos = jnp.tile(jnp.asarray(positions[:4]), (STREAMS, 1, 1))
+    s_uv = jnp.tile(jnp.asarray(uvs[:4]), (STREAMS, 1, 1))
+    s_mask = jnp.ones((4 * STREAMS, N), bool)
+    s_tex = jnp.tile(dev_tex[:4], (STREAMS, 1, 1, 1))
 
     @jax.jit
     def stream_chain():
@@ -333,11 +367,11 @@ def main() -> None:
     sres = stream_chain()
     _force(sres)
     t0 = time.perf_counter()
-    for _ in range(reps):
+    for _ in range(dev_reps):
         sres = stream_chain()
     _force(sres)
     dt_s = time.perf_counter() - t0
-    streams8_device_fps_per_stream = reps * 4 / dt_s  # per-stream frames/s
+    streams8_device_fps_per_stream = dev_reps * 4 / dt_s
     # Headline: the reference's own workload — play its real 250-frame
     # corpus (draco_encoder .drc + basisu .ktx2) through the full
     # production path (facade -> V2 prefetch -> native Draco decode ->
@@ -388,6 +422,20 @@ def main() -> None:
                     ),
                     "liam_draco_encode_fps": (
                         round(liam_enc_fps, 1) if liam_enc_fps else None
+                    ),
+                    "liam_device_decode_fps": (
+                        round(liam_device_decode_fps, 1)
+                        if liam_device_decode_fps else None
+                    ),
+                    "liam_device_decode_mverts_per_s": (
+                        round(liam_device_decode_mverts, 2)
+                        if liam_device_decode_mverts else None
+                    ),
+                    "liam_device_decode_note": (
+                        "wire->device-RESIDENT tensors: bound by the 1-core "
+                        "host wire stages (~25 ms/frame, pools across cores "
+                        "on real hosts) + this tunnel's ~20 MB/s upload; "
+                        "the batched device dequantize itself is >1000 fps"
                     ),
                     "note": (
                         "end-to-end number is bound by this environment's "

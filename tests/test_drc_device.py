@@ -1,0 +1,75 @@
+"""Device-side `.drc` decode stages vs the all-host path (VERDICT item 4).
+
+Real liam frames: the host portable decode must produce the same integer
+stages, and the device dequantize / octahedral-normal reconstruction
+must match the C float path within f32 tolerance.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+LIAM = pathlib.Path(
+    "/root/reference/example/public/liam/output/geometry_draco"
+)
+
+pytestmark = pytest.mark.skipif(
+    not LIAM.exists(), reason="liam corpus not present"
+)
+
+
+def test_portable_decode_matches_integer_stages():
+    from uvol_tpu import native
+
+    data = (LIAM / "00000.drc").read_bytes()
+    full = native.drc_decode_native(data)
+    port = native.drc_decode_native(data, portable=True)
+    assert full is not None and port is not None
+    assert port[0] == full[0] and port[1] == full[1]
+    np.testing.assert_array_equal(port[2], full[2])
+    for pa, fa in zip(port[3], full[3]):
+        assert pa[0] == fa[0]  # att_type
+        np.testing.assert_array_equal(pa[6], fa[6])  # corner maps
+        kind = pa[7][0]
+        if kind == 0:  # integer attr: identical values
+            np.testing.assert_array_equal(pa[5], fa[5])
+        elif kind == 1:  # quantized: host dequantize of ints == C floats
+            _k, bits, _mq, rng, mins = pa[7]
+            delta = rng / ((1 << bits) - 1)
+            recon = mins[None, : pa[5].shape[1]] + pa[5].astype(
+                np.float64
+            ) * delta
+            np.testing.assert_allclose(
+                recon.astype(np.float32), fa[5], rtol=0, atol=1e-6
+            )
+
+
+def test_decode_drc_batch_device_matches_host():
+    from uvol_tpu.codecs.draco import constants as K
+    from uvol_tpu.codecs.draco.decoder import decode_drc
+    from uvol_tpu.models.drc_device import decode_drc_batch
+
+    blobs = [(LIAM / f"{i:05d}.drc").read_bytes() for i in range(4)]
+    batch = decode_drc_batch(blobs, as_numpy=True)
+    for i, blob in enumerate(blobs):
+        mesh = decode_drc(blob)
+        np.testing.assert_array_equal(
+            batch.faces[i], mesh.faces.astype(np.int32)
+        )
+        for att_type in (K.ATT_POSITION, K.ATT_TEX_COORD, K.ATT_NORMAL):
+            a = mesh.attribute_by_type(att_type)
+            if a is None:
+                continue
+            n = int(batch.counts[att_type][i])
+            assert n == len(a.values)
+            got = np.asarray(batch.values[att_type])[i, :n]
+            # f32 device math vs the C f64 path: tight but not bit-equal
+            np.testing.assert_allclose(
+                got, a.values, rtol=2e-5, atol=2e-5
+            )
+        g = mesh.attribute_by_type(K.ATT_GENERIC)
+        if g is not None:
+            np.testing.assert_array_equal(
+                batch.values[K.ATT_GENERIC][i], g.values
+            )

@@ -881,82 +881,102 @@ def encode_drc(
     ct_d = conn.corner_table
     num_faces = ct.num_faces
 
-    # ---- dec ↔ enc corner/vertex maps (vectorized) --------------------------
-    dec2enc_corner = np.full(3 * num_faces, INVALID, np.int64)
-    enc_vert_of_dec = np.full(ct_d.vertex_corner.shape[0], INVALID, np.int64)
-    sc_rev = np.asarray(trav.symbol_corners, np.int64)[::-1]
-    j3 = 3 * np.arange(num_symbols, dtype=np.int64)
-    nxt_sc = np.where(sc_rev % 3 == 2, sc_rev - 2, sc_rev + 1)
-    prv_sc = np.where(sc_rev % 3 == 0, sc_rev + 2, sc_rev - 1)
-    dec2enc_corner[j3] = sc_rev
-    dec2enc_corner[j3 + 1] = nxt_sc
-    dec2enc_corner[j3 + 2] = prv_sc
-    dvert = ct_d.vertex
-    dv_all = np.asarray(dvert[: 3 * num_symbols], np.int64)
-    ev_all = np.asarray(ct.vertex, np.int64)[
-        dec2enc_corner[: 3 * num_symbols]
-    ]
-    enc_vert_of_dec[dv_all] = ev_all  # last-writer; verify consistency below
-    if not np.array_equal(enc_vert_of_dec[dv_all], ev_all):
-        raise AssertionError("inconsistent vertex correspondence")
-    # init faces: match by (already mapped) vertices
-    init_faces_dec = range(num_symbols, num_faces)
-    for i, df in enumerate(init_faces_dec):
-        sc = trav.interior_start_corners[i]
-        enc_corners = [sc, next_corner(sc), previous_corner(sc)]
-        enc_verts = [int(ct.vertex[c]) for c in enc_corners]
-        for dc in (3 * df, 3 * df + 1, 3 * df + 2):
-            ev = int(enc_vert_of_dec[dvert[dc]])
-            if ev == INVALID:
-                raise AssertionError("init face vertex unmapped")
-            k = enc_verts.index(ev)
-            dec2enc_corner[dc] = enc_corners[k]
-    if (dec2enc_corner == INVALID).any():
-        raise AssertionError("incomplete corner correspondence")
-
-    # ---- attribute seams ----------------------------------------------------
-    # non-position attributes each get one seam-bit coder; an edge is a seam
-    # when the attribute's value index differs across it at either endpoint
+    # ---- dec ↔ enc corner/vertex maps + attribute seams ----------------------
+    # native single-pass version (uvt_eb_encode_maps) with the vectorized
+    # numpy region as fallback/oracle; identical outputs incl. the
+    # consistency assertions
     non_pos = attributes[1:]
     num_attribute_data = len(non_pos)
-
-    # vectorized: for each face-order interior edge with opposite face index
-    # greater than the current face (exactly the decoder's seam-pass order,
-    # ascending corner index), a seam bit per attribute — an edge is a seam
-    # when the attribute's value index differs across it at either endpoint
-    opp_d = np.asarray(ct_d.opposite[: 3 * num_faces], np.int64)
-    corner_ids = np.arange(3 * num_faces, dtype=np.int64)
-    edge_sel = (opp_d != INVALID) & (opp_d // 3 > corner_ids // 3)
-    cs = corner_ids[edge_sel]  # ascending corner order == pass order
-    ce = dec2enc_corner[cs]
-    o_enc = np.asarray(ct.opposite, np.int64)[ce]
-    o_safe = np.where(o_enc == INVALID, 0, o_enc)
-
-    def _nxt(a):
-        return np.where(a % 3 == 2, a - 2, a + 1)
-
-    def _prv(a):
-        return np.where(a % 3 == 0, a + 2, a - 1)
-
-    seam_bit_lists: List[np.ndarray] = []
-    seam_corner_lists: List[np.ndarray] = []
-    nxt_ce, prv_ce = _nxt(ce), _prv(ce)  # loop-invariant across attributes
-    nxt_o, prv_o = _nxt(o_safe), _prv(o_safe)
-    for att in non_pos:
-        c2v = np.asarray(att.corner_to_value, np.int64)
-        bits = (
-            (o_enc == INVALID)
-            | (c2v[nxt_ce] != c2v[prv_o])
-            | (c2v[prv_ce] != c2v[nxt_o])
+    sc_rev = np.asarray(trav.symbol_corners, np.int64)[::-1]
+    dvert = ct_d.vertex
+    maps_res = None
+    if uvt_native.get_draco_lib() is not None:
+        maps_res = uvt_native.eb_encode_maps_native(
+            num_faces, num_symbols, sc_rev, dvert, ct.vertex, ct.opposite,
+            ct_d.opposite[: 3 * num_faces],
+            np.asarray(trav.interior_start_corners, np.int64),
+            [np.asarray(a.corner_to_value, np.int64) for a in non_pos],
+            ct_d.vertex_corner.shape[0],
         )
-        seam_bit_lists.append(bits.astype(np.uint8))
-        pairs = np.column_stack([cs[bits], opp_d[cs[bits]]]).reshape(-1)
-        seam_corner_lists.append(pairs)
-    boundary = np.nonzero(opp_d == INVALID)[0]
-    final_seams = [
-        np.concatenate([np.asarray(s, np.int64), boundary])
-        for s in seam_corner_lists
-    ]
+    if maps_res is not None:
+        dec2enc_corner, _cs, seam_bit_lists, seam_corner_lists, boundary = (
+            maps_res
+        )
+        final_seams = [
+            np.concatenate([np.asarray(s, np.int64), boundary])
+            for s in seam_corner_lists
+        ]
+    else:
+        dec2enc_corner = np.full(3 * num_faces, INVALID, np.int64)
+        enc_vert_of_dec = np.full(
+            ct_d.vertex_corner.shape[0], INVALID, np.int64
+        )
+        j3 = 3 * np.arange(num_symbols, dtype=np.int64)
+        nxt_sc = np.where(sc_rev % 3 == 2, sc_rev - 2, sc_rev + 1)
+        prv_sc = np.where(sc_rev % 3 == 0, sc_rev + 2, sc_rev - 1)
+        dec2enc_corner[j3] = sc_rev
+        dec2enc_corner[j3 + 1] = nxt_sc
+        dec2enc_corner[j3 + 2] = prv_sc
+        dv_all = np.asarray(dvert[: 3 * num_symbols], np.int64)
+        ev_all = np.asarray(ct.vertex, np.int64)[
+            dec2enc_corner[: 3 * num_symbols]
+        ]
+        enc_vert_of_dec[dv_all] = ev_all  # last-writer; verified below
+        if not np.array_equal(enc_vert_of_dec[dv_all], ev_all):
+            raise AssertionError("inconsistent vertex correspondence")
+        # init faces: match by (already mapped) vertices
+        init_faces_dec = range(num_symbols, num_faces)
+        for i, df in enumerate(init_faces_dec):
+            sc = trav.interior_start_corners[i]
+            enc_corners = [sc, next_corner(sc), previous_corner(sc)]
+            enc_verts = [int(ct.vertex[c]) for c in enc_corners]
+            for dc in (3 * df, 3 * df + 1, 3 * df + 2):
+                ev = int(enc_vert_of_dec[dvert[dc]])
+                if ev == INVALID:
+                    raise AssertionError("init face vertex unmapped")
+                k = enc_verts.index(ev)
+                dec2enc_corner[dc] = enc_corners[k]
+        if (dec2enc_corner == INVALID).any():
+            raise AssertionError("incomplete corner correspondence")
+
+        # attribute seams: for each face-order interior edge with opposite
+        # face index greater than the current face (exactly the decoder's
+        # seam-pass order, ascending corner index), a seam bit per
+        # attribute — an edge is a seam when the attribute's value index
+        # differs across it at either endpoint
+        opp_d = np.asarray(ct_d.opposite[: 3 * num_faces], np.int64)
+        corner_ids = np.arange(3 * num_faces, dtype=np.int64)
+        edge_sel = (opp_d != INVALID) & (opp_d // 3 > corner_ids // 3)
+        cs = corner_ids[edge_sel]  # ascending corner order == pass order
+        ce = dec2enc_corner[cs]
+        o_enc = np.asarray(ct.opposite, np.int64)[ce]
+        o_safe = np.where(o_enc == INVALID, 0, o_enc)
+
+        def _nxt(a):
+            return np.where(a % 3 == 2, a - 2, a + 1)
+
+        def _prv(a):
+            return np.where(a % 3 == 0, a + 2, a - 1)
+
+        seam_bit_lists = []
+        seam_corner_lists = []
+        nxt_ce, prv_ce = _nxt(ce), _prv(ce)
+        nxt_o, prv_o = _nxt(o_safe), _prv(o_safe)
+        for att in non_pos:
+            c2v = np.asarray(att.corner_to_value, np.int64)
+            bits = (
+                (o_enc == INVALID)
+                | (c2v[nxt_ce] != c2v[prv_o])
+                | (c2v[prv_ce] != c2v[nxt_o])
+            )
+            seam_bit_lists.append(bits.astype(np.uint8))
+            pairs = np.column_stack([cs[bits], opp_d[cs[bits]]]).reshape(-1)
+            seam_corner_lists.append(pairs)
+        boundary = np.nonzero(opp_d == INVALID)[0]
+        final_seams = [
+            np.concatenate([np.asarray(s, np.int64), boundary])
+            for s in seam_corner_lists
+        ]
 
     # ---- serialize header + connectivity ------------------------------------
     out = EncoderBuffer()

@@ -919,7 +919,7 @@ def point_assembly_native(keys: np.ndarray, value_counts):
     return out, int(n)
 
 
-def drc_decode_native(data: bytes):
+def drc_decode_native(data: bytes, *, portable: bool = False):
     """Whole-frame `.drc` decode in one native call (draco_frame.cpp).
 
     Returns (num_faces, num_points, point_of_corner int32[3F], attrs) where
@@ -928,6 +928,12 @@ def drc_decode_native(data: bytes):
     stream uses a feature outside the fast path (standard coder, tagged
     symbols, sequential/point-cloud encodings), in which case the caller
     runs the Python stage pipeline.
+
+    `portable=True` keeps the integer stages (quantized values /
+    octahedral normal ints) and appends each attr's dequantize params:
+    entries become (..., corner_to_value, deq) with deq = (kind, bits,
+    oct_max_quantized, range, mins[nc]) — the host half of the split
+    whose device half is models/drc_device.py (batched dequantize).
     """
     if os.environ.get("UVT_DISABLE_NATIVE_FRAME") == "1":
         return None
@@ -950,10 +956,17 @@ def drc_decode_native(data: bytes):
         lib.uvt_drc_points_fetch.restype = c.c_int
         lib.uvt_drc_free.argtypes = [c.c_void_p]
         lib.uvt_drc_free.restype = None
+        lib.uvt_drc_decode2.argtypes = [u8p, c.c_int64, c.c_int64, _i64p]
+        lib.uvt_drc_decode2.restype = c.c_void_p
+        lib.uvt_drc_attr_deq.argtypes = [
+            c.c_void_p, c.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.uvt_drc_attr_deq.restype = c.c_int
         lib._uvt_drc_bound = True
     d = np.frombuffer(data, np.uint8)
     info = np.zeros(4, np.int64)
-    h = lib.uvt_drc_decode(d, len(d), info)
+    h = lib.uvt_drc_decode2(d, len(d), 1 if portable else 0, info)
     if not h or int(info[0]) != 0:
         return None
     try:
@@ -981,10 +994,21 @@ def drc_decode_native(data: bytes):
             )
             if rc != 0:
                 return None
-            attrs.append(
-                (att_type, data_type, ncomp, bool(norm), uid, values,
-                 corner_map)
-            )
+            if portable:
+                deq = np.zeros(12, np.float64)
+                if lib.uvt_drc_attr_deq(h, i, deq) != 0:
+                    return None
+                attrs.append(
+                    (att_type, data_type, ncomp, bool(norm), uid, values,
+                     corner_map,
+                     (int(deq[0]), int(deq[1]), int(deq[2]), float(deq[3]),
+                      deq[4 : 4 + max(ncomp, 1)].copy()))
+                )
+            else:
+                attrs.append(
+                    (att_type, data_type, ncomp, bool(norm), uid, values,
+                     corner_map)
+                )
         return num_faces, num_points, point_of_corner, attrs
     finally:
         lib.uvt_drc_free(h)
@@ -1315,3 +1339,77 @@ def etc1s_palette_selectors_native(data, bit_pos, num_selectors, lut):
     if pos < 0:
         return None
     return out, int(pos)
+
+
+def eb_encode_maps_native(
+    num_faces: int,
+    num_symbols: int,
+    symbol_corners_rev: np.ndarray,
+    dvert: np.ndarray,
+    enc_vertex: np.ndarray,
+    enc_opposite: np.ndarray,
+    opp_d: np.ndarray,
+    interior_start_corners: np.ndarray,
+    c2v_list,
+    num_vertex_slots: int,
+):
+    """Encoder dec<->enc corner maps + per-attribute seam bits in one C
+    pass (encoder.py's maps+seams region). Returns (dec2enc int64[3F],
+    cs int64[n_edges], bits list[u8[n_edges]], pairs list[i64],
+    boundary int64[n_b]) or None when the lib is unavailable. Raises
+    AssertionError for the same inconsistency conditions the Python
+    region asserts."""
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    c = ctypes
+    if not hasattr(lib, "_uvt_maps_bound"):
+        i64p = _i64p
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.uvt_eb_encode_maps.argtypes = [
+            c.c_int64, c.c_int64, c.c_int64,
+            i64p, i32p, i32p, i32p, i32p, i64p,
+            c.c_int64, i64p,
+            i64p, i64p, u8p, i64p, i64p, i64p,
+        ]
+        lib.uvt_eb_encode_maps.restype = c.c_int
+        lib._uvt_maps_bound = True
+    n = 3 * num_faces
+    na = len(c2v_list)
+    c2v_all = (
+        np.ascontiguousarray(np.stack(c2v_list)).astype(np.int64)
+        if na
+        else np.zeros((0, n), np.int64)
+    )
+    dec2enc = np.empty(n, np.int64)
+    cs = np.empty(n, np.int64)
+    bits = np.empty((max(na, 1), n), np.uint8)
+    pairs = np.empty((max(na, 1), 2 * n), np.int64)
+    boundary = np.empty(n, np.int64)
+    counts = np.zeros(2 + max(na, 1), np.int64)
+    rc = lib.uvt_eb_encode_maps(
+        num_faces, num_symbols, num_vertex_slots,
+        np.ascontiguousarray(symbol_corners_rev, np.int64),
+        np.ascontiguousarray(dvert, np.int32),
+        np.ascontiguousarray(enc_vertex, np.int32),
+        np.ascontiguousarray(enc_opposite, np.int32),
+        np.ascontiguousarray(opp_d, np.int32),
+        np.ascontiguousarray(interior_start_corners, np.int64),
+        na, c2v_all.reshape(-1) if na else c2v_all.reshape(-1),
+        dec2enc, cs, bits.reshape(-1), pairs.reshape(-1), boundary, counts,
+    )
+    if rc == -2:
+        raise AssertionError("inconsistent vertex correspondence")
+    if rc == -3:
+        raise AssertionError("init face vertex unmapped")
+    if rc in (-4, -5):
+        raise AssertionError("incomplete corner correspondence")
+    if rc != 0:
+        return None
+    n_edges, n_b = int(counts[0]), int(counts[1])
+    bit_list = [bits[a, :n_edges].copy() for a in range(na)]
+    pair_list = [
+        pairs[a, : int(counts[2 + a])].copy() for a in range(na)
+    ]
+    return dec2enc, cs[:n_edges].copy(), bit_list, pair_list, boundary[:n_b].copy()

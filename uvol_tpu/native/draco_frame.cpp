@@ -243,10 +243,20 @@ struct FrameAttr {
   std::vector<float> values_f;
   std::vector<int64_t> values_i;
   std::vector<int32_t> corner_to_value;  // [3F]
+  // portable mode (uvt_drc_decode2 flags&1): integer stages only; the
+  // dequantize / octahedral->float conversion runs batched on device
+  // (models/drc_device.py). deq_kind: 0 none, 1 quantized (mins/range/
+  // bits), 2 octahedral normals (max_quantized).
+  int deq_kind = 0;
+  double deq_min[8] = {0};
+  double deq_range = 0;
+  int deq_bits = 0;
+  int64_t oct_max_quantized = 0;
 };
 
 struct Frame {
   int64_t num_faces = 0, num_points = 0;
+  int portable = 0;  // set before decode_frame: keep integer stages
   std::vector<int32_t> point_of_corner;  // [3F]
   std::vector<FrameAttr> attrs;
 };
@@ -657,13 +667,22 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
           int qbits = b.u8();
           if (!b.ok) return FB_TRUNCATED;
           if (qbits <= 0 || qbits > 31) return FB_MALFORMED;
-          double delta = rng / (double)((1u << qbits) - 1);
-          attr.is_float = 1;
-          attr.values_f.resize((size_t)num_values * nc);
-          for (int64_t i = 0; i < num_values; ++i)
-            for (int k = 0; k < nc; ++k)
-              attr.values_f[i * nc + k] =
-                  (float)(mins[k] + (double)ints[i * nc + k] * delta);
+          if (out.portable) {
+            attr.is_float = 0;
+            attr.deq_kind = 1;
+            for (int k = 0; k < nc; ++k) attr.deq_min[k] = mins[k];
+            attr.deq_range = rng;
+            attr.deq_bits = qbits;
+            attr.values_i = ints;  // copy: POSITION still moves below
+          } else {
+            double delta = rng / (double)((1u << qbits) - 1);
+            attr.is_float = 1;
+            attr.values_f.resize((size_t)num_values * nc);
+            for (int64_t i = 0; i < num_values; ++i)
+              for (int k = 0; k < nc; ++k)
+                attr.values_f[i * nc + k] =
+                    (float)(mins[k] + (double)ints[i * nc + k] * delta);
+          }
         } else {
           attr.is_float = 0;
           attr.values_i = ints;
@@ -708,34 +727,42 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
         if (rc2 != 0) return FB_MALFORMED;
         b.u8();  // qbits (DecodeDataNeededByPortableTransform)
         if (!b.ok) return FB_TRUNCATED;
-        // octahedral -> unit vector (decoder.py vectorized math, float64)
-        int q = 0;
-        while ((1LL << q) <= max_quantized) q++;
-        double max_value = (double)((1LL << q) - 2);
-        attr.is_float = 1;
-        attr.values_f.resize((size_t)num_values * 3);
-        for (int64_t i = 0; i < num_values; ++i) {
-          double u = (double)st[i * 2] / max_value * 2.0 - 1.0;
-          double v = (double)st[i * 2 + 1] / max_value * 2.0 - 1.0;
-          double z = 1.0 - std::fabs(u) - std::fabs(v);
-          if (z < 0) {
-            double su = u >= 0 ? 1.0 : -1.0;
-            double sv = v >= 0 ? 1.0 : -1.0;
-            double u2 = (1.0 - std::fabs(v)) * su;
-            double v2 = (1.0 - std::fabs(u)) * sv;
-            u = u2;
-            v = v2;
-          }
-          double nrm = std::sqrt(u * u + v * v + z * z);
-          if (nrm == 0) {
-            attr.values_f[i * 3] = 0.0f;
-            attr.values_f[i * 3 + 1] = 0.0f;
-            attr.values_f[i * 3 + 2] = 1.0f;
-          } else {
-            double dn = nrm < 1e-30 ? 1e-30 : nrm;
-            attr.values_f[i * 3] = (float)(u / dn);
-            attr.values_f[i * 3 + 1] = (float)(v / dn);
-            attr.values_f[i * 3 + 2] = (float)(z / dn);
+        if (out.portable) {
+          // keep quantized octahedral ints; device does oct -> unit
+          attr.is_float = 0;
+          attr.deq_kind = 2;
+          attr.oct_max_quantized = max_quantized;
+          attr.values_i = std::move(st);
+        } else {
+          // octahedral -> unit vector (decoder.py vectorized math, float64)
+          int q = 0;
+          while ((1LL << q) <= max_quantized) q++;
+          double max_value = (double)((1LL << q) - 2);
+          attr.is_float = 1;
+          attr.values_f.resize((size_t)num_values * 3);
+          for (int64_t i = 0; i < num_values; ++i) {
+            double u = (double)st[i * 2] / max_value * 2.0 - 1.0;
+            double v = (double)st[i * 2 + 1] / max_value * 2.0 - 1.0;
+            double z = 1.0 - std::fabs(u) - std::fabs(v);
+            if (z < 0) {
+              double su = u >= 0 ? 1.0 : -1.0;
+              double sv = v >= 0 ? 1.0 : -1.0;
+              double u2 = (1.0 - std::fabs(v)) * su;
+              double v2 = (1.0 - std::fabs(u)) * sv;
+              u = u2;
+              v = v2;
+            }
+            double nrm = std::sqrt(u * u + v * v + z * z);
+            if (nrm == 0) {
+              attr.values_f[i * 3] = 0.0f;
+              attr.values_f[i * 3 + 1] = 0.0f;
+              attr.values_f[i * 3 + 2] = 1.0f;
+            } else {
+              double dn = nrm < 1e-30 ? 1e-30 : nrm;
+              attr.values_f[i * 3] = (float)(u / dn);
+              attr.values_f[i * 3 + 1] = (float)(v / dn);
+              attr.values_f[i * 3 + 2] = (float)(z / dn);
+            }
           }
         }
       } else {
@@ -818,8 +845,10 @@ extern "C" {
 // out_info: [0]=rc (0 ok; <0 fallback to Python), [1]=num_attrs,
 // [2]=num_faces, [3]=num_points. Returns a handle to free with uvt_drc_free
 // (NULL when rc<0).
-void* uvt_drc_decode(const uint8_t* data, int64_t len, int64_t* out_info) {
+void* uvt_drc_decode2(const uint8_t* data, int64_t len, int64_t flags,
+                      int64_t* out_info) {
   Frame* f = new Frame();
+  f->portable = (int)(flags & 1);
   int rc;
   try {
     rc = decode_frame(data, len, *f);
@@ -836,6 +865,24 @@ void* uvt_drc_decode(const uint8_t* data, int64_t len, int64_t* out_info) {
   out_info[2] = f->num_faces;
   out_info[3] = f->num_points;
   return f;
+}
+
+void* uvt_drc_decode(const uint8_t* data, int64_t len, int64_t* out_info) {
+  return uvt_drc_decode2(data, len, 0, out_info);
+}
+
+// portable-mode dequantize parameters: out12 = [deq_kind, deq_bits,
+// oct_max_quantized, deq_range, deq_min[0..7]]
+int uvt_drc_attr_deq(void* h, int idx, double* out12) {
+  Frame* f = (Frame*)h;
+  if (!f || idx < 0 || idx >= (int)f->attrs.size()) return -1;
+  const FrameAttr& a = f->attrs[idx];
+  out12[0] = (double)a.deq_kind;
+  out12[1] = (double)a.deq_bits;
+  out12[2] = (double)a.oct_max_quantized;
+  out12[3] = a.deq_range;
+  for (int k = 0; k < 8; ++k) out12[4 + k] = a.deq_min[k];
+  return 0;
 }
 
 // info8: att_type, data_type, num_components, normalized, unique_id,

@@ -1891,3 +1891,108 @@ extern "C" int uvt_eb_traverse(
   // n_interior == n_init by construction
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// encoder dec<->enc corner maps + attribute seam bits (encoder.py's
+// "maps + seams" region, one C pass; byte-identical semantics incl. the
+// consistency checks, which become negative return codes)
+// ---------------------------------------------------------------------------
+extern "C" int uvt_eb_encode_maps(
+    int64_t num_faces, int64_t num_symbols, int64_t num_vertex_slots,
+    const int64_t* symbol_corners_rev,   // [num_symbols] (decode order)
+    const int32_t* dvert,                // ct_d.vertex [3F]
+    const int32_t* enc_vertex,           // ct.vertex [3F]
+    const int32_t* enc_opposite,         // ct.opposite [3F]
+    const int32_t* opp_d,                // ct_d.opposite [3F]
+    const int64_t* interior_start_corners,  // [num_faces - num_symbols]
+    int64_t num_attrs,
+    const int64_t* c2v_all,              // [num_attrs][3F] concatenated
+    int64_t* dec2enc_corner,             // out [3F]
+    int64_t* cs_out,                     // out [3F] seam-pass corners
+    uint8_t* bits_out,                   // out [num_attrs][3F]
+    int64_t* pairs_out,                  // out [num_attrs][2*3F]
+    int64_t* boundary_out,               // out [3F]
+    int64_t* counts_out                  // out [2+num_attrs]
+) {
+  const int64_t n = 3 * num_faces;
+  for (int64_t i = 0; i < n; ++i) dec2enc_corner[i] = INVALID;
+  std::vector<int64_t> enc_vert_of_dec(num_vertex_slots, INVALID);
+
+  for (int64_t j = 0; j < num_symbols; ++j) {
+    int64_t sc = symbol_corners_rev[j];
+    int64_t nxt = (sc % 3 == 2) ? sc - 2 : sc + 1;
+    int64_t prv = (sc % 3 == 0) ? sc + 2 : sc - 1;
+    dec2enc_corner[3 * j] = sc;
+    dec2enc_corner[3 * j + 1] = nxt;
+    dec2enc_corner[3 * j + 2] = prv;
+  }
+  for (int64_t c = 0; c < 3 * num_symbols; ++c) {
+    int64_t dv = dvert[c];
+    if (dv < 0 || dv >= num_vertex_slots) return -1;
+    int64_t ev = enc_vertex[dec2enc_corner[c]];
+    if (enc_vert_of_dec[dv] != INVALID && enc_vert_of_dec[dv] != ev)
+      return -2;  // inconsistent vertex correspondence
+    enc_vert_of_dec[dv] = ev;
+  }
+  // init faces: match by (already mapped) vertices
+  for (int64_t i = 0, df = num_symbols; df < num_faces; ++df, ++i) {
+    int64_t sc = interior_start_corners[i];
+    int64_t ec[3] = {sc, (sc % 3 == 2) ? sc - 2 : sc + 1,
+                     (sc % 3 == 0) ? sc + 2 : sc - 1};
+    int64_t evs[3] = {enc_vertex[ec[0]], enc_vertex[ec[1]],
+                      enc_vertex[ec[2]]};
+    for (int k3 = 0; k3 < 3; ++k3) {
+      int64_t dc = 3 * df + k3;
+      int64_t ev = enc_vert_of_dec[dvert[dc]];
+      if (ev == INVALID) return -3;  // init face vertex unmapped
+      int found = -1;
+      for (int k = 0; k < 3; ++k)
+        if (evs[k] == ev) { found = k; break; }
+      if (found < 0) return -4;
+      dec2enc_corner[dc] = ec[found];
+    }
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (dec2enc_corner[i] == INVALID) return -5;
+
+  // seam pass: ascending corner order, interior edges with opp face > face
+  int64_t n_edges = 0, n_boundary = 0;
+  for (int64_t c = 0; c < n; ++c) {
+    int32_t o = opp_d[c];
+    if (o == INVALID) {
+      boundary_out[n_boundary++] = c;
+      continue;
+    }
+    if (o / 3 > (int32_t)(c / 3)) cs_out[n_edges++] = c;
+  }
+  for (int64_t a = 0; a < num_attrs; ++a) {
+    const int64_t* c2v = c2v_all + a * n;
+    uint8_t* bits = bits_out + a * n;
+    int64_t* pairs = pairs_out + a * 2 * n;
+    int64_t n_pairs = 0;
+    for (int64_t e = 0; e < n_edges; ++e) {
+      int64_t c = cs_out[e];
+      int64_t ce = dec2enc_corner[c];
+      int32_t oe = enc_opposite[ce];
+      uint8_t bit;
+      if (oe == INVALID) {
+        bit = 1;
+      } else {
+        int64_t nxt_ce = (ce % 3 == 2) ? ce - 2 : ce + 1;
+        int64_t prv_ce = (ce % 3 == 0) ? ce + 2 : ce - 1;
+        int64_t nxt_o = (oe % 3 == 2) ? oe - 2 : oe + 1;
+        int64_t prv_o = (oe % 3 == 0) ? oe + 2 : oe - 1;
+        bit = (c2v[nxt_ce] != c2v[prv_o]) || (c2v[prv_ce] != c2v[nxt_o]);
+      }
+      bits[e] = bit;
+      if (bit) {
+        pairs[n_pairs++] = c;
+        pairs[n_pairs++] = opp_d[c];
+      }
+    }
+    counts_out[2 + a] = n_pairs;
+  }
+  counts_out[0] = n_edges;
+  counts_out[1] = n_boundary;
+  return 0;
+}

@@ -9,6 +9,7 @@ with collectives only for reductions (stats/codebooks).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -17,6 +18,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 FRAME_AXIS = "frames"
 BLOCK_AXIS = "blocks"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bring-up: `jax.distributed.initialize` with env-var
+    fallbacks, so `make_mesh()` then spans every host's devices (frames
+    ride ICI within a slice and DCN across slices — SURVEY §2.4 / §5).
+
+    Args fall back to JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID (the standard launcher contract). Returns True when a
+    multi-process runtime was initialized, False for the single-process
+    case (nothing to do — the local mesh path is unchanged). Safe to call
+    twice; a second call is a no-op.
+
+    This cannot be exercised in the single-chip CI environment (the
+    8-device tests use a virtual CPU mesh instead); the call path is the
+    standard one production pods use.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if not coordinator_address or not num_processes or num_processes <= 1:
+        return False
+    if getattr(initialize_distributed, "_done", False):
+        return True
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    initialize_distributed._done = True
+    return True
 
 
 def make_mesh(
