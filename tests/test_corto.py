@@ -271,10 +271,9 @@ def test_lz4_block_codec():
     for raw in cases:
         enc = lz4.compress(raw)
         assert lz4.decompress(enc, len(raw)) == raw
-    # a hand-built overlapping-match stream: 4 literals then a 12-byte
-    # match at offset 1 replicates the last byte
-    stream = bytes([0x48, ord("a"), ord("b"), ord("c"), ord("d"), 1, 0, 0x50, ord("e")])
-    # token 0x48: 4 literals, match_len 8+4=12... then final seq: 5 literals
+    # hand-built stream: 4 literals, a 12-byte match at offset 1 (which
+    # replicates the last byte), then the mandatory literals-only final
+    # sequence of 5 bytes
     out = lz4.decompress(
         bytes([0x48]) + b"abcd" + bytes([1, 0]) + bytes([0x50]) + b"efghi",
         4 + 12 + 5,

@@ -143,3 +143,47 @@ def test_decoder_rejects_residual_streams():
                 h264.decode_annexb(blob)
             except (ValueError, NotImplementedError, IndexError):
                 pass
+
+
+def test_non_ipcm_mbtype_raises_directly():
+    """A crafted slice whose first mb_type is NOT 25 must raise the
+    NotImplementedError contract (review r2: the fuzz loop above never
+    asserted the rejection)."""
+    gray = np.full((1, 16, 16, 3), 128, np.uint8)
+    nals = h264.split_nals(h264.encode_annexb(gray))
+    sps = h264.parse_sps(h264._unescape(nals[0][1:]))
+    # rebuild the slice header, then emit mb_type 0 (I_4x4) instead of 25
+    w = h264.BitWriter()
+    w.ue(0); w.ue(7); w.ue(0)
+    w.u(0, 4)
+    w.ue(0)
+    w.u(0, 1); w.u(0, 1)
+    w.se(0)
+    w.ue(1)
+    w.ue(0)  # mb_type 0: not I_PCM
+    w.rbsp_trailing()
+    blob = (
+        h264.nal(7, h264._unescape(nals[0][1:]))
+        + h264.nal(8, h264._unescape(nals[1][1:]))
+        + h264.nal(5, w.getvalue())
+    )
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        h264.decode_annexb(blob)
+
+
+def test_cropped_sps_decodes_full_mb_grid():
+    """Cropping variant (review r2): the MB grid spans the CODED dims;
+    output is cropped — a 1088-coded/1080-display stream must not desync."""
+    sps_cropped = h264.Sps(
+        width=32, height=22, log2_max_frame_num=4,
+        coded_width=32, coded_height=32,
+    )
+    # encode a 32x32 frame, decode through the cropped SPS view
+    gray = np.repeat(
+        np.random.default_rng(5).integers(0, 256, (32, 32, 1)), 3, -1
+    ).astype(np.uint8)
+    unit = h264.encode_idr_frame(gray)[4:]
+    out = h264._decode_slice(h264._unescape(unit[1:]), sps_cropped)
+    assert out.shape == (22, 32, 3)
+    np.testing.assert_array_equal(out, h264.decode_annexb(
+        h264.encode_annexb(gray[None]))[0][:22])

@@ -190,7 +190,10 @@ def make_sps(width: int, height: int) -> bytes:
     w = BitWriter()
     w.u(66, 8)  # profile_idc: baseline
     w.u(0, 8)  # constraint flags + reserved
-    w.u(40, 8)  # level 4.0
+    # level 5.2 — I_PCM payloads are raw YUV420 rate (~9 bits/pixel), far
+    # above lower levels' MaxBR; 5.2 is the highest standard level and the
+    # honest declaration for 1k 30 fps PCM streams (review r2 finding)
+    w.u(52, 8)
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4 → 4-bit frame_num
     w.ue(2)  # pic_order_cnt_type 2 (output order == decode order)
@@ -229,9 +232,11 @@ def make_pps() -> bytes:
 
 @dataclasses.dataclass
 class Sps:
-    width: int
+    width: int   # display (cropped) dimensions
     height: int
     log2_max_frame_num: int
+    coded_width: int = 0   # MB-aligned coded dimensions (crop applied after)
+    coded_height: int = 0
 
 
 def parse_sps(rbsp: bytes) -> Sps:
@@ -267,12 +272,13 @@ def parse_sps(rbsp: bytes) -> Sps:
     if not frame_mbs_only:
         raise NotImplementedError("h264: interlaced streams")
     r.u(1)  # direct_8x8
-    width, height = 16 * w_mbs, 16 * h_mbs
+    coded_w, coded_h = 16 * w_mbs, 16 * h_mbs
+    width, height = coded_w, coded_h
     if r.u(1):  # cropping
         left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
         width -= 2 * (left + right)
         height -= 2 * (top + bottom)
-    return Sps(width, height, log2_mfn)
+    return Sps(width, height, log2_mfn, coded_w, coded_h)
 
 
 # ---------------------------------------------------------------------------
@@ -382,6 +388,10 @@ def decode_annexb(stream: bytes) -> np.ndarray:
 
 
 def _decode_slice(rbsp: bytes, sps: Sps) -> np.ndarray:
+    """Decode one IDR I_PCM slice. The slice-header tail read here is the
+    layout THIS encoder emits (PPS with deblocking_filter_control_present,
+    idc=1); foreign streams with other PPS shapes desync before the
+    mb_type check and are not supported (module docstring scope)."""
     r = BitReader(rbsp)
     if r.ue() != 0:
         raise NotImplementedError("h264: multi-slice pictures")
@@ -390,15 +400,21 @@ def _decode_slice(rbsp: bytes, sps: Sps) -> np.ndarray:
         raise NotImplementedError("h264: non-I slice (I_PCM profile only)")
     r.ue()  # pps id
     r.u(sps.log2_max_frame_num)  # frame_num
-    r.ue()  # idr_pic_id (IDR assumed; non-IDR I also lands here… see below)
+    r.ue()  # idr_pic_id
     r.u(1)
     r.u(1)  # dec_ref_pic_marking (IDR form)
     r.se()  # slice_qp_delta
-    r.ue()  # disable_deblocking_filter_idc (1 → no extra fields)
-    w_mb, h_mb = sps.width // 16, sps.height // 16
-    y = np.zeros((sps.height, sps.width), np.uint8)
-    cb = np.zeros((sps.height // 2, sps.width // 2), np.uint8)
-    cr = np.zeros((sps.height // 2, sps.width // 2), np.uint8)
+    idc = r.ue()  # disable_deblocking_filter_idc
+    if idc != 1:  # idc 0/2 carry alpha/beta offsets
+        r.se()
+        r.se()
+    # macroblock grid spans the CODED (MB-aligned) dims; crop at the end
+    cw = sps.coded_width or sps.width
+    ch = sps.coded_height or sps.height
+    w_mb, h_mb = cw // 16, ch // 16
+    y = np.zeros((ch, cw), np.uint8)
+    cb = np.zeros((ch // 2, cw // 2), np.uint8)
+    cr = np.zeros((ch // 2, cw // 2), np.uint8)
     for mby in range(h_mb):
         for mbx in range(w_mb):
             mb_type = r.ue()
@@ -414,7 +430,7 @@ def _decode_slice(rbsp: bytes, sps: Sps) -> np.ndarray:
             y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = ly
             cb[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = lcb
             cr[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = lcr
-    return yuv420_to_rgb(y, cb, cr)
+    return yuv420_to_rgb(y, cb, cr)[: sps.height, : sps.width]
 
 
 # ---------------------------------------------------------------------------

@@ -247,6 +247,15 @@ class AbcPolyMesh:
         self._fc = obj.properties[".faceCounts"]
         self._uv = obj.properties.get("uv")
         self.num_samples = len(self._p.samples)
+        for prop in (self._fi, self._fc, self._uv):
+            if prop is not None and len(prop.samples) not in (
+                1, self.num_samples
+            ):
+                raise ValueError(
+                    f"abc: property {prop.name!r} holds "
+                    f"{len(prop.samples)} samples, expected 1 (constant) "
+                    f"or {self.num_samples} (matching P)"
+                )
 
     def sample(self, i: int) -> PolyMeshSample:
         def pick(prop):  # constant properties hold one sample

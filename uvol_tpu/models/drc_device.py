@@ -127,7 +127,11 @@ def decode_drc_batch(
     values: Dict[int, Any] = {}
     for att_type, entries in by_type.items():
         if len(entries) != f:
-            continue  # attribute not present in every frame: host path
+            raise ValueError(
+                f"attribute type {att_type} appears in {len(entries)} of "
+                f"{f} frames; decode_drc_batch needs a uniform attribute "
+                "set — decode mixed sequences per-frame with decode_drc"
+            )
         kind = entries[0][7][0]
         if kind == 1:  # quantized → dequantize on device
             nc = entries[0][5].shape[1]

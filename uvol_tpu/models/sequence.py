@@ -179,22 +179,14 @@ class GeometrySequenceCodec:
         self._decode_device = _decode_device
 
     def _pad_frames(self, *arrays):
-        """Pad the frame axis to a multiple of the mesh's frame-axis size
-        (ragged sequences are the norm; SURVEY §7 hard part (d))."""
+        """Pad each array's frame axis to the mesh multiple via the shared
+        parallel.mesh helper (ragged sequences; SURVEY §7 hard part (d))."""
         if self.mesh is None:
             return arrays, arrays[0].shape[0]
-        from uvol_tpu.parallel.mesh import FRAME_AXIS
+        from uvol_tpu.parallel.mesh import pad_frames_to_mesh
 
-        per = self.mesh.shape[FRAME_AXIS]
-        f = arrays[0].shape[0]
-        target = -(-f // per) * per
-        if target == f:
-            return arrays, f
-        out = []
-        for a in arrays:
-            pad = [(0, target - f)] + [(0, 0)] * (a.ndim - 1)
-            out.append(np.pad(a, pad))
-        return tuple(out), f
+        padded = [pad_frames_to_mesh(a, self.mesh)[0] for a in arrays]
+        return tuple(padded), arrays[0].shape[0]
 
     # -- encode --------------------------------------------------------------
     def encode(self, frames: GeometryFrameSet) -> List[bytes]:
@@ -420,18 +412,12 @@ class TextureSequenceCodec:
         self._decode = _decode
 
     def _pad_layers(self, arr: np.ndarray):
-        """Pad the layer axis to a multiple of the mesh frame-axis size."""
+        """Pad the layer axis to the mesh multiple (shared helper)."""
         if self.mesh is None:
             return arr, arr.shape[0]
-        from uvol_tpu.parallel.mesh import FRAME_AXIS
+        from uvol_tpu.parallel.mesh import pad_frames_to_mesh
 
-        per = self.mesh.shape[FRAME_AXIS]
-        l = arr.shape[0]
-        target = -(-l // per) * per
-        if target == l:
-            return arr, l
-        pad = [(0, target - l)] + [(0, 0)] * (arr.ndim - 1)
-        return np.pad(arr, pad), l
+        return pad_frames_to_mesh(arr, self.mesh)
 
     def encode_segment(self, frames: np.ndarray) -> bytes:
         """[L, H, W, 3] uint8 → one `.ktx2` (layers = frames, ETC2 RGB)."""

@@ -1396,7 +1396,7 @@ def eb_encode_maps_native(
         np.ascontiguousarray(enc_opposite, np.int32),
         np.ascontiguousarray(opp_d, np.int32),
         np.ascontiguousarray(interior_start_corners, np.int64),
-        na, c2v_all.reshape(-1) if na else c2v_all.reshape(-1),
+        na, c2v_all.reshape(-1),
         dec2enc, cs, bits.reshape(-1), pairs.reshape(-1), boundary, counts,
     )
     if rc == -2:
