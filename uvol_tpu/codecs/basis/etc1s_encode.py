@@ -711,8 +711,11 @@ def rdo_refine_assignments(
     for i in range(f):
         if i in breaks:
             has_prev = jnp.zeros(nb, bool)
-        dev_blocks = jnp.asarray(
-            blocks[i * nb : (i + 1) * nb], jnp.float32
+        # upload uint8 and cast on device: the host-side f32 conversion
+        # quadrupled the per-frame transfer (round-2 profile: RDO was
+        # upload-bound on the tunnel)
+        dev_blocks = jnp.asarray(blocks[i * nb : (i + 1) * nb]).astype(
+            jnp.float32
         )
         ep, sel = fn(
             dev_blocks, color5, inten, sel_cb,
