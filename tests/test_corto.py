@@ -279,3 +279,102 @@ def test_lz4_block_codec():
         4 + 12 + 5,
     )
     assert out == b"abcd" + b"d" * 12 + b"efghi"
+
+
+def _staged(blob):
+    """Decode via the staged pipeline (oracle for the C orchestrator)."""
+    import os
+
+    os.environ["UVT_CRT_STAGED"] = "1"
+    try:
+        return decode_crt(blob)
+    finally:
+        os.environ.pop("UVT_CRT_STAGED", None)
+
+
+def _assert_mesh_equal(m1, m2):
+    np.testing.assert_array_equal(m1.faces, m2.faces)
+    assert set(m1.attributes) == set(m2.attributes)
+    for k in m1.attributes:
+        a1, a2 = m1.attributes[k], m2.attributes[k]
+        assert a1.dtype == a2.dtype, (k, a1.dtype, a2.dtype)
+        np.testing.assert_array_equal(a1, a2, err_msg=k)
+
+
+@pytest.mark.parametrize("entropy", [0, 1, 3, 4])
+def test_crt_frame_orchestrator_parity(entropy):
+    """Whole-frame C decode (corto_frame.cpp) is bit-exact vs the staged
+    pipeline across entropy modes and all attribute codecs."""
+    pos, faces = _grid_mesh(12)
+    r = np.random.default_rng(7)
+    uv = r.uniform(0, 1, (len(pos), 2)).astype(np.float32)
+    nrm = r.normal(size=(len(pos), 3))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    col = r.integers(0, 256, (len(pos), 4)).astype(np.uint8)
+    blob = encode_crt(
+        pos, faces, uvs=uv, normals=nrm.astype(np.float32), colors=col,
+        exif={"meta": "x"}, entropy=entropy,
+    )
+    _assert_mesh_equal(_staged(blob), decode_crt(blob))
+
+
+def test_crt_frame_orchestrator_point_cloud():
+    r = np.random.default_rng(11)
+    pos = r.uniform(0, 1, (200, 3)).astype(np.float32)
+    col = r.integers(0, 256, (200, 4)).astype(np.uint8)
+    blob = encode_crt(pos, np.zeros((0, 3), np.int64), colors=col)
+    _assert_mesh_equal(_staged(blob), decode_crt(blob))
+
+
+def test_crt_frame_orchestrator_multigroup():
+    pos, faces = _grid_mesh(10)
+    half = len(faces) // 2
+    blob = encode_crt(pos, faces, groups=[half, len(faces)])
+    _assert_mesh_equal(_staged(blob), decode_crt(blob))
+
+
+@pytest.mark.parametrize("mode", ["estimated", "border"])
+def test_crt_normal_prediction_modes(mode):
+    """ESTIMATED/BORDER normal coding (reference normal_attribute.cpp):
+    encoder replays decoder connectivity so corrections land exactly;
+    staged and whole-frame C decodes agree bit-for-bit."""
+    pos, faces = _grid_mesh(14)
+    r = np.random.default_rng(3)
+    nrm = r.normal(size=(len(pos), 3)) * 0.15
+    nrm[:, 2] += 1.0
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = nrm.astype(np.float32)
+
+    blob = encode_crt(pos, faces, normals=nrm, normal_prediction=mode)
+    blob_diff = encode_crt(pos, faces, normals=nrm)
+    m = _staged(blob)
+    _assert_mesh_equal(m, decode_crt(blob))
+
+    md = decode_crt(blob_diff)
+    dots = np.sum(m.attributes["normal"] * md.attributes["normal"], 1)
+    if mode == "estimated":
+        # corrections reproduce the DIFF-mode (quantized-exact) normals
+        assert dots.min() > 0.9999
+    else:
+        # border: smaller stream; corrections exist only for boundary
+        # vertices — those reproduce the quantized normals exactly, while
+        # interior vertices carry the geometry estimate (sign follows the
+        # face winding, so compare |dot| there)
+        assert len(blob) < len(blob_diff)
+        f = m.faces.astype(np.int64)
+        boundary = np.zeros(len(dots), np.int64)
+        np.bitwise_xor.at(boundary, f[:, 0], f[:, 1] ^ f[:, 2])
+        np.bitwise_xor.at(boundary, f[:, 1], f[:, 2] ^ f[:, 0])
+        np.bitwise_xor.at(boundary, f[:, 2], f[:, 0] ^ f[:, 1])
+        is_b = boundary != 0
+        assert is_b.any() and (~is_b).any()
+        assert dots[is_b].min() > 0.9999
+        assert np.abs(dots[~is_b]).min() > 0.8
+
+
+def test_crt_normal_prediction_rejects_point_cloud():
+    pos = np.zeros((10, 3), np.float32)
+    nrm = np.tile(np.float32([0, 0, 1]), (10, 1))
+    with pytest.raises(ValueError, match="point clouds"):
+        encode_crt(pos, np.zeros((0, 3), np.int64), normals=nrm,
+                   normal_prediction="estimated")

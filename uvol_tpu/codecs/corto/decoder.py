@@ -89,6 +89,21 @@ def decode_crt(data: bytes) -> CortoMesh:
     nface = s.u32()
 
     groups = _decode_groups(s)
+
+    # whole-frame C decode (native/corto_frame.cpp): one call replaces the
+    # staged per-stream glue below.  Bit-exact contract — the staged path
+    # is the oracle (tests/test_corto.py) and the fallback for anything
+    # the orchestrator rejects (rc<0).  UVT_CRT_STAGED=1 forces staged.
+    import os
+
+    if os.environ.get("UVT_CRT_STAGED") != "1":
+        from uvol_tpu import native
+
+        res = native.crt_decode_frame_native(data)
+        if res is not None:
+            nat_faces, nat_attrs, _, _ = res
+            return CortoMesh(nvert, nface, nat_faces, nat_attrs, groups, exif)
+
     if nface == 0:
         return _decode_point_cloud(s, nvert, attrs, groups, exif)
 

@@ -24,6 +24,8 @@ from uvol_tpu.codecs.corto.decoder import (
     PARALLEL,
     FMT_FLOAT,
     PRED_DIFF,
+    PRED_ESTIMATED,
+    PRED_BORDER,
     BOUNDARY,
     DELAY,
     END,
@@ -266,15 +268,31 @@ def encode_crt(
     exif: Optional[Dict[str, str]] = None,
     groups: Optional[List[int]] = None,
     entropy: int = 1,
+    normal_prediction: str = "diff",
 ) -> bytes:
     """Encode a mesh into a `.crt` the reference JS/C++ decoders accept.
 
     `entropy` selects the stream entropy coder per the reference enum
     (cstream.h:39): 1=TUNSTALL (default, what the corto CLI emits),
-    0=NONE, 3=ZLIB, 4=LZ4 (the reference's ENTROPY_TESTS modes)."""
+    0=NONE, 3=ZLIB, 4=LZ4 (the reference's ENTROPY_TESTS modes).
+
+    `normal_prediction` is the reference NormalAttr prediction mode
+    (normal_attribute.h: DIFF/ESTIMATED/BORDER): "diff" codes traversal
+    deltas; "estimated" codes octahedral corrections against the
+    geometry-estimated normal for every vertex; "border" stores
+    corrections for boundary vertices only (interior normals are fully
+    re-estimated from the decoded geometry — the smallest streams, at
+    the cost of interior normal fidelity)."""
     positions = np.asarray(positions, np.float32)
     faces = np.asarray(faces, np.int64).reshape(-1, 3)
     nvert = len(positions)
+    if normal_prediction not in ("diff", "estimated", "border"):
+        raise ValueError(f"unknown normal_prediction {normal_prediction!r}")
+    if normal_prediction != "diff" and len(faces) == 0:
+        raise ValueError(
+            "estimated/border normal prediction needs connectivity; "
+            "point clouds code normals with DIFF"
+        )
 
     if position_step is None:
         bbox = positions.max(0) - positions.min(0)
@@ -442,6 +460,13 @@ def encode_crt(
     # attributes (sorted order == decode order)
     for name, codec, q, ncomp, fmt, strategy, vals in attrs:
         if codec == NORMAL_CODEC:
+            if normal_prediction != "diff":
+                _encode_normals_estimated(
+                    out, normal_prediction, np.asarray(vals, np.int64),
+                    pos_q, q_t, float(q), clers_arr, bs_words, machine,
+                    group_ends, new_nvert, nface,
+                )
+                continue
             out.u8(PRED_DIFF)
             vals64 = np.asarray(vals, np.int64)
             diffs = vals64[q_t] - vals64[q_a]
@@ -458,3 +483,88 @@ def encode_crt(
             out.encode_values(diffs, ncomp)
 
     return out.getvalue()
+
+
+def _fit_trunc(target: np.ndarray, f: np.ndarray) -> np.ndarray:
+    """Integer corr with trunc(corr + f) == target.
+
+    The decoder reconstructs s = trunc(corr + octa_prediction) with
+    float64 trunc-toward-zero (decoder.py:371, corto.ts toOcta Int32Array
+    semantics). trunc(c + f) over consecutive integers c is monotone with
+    unit steps (one flat spot at zero), so a couple of correction rounds
+    always land exactly."""
+    target = np.asarray(target, np.int64)
+    corr = target - np.trunc(f).astype(np.int64)
+    for _ in range(4):
+        d = np.trunc(corr + f).astype(np.int64)
+        if np.array_equal(d, target):
+            break
+        corr += target - d
+    return corr
+
+
+def _encode_normals_estimated(
+    out, mode, nq, pos_q, q_t, unit, clers_arr, bs_words, machine,
+    group_ends, new_nvert, nface,
+):
+    """ESTIMATED/BORDER normal coding (reference normal_attribute.cpp).
+
+    Replays the just-encoded connectivity exactly as the decoder will, so
+    the geometry-estimated prediction (and the BORDER boundary mask) are
+    bit-identical to decode time; corrections then make the decoded
+    octahedral ints match the encoder's quantized normals exactly for
+    every coded vertex."""
+    from uvol_tpu.codecs.corto.decoder import (
+        _decode_faces,
+        _estimate_normals,
+        _to_octa_float_vec,
+    )
+    from uvol_tpu import native
+
+    splitbits = _ilog2(new_nvert) + 1
+    if bs_words is not None:
+        words = np.asarray(bs_words, np.uint32)
+    else:
+        words = np.frombuffer(machine.bitstream.getvalue(), "<u4")
+    if native.get_corto_lib() is not None:
+        faces_new, _, _ = native.corto_decode_faces(
+            clers_arr, words, group_ends, splitbits, new_nvert, nface
+        )
+        f = np.asarray(faces_new, np.int64).reshape(-1, 3)
+    else:
+        from uvol_tpu.codecs.corto.bitstream import BitReader
+
+        faces_flat = np.zeros(nface * 3, np.int64)
+        pred = np.zeros((new_nvert, 3), np.int64)
+        br = BitReader(words)
+        vc = 0
+        cp = 0
+        start = 0
+        for end in group_ends:
+            vc, cp = _decode_faces(
+                clers_arr, br, faces_flat, pred, start, end * 3,
+                vc, cp, splitbits, new_nvert,
+            )
+            start = end * 3
+        f = faces_flat.reshape(-1, 3)
+
+    pos_new = np.asarray(pos_q, np.int64)[q_t].astype(np.float64)
+    est = _estimate_normals(pos_new, f)
+    if mode == "border":
+        boundary = np.zeros(new_nvert, np.int64)
+        np.bitwise_xor.at(boundary, f[:, 0], f[:, 1] ^ f[:, 2])
+        np.bitwise_xor.at(boundary, f[:, 1], f[:, 2] ^ f[:, 0])
+        np.bitwise_xor.at(boundary, f[:, 2], f[:, 0] ^ f[:, 1])
+        mask = boundary != 0
+    else:
+        mask = np.ones(new_nvert, bool)
+    o0, o1 = _to_octa_float_vec(est[mask])
+    target = np.asarray(nq, np.int64)[q_t][mask]
+    m = int(mask.sum())
+    # corrections in mask order; the block is still nvert tuples (the
+    # decoder always reads decode_array(2, nvert) — decoder.py:305)
+    corr = np.zeros((new_nvert, 2), np.int64)
+    corr[:m, 0] = _fit_trunc(target[:, 0], o0 * unit)
+    corr[:m, 1] = _fit_trunc(target[:, 1], o1 * unit)
+    out.u8(PRED_ESTIMATED if mode == "estimated" else PRED_BORDER)
+    out.encode_array(corr, 2)

@@ -32,7 +32,7 @@ _draco_lib: Optional[ctypes.CDLL] = None
 _draco_failed = False
 
 
-def _compile(src, so: str) -> bool:
+def _compile(src, so: str, libs=()) -> bool:
     srcs = [src] if isinstance(src, str) else list(src)
     try:
         newest = max(os.path.getmtime(s) for s in srcs)
@@ -42,8 +42,13 @@ def _compile(src, so: str) -> bool:
             for extra in (["-march=native"], []):
                 try:
                     subprocess.run(
-                        ["g++", "-O3", *extra, "-shared", "-fPIC", *srcs,
-                         "-o", so + ".tmp"],
+                        # -ffp-contract=off: these ports are bit-exact
+                        # against the numpy reference paths; FMA
+                        # contraction (gcc default at -O3) changes float
+                        # rounding vs numpy's mul-then-add
+                        ["g++", "-O3", "-ffp-contract=off", *extra,
+                         "-shared", "-fPIC", *srcs,
+                         "-o", so + ".tmp", *libs],
                         check=True,
                         capture_output=True,
                     )
@@ -633,7 +638,14 @@ def rabs_encode_bits_native(bits, prob_zero: int):
 # ---------------------------------------------------------------------------
 
 _CORTO_SO = os.path.join(_HERE, "libuvt_corto.so")
-_CORTO_SRC = os.path.join(_HERE, "corto_native.cpp")
+# corto_frame.cpp (the whole-frame .crt orchestrator) calls the CLER
+# machine / unpackers / Tunstall tables from corto_native.cpp and
+# uvt_tunstall_expand from entropy.cpp; -lz covers the ZLIB entropy mode.
+_CORTO_SRC = [
+    os.path.join(_HERE, "corto_native.cpp"),
+    os.path.join(_HERE, "corto_frame.cpp"),
+    _SRC,
+]
 _corto_lib: Optional[ctypes.CDLL] = None
 _corto_failed = False
 
@@ -643,7 +655,7 @@ def get_corto_lib() -> Optional[ctypes.CDLL]:
     if _corto_lib is not None or _corto_failed:
         return _corto_lib
     if os.environ.get("UVT_DISABLE_NATIVE_CORTO") == "1" or not _compile(
-        _CORTO_SRC, _CORTO_SO
+        _CORTO_SRC, _CORTO_SO, libs=["-lz"]
     ):
         _corto_failed = True
         return None
@@ -1157,6 +1169,72 @@ def corto_normals_dequant_native(st: np.ndarray, unit: float):
     out = np.empty((len(s), 3), np.float32)
     lib.uvt_corto_normals_dequant(s, len(s), float(unit), out)
     return out
+
+
+def _bind_crt_frame(lib) -> bool:
+    if getattr(lib, "_uvt_crt_bound", None) is not None:
+        return lib._uvt_crt_bound
+    if not hasattr(lib, "uvt_crt_decode"):
+        lib._uvt_crt_bound = False
+        return False
+    c = ctypes
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.uvt_crt_decode.argtypes = [u8p, c.c_int64, _i64p]
+    lib.uvt_crt_decode.restype = c.c_void_p
+    lib.uvt_crt_attr_info.argtypes = [c.c_void_p, c.c_int, _i64p]
+    lib.uvt_crt_attr_info.restype = c.c_int
+    lib.uvt_crt_attr_name.argtypes = [c.c_void_p, c.c_int, c.c_char_p]
+    lib.uvt_crt_attr_name.restype = c.c_int
+    lib.uvt_crt_attr_fetch.argtypes = [c.c_void_p, c.c_int, c.c_void_p]
+    lib.uvt_crt_attr_fetch.restype = c.c_int
+    lib.uvt_crt_faces_fetch.argtypes = [c.c_void_p, i32p]
+    lib.uvt_crt_faces_fetch.restype = c.c_int
+    lib.uvt_crt_free.argtypes = [c.c_void_p]
+    lib.uvt_crt_free.restype = None
+    lib._uvt_crt_bound = True
+    return True
+
+
+def crt_decode_frame_native(data: bytes):
+    """Whole-frame `.crt` decode in one C call (corto_frame.cpp).
+
+    Returns (faces int32 [nface, 3], {name: ndarray}, nvert, nface) or
+    None — the caller (codecs/corto/decoder.decode_crt) falls back to the
+    staged pipeline, which stays the bit-exact oracle for this path.
+    """
+    lib = get_corto_lib()
+    if lib is None or not _bind_crt_frame(lib):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    info = np.zeros(4, np.int64)
+    h = lib.uvt_crt_decode(buf, len(buf), info)
+    if not h:
+        return None
+    try:
+        nattrs, nvert, nface = int(info[1]), int(info[2]), int(info[3])
+        attrs = {}
+        info4 = np.zeros(4, np.int64)
+        for idx in range(nattrs):
+            if lib.uvt_crt_attr_info(h, idx, info4) != 0:
+                return None
+            comps, dtype_code, name_len = int(info4[1]), int(info4[2]), int(info4[3])
+            name_buf = ctypes.create_string_buffer(name_len + 1)
+            if lib.uvt_crt_attr_name(h, idx, name_buf) != 0:
+                return None
+            name = name_buf.raw[:name_len].decode()
+            dt = {0: np.float32, 1: np.int64, 2: np.uint8}[dtype_code]
+            out = np.empty((nvert, comps), dt)
+            if lib.uvt_crt_attr_fetch(h, idx, out.ctypes.data_as(ctypes.c_void_p)) != 0:
+                return None
+            attrs[name] = out
+        faces = np.zeros((nface, 3), np.int32)
+        if nface:
+            if lib.uvt_crt_faces_fetch(h, faces.reshape(-1)) != 0:
+                return None
+        return faces, attrs, nvert, nface
+    finally:
+        lib.uvt_crt_free(h)
 
 
 def etc1s_slice_decode_native(

@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -shared -fPIC corto_native.cpp -o libuvt_corto.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -253,13 +254,25 @@ int uvt_corto_decode_faces(const uint8_t* clers, int64_t nclers,
     int64_t cler = 0;
     int64_t vertex_count = 0;
 
-    std::vector<int32_t> fv0, fv1, fv2, fprev, fnext;
+    // one front-edge record per slot (was 5 parallel vectors): better
+    // locality and a single growth path.  Each CLER symbol appends at
+    // most 2 edges and each component seeds 3, so 2*nface + 3*nface is a
+    // safe whole-call bound — reserve once, clear per group.
+    struct FEdge { int32_t v0, v1, v2, prev, next; };
+    int64_t nface_total = ngroups ? group_ends[ngroups - 1] : 0;
+    // reserve is a hint from *untrusted* face counts — clamp it so a
+    // corrupt header can't demand a huge up-front allocation (found by
+    // ASan fuzz); vectors still grow amortized past the hint
+    int64_t hint = std::min<int64_t>(nface_total, 1 << 20);
+    std::vector<FEdge> front;
+    front.reserve(3 * hint + 16);
     std::vector<int64_t> faceorder, delayed;
+    faceorder.reserve(2 * hint + 8);
 
     int64_t start = 0;
     for (int g = 0; g < ngroups; g++) {
         int64_t end = group_ends[g] * 3;
-        fv0.clear(); fv1.clear(); fv2.clear(); fprev.clear(); fnext.clear();
+        front.clear();
         faceorder.clear(); delayed.clear();
         int64_t order_front = 0;
         int64_t new_edge = -1;
@@ -295,14 +308,14 @@ int uvt_corto_decode_faces(const uint8_t* clers, int64_t nclers,
                     vindex[k] = (int32_t)v;
                     faces[start++] = (int32_t)v;
                 }
-                int64_t current_edge = (int64_t)fv0.size();
+                int64_t current_edge = (int64_t)front.size();
                 for (int kk = 0; kk < 3; kk++) {
-                    faceorder.push_back((int64_t)fv0.size());
-                    fv0.push_back(vindex[(kk + 1) % 3]);
-                    fv1.push_back(vindex[(kk + 2) % 3]);
-                    fv2.push_back(vindex[kk]);
-                    fprev.push_back((int32_t)(current_edge + (kk + 2) % 3));
-                    fnext.push_back((int32_t)(current_edge + (kk + 1) % 3));
+                    faceorder.push_back((int64_t)front.size());
+                    front.push_back(FEdge{
+                        vindex[(kk + 1) % 3], vindex[(kk + 2) % 3],
+                        vindex[kk],
+                        (int32_t)(current_edge + (kk + 2) % 3),
+                        (int32_t)(current_edge + (kk + 1) % 3)});
                 }
                 continue;
             }
@@ -318,15 +331,17 @@ int uvt_corto_decode_faces(const uint8_t* clers, int64_t nclers,
                 delayed.pop_back();
             }
 
-            if (fv0[edge] < 0) continue;  // deleted
+            if (front[edge].v0 < 0) continue;  // deleted
 
             if (cler >= nclers) return -1;
             int c = clers[cler++];
             if (c == CLER_BOUNDARY) continue;
 
-            int32_t v0 = fv0[edge], v1 = fv1[edge], v2 = fv2[edge];
-            int32_t prev = fprev[edge], nxt = fnext[edge];
-            new_edge = (int64_t)fv0.size();
+            // copy: push_back below may reallocate the front
+            FEdge e = front[edge];
+            int32_t v0 = e.v0, v1 = e.v1, v2 = e.v2;
+            int32_t prev = e.prev, nxt = e.next;
+            new_edge = (int64_t)front.size();
             int64_t opposite = -1;
 
             if (c == CLER_VERTEX || c == CLER_SPLIT) {
@@ -339,43 +354,37 @@ int uvt_corto_decode_faces(const uint8_t* clers, int64_t nclers,
                     prediction[vertex_count * 3 + 2] = v2;
                     opposite = vertex_count++;
                 }
-                fnext[prev] = (int32_t)new_edge;
-                fprev[nxt] = (int32_t)(new_edge + 1);
-                fv0.push_back(v0); fv1.push_back((int32_t)opposite);
-                fv2.push_back(v1);
-                fprev.push_back(prev); fnext.push_back((int32_t)(new_edge + 1));
-                faceorder.push_back((int64_t)fv0.size());
-                fv0.push_back((int32_t)opposite); fv1.push_back(v1);
-                fv2.push_back(v0);
-                fprev.push_back((int32_t)new_edge); fnext.push_back(nxt);
+                front[prev].next = (int32_t)new_edge;
+                front[nxt].prev = (int32_t)(new_edge + 1);
+                front.push_back(FEdge{v0, (int32_t)opposite, v1, prev,
+                                      (int32_t)(new_edge + 1)});
+                faceorder.push_back((int64_t)front.size());
+                front.push_back(FEdge{(int32_t)opposite, v1, v0,
+                                      (int32_t)new_edge, nxt});
             } else if (c == CLER_LEFT) {
-                int32_t pp = fprev[prev];  // copy: push_back may reallocate
-                fnext[pp] = (int32_t)new_edge;
-                fprev[nxt] = (int32_t)new_edge;
-                opposite = fv0[prev];
-                fv0.push_back((int32_t)opposite); fv1.push_back(v1);
-                fv2.push_back(v0);
-                fprev.push_back(pp); fnext.push_back(nxt);
-                fv0[prev] = -1;
+                int32_t pp = front[prev].prev;
+                front[pp].next = (int32_t)new_edge;
+                front[nxt].prev = (int32_t)new_edge;
+                opposite = front[prev].v0;
+                front.push_back(FEdge{(int32_t)opposite, v1, v0, pp, nxt});
+                front[prev].v0 = -1;
             } else if (c == CLER_RIGHT) {
-                int32_t nn = fnext[nxt];  // copy: push_back may reallocate
-                fprev[nn] = (int32_t)new_edge;
-                fnext[prev] = (int32_t)new_edge;
-                opposite = fv1[nxt];
-                fv0.push_back(v0); fv1.push_back((int32_t)opposite);
-                fv2.push_back(v1);
-                fprev.push_back(prev); fnext.push_back(nn);
-                fv0[nxt] = -1;
+                int32_t nn = front[nxt].next;
+                front[nn].prev = (int32_t)new_edge;
+                front[prev].next = (int32_t)new_edge;
+                opposite = front[nxt].v1;
+                front.push_back(FEdge{v0, (int32_t)opposite, v1, prev, nn});
+                front[nxt].v0 = -1;
             } else if (c == CLER_DELAY) {
                 delayed.push_back(edge);
                 new_edge = -1;
                 continue;
             } else if (c == CLER_END) {
-                fnext[fprev[prev]] = fnext[nxt];
-                fprev[fnext[nxt]] = fprev[prev];
-                opposite = fv0[prev];
-                fv0[prev] = -1;
-                fv0[nxt] = -1;
+                front[front[prev].prev].next = front[nxt].next;
+                front[front[nxt].next].prev = front[prev].prev;
+                opposite = front[prev].v0;
+                front[prev].v0 = -1;
+                front[nxt].v0 = -1;
                 new_edge = -1;
             } else {
                 return -3;  // invalid CLER symbol
