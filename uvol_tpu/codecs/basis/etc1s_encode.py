@@ -535,7 +535,13 @@ def build_palettes(
                 )
             )
         _PALETTE_JIT_CACHE[key] = core
-    base5, inten, sel_cb, assign, sel_assign = core(blocks)
+    import jax.numpy as jnp
+
+    # one blocks upload for the whole segment: the k-means core and the
+    # RDO scan below share this device-resident uint8 array (per-frame
+    # re-uploads made RDO transfer-bound on slow host links)
+    dev_blocks = jnp.asarray(blocks)
+    base5, inten, sel_cb, assign, sel_assign = core(dev_blocks)
 
     pal = Palettes(
         color5=np.array(np.asarray(base5, np.uint8)),
@@ -554,6 +560,9 @@ def build_palettes(
             blocks, pal, h // 4, w // 4,
             lam=lam, lam_sel=lam_sel, lam_cr=lam_cr,
             chain_breaks=rdo_chain_breaks,
+            dev_blocks=dev_blocks,
+            dev_assign=jnp.asarray(assign, jnp.int32),
+            dev_sel_assign=jnp.asarray(sel_assign, jnp.int32),
         )
     # relabel the endpoint palette by the actual scan-order bigram
     # statistics: entries that follow each other in the emitted stream get
@@ -604,7 +613,52 @@ _RDO_JIT_CACHE: Dict = {}
 
 
 def _rdo_refine_fn(nby: int, nbx: int):
-    """Rate-distortion refine for one frame's assignments (jitted per shape).
+    """Rate-distortion refine across all frames as ONE device program.
+
+    Returns a jitted fn scanning `_rdo_frame_body` over the frame axis:
+    blocks stay device-resident uint8 (one upload for the whole segment,
+    cast to f32 per scan step inside VMEM/HBM), the CR chain state rides
+    the scan carry, and the refined assignments come back as one [F, nb]
+    fetch — replacing the per-frame upload/dispatch/download loop that
+    made RDO transfer-bound on slow host links (round-2 profile).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    body = _rdo_frame_body(nby, nbx)
+
+    def run(blocks_u8, color5, inten, sel_cb, assigns, sel_assigns,
+            is_break, lam, lam_sel, lam_cr):
+        # blocks_u8 [F, nb, 16, 3] · assigns/sel_assigns [F, nb] ·
+        # is_break [F] bool (True = I-slice: no CR against prev frame)
+        nb = assigns.shape[1]
+
+        def step(carry, xs):
+            prev_ep, prev_sel, has_prev = carry
+            blocks_i, assign_i, sel_i, brk = xs
+            ep, sel = body(
+                blocks_i.astype(jnp.float32), color5, inten, sel_cb,
+                assign_i, sel_i, prev_ep, prev_sel,
+                jnp.broadcast_to(has_prev & ~brk, (nb,)),
+                lam, lam_sel, lam_cr,
+            )
+            return (ep, sel, jnp.bool_(True)), (ep, sel)
+
+        init = (
+            jnp.zeros(nb, jnp.int32),
+            jnp.zeros(nb, jnp.int32),
+            jnp.bool_(False),
+        )
+        _, (eps, sels) = jax.lax.scan(
+            step, init, (blocks_u8, assigns, sel_assigns, is_break)
+        )
+        return eps, sels
+
+    return jax.jit(run)
+
+
+def _rdo_frame_body(nby: int, nbx: int):
+    """Rate-distortion refine for one frame's assignments.
 
     Snaps a block's endpoint to its left/above neighbor's (and, on
     P-frames, to the co-located previous-frame (endpoint, selector) pair)
@@ -613,7 +667,6 @@ def _rdo_refine_fn(nby: int, nbx: int):
     endpoint-delta runs, selector RLE runs and CR blocks — the rate side
     of basisu's RDO — while lambda bounds the distortion side.
     """
-    import jax
     import jax.numpy as jnp
 
     from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
@@ -672,7 +725,7 @@ def _rdo_refine_fn(nby: int, nbx: int):
         sel = jnp.where(cr, prev_sel, sel)
         return ep, sel
 
-    return jax.jit(refine)
+    return refine
 
 
 def rdo_refine_assignments(
@@ -685,49 +738,54 @@ def rdo_refine_assignments(
     lam_sel: float = 1.25,
     lam_cr: float = 1.5,
     chain_breaks: Sequence[int] = (),
+    dev_blocks=None,
+    dev_assign=None,
+    dev_sel_assign=None,
 ) -> None:
     """In-place spatial/temporal RDO over per-frame assignments.
 
     `chain_breaks`: frame indices whose slice is emitted as an I-slice
     (no CR symbols) — the temporal term must not reward matching the
     previous frame there (e.g. the first alpha slice when rgb and alpha
-    frames share one linear array)."""
+    frames share one linear array).
+
+    The whole segment runs as one jitted lax.scan over the frame axis.
+    `dev_blocks`/`dev_assign`/`dev_sel_assign` let build_palettes hand
+    over arrays already resident on device (one blocks upload shared
+    with the k-means core); the host `blocks`/`pal` fields are the
+    fallback source."""
     import jax.numpy as jnp
 
     f = pal.block_endpoint.shape[0]
     nb = nby * nbx
-    key = (nby, nbx)
+    key = (nby, nbx, f)
     fn = _RDO_JIT_CACHE.get(key)
     if fn is None:
         fn = _rdo_refine_fn(nby, nbx)
         _RDO_JIT_CACHE[key] = fn
-    color5 = jnp.asarray(pal.color5)
-    inten = jnp.asarray(pal.inten, jnp.int32)
-    sel_cb = jnp.asarray(pal.selectors, jnp.int32)
-    prev_ep = jnp.zeros(nb, jnp.int32)
-    prev_sel = jnp.zeros(nb, jnp.int32)
-    has_prev = jnp.zeros(nb, bool)
-    breaks = set(chain_breaks)
-    for i in range(f):
-        if i in breaks:
-            has_prev = jnp.zeros(nb, bool)
-        # upload uint8 and cast on device: the host-side f32 conversion
-        # quadrupled the per-frame transfer (round-2 profile: RDO was
-        # upload-bound on the tunnel)
-        dev_blocks = jnp.asarray(blocks[i * nb : (i + 1) * nb]).astype(
-            jnp.float32
-        )
-        ep, sel = fn(
-            dev_blocks, color5, inten, sel_cb,
-            jnp.asarray(pal.block_endpoint[i], jnp.int32).reshape(-1),
-            jnp.asarray(pal.block_selector[i], jnp.int32).reshape(-1),
-            prev_ep, prev_sel, has_prev,
-            float(lam), float(lam_sel), float(lam_cr),
-        )
-        pal.block_endpoint[i] = np.asarray(ep, np.int32)
-        pal.block_selector[i] = np.asarray(sel, np.int32)
-        prev_ep, prev_sel = ep, sel
-        has_prev = jnp.ones(nb, bool)
+    if dev_blocks is None:
+        dev_blocks = jnp.asarray(blocks)  # uint8: 4x smaller upload
+    dev_blocks = dev_blocks.reshape(f, nb, 16, 3)
+    if dev_assign is None:
+        dev_assign = jnp.asarray(pal.block_endpoint, jnp.int32)
+    if dev_sel_assign is None:
+        dev_sel_assign = jnp.asarray(pal.block_selector, jnp.int32)
+    is_break = np.zeros(f, bool)
+    for i in chain_breaks:
+        if 0 <= i < f:
+            is_break[i] = True
+    eps, sels = fn(
+        dev_blocks,
+        jnp.asarray(pal.color5),
+        jnp.asarray(pal.inten, jnp.int32),
+        jnp.asarray(pal.selectors, jnp.int32),
+        dev_assign.reshape(f, nb),
+        dev_sel_assign.reshape(f, nb),
+        jnp.asarray(is_break),
+        float(lam), float(lam_sel), float(lam_cr),
+    )
+    pal.block_endpoint = np.asarray(eps, np.int32).reshape(f, nb)
+    pal.block_selector = np.asarray(sels, np.int32).reshape(f, nb)
 
 
 def encode_endpoints_stream(color5: np.ndarray, inten: np.ndarray) -> bytes:
