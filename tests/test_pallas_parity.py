@@ -77,3 +77,21 @@ def test_sequence_codec_pallas_interpret_path():
     dec = codec.decode(blobs)
     step = (pos[0].max(0) - pos[0].min(0)).max() / 2047
     assert np.abs(dec.positions[0, :700] - pos[0]).max() <= step
+
+
+def test_etc1_decode_pallas_parity():
+    from uvol_tpu.codecs.basis.etc import decode_etc1_blocks
+    from uvol_tpu.codecs.basis.etc_pallas import decode_etc1_blocks_pallas
+
+    r = np.random.default_rng(2)
+    img = np.asarray(r.integers(0, 256, (2048, 4, 4, 3)), np.uint8)
+    words = np.asarray(encode_etc1_blocks(jnp.asarray(img)))
+    ref = np.asarray(decode_etc1_blocks(jnp.asarray(words)))
+    out = np.asarray(decode_etc1_blocks_pallas(jnp.asarray(words), True))
+    np.testing.assert_array_equal(out, ref)
+    # arbitrary words (individual-mode and clamp paths the encoder never
+    # emits must still decode identically)
+    rw = r.integers(0, 2**32, (1536, 2), dtype=np.uint32)
+    ref2 = np.asarray(decode_etc1_blocks(jnp.asarray(rw)))
+    out2 = np.asarray(decode_etc1_blocks_pallas(jnp.asarray(rw), True))
+    np.testing.assert_array_equal(out2, ref2)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from uvol_tpu.codecs.basis.etc import _MODS
+from uvol_tpu.codecs.basis.etc import _MODS, MODIFIER_TABLE
 
 TILE_L = 1024  # blocks (lanes) per kernel instance
 
@@ -192,3 +192,111 @@ def encode_etc1_blocks_pallas(
     return jax.lax.bitcast_convert_type(
         jnp.transpose(words[:, :b], (1, 0)), jnp.uint32
     )
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel: blocks on lanes again — [2, B] words in, [48, B] pixel
+# rows out (channel-major, image-raster pixel order y*4+x within each
+# channel group), padded to 64 sublanes for the int8 tile shape.
+# ---------------------------------------------------------------------------
+
+_DEC_ROWS = 64  # 48 pixel rows (3 ch x 16 px) padded to the u8 sublane tile
+
+
+def _sel8_vec(table, vals):
+    """Arithmetic 8-way select of scalar table `vals` by [R, T] indices
+    (same trick as etc.py _select8 — gathers from tiny tables lower
+    badly on TPU; three where levels don't)."""
+    b0 = (table & 1) == 1
+    b1 = ((table >> 1) & 1) == 1
+    b2 = ((table >> 2) & 1) == 1
+    v = [jnp.int32(int(x)) for x in vals]
+    lo = jnp.where(b1, jnp.where(b0, v[3], v[2]), jnp.where(b0, v[1], v[0]))
+    hi = jnp.where(b1, jnp.where(b0, v[7], v[6]), jnp.where(b0, v[5], v[4]))
+    return jnp.where(b2, hi, lo)
+
+
+def _dec_kernel(w_ref, out_ref):
+    w1 = w_ref[0:1, :]  # [1, T] int32 (bit-identical to the uint32 words)
+    w2 = w_ref[1:2, :]
+    t = w1.shape[1]
+    diff = (w1 >> 1) & 1
+    flip = w1 & 1
+    t0 = (w1 >> 5) & 7
+    t1 = (w1 >> 2) & 7
+
+    # differential + individual base colors (decode_etc1_blocks math)
+    base0 = []
+    base1 = []
+    for sh5, sh3, sh4a, sh4b in ((27, 24, 28, 24), (19, 16, 20, 16),
+                                 (11, 8, 12, 8)):
+        m0 = (w1 >> sh5) & 31
+        draw = (w1 >> sh3) & 7
+        d = jnp.where(draw >= 4, draw - 8, draw)
+        m1 = jnp.clip(m0 + d, 0, 31)
+        b0d = (m0 << 3) | (m0 >> 2)
+        b1d = (m1 << 3) | (m1 >> 2)
+        i0 = (w1 >> sh4a) & 15
+        i1 = (w1 >> sh4b) & 15
+        b0i = (i0 << 4) | i0
+        b1i = (i1 << 4) | i1
+        base0.append(jnp.where(diff == 1, b0d, b0i))  # [1, T]
+        base1.append(jnp.where(diff == 1, b1d, b1i))
+
+    # per-pixel planes: row r is image-raster order r = y*4 + x; the wire
+    # bit index for pixel (x, y) is x*4 + y
+    r = jax.lax.broadcasted_iota(jnp.int32, (16, t), 0)
+    x = r % 4
+    y = r // 4
+    jbit = x * 4 + y
+    lsb = (w2 >> jbit) & 1  # [16, T] (w1/w2 broadcast over rows)
+    msb = (w2 >> (jbit + 16)) & 1
+    code = (msb << 1) | lsb
+    # int32 arithmetic blend instead of where-on-bool-operands: Mosaic
+    # rejects the i8->i1 truncation that select-of-compares lowers to
+    ys = (y >= 2).astype(jnp.int32)
+    xs = (x >= 2).astype(jnp.int32)
+    in1 = flip * ys + (1 - flip) * xs  # [16, T] 0/1
+    table = t0 + (t1 - t0) * in1  # [16, T]
+    small = _sel8_vec(table, MODIFIER_TABLE[:, 0])
+    large = _sel8_vec(table, MODIFIER_TABLE[:, 1])
+    mag = small + (large - small) * (code & 1)
+    mod = (1 - (code & 2)) * mag  # code msb = sign: (1 - 2*msb) * mag
+
+    rows = []
+    for ch in range(3):
+        base = base0[ch] + (base1[ch] - base0[ch]) * in1  # [16, T]
+        rows.append(jnp.clip(base + mod, 0, 255))
+    px = jnp.concatenate(rows, axis=0)  # [48, T] int32
+    pad = jnp.zeros((_DEC_ROWS - 48, t), jnp.int32)
+    out_ref[:] = jnp.concatenate([px, pad], axis=0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def decode_etc1_blocks_pallas(
+    words: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """[B, 2] uint32 → [B, 4, 4, 3] uint8, bit-identical to
+    `decode_etc1_blocks` (parity-locked in tests/test_pallas_parity.py)."""
+    b = words.shape[0]
+    w = jnp.transpose(
+        jax.lax.bitcast_convert_type(words, jnp.int32), (1, 0)
+    )  # [2, B]
+    padded = -(-b // TILE_L) * TILE_L
+    if padded != b:
+        w = jnp.pad(w, ((0, 0), (0, padded - b)))
+    out = pl.pallas_call(
+        _dec_kernel,
+        grid=(padded // TILE_L,),
+        in_specs=[
+            pl.BlockSpec((2, TILE_L), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_DEC_ROWS, TILE_L), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((_DEC_ROWS, padded), jnp.uint8),
+        interpret=interpret,
+    )(w)
+    px = out[:48, :b]  # [48, B] ch-major, pixel raster y*4+x
+    return jnp.transpose(px.reshape(3, 16, b), (2, 1, 0)).reshape(b, 4, 4, 3)

@@ -371,7 +371,10 @@ class TextureSequenceCodec:
             use_pallas = _pallas_available()
         self.use_pallas = use_pallas
 
-        from uvol_tpu.codecs.basis.etc_pallas import encode_etc1_blocks_pallas
+        from uvol_tpu.codecs.basis.etc_pallas import (
+            decode_etc1_blocks_pallas,
+            encode_etc1_blocks_pallas,
+        )
 
         def _encode_fn(frames_u8):  # [L, H, W, 3]
             blocks = image_to_blocks(frames_u8)
@@ -380,7 +383,10 @@ class TextureSequenceCodec:
             return jax.vmap(encode_etc1_blocks)(blocks)  # [L, nb, 2] uint32
 
         def _decode_fn(words, h, w):  # [L, nb, 2]
-            blocks = jax.vmap(decode_etc1_blocks)(words)
+            if use_pallas:  # fused VMEM tile decoder (etc_pallas.py)
+                blocks = jax.vmap(decode_etc1_blocks_pallas)(words)
+            else:
+                blocks = jax.vmap(decode_etc1_blocks)(words)
             return jax.vmap(lambda b: blocks_to_image(b, h, w))(blocks)
 
         from functools import partial
