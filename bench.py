@@ -37,13 +37,15 @@ def main() -> None:
     _enable_compile_cache(jax)
 
     def _force(tree):
-        """Force remote execution: fetch one element per leaf. On the
-        axon tunnel block_until_ready returns before remote execution;
-        the queue runs in order, so a tiny fetch drains everything
-        dispatched before it."""
-        for leaf in jax.tree_util.tree_leaves(tree):
+        """Force remote execution: fetch ONE element. On the axon tunnel
+        block_until_ready returns before remote execution; the queue runs
+        in order, so a single tiny fetch of the last-dispatched leaf
+        drains everything before it (per-leaf fetches added ~10 tunnel
+        roundtrips to every timed region)."""
+        for leaf in reversed(jax.tree_util.tree_leaves(tree)):
             if hasattr(leaf, "ravel"):
                 np.asarray(leaf.ravel()[0])
+                return
 
     from uvol_tpu.containers.ktx2 import read_ktx2
     from uvol_tpu.models.sequence import (
