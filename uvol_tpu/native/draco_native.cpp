@@ -623,6 +623,14 @@ inline int64_t tdiv64(i128 a, i128 b) {
   return (int64_t)(a / b);
 }
 
+inline uint64_t isqrt64(uint64_t x) {
+  // exact floor sqrt for x < 2^62: double estimate + integer correction
+  uint64_t s = (uint64_t)sqrt((double)x);
+  while (s > 0 && s * s > x) s--;
+  while ((s + 1) * (s + 1) <= x) s++;
+  return s;
+}
+
 inline u128 isqrt128(u128 x) {
   // exact floor sqrt (matches Python math.isqrt): long-double estimate,
   // then integer correction — ~10x the digit-by-digit loop this replaces
@@ -673,42 +681,74 @@ int uvt_texcoords_predict(
         done = true;
       } else {
         int64_t pn[3], cn[3];
-        i128 pn_norm2 = 0;
+        int64_t amax = 0;
         for (int k = 0; k < 3; ++k) {
           pn[k] = posv(pc_, k) - posv(nc_, k);
-          pn_norm2 += (i128)pn[k] * pn[k];
+          cn[k] = posv(ci, k) - posv(nc_, k);
+          int64_t a = pn[k] < 0 ? -pn[k] : pn[k];
+          int64_t b2 = cn[k] < 0 ? -cn[k] : cn[k];
+          if (a > amax) amax = a;
+          if (b2 > amax) amax = b2;
         }
-        if (pn_norm2 != 0) {
-          i128 cn_dot_pn = 0;
-          for (int k = 0; k < 3; ++k) {
-            cn[k] = posv(ci, k) - posv(nc_, k);
-            cn_dot_pn += (i128)pn[k] * cn[k];
-          }
-          int64_t pn_uv[2] = {p_uv[0] - n_uv[0], p_uv[1] - n_uv[1]};
-          i128 x_uv[2] = {
-              (i128)n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0],
-              (i128)n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1],
-          };
-          i128 cx_norm2 = 0;
-          for (int k = 0; k < 3; ++k) {
-            int64_t x_pos = posv(nc_, k) + tdiv64(cn_dot_pn * pn[k], pn_norm2);
-            int64_t cx = posv(ci, k) - x_pos;
-            cx_norm2 += (i128)cx * cx;
-          }
-          int64_t pn_uv_perp[2] = {pn_uv[1], -pn_uv[0]};
-          u128 prod = (u128)cx_norm2 * (u128)pn_norm2;
-          i128 norm_sq = (i128)isqrt128(prod);
+        int64_t pn_uv[2] = {p_uv[0] - n_uv[0], p_uv[1] - n_uv[1]};
+        int64_t umax = 0;
+        for (int64_t u : {n_uv[0], n_uv[1], pn_uv[0], pn_uv[1]}) {
+          int64_t a = u < 0 ? -u : u;
+          if (a > umax) umax = a;
+        }
+        if (pn[0] != 0 || pn[1] != 0 || pn[2] != 0) {
           int orientation = 1;
           if (oi > 0) {
             oi -= 1;
             orientation = orientations[oi];
           }
-          if (orientation) {
-            pred[0] = tdiv64(x_uv[0] + (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
-            pred[1] = tdiv64(x_uv[1] + (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          int64_t sgn = orientation ? 1 : -1;
+          if (amax < 16384 && umax < 16384) {
+            // int64 fast path (qp/qt <= 13-bit content, e.g. qp11/qt10):
+            // worst-case magnitudes — pn_norm2 < 2^30, cn_dot_pn < 2^30,
+            // x_uv < 2^45, cx_norm2 < 2^32, prod < 2^62, norm_sq*perp
+            // < 2^45 — all exact in int64; C++ '/' truncates toward zero
+            // exactly like tdiv64, so results are bit-identical to the
+            // i128 reference path below (~3x faster per value: the i128
+            // multiplies and __divti3 calls dominated this loop)
+            int64_t pn_norm2 =
+                pn[0] * pn[0] + pn[1] * pn[1] + pn[2] * pn[2];
+            int64_t cn_dot_pn =
+                pn[0] * cn[0] + pn[1] * cn[1] + pn[2] * cn[2];
+            int64_t x_uv0 = n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0];
+            int64_t x_uv1 = n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1];
+            int64_t cx_norm2 = 0;
+            for (int k = 0; k < 3; ++k) {
+              int64_t cx = cn[k] - cn_dot_pn * pn[k] / pn_norm2;
+              cx_norm2 += cx * cx;
+            }
+            int64_t norm_sq =
+                (int64_t)isqrt64((uint64_t)cx_norm2 * (uint64_t)pn_norm2);
+            pred[0] = (x_uv0 + sgn * pn_uv[1] * norm_sq) / pn_norm2;
+            pred[1] = (x_uv1 - sgn * pn_uv[0] * norm_sq) / pn_norm2;
           } else {
-            pred[0] = tdiv64(x_uv[0] - (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
-            pred[1] = tdiv64(x_uv[1] - (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+            i128 pn_norm2 = 0, cn_dot_pn = 0;
+            for (int k = 0; k < 3; ++k) {
+              pn_norm2 += (i128)pn[k] * pn[k];
+              cn_dot_pn += (i128)pn[k] * cn[k];
+            }
+            i128 x_uv[2] = {
+                (i128)n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0],
+                (i128)n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1],
+            };
+            i128 cx_norm2 = 0;
+            for (int k = 0; k < 3; ++k) {
+              int64_t x_pos =
+                  posv(nc_, k) + tdiv64(cn_dot_pn * pn[k], pn_norm2);
+              int64_t cx = posv(ci, k) - x_pos;
+              cx_norm2 += (i128)cx * cx;
+            }
+            u128 prod = (u128)cx_norm2 * (u128)pn_norm2;
+            i128 norm_sq = (i128)isqrt128(prod);
+            pred[0] =
+                tdiv64(x_uv[0] + sgn * (i128)pn_uv[1] * norm_sq, pn_norm2);
+            pred[1] =
+                tdiv64(x_uv[1] - sgn * (i128)pn_uv[0] * norm_sq, pn_norm2);
           }
           done = true;
         }
@@ -803,6 +843,14 @@ struct OctTool {
       v[0] = max_sum; v[1] = 0; v[2] = 0;
       return;
     }
+    if (abs_sum < ((i128)1 << 32)) {
+      // |v[k]| <= abs_sum < 2^32, so v[k]*max_sum < 2^62: plain int64
+      // division (truncates toward zero like tdiv64) — skips three
+      // __divti3 calls per vertex on typical fan-normal magnitudes
+      int64_t a = (int64_t)abs_sum;
+      for (int k = 0; k < 3; ++k) v[k] = v[k] * max_sum / a;
+      return;
+    }
     for (int k = 0; k < 3; ++k) v[k] = tdiv64((i128)v[k] * max_sum, abs_sum);
   }
   void to_quantized(const int64_t* v, int64_t* qs, int64_t* qt) const {
@@ -824,6 +872,15 @@ struct OctTool {
       t = (v[1] >= 0 ? 1 : -1) * ((int64_t)abs_sum - a0);
     }
     // floor division (operands positive after the shift below)
+    if (abs_sum < ((i128)1 << 32) && max_value < (1LL << 20)) {
+      // post-canonicalize |v| < 2^30 keeps every term in int64 here
+      // (s+abs_sum <= 2*abs_sum < 2^33, * max_value < 2^53); positive
+      // operands make '/' the same floor division as the i128 path
+      int64_t a = (int64_t)abs_sum;
+      *qs = ((s + a) * max_value + a) / (2 * a);
+      *qt = ((t + a) * max_value + a) / (2 * a);
+      return;
+    }
     i128 num_s = ((i128)s + abs_sum) * max_value + abs_sum;
     i128 num_t = ((i128)t + abs_sum) * max_value + abs_sum;
     *qs = (int64_t)(num_s / (2 * abs_sum));
