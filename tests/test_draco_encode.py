@@ -373,3 +373,93 @@ def test_vertex_color_srgb_to_linear():
     assert srgb_to_linear(np.float32(0.0)) == 0.0
     assert abs(srgb_to_linear(np.float32(1.0)) - 1.0) < 1e-6
     assert srgb_to_linear(np.float32(0.5)) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# KD-tree point clouds (UVT profile — codecs/draco/kdtree.py)
+# ---------------------------------------------------------------------------
+
+
+def _cloud(n=4000, seed=0, clusters=12):
+    r = np.random.default_rng(seed)
+    centers = r.uniform(-1, 1, (clusters, 3))
+    pts = (
+        centers[r.integers(0, clusters, n)] + r.normal(0, 0.02, (n, 3))
+    ).astype(np.float32)
+    col = r.integers(0, 256, (n, 3)).astype(np.uint8)
+    return pts, col
+
+
+def test_kdtree_point_cloud_roundtrip():
+    from uvol_tpu.codecs.draco.kdtree import encode_drc_point_cloud_kdtree
+
+    pts, col = _cloud()
+    atts = [
+        AttributeToEncode(K.ATT_POSITION, pts, np.arange(len(pts)), 14),
+        AttributeToEncode(
+            K.ATT_GENERIC, col, np.arange(len(pts)), integer=True
+        ),
+    ]
+    blob = encode_drc_point_cloud_kdtree(atts)
+    m = decode_drc(blob)
+    assert m.num_points == len(pts)
+    dpos = m.point_attribute(0)
+    dcol = m.point_attribute(4)
+    # KD order is a permutation: pair rows by sorting the POST-quantization
+    # expectation (pre-quant floats can reorder near-ties), with colors as
+    # tiebreak columns so duplicate positions pair deterministically
+    from uvol_tpu.codecs.draco.encoder import quantize_attribute
+
+    q = quantize_attribute(pts, 14)
+    delta = float(q.range_value) / ((1 << 14) - 1)
+    exp = (q.mins.astype(np.float64) + q.ints * delta).astype(np.float32)
+    o1 = np.lexsort(np.concatenate([col, exp], axis=1).T)
+    o2 = np.lexsort(np.concatenate([dcol, dpos], axis=1).T)
+    np.testing.assert_array_equal(exp[o1], dpos[o2])
+    np.testing.assert_array_equal(col[o1], dcol[o2])
+
+
+def test_kdtree_beats_sequential_on_duplicates():
+    """Duplicate-heavy clouds collapse into shared KD prefixes."""
+    from uvol_tpu.codecs.draco.kdtree import encode_drc_point_cloud_kdtree
+    from uvol_tpu.codecs.draco.sequential import encode_drc_point_cloud
+
+    r = np.random.default_rng(3)
+    uniq = r.uniform(0, 1, (50, 3)).astype(np.float32)
+    pts = uniq[r.integers(0, 50, 6000)]
+    atts = lambda: [  # noqa: E731
+        AttributeToEncode(K.ATT_POSITION, pts, np.arange(len(pts)), 14)
+    ]
+    kd = encode_drc_point_cloud_kdtree(atts())
+    seq = encode_drc_point_cloud(atts())
+    assert len(kd) < len(seq) / 3, (len(kd), len(seq))
+    m = decode_drc(kd)
+    assert m.num_points == len(pts)
+
+
+def test_kdtree_rejects_draco_wire_id_and_corruption():
+    from uvol_tpu.codecs.draco.kdtree import encode_drc_point_cloud_kdtree
+
+    pts, _ = _cloud(400)
+    atts = [AttributeToEncode(K.ATT_POSITION, pts, np.arange(len(pts)), 12)]
+    blob = bytearray(encode_drc_point_cloud_kdtree(atts))
+    # real draco KD method id still raises the documented NotImplemented
+    # method byte sits after MAGIC(5) + major + minor + encoder_type
+    draco_id = bytes(blob[:8]) + bytes([1]) + bytes(blob[9:])
+    with pytest.raises(NotImplementedError, match="KD-tree"):
+        decode_drc(draco_id)
+    # corruption/truncation must raise, never crash or hang
+    r = np.random.default_rng(7)
+    for _ in range(60):
+        bb = bytearray(blob)
+        for i in r.integers(10, len(bb), 3):
+            bb[i] ^= 1 << int(r.integers(0, 8))
+        try:
+            decode_drc(bytes(bb))
+        except (ValueError, NotImplementedError, IndexError):
+            pass
+    for cut in range(8, len(blob), max(1, len(blob) // 25)):
+        try:
+            decode_drc(bytes(blob[:cut]))
+        except (ValueError, NotImplementedError, IndexError):
+            pass

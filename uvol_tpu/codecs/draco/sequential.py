@@ -207,6 +207,8 @@ def decode_drc_sequential(buf: DecoderBuffer):
 
 POINT_CLOUD_SEQUENTIAL_ENCODING = 0
 POINT_CLOUD_KD_TREE_ENCODING = 1
+#: UVT KD profile (codecs/draco/kdtree.py) — outside Draco's id space
+UVT_KD_TREE_METHOD = 16
 
 
 def encode_drc_point_cloud(attributes: List) -> bytes:
@@ -230,8 +232,14 @@ def decode_drc_point_cloud(buf: DecoderBuffer, method: int):
 
     if method == POINT_CLOUD_KD_TREE_ENCODING:
         raise NotImplementedError(
-            "Draco KD-tree point clouds not supported yet (sequential only)"
+            "Draco's own KD-tree bitstream is not supported (no spec or "
+            "fixtures offline; see codecs/draco/kdtree.py for the UVT "
+            "KD profile that carries the same capability)"
         )
+    if method == UVT_KD_TREE_METHOD:
+        from uvol_tpu.codecs.draco.kdtree import decode_drc_point_cloud_kdtree
+
+        return decode_drc_point_cloud_kdtree(buf)
     if method != POINT_CLOUD_SEQUENTIAL_ENCODING:
         raise NotImplementedError(f"point cloud method {method}")
     num_points = buf.varint()
