@@ -482,15 +482,20 @@ int uvt_traverse_depth_first(const int32_t* opposite, const int32_t* view_vertex
   auto face_done = [&](int32_t face) {
     return face == INVALID || face_visited[face];
   };
-  auto is_on_boundary = [&](int32_t corner_hint) -> bool {
-    int32_t c = corner_hint;
-    int32_t start = c;
-    while (true) {
-      int32_t n = swing_left(c);
-      if (n == INVALID) return true;
-      if (n == start) return false;
-      c = n;
+  // precomputed boundary flags: a fan is open iff ANY of its corners has
+  // no left neighbor, and a left-only walk from any corner of an open fan
+  // reaches that end — so the per-visit fan walk the reference does
+  // reduces to one sequential pass over all corners (the walks totalled
+  // the same step count but as dependent random loads)
+  std::vector<uint8_t> fan_open(num_view_vertices, 0);
+  for (int64_t c = 0; c < 3 * num_faces; ++c) {
+    if (opp(next_corner((int32_t)c)) == INVALID) {
+      int32_t v = view_vertex[c];
+      if (v >= 0 && v < num_view_vertices) fan_open[v] = 1;
     }
+  }
+  auto is_on_boundary = [&](int32_t corner_hint) -> bool {
+    return fan_open[view_vertex[corner_hint]] != 0;
   };
 
   std::vector<int32_t> stack;
