@@ -105,6 +105,16 @@ def _encode_raw(symbols: np.ndarray, out: EncoderBuffer) -> None:
     max_value = int(symbols.max()) if symbols.size else 0
     max_bit_length = max(1, max_value.bit_length())
     out.u8(max_bit_length)
+    from uvol_tpu import native
+
+    # one-call native tail (bincount/normalize/table/rANS — byte-exact
+    # with the Python chain below, which stays as oracle + fallback)
+    blob = native.rans_symbol_encode_native(
+        symbols, max_value + 1, rans_precision_bits(max_bit_length)
+    )
+    if blob is not None:
+        out.raw(blob)
+        return
     counts = np.bincount(symbols, minlength=max_value + 1)
     encoder = RansSymbolEncoder(counts, rans_precision_bits(max_bit_length))
     encoder.encode_all(symbols, out)

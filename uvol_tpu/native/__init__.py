@@ -88,6 +88,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         u8p, i32p, i32p, u8p, ctypes.c_int, u8p, ctypes.c_int,
     ]
     lib.uvt_tunstall_expand.restype = ctypes.c_int
+    lib.uvt_rans_symbol_encode.argtypes = [
+        u32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, u8p,
+        ctypes.c_int64,
+    ]
+    lib.uvt_rans_symbol_encode.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -124,6 +129,23 @@ def rans_encode_native(
         out,
         len(out),
     )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
+
+
+def rans_symbol_encode_native(
+    symbols: np.ndarray, alphabet: int, precision_bits: int
+) -> Optional[bytes]:
+    """One-call RAW symbol-stream tail: probability table + rANS payload
+    (byte-exact with the Python normalize/table/encode chain), or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(symbols, np.uint32)
+    cap = len(s) * 4 + 4 * alphabet + 4096
+    out = np.empty(cap, np.uint8)
+    rc = lib.uvt_rans_symbol_encode(s, len(s), alphabet, precision_bits, out, cap)
     if rc < 0:
         return None
     return out[:rc].tobytes()

@@ -8,6 +8,7 @@
 //
 // Build: g++ -O3 -shared -fPIC entropy.cpp -o libuvt_entropy.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -160,6 +161,105 @@ int uvt_tunstall_expand(const uint8_t* words, const int32_t* index,
     memcpy(out + pos, words + index[s],
            rest < lengths[s] ? rest : lengths[s]);
     return 0;
+}
+
+// ---------------------------------------------------------------------------
+// One-call RAW symbol-stream encode (symbol_coding._encode_raw tail):
+// bincount -> normalize_probabilities -> token-coded table -> rANS payload
+// with varint length. Byte-exact with the Python reference (rans.py
+// normalize_probabilities, encode_probability_table) — locked by the
+// encoder byte-stability fixtures. Returns bytes written, or <0 on
+// overflow / a nonzero-alphabet that cannot fit the precision (caller
+// falls back to Python, which raises the documented error).
+// ---------------------------------------------------------------------------
+
+int64_t uvt_rans_symbol_encode(const uint32_t* symbols, int64_t n,
+                               int64_t alphabet, int precision_bits,
+                               uint8_t* out, int64_t cap) {
+    if (n <= 0 || alphabet <= 0) return -1;
+    const int64_t precision = (int64_t)1 << precision_bits;
+    std::vector<int64_t> counts(alphabet, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        if (symbols[i] >= (uint64_t)alphabet) return -1;
+        counts[symbols[i]]++;
+    }
+    int64_t total = n;
+    int64_t nonzero = 0;
+    for (int64_t c : counts) nonzero += c != 0;
+    if (nonzero > precision) return -3;
+
+    // normalize (rans.py:83): floor-scale with min 1, then push the
+    // rounding error onto symbols in descending-probability order
+    // (stable: ties keep index order, matching Python's sorted())
+    std::vector<int64_t> probs(alphabet, 0);
+    int64_t used = 0;
+    for (int64_t i = 0; i < alphabet; ++i) {
+        if (!counts[i]) continue;
+        int64_t p = counts[i] * precision / total;
+        probs[i] = p > 1 ? p : 1;
+        used += probs[i];
+    }
+    int64_t err = precision - used;
+    if (err != 0) {
+        std::vector<int32_t> order(alphabet);
+        for (int64_t i = 0; i < alphabet; ++i) order[i] = (int32_t)i;
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int32_t a, int32_t b) { return probs[a] > probs[b]; });
+        int64_t k = 0;
+        while (err != 0) {
+            int64_t i = order[k % alphabet];
+            int64_t step = err;
+            if (probs[i] + step < 1) step = 1 - probs[i];
+            probs[i] += step;
+            err -= step;
+            k++;
+        }
+    }
+
+    // emit: varint alphabet + token table + varint payload + payload
+    int64_t w = 0;
+    auto put = [&](uint8_t b) -> bool {
+        if (w >= cap) return false;
+        out[w++] = b;
+        return true;
+    };
+    auto varint = [&](uint64_t v) -> bool {
+        while (v >= 0x80) {
+            if (!put((uint8_t)(v) | 0x80)) return false;
+            v >>= 7;
+        }
+        return put((uint8_t)v);
+    };
+    if (!varint((uint64_t)alphabet)) return -2;
+    for (int64_t i = 0; i < alphabet;) {
+        int64_t p = probs[i];
+        if (p == 0) {
+            int64_t run = 1;
+            while (i + run < alphabet && run < 64 && probs[i + run] == 0) run++;
+            if (!put((uint8_t)(((run - 1) << 2) | 3))) return -2;
+            i += run;
+            continue;
+        }
+        int extra = 0;
+        if (p >= (1 << 6)) extra++;
+        if (p >= (1 << 14)) extra++;
+        if (!put((uint8_t)(((p << 2) | extra) & 0xFF))) return -2;
+        for (int b = 1; b <= extra; ++b)
+            if (!put((uint8_t)((p >> (8 * b - 2)) & 0xFF))) return -2;
+        i++;
+    }
+    // payload into the tail of the buffer, then move behind the varint
+    std::vector<uint32_t> probs32(alphabet);
+    for (int64_t i = 0; i < alphabet; ++i) probs32[i] = (uint32_t)probs[i];
+    std::vector<uint8_t> payload(n * 4 + 1024);
+    int plen = uvt_rans_encode(probs32.data(), (int)alphabet, precision_bits,
+                               symbols, (int)n, payload.data(),
+                               (int)payload.size());
+    if (plen < 0) return -2;
+    if (!varint((uint64_t)plen)) return -2;
+    if (w + plen > cap) return -2;
+    memcpy(out + w, payload.data(), plen);
+    return w + plen;
 }
 
 }  // extern "C"
