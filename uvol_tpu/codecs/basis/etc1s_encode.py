@@ -119,19 +119,28 @@ def _palette_core_fn(
         # clusterizer, TPU-expressed): repeatedly split every cluster along
         # its highest-variance feature at the cluster mean — all
         # segment-sums, no [N, K] one-hots — then Lloyd-refine on the MXU.
+        # stats via one-hot matmuls: segment_sum lowers to scatter-add,
+        # which serializes on TPU; one [N,k]x[N,9] MXU product returns
+        # sums/sq-sums/counts in one pass
+        aug = jnp.concatenate(
+            [feats, feats**2, jnp.ones((n, 1), jnp.float32)], axis=1
+        )  # [N, 9]
+
+        def seg_stats(assign_h, k):
+            oh = jax.nn.one_hot(assign_h, k, dtype=jnp.float32)
+            red = gsum(
+                jnp.dot(oh.T, aug, preferred_element_type=jnp.float32)
+            )  # [k, 9]
+            return red[:, :4], red[:, 4:8], red[:, 8]
+
         def hierarchical_init(e_target):
             import math
 
             rounds = max(1, math.ceil(math.log2(e_target)))
             assign_h = jnp.zeros(n, jnp.int32)
-            ones = jnp.ones((n,), jnp.float32)
             k = 1
             for _ in range(rounds):
-                cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
-                sm = gsum(jax.ops.segment_sum(feats, assign_h, num_segments=k))
-                sq = gsum(
-                    jax.ops.segment_sum(feats**2, assign_h, num_segments=k)
-                )
+                sm, sq, cnt = seg_stats(assign_h, k)
                 mean = sm / jnp.maximum(cnt, 1.0)[:, None]
                 var = sq / jnp.maximum(cnt, 1.0)[:, None] - mean**2
                 dim = jnp.argmax(var, axis=1)  # [k] split dimension
@@ -143,8 +152,7 @@ def _palette_core_fn(
                     f_sel > thr[assign_h]
                 ).astype(jnp.int32)
                 k *= 2
-            cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
-            sm = gsum(jax.ops.segment_sum(feats, assign_h, num_segments=k))
+            sm, _sq, cnt = seg_stats(assign_h, k)
             mean = sm / jnp.maximum(cnt, 1.0)[:, None]
             order = jnp.argsort(-cnt)[:e_target]  # heaviest leaves
             cb0 = mean[order]
