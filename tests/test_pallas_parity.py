@@ -95,3 +95,73 @@ def test_etc1_decode_pallas_parity():
     ref2 = np.asarray(decode_etc1_blocks(jnp.asarray(rw)))
     out2 = np.asarray(decode_etc1_blocks_pallas(jnp.asarray(rw), True))
     np.testing.assert_array_equal(out2, ref2)
+
+
+def test_etc1s_assign_and_inten_kernels_parity():
+    """The two palette-build kernels (etc1s_pallas.py) vs an exact int64
+    numpy model of the clip-aware error. Both sides are exact-integer by
+    construction, so equality is bitwise — including argmin ties."""
+    from uvol_tpu.codecs.basis.etc1s_encode import INTEN_TABLES
+    from uvol_tpu.codecs.basis.etc1s_pallas import (
+        assign_endpoints_pallas,
+        endpoint_const_rows,
+        inten_errors_pallas,
+    )
+
+    r = np.random.default_rng(11)
+    n, e = 300, 40  # non-multiples of both kernel tiles
+    blocks = r.integers(0, 256, (n, 16, 3)).astype(np.uint8)
+    basef = r.integers(0, 256, (e, 3)).astype(np.float32)
+    inten_idx = r.integers(0, 8, (e,)).astype(np.int32)
+    mods = np.asarray(INTEN_TABLES, np.float32)
+
+    me_e = (
+        np.clip(basef[:, None, :] + mods[inten_idx][:, :, None], 0, 255)
+        - basef[:, None, :]
+    )
+    q_ej = 2.0 * np.einsum("ec,ejc->ej", basef, me_e) + np.sum(me_e**2, -1)
+    pix = blocks.reshape(n * 16, 3).astype(np.int64)
+    dots = pix @ me_e.reshape(e * 4, 3).T.astype(np.int64)
+    cand = (
+        q_ej.reshape(-1)[None, :].astype(np.int64) - 2 * dots
+    ).reshape(n, 16, e, 4)
+    mod = cand.min(axis=3).sum(axis=1)
+    psum = blocks.reshape(n, 16, 3).sum(axis=1).astype(np.int64)
+    base_sq = 16 * np.sum(basef.astype(np.int64) ** 2, axis=1)
+    err = mod + base_sq[None, :] - 2 * (psum @ basef.T.astype(np.int64))
+    want_assign = err.argmin(axis=1).astype(np.int32)
+
+    const20 = endpoint_const_rows(
+        jnp.asarray(basef),
+        jnp.asarray(me_e.astype(np.float32)),
+        jnp.asarray(q_ej.astype(np.float32)),
+        e,
+    )
+    got = np.asarray(
+        assign_endpoints_pallas(
+            jnp.asarray(blocks.reshape(n * 16, 3)), const20, True
+        )
+    )
+    assert np.array_equal(got, want_assign)
+
+    assign = r.integers(0, e, (n,)).astype(np.int32)
+    base_b = basef[assign]
+    me_b = (
+        np.clip(base_b[:, None, None, :] + mods[None, :, :, None], 0, 255)
+        - base_b[:, None, None, :]
+    )
+    d = blocks.astype(np.int64) - base_b[:, None, :].astype(np.int64)
+    ce = np.sum(me_b.astype(np.int64) ** 2, -1)[:, None, :, :] - 2 * np.einsum(
+        "npc,ntjc->nptj", d, me_b.astype(np.int64)
+    )
+    want_bt = ce.min(axis=3).sum(axis=1)
+    tabs = tuple(tuple(int(v) for v in row) for row in INTEN_TABLES)
+    got_bt = np.asarray(
+        inten_errors_pallas(
+            jnp.asarray(np.transpose(blocks, (2, 1, 0)).reshape(48, n)),
+            jnp.asarray(base_b.T),
+            tabs,
+            True,
+        )
+    )
+    assert np.array_equal(got_bt, want_bt)

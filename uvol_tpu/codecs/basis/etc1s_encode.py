@@ -69,6 +69,8 @@ def _palette_core_fn(
     num_selectors: int,
     kmeans_iters: int,
     axis_name: str | None = None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
     """One fused XLA program for the entire palette build (per shape).
 
@@ -80,11 +82,29 @@ def _palette_core_fn(
     the global block order. Per-block phases (assignments, block_ce, the
     pair refinement) stay local — pure dp. Outputs: the codebooks are
     replicated (identical collectives on every device), the per-block
-    assignments stay sharded."""
+    assignments stay sharded.
+
+    `use_pallas`: run the two hot per-block stages (endpoint exact
+    assignment, intensity-table selection) as fused Pallas kernels
+    (etc1s_pallas.py). Both the kernels and the XLA fallbacks here use
+    EXACT INTEGER error accumulation (per-pixel minima cast to int32 and
+    summed in int32 — every f32 product involved stays below 2^24 and is
+    exact), so the two paths produce bit-identical assignments."""
     import jax
     import jax.numpy as jnp
 
     from uvol_tpu.models.codebook import kmeans_assign, kmeans_update
+
+    if use_pallas:
+        from uvol_tpu.codecs.basis.etc1s_pallas import (
+            assign_endpoints_pallas,
+            endpoint_const_rows,
+            inten_errors_pallas,
+        )
+
+        inten_tables_static = tuple(
+            tuple(int(v) for v in row) for row in INTEN_TABLES
+        )
 
     def gsum(x):
         """Global (cross-shard) reduction of a locally-reduced quantity."""
@@ -185,25 +205,54 @@ def _palette_core_fn(
         # — i.e. on every dark/bright region (liam's whole background) —
         # which distorted both assignment and the Lloyd update.
 
+        # blocks with channel-major pixel rows (c*16 + p) on the lane
+        # axis — the intensity kernel's layout; built once, shared by
+        # every cluster_inten call
+        x48_u8 = (
+            jnp.transpose(dev_blocks_u8, (2, 1, 0)).reshape(48, n)
+            if use_pallas
+            else None
+        )
+        pixels_u8 = (
+            dev_blocks_u8.reshape(n * 16, 3) if use_pallas else None
+        )
+
         def cluster_inten(assign, basef):
-            """Per-cluster best intensity table under the true error."""
+            """Per-cluster best intensity table under the true error.
+
+            Per-block errors are EXACT integers (int32-summed per-pixel
+            minima); the cross-cluster reduction stays a float one-hot
+            matmul (cluster sums exceed int32 range)."""
             base_b = basef[assign]  # [N, 3]
-            d = dev_blocks - base_b[:, None, :]  # [N, 16, 3]
-            err_cols = []
-            for t in range(8):  # peak [N,16,4], not [N,16,8,4]
-                me = (
-                    jnp.clip(
-                        base_b[:, None, :] + mods[t][None, :, None], 0.0, 255.0
+            if use_pallas:
+                err_bt = inten_errors_pallas(
+                    x48_u8, base_b.T, inten_tables_static,
+                    pallas_interpret,
+                ).astype(jnp.float32)  # [N, 8]
+            else:
+                d = dev_blocks - base_b[:, None, :]  # [N, 16, 3]
+                err_cols = []
+                for t in range(8):  # peak [N,16,4], not [N,16,8,4]
+                    me = (
+                        jnp.clip(
+                            base_b[:, None, :] + mods[t][None, :, None],
+                            0.0, 255.0,
+                        )
+                        - base_b[:, None, :]
+                    )  # [N, 4, 3]
+                    ce = jnp.sum(me**2, -1)[:, None, :] - 2.0 * jnp.einsum(
+                        "bpc,bjc->bpj", d, me,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [N, 16, 4]
+                    err_cols.append(
+                        jnp.sum(
+                            jnp.min(ce, axis=-1).astype(jnp.int32), axis=1
+                        )
                     )
-                    - base_b[:, None, :]
-                )  # [N, 4, 3]
-                ce = jnp.sum(me**2, -1)[:, None, :] - 2.0 * jnp.einsum(
-                    "bpc,bjc->bpj", d, me,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [N, 16, 4]
-                err_cols.append(jnp.sum(jnp.min(ce, axis=-1), axis=1))
-            err_bt = jnp.stack(err_cols, axis=1)  # [N, 8]
+                err_bt = jnp.stack(err_cols, axis=1).astype(
+                    jnp.float32
+                )  # [N, 8]
             onehot_e = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
             cluster_err = gsum(jnp.dot(onehot_e.T, err_bt))  # [E, 8] — MXU
             return jnp.argmin(cluster_err, axis=1).astype(jnp.int32)
@@ -222,11 +271,13 @@ def _palette_core_fn(
         e_pad = n_chunks * echunk
 
         def exact_assign(basef, inten_idx):
-            color_cross = jnp.dot(
-                p_sum, basef.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [N, E]
-            base_sq = 16.0 * jnp.sum(basef**2, axis=1)  # [E]
+            """argmin_e of the exact block error (integer accumulation).
+
+            The p_sq term is constant over e and dropped — it cannot
+            change the argmin. Per-pixel candidate errors are exact
+            integers in f32; the pixel sum runs in int32, so the result
+            is order-independent and bit-identical between this path and
+            the Pallas kernel."""
             # clip-aware effective modifiers per endpoint/code/channel
             me_e = (
                 jnp.clip(
@@ -239,6 +290,18 @@ def _palette_core_fn(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             ) + jnp.sum(me_e**2, -1)  # [E, 4]
+            if use_pallas:
+                const20 = endpoint_const_rows(
+                    basef, me_e, q_ej, num_endpoints
+                )
+                return assign_endpoints_pallas(
+                    pixels_u8, const20, pallas_interpret
+                )
+            color_cross = jnp.dot(
+                p_sum, basef.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [N, E]
+            base_sq = 16.0 * jnp.sum(basef**2, axis=1)  # [E]
             me_p = jnp.pad(me_e, ((0, e_pad - num_endpoints), (0, 0), (0, 0)))
             q_p = jnp.pad(q_ej, ((0, e_pad - num_endpoints), (0, 0)))
 
@@ -250,7 +313,9 @@ def _palette_core_fn(
                     precision=jax.lax.Precision.HIGHEST,
                 )  # [N, 16, C, 4] — MXU matmul over channels
                 cand = q_c[None, None] - 2.0 * p_cross
-                return carry, jnp.sum(jnp.min(cand, axis=-1), axis=1)  # [N, C]
+                return carry, jnp.sum(
+                    jnp.min(cand, axis=-1).astype(jnp.int32), axis=1
+                )  # [N, C] int32
 
             _, mod_err = jax.lax.scan(
                 chunk,
@@ -263,9 +328,9 @@ def _palette_core_fn(
             mod_err = jnp.moveaxis(mod_err, 0, 1).reshape(-1, e_pad)[
                 :, :num_endpoints
             ]
-            err = (
-                p_sq[:, None] - 2.0 * color_cross + base_sq[None, :] + mod_err
-            )
+            err = mod_err + (
+                base_sq[None, :] - 2.0 * color_cross
+            ).astype(jnp.int32)
             return jnp.argmin(err, axis=1).astype(jnp.int32)
 
         def block_ce(basef, inten_idx, assign):
@@ -516,14 +581,22 @@ def build_palettes(
         )
         mesh = None
 
-    key = (num_endpoints, num_selectors, kmeans_iters, mesh)
+    import jax
+
+    # the Mosaic kernels lower on the real TPU backend only ("axon" is
+    # this environment's tunneled TPU plugin); elsewhere the XLA path
+    # runs — both produce bit-identical assignments (exact integer
+    # error accumulation, see _palette_core_fn)
+    use_pallas = jax.default_backend() in ("tpu", "axon")
+    key = (num_endpoints, num_selectors, kmeans_iters, mesh, use_pallas)
     core = _PALETTE_JIT_CACHE.get(key)
     if core is None:
-        import jax
-
         if mesh is None:
             core = jax.jit(
-                _palette_core_fn(num_endpoints, num_selectors, kmeans_iters)
+                _palette_core_fn(
+                    num_endpoints, num_selectors, kmeans_iters,
+                    use_pallas=use_pallas,
+                )
             )
         else:
             from jax.sharding import PartitionSpec as P
@@ -531,6 +604,7 @@ def build_palettes(
             body = _palette_core_fn(
                 num_endpoints, num_selectors, kmeans_iters,
                 axis_name=FRAME_AXIS,
+                use_pallas=use_pallas,
             )
             spec = P(FRAME_AXIS)
             core = jax.jit(
