@@ -162,3 +162,82 @@ def test_whole_frame_decode_thread_safety(liam_output):
         np.testing.assert_array_equal(mesh.faces, ref.faces)
         for a, b in zip(mesh.attributes, ref.attributes):
             np.testing.assert_array_equal(a.values, b.values)
+
+
+def test_native_encode_orchestrator_byte_parity(liam_output, monkeypatch):
+    """draco_frame_enc.cpp whole-frame encode vs the staged Python
+    pipeline: byte-identical on real corpus frames and on a synthetic
+    boundary/seam mesh, both valence and standard traversals."""
+    from uvol_tpu.codecs.draco import constants as K
+    from uvol_tpu.codecs.draco.decoder import decode_drc
+    from uvol_tpu.codecs.draco.encoder import AttributeToEncode, encode_drc
+    from uvol_tpu import native
+
+    if native.get_draco_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    def both(faces, atts, **kw):
+        fast = encode_drc(faces, atts, **kw)
+        monkeypatch.setenv("UVT_DISABLE_NATIVE_FRAME", "1")
+        ref = encode_drc(faces, atts, **kw)
+        monkeypatch.delenv("UVT_DISABLE_NATIVE_FRAME")
+        return fast, ref
+
+    # real corpus frames (holes + splits + seams at scale)
+    for idx in ("00000", "00137"):
+        data = (liam_output / "geometry_draco" / f"{idx}.drc").read_bytes()
+        m = decode_drc(data)
+        pos_a = m.attribute_by_type(K.ATT_POSITION)
+        uv_a = m.attribute_by_type(K.ATT_TEX_COORD)
+        nrm_a = m.attribute_by_type(K.ATT_NORMAL)
+        gen_a = m.attribute_by_type(K.ATT_GENERIC)
+        atts = [
+            AttributeToEncode(
+                K.ATT_POSITION, pos_a.values, pos_a.corner_to_value, 11
+            ),
+            AttributeToEncode(
+                K.ATT_TEX_COORD, uv_a.values, uv_a.corner_to_value, 10
+            ),
+            AttributeToEncode(
+                K.ATT_NORMAL, nrm_a.values, nrm_a.corner_to_value, 8
+            ),
+            AttributeToEncode(
+                K.ATT_GENERIC, gen_a.values, gen_a.corner_to_value,
+                integer=True,
+            ),
+        ]
+        fast, ref = both(pos_a.corner_to_value.reshape(-1, 3), atts)
+        assert fast == ref
+
+    # small open grid (boundary hole path) + standard traversal
+    nx, ny = 7, 6
+    idx2 = lambda i, j: i * ny + j
+    pos = np.array(
+        [[i, j, (i * 3 + j) % 5 * 0.25] for i in range(nx) for j in range(ny)],
+        np.float32,
+    )
+    faces = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a, b, c, d = idx2(i, j), idx2(i + 1, j), idx2(i + 1, j + 1), idx2(i, j + 1)
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+    faces = np.array(faces, np.int32)
+    r = np.random.default_rng(5)
+    uv = (np.round(r.uniform(0, 1, (len(pos), 2)) * 32) / 32).astype(np.float32)
+    atts = [
+        AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), 12),
+        AttributeToEncode(K.ATT_TEX_COORD, uv, faces.reshape(-1), 10),
+    ]
+    for enc in ("valence", "standard"):
+        fast, ref = both(
+            faces,
+            [
+                AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), 12),
+                AttributeToEncode(K.ATT_TEX_COORD, uv, faces.reshape(-1), 10),
+            ],
+            traversal_encoding=enc,
+        )
+        assert fast == ref, enc

@@ -822,6 +822,24 @@ def encode_drc(
     if attributes[0].attribute_type != K.ATT_POSITION:
         raise ValueError("attributes[0] must be POSITION")
     faces = np.asarray(faces, np.int64)
+    if (faces[:, 0] == faces[:, 1]).any() or (
+        faces[:, 1] == faces[:, 2]
+    ).any() or (faces[:, 2] == faces[:, 0]).any():
+        raise ValueError("degenerate faces must be removed before encoding")
+
+    # whole-frame native fast path (native/draco_frame_enc.cpp): one C
+    # call runs corner table → traversal → replay → maps → per-attribute
+    # DFS/quantize/predict/entropy → container bytes. Byte-identical to
+    # the staged pipeline below, which stays as oracle and fallback
+    # (parity locked in tests/test_native_draco.py).
+    from uvol_tpu import native as _native_mod
+
+    _fast = _native_mod.drc_encode_native(
+        faces, attributes, traversal_encoding == "standard"
+    )
+    if _fast is not None:
+        return _fast
+
     ct = EncoderCornerTable(faces)
 
     # ---- connectivity traversal -------------------------------------------

@@ -24,6 +24,7 @@ _DRACO_SO = os.path.join(_HERE, "libuvt_draco.so")
 _DRACO_SRC = [
     os.path.join(_HERE, "draco_native.cpp"),
     os.path.join(_HERE, "draco_frame.cpp"),
+    os.path.join(_HERE, "draco_frame_enc.cpp"),
     _SRC,
 ]
 
@@ -1513,3 +1514,97 @@ def eb_encode_maps_native(
         pairs[a, : int(counts[2 + a])].copy() for a in range(na)
     ]
     return dec2enc, cs[:n_edges].copy(), bit_list, pair_list, boundary[:n_b].copy()
+
+
+def drc_encode_native(faces, attributes, standard_traversal: bool = False):
+    """Whole-frame `.drc` ENCODE in one native call (draco_frame_enc.cpp).
+
+    `attributes`: the encoder.py AttributeToEncode list (attributes[0]
+    must be POSITION). Returns the encoded bytes, or None when the lib is
+    unavailable / the frame uses a feature outside the fast path (the
+    caller then runs the staged Python pipeline, which is the oracle —
+    byte-identity locked in tests/test_native_draco.py)."""
+    if os.environ.get("UVT_DISABLE_NATIVE_FRAME") == "1":
+        return None
+    lib = get_draco_lib()
+    if lib is None:
+        return None
+    c = ctypes
+    if not hasattr(lib, "_uvt_drc_enc_bound"):
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.uvt_drc_encode.argtypes = [
+            _i64p, c.c_int64, c.c_int64,
+            c.c_int64, i32p, u8p, i32p, i32p, i32p, _i64p,
+            f64p, _i64p, _i64p, _i64p,
+            _i64p, c.c_int, u8p, c.c_int64,
+        ]
+        lib.uvt_drc_encode.restype = c.c_int64
+        lib._uvt_drc_enc_bound = True
+
+    from uvol_tpu.codecs.draco import constants as K
+
+    faces = np.ascontiguousarray(np.asarray(faces, np.int64).reshape(-1))
+    num_faces = len(faces) // 3
+    n = 3 * num_faces
+    num_positions = int(faces.max()) + 1 if num_faces else 0
+    na = len(attributes)
+
+    att_type = np.zeros(na, np.int32)
+    att_integer = np.zeros(na, np.uint8)
+    att_dtype = np.zeros(na, np.int32)
+    att_qbits = np.zeros(na, np.int32)
+    att_ncomp = np.zeros(na, np.int32)
+    att_nvals = np.zeros(na, np.int64)
+    fvals, foff = [], [0]
+    ivals, ioff = [0], None  # ivalues offsets built below
+    ioffs = [0]
+    c2v = np.empty((na, n), np.int64)
+    fcount = 0
+    icount = 0
+    for i, a in enumerate(attributes):
+        vals = np.asarray(a.values)
+        if vals.ndim != 2:
+            return None
+        att_type[i] = a.attribute_type
+        att_integer[i] = 1 if a.integer else 0
+        att_qbits[i] = a.quantization_bits
+        att_ncomp[i] = vals.shape[1]
+        att_nvals[i] = vals.shape[0]
+        c2v[i] = np.asarray(a.corner_to_value, np.int64).reshape(-1)
+        if a.integer:
+            att_dtype[i] = (
+                K.DT_UINT8 if vals.dtype == np.uint8 else K.DT_INT32
+            )
+            ivals.append(np.ascontiguousarray(vals.reshape(-1), np.int64))
+            icount += vals.size
+        else:
+            fvals.append(np.ascontiguousarray(vals.reshape(-1), np.float64))
+            fcount += vals.size
+        foff.append(fcount)
+        ioffs.append(icount)
+    fvalues_all = (
+        np.concatenate(fvals) if fvals else np.zeros(1, np.float64)
+    )
+    ivalues_all = (
+        np.concatenate([np.zeros(0, np.int64)] + ivals[1:])
+        if icount
+        else np.zeros(1, np.int64)
+    )
+    cap = 1 << 20
+    cap += 8 * (fcount + icount) + 4 * n
+    out = np.empty(cap, np.uint8)
+    rc = lib.uvt_drc_encode(
+        faces, num_faces, num_positions,
+        na, att_type, att_integer, att_dtype, att_qbits, att_ncomp,
+        att_nvals,
+        fvalues_all, np.asarray(foff[:-1], np.int64),
+        ivalues_all, np.asarray(ioffs[:-1], np.int64),
+        np.ascontiguousarray(c2v.reshape(-1)),
+        1 if standard_traversal else 0,
+        out, cap,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
