@@ -97,6 +97,36 @@ def test_etc1_decode_pallas_parity():
     np.testing.assert_array_equal(out2, ref2)
 
 
+def test_kmeans_iter_pallas_parity():
+    """Fused Lloyd kernel (etc1s_pallas.kmeans_iter_pallas) vs a float64
+    numpy model of the expanded-form distance. The kernel is f32 with
+    HIGHEST-precision dots; distances here are small-integer-valued
+    features so f32 vs f64 agree exactly, making equality bitwise
+    (including first-minimum argmin ties)."""
+    from uvol_tpu.codecs.basis.etc1s_pallas import kmeans_iter_pallas
+
+    r = np.random.default_rng(7)
+    n, d, k = 1300, 4, 40  # non-multiples of both the 512 tile and 128 lanes
+    feats = r.integers(0, 256, (n, d)).astype(np.float32)
+    cb = r.integers(0, 256, (k, d)).astype(np.float32)
+
+    dist = np.sum(cb.astype(np.float64) ** 2, 1)[None, :] - 2.0 * (
+        feats.astype(np.float64) @ cb.astype(np.float64).T
+    )
+    want_assign = dist.argmin(axis=1).astype(np.int32)
+    oh = np.zeros((n, k), np.float64)
+    oh[np.arange(n), want_assign] = 1.0
+    want_sums = oh.T @ feats.astype(np.float64)
+    want_counts = oh.sum(axis=0)
+
+    sums, counts, assign = kmeans_iter_pallas(
+        jnp.asarray(feats), jnp.asarray(cb), True
+    )
+    np.testing.assert_array_equal(np.asarray(assign), want_assign)
+    np.testing.assert_array_equal(np.asarray(counts), want_counts)
+    np.testing.assert_array_equal(np.asarray(sums), want_sums)
+
+
 def test_etc1s_assign_and_inten_kernels_parity():
     """The two palette-build kernels (etc1s_pallas.py) vs an exact int64
     numpy model of the clip-aware error. Both sides are exact-integer by

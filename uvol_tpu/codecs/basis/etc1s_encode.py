@@ -100,11 +100,33 @@ def _palette_core_fn(
             assign_endpoints_pallas,
             endpoint_const_rows,
             inten_errors_pallas,
+            kmeans_iter_pallas,
         )
 
         inten_tables_static = tuple(
             tuple(int(v) for v in row) for row in INTEN_TABLES
         )
+
+    def feat_assign(feats, cb):
+        """Nearest centroid in feature space (kmeans_assign semantics)."""
+        if use_pallas:
+            _, _, assign = kmeans_iter_pallas(feats, cb, pallas_interpret)
+            return assign
+        return kmeans_assign(feats, cb)
+
+    def feat_lloyd_iter(feats, cb):
+        """One Lloyd iteration over the 4-D features (kmeans_update
+        semantics: empty clusters keep their centroid)."""
+        if use_pallas:
+            sums1, counts, _ = kmeans_iter_pallas(feats, cb, pallas_interpret)
+            sums1, counts = gsum(sums1), gsum(counts)
+            return jnp.where(
+                counts[:, None] > 0,
+                sums1 / jnp.maximum(counts, 1.0)[:, None],
+                cb.astype(jnp.float32),
+            )
+        cb2, _ = kmeans_update(feats, cb, axis_name=axis_name)
+        return cb2
 
     def gsum(x):
         """Global (cross-shard) reduction of a locally-reduced quantity."""
@@ -153,6 +175,18 @@ def _palette_core_fn(
             )  # [k, 9]
             return red[:, :4], red[:, 4:8], red[:, 8]
 
+        def table_rows(idx, table):
+            """table[idx] as a one-hot matmul — TPU gathers of [N]
+            indices run ~3.7 ms each (profiled); the fused one-hot
+            product reads idx once. Exact for integer tables (0/1
+            weights)."""
+            oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+            return jnp.dot(
+                oh, table.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
         def hierarchical_init(e_target):
             import math
 
@@ -165,11 +199,19 @@ def _palette_core_fn(
                 var = sq / jnp.maximum(cnt, 1.0)[:, None] - mean**2
                 dim = jnp.argmax(var, axis=1)  # [k] split dimension
                 thr = jnp.take_along_axis(mean, dim[:, None], 1)[:, 0]
-                f_sel = jnp.take_along_axis(
-                    feats, dim[assign_h][:, None], 1
-                )[:, 0]
+                # [k,5] lookup rows: (dim==d) indicator + thr; one matmul
+                # replaces the dim[assign_h]/thr[assign_h] gathers
+                lut = jnp.concatenate(
+                    [
+                        jax.nn.one_hot(dim, 4, dtype=jnp.float32),
+                        thr[:, None],
+                    ],
+                    axis=1,
+                )
+                look = table_rows(assign_h, lut)  # [N, 5]
+                f_sel = jnp.sum(feats * look[:, :4], axis=1)
                 assign_h = assign_h * 2 + (
-                    f_sel > thr[assign_h]
+                    f_sel > look[:, 4]
                 ).astype(jnp.int32)
                 k *= 2
             sm, _sq, cnt = seg_stats(assign_h, k)
@@ -184,7 +226,7 @@ def _palette_core_fn(
 
         cb = hierarchical_init(num_endpoints)
         for _ in range(kmeans_iters):
-            cb, _ = kmeans_update(feats, cb, axis_name=axis_name)
+            cb = feat_lloyd_iter(feats, cb)
         base5 = jnp.clip(
             jnp.round(cb[:, :3] * 31.0 / 255.0), 0, 31
         ).astype(jnp.int32)
@@ -195,7 +237,7 @@ def _palette_core_fn(
         cb_q = jnp.concatenate(
             [base.astype(jnp.float32), cb[:, 3:]], axis=1
         )
-        assign = kmeans_assign(feats, cb_q)  # [N]
+        assign = feat_assign(feats, cb_q)  # [N]
         mods = jnp.asarray(INTEN_TABLES, jnp.float32)  # [8, 4]
 
         # All error terms below are CLIP-AWARE: the reconstruction clamps
@@ -223,7 +265,7 @@ def _palette_core_fn(
             Per-block errors are EXACT integers (int32-summed per-pixel
             minima); the cross-cluster reduction stays a float one-hot
             matmul (cluster sums exceed int32 range)."""
-            base_b = basef[assign]  # [N, 3]
+            base_b = table_rows(assign, basef)  # [N, 3] gather-free
             if use_pallas:
                 err_bt = inten_errors_pallas(
                     x48_u8, base_b.T, inten_tables_static,
@@ -339,20 +381,27 @@ def _palette_core_fn(
             Returns (ce [N,16,4], me_b [N,4,3]) — the shared tensor behind
             ideal selectors, the Lloyd update, and both selector-codebook
             stages."""
-            base_b = basef[assign]  # [N, 3]
+            # base color + intensity row per block in ONE one-hot matmul
+            # (profiled: the two [N]-index gathers cost ~7 ms/call)
+            lut = jnp.concatenate(
+                [basef, mods[inten_idx]], axis=1
+            )  # [E, 7]
+            look = table_rows(assign, lut)
+            base_b = look[:, :3]  # [N, 3]
             me_b = (
                 jnp.clip(
-                    base_b[:, None, :] + mods[inten_idx[assign]][:, :, None],
+                    base_b[:, None, :] + look[:, 3:][:, :, None],
                     0.0,
                     255.0,
                 )
                 - base_b[:, None, :]
             )  # [N, 4, 3]
             d = dev_blocks - base_b[:, None, :]  # [N, 16, 3]
-            ce = jnp.sum(me_b**2, -1)[:, None, :] - 2.0 * jnp.einsum(
-                "bpc,bjc->bpj", d, me_b,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # broadcast-multiply form: exact integers either way, but the
+            # batched [16,3]x[3,4] einsum wastes the MXU; this fuses as
+            # one elementwise pass
+            ce = jnp.sum(me_b**2, -1)[:, None, :] - 2.0 * jnp.sum(
+                d[:, :, None, :] * me_b[:, None, :, :], axis=-1
             )  # [N, 16, 4]
             return ce, me_b
 
@@ -362,11 +411,15 @@ def _palette_core_fn(
             # base update: mean over member pixels of (p - chosen modifier)
             ce, me_b = block_ce(basef, inten, assign)
             sel_px = jnp.argmin(ce, axis=-1)  # [N, 16]
-            me_px = jnp.take_along_axis(
-                jnp.broadcast_to(me_b[:, None, :, :], (n, 16, 4, 3)),
-                sel_px[:, :, None, None],
-                axis=2,
-            )[:, :, 0, :]  # [N, 16, 3]
+            # 4-way arithmetic select: the take_along_axis form lowered to
+            # a [N*16,3] gather measured at ~52 ms/call; exact (0/1
+            # weights on integer modifiers)
+            me_px = sum(
+                jnp.where(
+                    (sel_px == j)[:, :, None], me_b[:, None, j, :], 0.0
+                )
+                for j in range(4)
+            )  # [N, 16, 3]
             resid = dev_blocks - me_px
             onehot = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
             sums = gsum(
@@ -425,28 +478,41 @@ def _palette_core_fn(
 
             rounds = max(1, math.ceil(math.log2(s_target)))
             featsS = ideal_sel.astype(jnp.float32)  # [N, 16]
+            # stats via one-hot matmuls (scatter-free, like the endpoint
+            # init): one [N,k]x[N,33] MXU product per round
+            augS = jnp.concatenate(
+                [featsS, featsS**2, jnp.ones((n, 1), jnp.float32)], axis=1
+            )  # [N, 33]
+
+            def seg_statsS(assign_h, k):
+                oh = jax.nn.one_hot(assign_h, k, dtype=jnp.float32)
+                red = gsum(
+                    jnp.dot(oh.T, augS, preferred_element_type=jnp.float32)
+                )  # [k, 33]
+                return red[:, :16], red[:, 16:32], red[:, 32]
+
             assign_h = jnp.zeros(n, jnp.int32)
-            ones = jnp.ones((n,), jnp.float32)
             k = 1
             for _ in range(rounds):
-                cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
-                sm = gsum(jax.ops.segment_sum(featsS, assign_h, num_segments=k))
-                sq = gsum(
-                    jax.ops.segment_sum(featsS**2, assign_h, num_segments=k)
-                )
+                sm, sq, cnt = seg_statsS(assign_h, k)
                 mean = sm / jnp.maximum(cnt, 1.0)[:, None]
                 var = sq / jnp.maximum(cnt, 1.0)[:, None] - mean**2
                 dim = jnp.argmax(var, axis=1)
                 thr = jnp.take_along_axis(mean, dim[:, None], 1)[:, 0]
-                f_sel = jnp.take_along_axis(
-                    featsS, dim[assign_h][:, None], 1
-                )[:, 0]
+                lut = jnp.concatenate(
+                    [
+                        jax.nn.one_hot(dim, 16, dtype=jnp.float32),
+                        thr[:, None],
+                    ],
+                    axis=1,
+                )  # [k, 17]
+                look = table_rows(assign_h, lut)
+                f_sel = jnp.sum(featsS * look[:, :16], axis=1)
                 assign_h = assign_h * 2 + (
-                    f_sel > thr[assign_h]
+                    f_sel > look[:, 16]
                 ).astype(jnp.int32)
                 k *= 2
-            cnt = gsum(jax.ops.segment_sum(ones, assign_h, num_segments=k))
-            sm = gsum(jax.ops.segment_sum(featsS, assign_h, num_segments=k))
+            sm, _sq, cnt = seg_statsS(assign_h, k)
             mean = sm / jnp.maximum(cnt, 1.0)[:, None]
             order = jnp.argsort(-cnt)[:s_target]
             cb0 = jnp.clip(jnp.round(mean[order]), 0, 3).astype(jnp.int32)
@@ -528,6 +594,12 @@ def _palette_core_fn(
         ce, _ = block_ce(basef, inten, assign)
         sel_assign = sel_exact_assign(sel_cb)
 
+        # narrow the big per-block outputs: the host fetch of two [N]
+        # int32 arrays measured ~550 ms through slow tunnels; uint8
+        # halves+halves it whenever the palettes fit (the default 256)
+        if num_endpoints <= 256 and num_selectors <= 256:
+            assign = assign.astype(jnp.uint8)
+            sel_assign = sel_assign.astype(jnp.uint8)
         return base5, inten, sel_cb, assign, sel_assign
 
     return core
@@ -734,6 +806,10 @@ def _rdo_refine_fn(nby: int, nbx: int):
         _, (eps, sels) = jax.lax.scan(
             step, init, (blocks_u8, assigns, sel_assigns, is_break)
         )
+        # narrow the fetch: two [F,NB] int32 downloads measured ~550 ms
+        # through slow tunnels; indices fit uint8 for palettes <= 256
+        if color5.shape[0] <= 256 and sel_cb.shape[0] <= 256:
+            return eps.astype(jnp.uint8), sels.astype(jnp.uint8)
         return eps, sels
 
     return jax.jit(run)

@@ -223,3 +223,102 @@ def inten_errors_pallas(x48_u8, base3, tables, interpret: bool = False):
         interpret=interpret,
     )(x48_u8, base3)
     return out[:, :n].T
+
+
+# ---------------------------------------------------------------------------
+# Fused k-means iteration: nearest centroid + per-cluster sums/counts.
+# ---------------------------------------------------------------------------
+
+KM_TILE = 512  # feats rows per grid step
+
+
+def _make_kmeans_kernel(d: int, k: int, n_valid: int):
+    def _kernel(f_ref, c_ref, sums_ref, assign_ref):
+        # f_ref [KM_TILE, D] f32; c_ref [D+1, Kpad] rows: -2*cb_d and c2;
+        # sums_ref [Kpad, D+1] accumulated over grid steps; assign_ref
+        # [KM_TILE, 1]
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            sums_ref[:] = jnp.zeros_like(sums_ref)
+
+        f = f_ref[:]  # [T, D]
+        t = f.shape[0]
+        kpad = c_ref.shape[1]
+        dist = jnp.broadcast_to(c_ref[d : d + 1, :], (t, kpad))
+        for j in range(d):
+            dist = dist + f[:, j : j + 1] * c_ref[j : j + 1, :]
+        mn = jnp.min(dist, axis=1, keepdims=True)
+        kidx = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        idx = jnp.min(
+            jnp.where(dist == mn, kidx, jnp.int32(1 << 30)), axis=1
+        )  # [T] first minimum, matching jnp.argmin
+        assign_ref[:] = idx[:, None]
+        # one-hot built on the fly (no [N, K] HBM materialization); the
+        # [Kpad, T] x [T, D+1] product is a real-K MXU contraction
+        # mask padding rows out of the accumulation (their assignments
+        # are garbage and get sliced off; their one-hot must contribute 0)
+        row0 = pl.program_id(0) * t
+        valid = (
+            row0 + jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
+        ) < jnp.int32(n_valid)  # [1, T]
+        oh = jnp.where(
+            valid,
+            (
+                jax.lax.broadcasted_iota(jnp.int32, (kpad, t), 0)
+                == idx[None, :]
+            ).astype(jnp.float32),
+            0.0,
+        )
+        f1 = jnp.concatenate([f, jnp.ones((t, 1), jnp.float32)], axis=1)
+        sums_ref[:] += jax.lax.dot_general(
+            oh, f1, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def kmeans_iter_pallas(feats, cb, interpret: bool = False):
+    """One fused Lloyd iteration: feats [N, D], cb [K, D] ->
+    (sums [K, D], counts [K], assign [N]) where sums/counts aggregate
+    the nearest-centroid partition. Distances use the expanded form
+    c2 - 2*f.c (the f2 term is argmin-invariant); all f32."""
+    n, d = feats.shape
+    k = cb.shape[0]
+    kpad = max(128, -(-k // 128) * 128)
+    npad = -(-n // KM_TILE) * KM_TILE
+    if npad != n:
+        feats = jnp.pad(feats, ((0, npad - n), (0, 0)))
+    cbf = cb.astype(jnp.float32)
+    crows = jnp.concatenate(
+        [-2.0 * cbf.T, jnp.sum(cbf * cbf, axis=1)[None, :]], axis=0
+    )  # [D+1, K]
+    if kpad != k:
+        pad = jnp.full((d + 1, kpad - k), 0.0, jnp.float32)
+        # padded centroids sit at +inf distance
+        pad = pad.at[d, :].set(jnp.float32(3.4e38))
+        crows = jnp.concatenate([crows, pad], axis=1)
+    sums, assign = pl.pallas_call(
+        _make_kmeans_kernel(d, k, n),
+        grid=(npad // KM_TILE,),
+        in_specs=[
+            pl.BlockSpec((KM_TILE, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d + 1, kpad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((kpad, d + 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KM_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((kpad, d + 1), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(feats, crows)
+    return sums[:k, :d], sums[:k, d], assign[:n, 0]
