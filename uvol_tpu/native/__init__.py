@@ -208,11 +208,12 @@ def get_draco_lib() -> Optional[ctypes.CDLL]:
         i32p, c.c_int64, c.c_int64, u32p, u8p, i64p, i32p, i64p]
     lib.uvt_seam_pass.restype = c.c_int
     lib.uvt_attr_corner_table.argtypes = [
-        i32p, i32p, i32p, c.c_int64, c.c_int64, u8p, u8p, i32p, i32p, i64p]
+        i32p, i32p, i32p, c.c_int64, c.c_int64, u8p, u8p, i32p, i32p,
+        c.c_void_p, i64p]
     lib.uvt_attr_corner_table.restype = c.c_int
     lib.uvt_traverse_depth_first.argtypes = [
         i32p, i32p, c.c_void_p, c.c_int64, c.c_int64, i32p, c.c_int64,
-        i32p, i32p, i64p]
+        c.c_void_p, i32p, i32p, i64p]
     lib.uvt_traverse_depth_first.restype = c.c_int
     lib.uvt_decode_parallelogram.argtypes = [
         i64p, c.c_int64, c.c_int, c.c_int64, c.c_int64,
@@ -335,7 +336,7 @@ def attr_corner_table_native(
         num_vertices, num_corners,
         np.ascontiguousarray(seam_mask, np.uint8),
         np.ascontiguousarray(vertex_on_seam, np.uint8),
-        c2v, v2c, nout,
+        c2v, v2c, None, nout,
     )
     if rc != 0:
         raise ValueError(f"native attr corner table failed (rc={rc})")
@@ -359,7 +360,7 @@ def traverse_native(
         ptr_keep[0] if ptr_keep else None,
         num_faces, num_view_vertices,
         np.ascontiguousarray(corner_order, np.int32), len(corner_order),
-        v2d, d2c, nout,
+        None, v2d, d2c, nout,
     )
     if rc != 0:
         raise ValueError(f"native traversal failed (rc={rc})")

@@ -49,12 +49,14 @@ int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
                           int64_t num_corners, const uint8_t* seam_mask,
                           const uint8_t* vertex_on_seam,
                           int32_t* corner_to_vertex, int32_t* vertex_to_corner,
+                          uint8_t* fan_open_out,
                           int64_t* out_num_attr_vertices);
 int uvt_traverse_depth_first(const int32_t* opposite,
                              const int32_t* view_vertex,
                              const uint8_t* seam_mask, int64_t num_faces,
                              int64_t num_view_vertices,
                              const int32_t* corner_order, int64_t n_order,
+                             const uint8_t* fan_open_in,
                              int32_t* vertex_to_data, int32_t* data_to_corner,
                              int64_t* out_num_values);
 int uvt_decode_parallelogram(const int64_t* corr, int64_t n, int nc,
@@ -490,6 +492,8 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
   for (int d = 0; d < num_decoders; ++d) {
     DecHeader& dh = decs[d];
     std::vector<int32_t> att_corner_to_vertex, att_vertex_to_corner;
+    std::vector<uint8_t> att_fan_open;
+    const uint8_t* fan_open_ptr = nullptr;
     std::vector<uint8_t> seam_mask;  // is_edge_on_seam (u8)
     const int32_t* corner_vertex = vertex;
     const int32_t* view_vertex = vertex;
@@ -512,15 +516,19 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
         vertex_on_seam[vertex[next_c((int32_t)c)]] = 1;
         vertex_on_seam[vertex[prev_c((int32_t)c)]] = 1;
       }
-      att_corner_to_vertex.assign(n_corners, INVALID);
-      att_vertex_to_corner.assign(n_corners, 0);
+      // no pre-fill needed: the table kernel initializes c2v itself and
+      // only the first n_attr_vertices entries of v2c/fan_open are read
+      att_corner_to_vertex.resize(n_corners);
+      att_vertex_to_corner.resize(n_corners);
+      att_fan_open.resize(n_corners);
       int64_t n_attr_vertices = 0;
       int rc = uvt_attr_corner_table(
           opposite, vertex, vertex_corner,
           num_ct_vertices, n_corners, seam_mask.data(), vertex_on_seam.data(),
           att_corner_to_vertex.data(), att_vertex_to_corner.data(),
-          &n_attr_vertices);
+          att_fan_open.data(), &n_attr_vertices);
       if (rc != 0) return FB_MALFORMED;
+      fan_open_ptr = att_fan_open.data();
       corner_vertex = att_corner_to_vertex.data();
       view_vertex = att_corner_to_vertex.data();
       seam_ptr = seam_mask.data();
@@ -541,9 +549,10 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
       d2c_local.assign(num_view_vertices ? num_view_vertices : 1, 0);
       int rc = uvt_traverse_depth_first(
           opposite, view_vertex, seam_ptr, num_faces, num_view_vertices,
-          processed, n_processed, v2d_local.data(), d2c_local.data(),
-          &num_values);
+          processed, n_processed, fan_open_ptr,
+          v2d_local.data(), d2c_local.data(), &num_values);
       if (rc != 0) return FB_MALFORMED;
+      timer.mark(" traverse");
       if (dh.decoder_type != MESH_CORNER_ATTRIBUTE) {
         shared_v2d = v2d_local;
         shared_d2c = d2c_local;
@@ -584,6 +593,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
         std::vector<uint32_t> symbols;
         int rc = decode_symbols_raw(b, num_values * nc, symbols);
         if (rc != FB_OK) return rc;
+        timer.mark(" symbols");
 
         std::vector<int64_t> ints((size_t)num_values * nc);
         if (method == PREDICTION_NONE) {
@@ -659,6 +669,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
         } else {
           return FB_UNSUPPORTED;
         }
+        timer.mark(" predict");
 
         if (seq_type == SEQ_QUANTIZATION) {
           double mins[8];
@@ -707,6 +718,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
         std::vector<uint32_t> symbols;
         int rc = decode_symbols_raw(b, num_values * 2, symbols);
         if (rc != FB_OK) return rc;
+        timer.mark(" symbols");
         if (pos_values.empty() || pos_corner_map.empty())
           return FB_UNSUPPORTED;
         // octahedron transform wire data + flip stream
@@ -725,6 +737,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
             pos_corner_map.data(), flip.prob_zero, flip.buf, flip.len,
             num_faces, st.data());
         if (rc2 != 0) return FB_MALFORMED;
+        timer.mark(" predict");
         b.u8();  // qbits (DecodeDataNeededByPortableTransform)
         if (!b.ok) return FB_TRUNCATED;
         if (out.portable) {

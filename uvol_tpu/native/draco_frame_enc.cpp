@@ -87,12 +87,14 @@ int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
                           int64_t num_corners, const uint8_t* seam_mask,
                           const uint8_t* vertex_on_seam,
                           int32_t* corner_to_vertex, int32_t* vertex_to_corner,
+                          uint8_t* fan_open_out,
                           int64_t* out_num_attr_vertices);
 int uvt_traverse_depth_first(const int32_t* opposite,
                              const int32_t* view_vertex,
                              const uint8_t* seam_mask, int64_t num_faces,
                              int64_t num_view_vertices,
                              const int32_t* corner_order, int64_t n_order,
+                             const uint8_t* fan_open_in,
                              int32_t* vertex_to_data, int32_t* data_to_corner,
                              int64_t* out_num_values);
 int uvt_parallelogram_encode(const int64_t* values, int64_t n, int nc,
@@ -603,6 +605,7 @@ extern "C" int64_t uvt_drc_encode(
     const uint8_t* view_seam = nullptr;  // is_edge_on_seam or null
     int64_t view_nv;
     std::vector<int32_t> att_c2v_table, att_v2c;
+    std::vector<uint8_t> att_fan_open;
     std::vector<uint8_t> edge_on_seam, vertex_on_seam;
     std::vector<int32_t> v2d_l, d2c_l;  // callee-filled; sized per attr
     const int32_t* v2d;
@@ -637,10 +640,12 @@ extern "C" int64_t uvt_drc_encode(
       att_c2v_table.resize((size_t)n);
       att_v2c.resize((size_t)n);
       int64_t n_att_verts = 0;
+      att_fan_open.resize((size_t)n);
       if (uvt_attr_corner_table(d_opp.data(), d_vert.data(), d_vcorner.data(),
                                 d_num_vertices, n, edge_on_seam.data(),
                                 vertex_on_seam.data(), att_c2v_table.data(),
-                                att_v2c.data(), &n_att_verts) != 0)
+                                att_v2c.data(), att_fan_open.data(),
+                                &n_att_verts) != 0)
         return -11;
       view_vertex = att_c2v_table.data();
       view_seam = edge_on_seam.data();
@@ -650,7 +655,8 @@ extern "C" int64_t uvt_drc_encode(
       int64_t nv_out = 0;
       if (uvt_traverse_depth_first(d_opp.data(), view_vertex, view_seam,
                                    num_faces, view_nv, processed.data(),
-                                   n_processed, v2d_l.data(), d2c_l.data(),
+                                   n_processed, att_fan_open.data(),
+                                   v2d_l.data(), d2c_l.data(),
                                    &nv_out) != 0)
         return -12;
       v2d = v2d_l.data();
@@ -666,7 +672,8 @@ extern "C" int64_t uvt_drc_encode(
         int64_t nv_out = 0;
         if (uvt_traverse_depth_first(d_opp.data(), view_vertex, nullptr,
                                      num_faces, view_nv, processed.data(),
-                                     n_processed, v2d_vertex.data(),
+                                     n_processed, nullptr,
+                                     v2d_vertex.data(),
                                      d2c_vertex.data(), &nv_out) != 0)
           return -12;
         nvals_vertex = nv_out;

@@ -9,6 +9,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -409,6 +410,7 @@ int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
                           const uint8_t* vertex_on_seam,
                           int32_t* corner_to_vertex,  // [num_corners]
                           int32_t* vertex_to_corner,  // [num_corners] cap
+                          uint8_t* fan_open_out,  // nullable [num_corners] cap
                           int64_t* out_num_attr_vertices) {
   for (int64_t i = 0; i < num_corners; ++i) corner_to_vertex[i] = INVALID;
   Table t{const_cast<int32_t*>(opposite), const_cast<int32_t*>(vertex),
@@ -430,6 +432,7 @@ int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
         act = swing_left_seam(act);
       }
     }
+    int64_t first_fan = n_attr;
     int64_t fan_vertex = n_attr;
     vertex_to_corner[n_attr++] = first_c;
     corner_to_vertex[first_c] = (int32_t)fan_vertex;
@@ -441,6 +444,21 @@ int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
       }
       corner_to_vertex[c] = (int32_t)fan_vertex;
       c = t.swing_right(c);
+    }
+    if (fan_open_out) {
+      // a fan is open iff some corner of it has no seam-aware left
+      // neighbor. Every seam-started sub-fan is open by construction;
+      // the first fan of a seam vertex was left-walked to a seam end
+      // (open); a non-seam vertex's single fan is open iff the ring
+      // walk hit a boundary instead of wrapping (manifold tables keep
+      // `opposite` symmetric, so mid-walk corners always have left
+      // neighbors). This replaces the traverser's 3F-corner
+      // boundary-precompute pass for attribute decoders.
+      uint8_t first_open =
+          (vertex_on_seam[vert] || c == INVALID) ? 1 : 0;
+      fan_open_out[first_fan] = first_open;
+      for (int64_t fv = first_fan + 1; fv < n_attr; ++fv)
+        fan_open_out[fv] = 1;
     }
   }
   *out_num_attr_vertices = n_attr;
@@ -455,6 +473,9 @@ int uvt_traverse_depth_first(const int32_t* opposite, const int32_t* view_vertex
                              const uint8_t* seam_mask /*nullable*/,
                              int64_t num_faces, int64_t num_view_vertices,
                              const int32_t* corner_order, int64_t n_order,
+                             const uint8_t* fan_open_in /*nullable: skip the
+                                 boundary precompute (uvt_attr_corner_table
+                                 emits it during its ring walks)*/,
                              int32_t* vertex_to_data,  // [num_view_vertices]
                              int32_t* data_to_corner,  // [num_view_vertices]
                              int64_t* out_num_values) {
@@ -487,12 +508,17 @@ int uvt_traverse_depth_first(const int32_t* opposite, const int32_t* view_vertex
   // reaches that end — so the per-visit fan walk the reference does
   // reduces to one sequential pass over all corners (the walks totalled
   // the same step count but as dependent random loads)
-  std::vector<uint8_t> fan_open(num_view_vertices, 0);
-  for (int64_t c = 0; c < 3 * num_faces; ++c) {
-    if (opp(next_corner((int32_t)c)) == INVALID) {
-      int32_t v = view_vertex[c];
-      if (v >= 0 && v < num_view_vertices) fan_open[v] = 1;
+  std::vector<uint8_t> fan_open_local;
+  const uint8_t* fan_open = fan_open_in;
+  if (!fan_open) {
+    fan_open_local.assign(num_view_vertices, 0);
+    for (int64_t c = 0; c < 3 * num_faces; ++c) {
+      if (opp(next_corner((int32_t)c)) == INVALID) {
+        int32_t v = view_vertex[c];
+        if (v >= 0 && v < num_view_vertices) fan_open_local[v] = 1;
+      }
     }
+    fan_open = fan_open_local.data();
   }
   auto is_on_boundary = [&](int32_t corner_hint) -> bool {
     return fan_open[view_vertex[corner_hint]] != 0;
@@ -938,7 +964,9 @@ int uvt_normals_predict(
   // rotation, so each face normal is computed once and the fan walk only
   // accumulates (saves the 3x per-corner cross recompute). Exact: int64 adds.
   const int64_t nf = num_faces;
-  std::vector<int64_t> face_normal(nf * 3);  // filled lazily per face
+  // face_normal is gated by face_done, so it can stay uninitialized
+  // (value-init memset of ~24B/face measured in the decode hot path)
+  std::unique_ptr<int64_t[]> face_normal(new int64_t[(size_t)nf * 3]);
   std::vector<uint8_t> face_done(nf, 0);
   auto add_face_normal = [&](int32_t corner, int64_t* normal) {
     int64_t f = corner / 3;
