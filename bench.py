@@ -182,6 +182,7 @@ def main() -> None:
     # ---- real Draco corpus decode (the reference's own playback format) -----
     liam_fps = liam_fps_pool = liam_enc_fps = None
     liam_device_decode_fps = liam_device_decode_mverts = None
+    liam_device_stage_mverts = None
     liam_dir = "/root/reference/example/public/liam/output/geometry_draco"
     if os.path.isdir(liam_dir):
         from uvol_tpu.codecs.draco.decoder import decode_drc
@@ -252,6 +253,36 @@ def main() -> None:
         liam_device_decode_mverts = (
             sum(int(c) for c in dbatch.counts[0]) / dt_dd / 1e6
         )
+
+        # device-stage-only variant: the jitted dequantize over a
+        # device-RESIDENT 64-frame batch at the real frames' shape
+        # (dequantize is data-independent elementwise math, so zeros
+        # time identically). Separates the TPU stage from this environment's
+        # 1-core wire decode + ~20 MB/s upload, which dominate the
+        # end-to-end number above; a production host pools the wire
+        # stages across cores and feeds the device over real DMA.
+        import jax.numpy as _jnp
+
+        from uvol_tpu.models import drc_device as _dd
+
+        if _dd._FNS is not None:
+            _dequant = _dd._FNS[0]
+            pos_dev = dbatch.values[KD.ATT_POSITION]  # [8, N, 3]
+            ints8 = _jnp.tile(
+                _jnp.zeros(pos_dev.shape, _jnp.int16), (8, 1, 1)
+            )
+            mins8 = _jnp.zeros((ints8.shape[0], 3), _jnp.float32)
+            scale8 = _jnp.ones(ints8.shape[0], _jnp.float32)
+            out = _dequant(ints8, mins8, scale8)
+            _force(out)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = _dequant(ints8, mins8, scale8)
+            _force(out)
+            dt_ds = time.perf_counter() - t0
+            liam_device_stage_mverts = (
+                3 * ints8.shape[0] * ints8.shape[1] / dt_ds / 1e6
+            )
 
     # ---- 8 concurrent streams (BASELINE "8 streams ≥10× real-time") ----------
     # pure data parallelism over the stream×frame axes: one batched program
@@ -432,6 +463,10 @@ def main() -> None:
                     "liam_device_decode_mverts_per_s": (
                         round(liam_device_decode_mverts, 2)
                         if liam_device_decode_mverts else None
+                    ),
+                    "liam_device_stage_mverts_per_s": (
+                        round(liam_device_stage_mverts, 1)
+                        if liam_device_stage_mverts else None
                     ),
                     "liam_device_decode_note": (
                         "wire->device-RESIDENT tensors: bound by the 1-core "
