@@ -825,6 +825,7 @@ def _rdo_frame_body(nby: int, nbx: int):
     endpoint-delta runs, selector RLE runs and CR blocks — the rate side
     of basisu's RDO — while lambda bounds the distortion side.
     """
+    import jax
     import jax.numpy as jnp
 
     from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
@@ -838,12 +839,32 @@ def _rdo_frame_body(nby: int, nbx: int):
             (color5.astype(jnp.int32) << 3) | (color5.astype(jnp.int32) >> 2)
         ).astype(jnp.float32)  # [E, 3] extended
 
+        # per-endpoint lookup rows (base color ++ intensity modifiers) and
+        # the selector codebook, fetched via exact one-hot MXU matmuls —
+        # [N]-index row gathers measured ~3.7 ms each on TPU, and refine
+        # makes ~10 three-gather error evaluations per frame
+        ep_lut = jnp.concatenate(
+            [base, inten_tab[inten]], axis=1
+        )  # [E, 7]
+
+        def rows(idx, table):
+            oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+            return jnp.dot(
+                oh, table.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
         def pair_err(ep_idx, sel_idx):
             """Exact error of coding each block with (ep, sel)."""
-            b = base[ep_idx]                       # [N, 3]
-            m = inten_tab[inten[ep_idx]]           # [N, 4]
-            codes = sel_cb[sel_idx]                # [N, 16]
-            mod = jnp.take_along_axis(m, codes, axis=1)  # [N, 16]
+            look = rows(ep_idx, ep_lut)            # [N, 7]
+            b = look[:, :3]                        # [N, 3]
+            m = look[:, 3:]                        # [N, 4]
+            codes = rows(sel_idx, sel_cb)          # [N, 16] integer-valued
+            # 4-way arithmetic select replaces take_along_axis (gather)
+            mod = sum(
+                jnp.where(codes == j, m[:, j : j + 1], 0.0) for j in range(4)
+            )  # [N, 16]
             cand = jnp.clip(b[:, None, :] + mod[:, :, None], 0.0, 255.0)
             d = blocks - cand
             return jnp.sum(d * d, axis=(1, 2))     # [N]
