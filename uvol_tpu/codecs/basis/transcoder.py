@@ -203,18 +203,32 @@ class Endpoint:
     color5: Tuple[int, int, int]
 
 
-class EndpointList(list):
-    """List of Endpoint with the palette also exposed as arrays
+class EndpointList:
+    """Sequence of Endpoint with the palette exposed as arrays
     (`color5_arr` [E,3] uint8, `inten_arr` [E] uint8) so per-layer
-    transcode table builds stay vectorized."""
+    transcode table builds stay vectorized. Endpoint objects are
+    materialized lazily — the hot transcode paths only touch the
+    arrays, and eagerly building ~1.5k dataclass objects per segment
+    measured ~0.5 ms/frame in the playback profile."""
 
     def __init__(self, color5_arr: np.ndarray, inten_arr: np.ndarray):
         self.color5_arr = color5_arr
         self.inten_arr = inten_arr
-        super().__init__(
-            Endpoint(int(i), (int(c[0]), int(c[1]), int(c[2])))
-            for i, c in zip(inten_arr, color5_arr)
+
+    def __len__(self) -> int:
+        return len(self.inten_arr)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[k] for k in range(*i.indices(len(self)))]
+        c = self.color5_arr[i]
+        return Endpoint(
+            int(self.inten_arr[i]), (int(c[0]), int(c[1]), int(c[2]))
         )
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
 
 
 def _endpoint_arrays(endpoints) -> Tuple[np.ndarray, np.ndarray]:
@@ -549,6 +563,20 @@ def blocks_to_etc1_words(
     # word1 depends only on the endpoint and word2 only on the selector,
     # so build per-palette-entry tables once and gather (the per-block
     # work is two index lookups instead of per-pixel bit packing)
+    word1_of, word2_of = etc1_word_tables(endpoints, selectors)
+    ep = blocks[..., 0].reshape(-1)
+    sel = blocks[..., 1].reshape(-1)
+    return np.stack([word1_of[ep], word2_of[sel]], axis=1)
+
+
+def etc1_word_tables(
+    endpoints, selectors: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-palette-entry ETC1 word tables (word1_of [E], word2_of [S]).
+
+    Palettes are per-segment globals, so sequence transcoders build
+    these once and reuse them for every layer (the rebuild measured
+    ~0.6 ms/frame in the playback profile)."""
     color5, inten5 = _endpoint_arrays(endpoints)
     base5 = color5.astype(np.uint32)  # [E,3]
     inten = inten5.astype(np.uint32)
@@ -567,9 +595,7 @@ def blocks_to_etc1_words(
         (lsb_of[codes] << j[None, :]).sum(1)
         + (msb_of[codes] << (j[None, :] + 16)).sum(1)
     ).astype(np.uint32)  # [S]
-    ep = blocks[..., 0].reshape(-1)
-    sel = blocks[..., 1].reshape(-1)
-    return np.stack([word1_of[ep], word2_of[sel]], axis=1)
+    return word1_of, word2_of
 
 
 def blocks_to_bc1_words(
@@ -736,6 +762,9 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
     frames = []
     prev_blocks = None
     prev_alpha_blocks = None
+    etc1_tabs = (
+        etc1_word_tables(endpoints, selectors) if target == "etc1" else None
+    )
     for d in g.image_descs:
         sl = level[
             d.rgb_slice_byte_offset : d.rgb_slice_byte_offset + d.rgb_slice_byte_length
@@ -760,7 +789,16 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
             return ab
 
         if target == "etc1":
-            frames.append(blocks_to_etc1_words(blocks, endpoints, selectors))
+            word1_of, word2_of = etc1_tabs
+            frames.append(
+                np.stack(
+                    [
+                        word1_of[blocks[..., 0].reshape(-1)],
+                        word2_of[blocks[..., 1].reshape(-1)],
+                    ],
+                    axis=1,
+                )
+            )
         elif target == "bc1-bc3":
             color = blocks_to_bc1_words(blocks, endpoints, selectors)
             if has_alpha:
