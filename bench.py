@@ -266,22 +266,37 @@ def main() -> None:
         from uvol_tpu.models import drc_device as _dd
 
         if _dd._FNS is not None:
-            _dequant = _dd._FNS[0]
+            _dequant, _oct = _dd._FNS
             pos_dev = dbatch.values[KD.ATT_POSITION]  # [8, N, 3]
             ints8 = _jnp.tile(
                 _jnp.zeros(pos_dev.shape, _jnp.int16), (8, 1, 1)
             )
-            mins8 = _jnp.zeros((ints8.shape[0], 3), _jnp.float32)
-            scale8 = _jnp.ones(ints8.shape[0], _jnp.float32)
-            out = _dequant(ints8, mins8, scale8)
-            _force(out)
+            f64 = ints8.shape[0]
+            st8 = _jnp.zeros((f64, ints8.shape[1], 2), _jnp.int16)
+            mins8 = _jnp.zeros((f64, 3), _jnp.float32)
+            scale8 = _jnp.ones(f64, _jnp.float32)
+            maxv8 = _jnp.full(f64, 254.0, _jnp.float32)
+
+            def _stage():
+                # both device stages of a real frame: position/uv
+                # dequantize AND octahedral-normal reconstruction
+                return (
+                    _dequant(ints8, mins8, scale8),
+                    _oct(st8, maxv8),
+                )
+
+            _force(_stage())
             t0 = time.perf_counter()
             for _ in range(3):
-                out = _dequant(ints8, mins8, scale8)
+                out = _stage()
             _force(out)
             dt_ds = time.perf_counter() - t0
+            # count ACTUAL per-frame vertex counts (not the padded Nmax)
+            real_per_frame = sum(
+                int(c) for c in dbatch.counts[KD.ATT_POSITION]
+            ) / len(frames_bin)
             liam_device_stage_mverts = (
-                3 * ints8.shape[0] * ints8.shape[1] / dt_ds / 1e6
+                3 * f64 * real_per_frame / dt_ds / 1e6
             )
 
     # ---- 8 concurrent streams (BASELINE "8 streams ≥10× real-time") ----------

@@ -64,6 +64,24 @@ class Palettes:
 _PALETTE_JIT_CACHE: Dict[Tuple, object] = {}
 
 
+def _onehot_rows(idx, table):
+    """`table[idx]` as an exact one-hot MXU matmul.
+
+    [N]-index row gathers measured 3.7-52 ms per call on TPU inside the
+    palette/RDO cores; the one-hot product is exact for integer-valued
+    tables (0/1 weights, HIGHEST precision, one nonzero term per row).
+    Shared by _palette_core_fn and _rdo_frame_body (trace-time only)."""
+    import jax
+    import jax.numpy as jnp
+
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
+    return jnp.dot(
+        oh, table.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _palette_core_fn(
     num_endpoints: int,
     num_selectors: int,
@@ -175,17 +193,7 @@ def _palette_core_fn(
             )  # [k, 9]
             return red[:, :4], red[:, 4:8], red[:, 8]
 
-        def table_rows(idx, table):
-            """table[idx] as a one-hot matmul — TPU gathers of [N]
-            indices run ~3.7 ms each (profiled); the fused one-hot
-            product reads idx once. Exact for integer tables (0/1
-            weights)."""
-            oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
-            return jnp.dot(
-                oh, table.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+        table_rows = _onehot_rows
 
         def hierarchical_init(e_target):
             import math
@@ -657,8 +665,13 @@ def build_palettes(
 
     # the Mosaic kernels lower on the real TPU backend only ("axon" is
     # this environment's tunneled TPU plugin); elsewhere the XLA path
-    # runs — both produce bit-identical assignments (exact integer
-    # error accumulation, see _palette_core_fn)
+    # runs. The endpoint/intensity/selector ERROR stages are exact
+    # integers on both paths (see _palette_core_fn); the feature-space
+    # Lloyd iterations are f32 in the fused Pallas kernel vs bf16 dots
+    # in the XLA fallback, so cross-backend output is quality parity,
+    # not byte identity (each backend is deterministic on its own —
+    # the same contract as the mesh-sharded build; cross-backend bf16
+    # was never bit-stable anyway: CPU emulates the MXU's bf16)
     use_pallas = jax.default_backend() in ("tpu", "axon")
     key = (num_endpoints, num_selectors, kmeans_iters, mesh, use_pallas)
     core = _PALETTE_JIT_CACHE.get(key)
@@ -697,18 +710,17 @@ def build_palettes(
     dev_blocks = jnp.asarray(blocks)
     base5, inten, sel_cb, assign, sel_assign = core(dev_blocks)
 
-    pal = Palettes(
-        color5=np.array(np.asarray(base5, np.uint8)),
-        inten=np.array(np.asarray(inten, np.uint8)),
-        selectors=np.asarray(sel_cb, np.uint8),
-        block_endpoint=np.array(
-            np.asarray(assign, np.int32).reshape(f, nb)
-        ),
-        block_selector=np.array(
-            np.asarray(sel_assign, np.int32).reshape(f, nb)
-        ),
-    )
     if rdo:
+        # the refine below overwrites both assignment grids from the
+        # device-resident copies — placeholders here skip two dead
+        # [F, NB] device->host fetches per segment
+        pal = Palettes(
+            color5=np.array(np.asarray(base5, np.uint8)),
+            inten=np.array(np.asarray(inten, np.uint8)),
+            selectors=np.asarray(sel_cb, np.uint8),
+            block_endpoint=np.empty((f, nb), np.int32),
+            block_selector=np.empty((f, nb), np.int32),
+        )
         lam, lam_sel, lam_cr = rdo_lambdas
         rdo_refine_assignments(
             blocks, pal, h // 4, w // 4,
@@ -717,6 +729,18 @@ def build_palettes(
             dev_blocks=dev_blocks,
             dev_assign=jnp.asarray(assign, jnp.int32),
             dev_sel_assign=jnp.asarray(sel_assign, jnp.int32),
+        )
+    else:
+        pal = Palettes(
+            color5=np.array(np.asarray(base5, np.uint8)),
+            inten=np.array(np.asarray(inten, np.uint8)),
+            selectors=np.asarray(sel_cb, np.uint8),
+            block_endpoint=np.array(
+                np.asarray(assign, np.int32).reshape(f, nb)
+            ),
+            block_selector=np.array(
+                np.asarray(sel_assign, np.int32).reshape(f, nb)
+            ),
         )
     # relabel the endpoint palette by the actual scan-order bigram
     # statistics: entries that follow each other in the emitted stream get
@@ -825,7 +849,6 @@ def _rdo_frame_body(nby: int, nbx: int):
     endpoint-delta runs, selector RLE runs and CR blocks — the rate side
     of basisu's RDO — while lambda bounds the distortion side.
     """
-    import jax
     import jax.numpy as jnp
 
     from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
@@ -846,14 +869,7 @@ def _rdo_frame_body(nby: int, nbx: int):
         ep_lut = jnp.concatenate(
             [base, inten_tab[inten]], axis=1
         )  # [E, 7]
-
-        def rows(idx, table):
-            oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
-            return jnp.dot(
-                oh, table.astype(jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+        rows = _onehot_rows
 
         def pair_err(ep_idx, sel_idx):
             """Exact error of coding each block with (ep, sel)."""

@@ -491,8 +491,11 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
 
   for (int d = 0; d < num_decoders; ++d) {
     DecHeader& dh = decs[d];
-    std::vector<int32_t> att_corner_to_vertex, att_vertex_to_corner;
-    std::vector<uint8_t> att_fan_open;
+    // uninitialized POD scratch: the table kernel fills c2v itself and
+    // only the first n_attr_vertices entries of v2c/fan_open are read
+    // (std::vector resize would memset ~3 x n_corners per decoder)
+    std::unique_ptr<int32_t[]> att_corner_to_vertex, att_vertex_to_corner;
+    std::unique_ptr<uint8_t[]> att_fan_open;
     const uint8_t* fan_open_ptr = nullptr;
     std::vector<uint8_t> seam_mask;  // is_edge_on_seam (u8)
     const int32_t* corner_vertex = vertex;
@@ -516,21 +519,19 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
         vertex_on_seam[vertex[next_c((int32_t)c)]] = 1;
         vertex_on_seam[vertex[prev_c((int32_t)c)]] = 1;
       }
-      // no pre-fill needed: the table kernel initializes c2v itself and
-      // only the first n_attr_vertices entries of v2c/fan_open are read
-      att_corner_to_vertex.resize(n_corners);
-      att_vertex_to_corner.resize(n_corners);
-      att_fan_open.resize(n_corners);
+      att_corner_to_vertex.reset(new int32_t[n_corners]);
+      att_vertex_to_corner.reset(new int32_t[n_corners]);
+      att_fan_open.reset(new uint8_t[n_corners]);
       int64_t n_attr_vertices = 0;
       int rc = uvt_attr_corner_table(
           opposite, vertex, vertex_corner,
           num_ct_vertices, n_corners, seam_mask.data(), vertex_on_seam.data(),
-          att_corner_to_vertex.data(), att_vertex_to_corner.data(),
-          att_fan_open.data(), &n_attr_vertices);
+          att_corner_to_vertex.get(), att_vertex_to_corner.get(),
+          att_fan_open.get(), &n_attr_vertices);
       if (rc != 0) return FB_MALFORMED;
-      fan_open_ptr = att_fan_open.data();
-      corner_vertex = att_corner_to_vertex.data();
-      view_vertex = att_corner_to_vertex.data();
+      fan_open_ptr = att_fan_open.get();
+      corner_vertex = att_corner_to_vertex.get();
+      view_vertex = att_corner_to_vertex.get();
       seam_ptr = seam_mask.data();
       num_view_vertices = n_attr_vertices;
     }
