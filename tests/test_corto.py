@@ -378,3 +378,90 @@ def test_crt_normal_prediction_rejects_point_cloud():
     with pytest.raises(ValueError, match="point clouds"):
         encode_crt(pos, np.zeros((0, 3), np.int64), normals=nrm,
                    normal_prediction="estimated")
+
+
+def test_crt_custom_attributes_roundtrip():
+    """Custom per-vertex attributes (reference Encoder::addAttribute,
+    encoder.h:54-79): float attrs quantize by step / bits-from-range,
+    integer attrs store exact; both decode through the native
+    orchestrator AND the staged oracle by generic-codec dispatch."""
+    import os
+
+    from uvol_tpu.codecs.corto.encoder import CrtCustomAttr
+
+    pos, faces = _grid_mesh(12)
+    n = len(pos)
+    r = np.random.default_rng(3)
+    heat = r.normal(size=(n, 1)).astype(np.float32)
+    flags = r.integers(-5, 200, (n, 2)).astype(np.int64)
+    blob = encode_crt(
+        pos, faces,
+        custom_attributes={
+            "heat": CrtCustomAttr(heat, step=1e-3),
+            "flags": CrtCustomAttr(flags),
+            "auto": CrtCustomAttr(heat * 40.0, bits=14),
+        },
+    )
+    for staged in (None, "1"):
+        if staged:
+            os.environ["UVT_CRT_STAGED"] = staged
+        try:
+            m = decode_crt(blob)
+        finally:
+            os.environ.pop("UVT_CRT_STAGED", None)
+        idx = _vertex_map(m.attributes["position"], pos)
+        assert np.abs(m.attributes["heat"] - heat[idx]).max() <= 1e-3
+        np.testing.assert_array_equal(m.attributes["flags"], flags[idx])
+        rng = float(heat.max() - heat.min()) * 40.0
+        assert np.abs(
+            m.attributes["auto"] - heat[idx] * 40.0
+        ).max() <= rng / (1 << 14)
+    with pytest.raises(ValueError):
+        encode_crt(
+            pos, faces, custom_attributes={"uv": CrtCustomAttr(heat)}
+        )
+
+
+def test_crt_trajectory_attributes():
+    """The trajectory-fork path (reference main.cpp:189-202): polynomial
+    motion coefficients ride the `.crt` as xPos/yPos/zPos custom attrs;
+    a decoder reconstructs any frame by evaluating the polynomial."""
+    from uvol_tpu.codecs.corto.encoder import CrtCustomAttr
+    from uvol_tpu.models.trajectory import fit_trajectories
+
+    pos, faces = _grid_mesh(10)
+    f = 12
+    t = np.linspace(0.0, 1.0, f, dtype=np.float32)
+    seq = (
+        pos[None, :, :]
+        + np.stack([0.3 * t**2, 0.1 * t, 0.2 * t**3], -1)[:, None, :]
+    ).astype(np.float32)
+    group = fit_trajectories(seq, degree=3)
+    coeffs = np.asarray(group.coefficients)  # [4, N, 3]
+    custom = {
+        name: CrtCustomAttr(
+            np.ascontiguousarray(coeffs[:, :, axis].T), bits=16
+        )
+        for axis, name in enumerate(("xPos", "yPos", "zPos"))
+    }
+    blob = encode_crt(seq[0], faces, custom_attributes=custom)
+    m = decode_crt(blob)
+    idx = _vertex_map(m.attributes["position"], seq[0])
+    got = np.stack(
+        [m.attributes[nm] for nm in ("xPos", "yPos", "zPos")], -1
+    )  # [N, 4, 3] in decoded vertex order
+    # evaluate the decoded polynomial at the last frame
+    powers = np.array([1.0, 1.0, 1.0, 1.0], np.float32)  # t=1
+    recon = np.einsum("nkc,k->nc", got, powers)
+    assert np.abs(recon - seq[-1][idx]).max() < 2e-3
+
+
+def _vertex_map(decoded_pos, orig_pos):
+    """decoded index -> original index (the traversal renumbers
+    vertices; grid vertices are distinct so nearest is exact)."""
+    from scipy.spatial import cKDTree
+
+    _, idx = cKDTree(orig_pos).query(decoded_pos)
+    return idx
+
+

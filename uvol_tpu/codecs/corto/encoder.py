@@ -23,6 +23,7 @@ from uvol_tpu.codecs.corto.decoder import (
     NORMAL_CODEC,
     PARALLEL,
     FMT_FLOAT,
+    FMT_INT32,
     PRED_DIFF,
     PRED_ESTIMATED,
     PRED_BORDER,
@@ -36,6 +37,26 @@ from uvol_tpu.codecs.corto.decoder import (
     _ilog2,
 )
 from uvol_tpu.codecs.corto.stream import CortoOutStream
+import dataclasses
+
+
+@dataclasses.dataclass
+class CrtCustomAttr:
+    """A custom per-vertex attribute for `encode_crt` — the reference's
+    `Encoder::addAttribute` surface (encoder.h:54-79; GenericAttr<T>
+    vertex_attribute.h:72-120). The trajectory fork stores polynomial
+    coefficients this way (xPos/yPos/zPos, main.cpp:189-202).
+
+    values: [nvert, C] float or integer array.
+    step:   quantization step (float inputs). None derives it from the
+            per-component range and `bits`, like GenericAttr's
+            bits-from-range heuristic. Integer inputs are stored exact
+            (step 1, INT32 wire format) and decode back as ints.
+    """
+
+    values: np.ndarray
+    step: Optional[float] = None
+    bits: int = 12
 
 
 def _build_topology(faces: np.ndarray) -> np.ndarray:
@@ -269,6 +290,7 @@ def encode_crt(
     groups: Optional[List[int]] = None,
     entropy: int = 1,
     normal_prediction: str = "diff",
+    custom_attributes: Optional[Dict[str, "CrtCustomAttr"]] = None,
 ) -> bytes:
     """Encode a mesh into a `.crt` the reference JS/C++ decoders accept.
 
@@ -409,6 +431,42 @@ def encode_crt(
         e3 = col[:, 3] // qc[3]
         col_q = np.stack([e0, e1, e2, e3], 1)
         attrs.append(("color", COLOR_CODEC, 1.0, 4, 4, CORRELATED, col_q))
+
+    reserved = {"position", "uv", "normal", "color"}
+    for name, ca in sorted((custom_attributes or {}).items()):
+        if name in reserved:
+            raise ValueError(
+                f"custom attribute name {name!r} collides with a built-in"
+            )
+        vals = np.asarray(ca.values)
+        if vals.ndim == 1:
+            vals = vals[:, None]
+        if len(vals) != nvert or vals.ndim != 2:
+            raise ValueError(
+                f"custom attribute {name!r}: expected [{nvert}, C] values"
+            )
+        if vals.shape[1] > 255:
+            raise ValueError(f"custom attribute {name!r}: too many components")
+        if np.issubdtype(vals.dtype, np.integer):
+            # exact integer attribute: unit step, INT32 wire format
+            attrs.append(
+                (name, GENERIC_CODEC, 1.0, vals.shape[1], FMT_INT32,
+                 PARALLEL | CORRELATED, vals.astype(np.int64))
+            )
+            continue
+        step = ca.step
+        if step is None:
+            # GenericAttr<T>'s bits-from-range heuristic: step sized so
+            # the largest per-component range spans 2^bits values
+            rng = float(
+                np.max(vals.max(0) - vals.min(0), initial=0.0)
+            )
+            step = (rng if rng > 0 else 1.0) / (1 << ca.bits)
+        vq = np.trunc(np.asarray(vals, np.float64) / step).astype(np.int64)
+        attrs.append(
+            (name, GENERIC_CODEC, float(step), vals.shape[1], FMT_FLOAT,
+             PARALLEL | CORRELATED, vq)
+        )
 
     attrs.sort(key=lambda a: a[0])
     out.u32(len(attrs))
