@@ -226,7 +226,7 @@ def get_draco_lib() -> Optional[ctypes.CDLL]:
     lib.uvt_normals_predict.argtypes = [
         i64p, c.c_int64, c.c_int64, c.c_int64,
         i32p, i32p, c.c_void_p, i32p, i64p, i32p,
-        c.c_uint32, u8p, c.c_int64, c.c_int64, i64p]
+        c.c_uint32, u8p, c.c_int64, c.c_int64, c.c_void_p, i64p]
     lib.uvt_normals_predict.restype = c.c_int
     _draco_lib = lib
     return lib
@@ -438,7 +438,7 @@ def normals_native(
         np.ascontiguousarray(positions.reshape(-1), np.int64),
         np.ascontiguousarray(pos_data_of_corner, np.int32),
         flip_prob_zero, _u8(flip_buf), len(flip_buf),
-        len(opposite) // 3, out,
+        len(opposite) // 3, None, out,
     )
     if rc != 0:
         raise ValueError(f"native normals predictor failed (rc={rc})")

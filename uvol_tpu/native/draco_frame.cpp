@@ -80,7 +80,8 @@ int uvt_normals_predict(const int64_t* corr, int64_t n,
                         const int64_t* positions,
                         const int32_t* pos_data_of_corner,
                         uint32_t flip_prob_zero, const uint8_t* flip_buf,
-                        int64_t flip_len, int64_t num_faces, int64_t* out);
+                        int64_t flip_len, int64_t num_faces,
+                        const int32_t* vertex_to_data, int64_t* out);
 int64_t uvt_point_assembly(const int32_t* keys, int64_t num_corners,
                            int num_attrs, const int32_t* widths_in,
                            int32_t* out);
@@ -736,7 +737,7 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
             corr.data(), num_values, max_quantized, center_wire,
             opposite, view_vertex, seam_ptr, d2c, pos_values.data(),
             pos_corner_map.data(), flip.prob_zero, flip.buf, flip.len,
-            num_faces, st.data());
+            num_faces, v2d, st.data());
         if (rc2 != 0) return FB_MALFORMED;
         timer.mark(" predict");
         b.u8();  // qbits (DecodeDataNeededByPortableTransform)

@@ -930,6 +930,11 @@ int uvt_normals_predict(
     uint32_t flip_prob_zero, const uint8_t* flip_buf, int64_t flip_len,
     int64_t num_faces,  // bounds the face-normal memo (fan walks reach
                         // faces beyond the data_to_corner entries)
+    const int32_t* vertex_to_data /*nullable: enables the linear-pass
+        accumulation — each data value's seam-aware fan is exactly the
+        corner set mapped to its view vertex, so one sequential sweep
+        over corners replaces the per-vertex dependent-load walks;
+        int64 adds commute, so results are bit-identical*/,
     int64_t* out  // [n, 2]
 ) {
   (void)center_value_wire;
@@ -989,24 +994,72 @@ int uvt_normals_predict(
     normal[2] += face_normal[f * 3 + 2];
   };
 
-  for (int64_t p = 0; p < n; ++p) {
-    int32_t ci = data_to_corner[p];
-    int64_t normal[3] = {0, 0, 0};
-    int32_t start = ci, c = ci;
-    bool wrapped = false;
-    while (c != INVALID) {
-      add_face_normal(c, normal);
-      c = swing_right(c);
-      if (c == start) {
-        wrapped = true;
-        break;
+  std::unique_ptr<int64_t[]> accum;
+  if (vertex_to_data) {
+    // linear-pass accumulation: a data value's seam-aware fan is the
+    // exact corner set the attribute corner table mapped to its view
+    // vertex, so per-corner scatter-adds of memoized face normals give
+    // the same integer sums as the dependent-load ring walks
+    const int64_t nc3 = 3 * num_faces;
+    for (int64_t f = 0; f < num_faces; ++f) {
+      int64_t c0[3], d1[3], d2[3];
+      int32_t base = (int32_t)(3 * f);
+      int32_t nn = next_corner(base), pp = prev_corner(base);
+      // hostile streams can leave corners with no position data (-1);
+      // such faces are unreachable from valid data corners — zero them
+      if (pos_data_of_corner[base] < 0 || pos_data_of_corner[nn] < 0 ||
+          pos_data_of_corner[pp] < 0) {
+        face_normal[f * 3] = face_normal[f * 3 + 1] =
+            face_normal[f * 3 + 2] = 0;
+        continue;
       }
+      for (int k = 0; k < 3; ++k) {
+        c0[k] = posv(base, k);
+        d1[k] = posv(nn, k) - c0[k];
+        d2[k] = posv(pp, k) - c0[k];
+      }
+      face_normal[f * 3] = d1[1] * d2[2] - d1[2] * d2[1];
+      face_normal[f * 3 + 1] = d1[2] * d2[0] - d1[0] * d2[2];
+      face_normal[f * 3 + 2] = d1[0] * d2[1] - d1[1] * d2[0];
     }
-    if (!wrapped) {
-      c = swing_left(start);
-      while (c != INVALID && c != start) {
+    accum.reset(new int64_t[(size_t)n * 3]());
+    for (int64_t c = 0; c < nc3; ++c) {
+      int32_t v = view_vertex[c];
+      if (v < 0) continue;
+      int32_t p = vertex_to_data[v];
+      if (p < 0 || (int64_t)p >= n) continue;
+      const int64_t* fnp = &face_normal[(c / 3) * 3];
+      int64_t* ap = &accum[(size_t)p * 3];
+      ap[0] += fnp[0];
+      ap[1] += fnp[1];
+      ap[2] += fnp[2];
+    }
+  }
+
+  for (int64_t p = 0; p < n; ++p) {
+    int64_t normal[3] = {0, 0, 0};
+    if (vertex_to_data) {
+      normal[0] = accum[(size_t)p * 3];
+      normal[1] = accum[(size_t)p * 3 + 1];
+      normal[2] = accum[(size_t)p * 3 + 2];
+    } else {
+      int32_t ci = data_to_corner[p];
+      int32_t start = ci, c = ci;
+      bool wrapped = false;
+      while (c != INVALID) {
         add_face_normal(c, normal);
-        c = swing_left(c);
+        c = swing_right(c);
+        if (c == start) {
+          wrapped = true;
+          break;
+        }
+      }
+      if (!wrapped) {
+        c = swing_left(start);
+        while (c != INVALID && c != start) {
+          add_face_normal(c, normal);
+          c = swing_left(c);
+        }
       }
     }
     tb.canonicalize(normal);
