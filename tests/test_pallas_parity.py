@@ -195,3 +195,63 @@ def test_etc1s_assign_and_inten_kernels_parity():
         )
     )
     assert np.array_equal(got_bt, want_bt)
+
+
+def test_strip_codec_parity():
+    """Strip-planar codec (MXU permutation ingress/egress + strip
+    kernels) is bit-identical to the block-level pallas path, and the
+    strips layout round-trips exactly."""
+    from uvol_tpu.codecs.basis.etc import blocks_to_image, image_to_blocks
+    from uvol_tpu.codecs.basis.etc_pallas import (
+        decode_etc1_blocks_pallas,
+        decode_etc1_images_pallas,
+        encode_etc1_images_pallas,
+        images_to_strips,
+        pack_words2,
+        strips_to_images,
+        unpack_words2,
+    )
+
+    rng = np.random.default_rng(11)
+    for f, h, w in [(2, 8, 128), (1, 12, 256)]:
+        imgs = rng.integers(0, 256, (f, h, w, 3), np.uint8)
+        # layout mapping + exact roundtrip
+        strips = np.asarray(images_to_strips(jnp.asarray(imgs)))
+        nbx = w // 4
+        y0, x0, c0 = h - 1, w - 3, 2
+        assert (
+            strips[(0 * (h // 4) + y0 // 4) * 4 + y0 % 4,
+                   (c0 * 4 + x0 % 4) * nbx + x0 // 4]
+            == imgs[0, y0, x0, c0]
+        )
+        back = np.asarray(strips_to_images(jnp.asarray(strips), f, h, w))
+        np.testing.assert_array_equal(back, imgs)
+        # encode words == block-level pallas words
+        blocks = np.asarray(jax.vmap(image_to_blocks)(jnp.asarray(imgs)))
+        ref_words = np.stack(
+            [
+                np.asarray(encode_etc1_blocks_pallas(jnp.asarray(b), True))
+                for b in blocks
+            ]
+        )
+        got = pack_words2(
+            encode_etc1_images_pallas(jnp.asarray(imgs), True), f
+        )
+        np.testing.assert_array_equal(got, ref_words)
+        # decode pixels == block-level pallas pixels
+        ref_img = np.stack(
+            [
+                np.asarray(
+                    blocks_to_image(
+                        decode_etc1_blocks_pallas(jnp.asarray(wd), True), h, w
+                    )
+                )
+                for wd in ref_words
+            ]
+        )
+        got_img = np.asarray(
+            decode_etc1_images_pallas(
+                jnp.asarray(unpack_words2(ref_words)), f, h, w, True
+            )
+        )
+        np.testing.assert_array_equal(got_img, ref_img)

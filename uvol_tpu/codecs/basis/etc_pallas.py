@@ -95,16 +95,15 @@ def _encode_subblock(sub, base_ch):
     return best_tab, best_codes, true_err
 
 
-def _kernel(x_ref, out_ref):
-    # Mosaic has no direct u8->f32 cast; hop through int32
-    xf = x_ref[:].astype(jnp.int32).astype(jnp.float32)  # [96, T]
-    t = xf.shape[1]
+def _encode_subblocks(flip_subs, t):
+    """Shared search body: `flip_subs` = [(sub0, sub1)] per flip, each
+    [24, T] f32 channel-major pixel rows. Returns the winning [2, T]
+    word planes (identical math for both input layouts)."""
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, t), 0)
 
     results = []
     for flip in (0, 1):
-        sub0 = xf[flip * 48 : flip * 48 + 24, :]
-        sub1 = xf[flip * 48 + 24 : flip * 48 + 48, :]
+        sub0, sub1 = flip_subs[flip]
         m0 = _mean_quant5(sub0)  # three [1,T] in 0..31
         m1 = _mean_quant5(sub1)
         d = [jnp.clip(b - a, -4, 3) for a, b in zip(m0, m1)]
@@ -141,7 +140,18 @@ def _kernel(x_ref, out_ref):
     use1 = e_1 < e_0
     word1 = jnp.where(use1, w1_1, w1_0)
     word2 = jnp.where(use1, w2_1, w2_0)
-    out_ref[:] = jnp.concatenate([word1, word2], axis=0)  # [2, T]
+    return jnp.concatenate([word1, word2], axis=0)  # [2, T]
+
+
+def _kernel(x_ref, out_ref):
+    # Mosaic has no direct u8->f32 cast; hop through int32
+    xf = x_ref[:].astype(jnp.int32).astype(jnp.float32)  # [96, T]
+    t = xf.shape[1]
+    flip_subs = [
+        (xf[f * 48 : f * 48 + 24, :], xf[f * 48 + 24 : f * 48 + 48, :])
+        for f in (0, 1)
+    ]
+    out_ref[:] = _encode_subblocks(flip_subs, t)
 
 
 def _prepare_layout(blocks: jax.Array) -> jax.Array:
@@ -217,9 +227,17 @@ def _sel8_vec(table, vals):
 
 
 def _dec_kernel(w_ref, out_ref):
-    w1 = w_ref[0:1, :]  # [1, T] int32 (bit-identical to the uint32 words)
+    w1 = w_ref[0:1, :]
     w2 = w_ref[1:2, :]
     t = w1.shape[1]
+    px = _dec_px_rows(w1, w2, t, raster_rows=True)
+    pad = jnp.zeros((_DEC_ROWS - 48, t), jnp.int32)
+    out_ref[:] = jnp.concatenate([px, pad], axis=0).astype(jnp.uint8)
+
+
+def _dec_px_rows(w1, w2, t, raster_rows):
+    """Word planes [1, T] -> pixel rows [48, T] int32 (channel-major;
+    row order y*4+x when `raster_rows` else x*4+y)."""
     diff = (w1 >> 1) & 1
     flip = w1 & 1
     t0 = (w1 >> 5) & 7
@@ -243,11 +261,16 @@ def _dec_kernel(w_ref, out_ref):
         base0.append(jnp.where(diff == 1, b0d, b0i))  # [1, T]
         base1.append(jnp.where(diff == 1, b1d, b1i))
 
-    # per-pixel planes: row r is image-raster order r = y*4 + x; the wire
-    # bit index for pixel (x, y) is x*4 + y
+    # per-pixel planes: row r is image-raster order r = y*4 + x (or
+    # column-major r = x*4 + y for the relayout kernel); the wire bit
+    # index for pixel (x, y) is x*4 + y
     r = jax.lax.broadcasted_iota(jnp.int32, (16, t), 0)
-    x = r % 4
-    y = r // 4
+    if raster_rows:
+        x = r % 4
+        y = r // 4
+    else:
+        x = r // 4
+        y = r % 4
     jbit = x * 4 + y
     lsb = (w2 >> jbit) & 1  # [16, T] (w1/w2 broadcast over rows)
     msb = (w2 >> (jbit + 16)) & 1
@@ -267,9 +290,7 @@ def _dec_kernel(w_ref, out_ref):
     for ch in range(3):
         base = base0[ch] + (base1[ch] - base0[ch]) * in1  # [16, T]
         rows.append(jnp.clip(base + mod, 0, 255))
-    px = jnp.concatenate(rows, axis=0)  # [48, T] int32
-    pad = jnp.zeros((_DEC_ROWS - 48, t), jnp.int32)
-    out_ref[:] = jnp.concatenate([px, pad], axis=0).astype(jnp.uint8)
+    return jnp.concatenate(rows, axis=0)  # [48, T] int32
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -300,3 +321,242 @@ def decode_etc1_blocks_pallas(
     )(w)
     px = out[:48, :b]  # [48, B] ch-major, pixel raster y*4+x
     return jnp.transpose(px.reshape(3, 16, b), (2, 1, 0)).reshape(b, 4, 4, 3)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Strip-planar codec: the TPU-native texture layout.
+#
+# The block-level entry points above spend more time in XLA relayouts
+# than in the kernels: `image_to_blocks` / `_prepare_layout` /
+# `blocks_to_image` are transposes whose minor dimension is 3 (channels)
+# or 4 (block pixels) — shapes TPUs move ~50x below HBM bandwidth, and
+# Mosaic has no strided lane shuffle to do the regroup in-kernel.
+#
+# The fix is a layout contract. **Strip-planar** stores a [F, H, W, 3]
+# uint8 batch as [F*(H/4)*4, 12*(W/4)] uint8:
+#
+#     strips[(f*nby + by)*4 + dy, (c*4 + dx)*nbx + bx]
+#         = imgs[f, 4*by + dy, 4*bx + dx, c]
+#
+# i.e. each 4-row image strip keeps its rows, and the lane axis is
+# regrouped from interleaved (x, channel) into 12 contiguous
+# (channel, dx) planes of block columns. Every 4x4 block's 48 values
+# then live on one lane (bx) across 48 static (row, plane) positions —
+# the encode kernel reads them with contiguous lane slices and the
+# decode kernel writes them with contiguous lane concats, so the codecs
+# run with ZERO relayout ops.
+#
+# Converting between interleaved images and strips is a lane
+# permutation, which is exactly what the MXU does for free: one int8
+# matmul against a constant 0/1 permutation matrix (pixels are biased
+# by -128 into int8 via XOR, accumulated exactly in int32 — each output
+# is a single-term dot product, so the conversion is exact). A real TPU
+# pipeline converts once at ingest/egress and stays strip-planar
+# throughout; `TextureSequenceCodec` does exactly that.
+# ---------------------------------------------------------------------------
+
+
+def _perm_matrix_i8(nbx: int) -> jax.Array:
+    """[3W, 3W] int8 permutation: interleaved lane l = (4*bx+dx)*3 + c
+    maps to plane lane m = (c*4 + dx)*nbx + bx. Built from iota compares
+    so XLA constant-folds it — nothing is uploaded."""
+    w3 = 12 * nbx
+    m = jnp.arange(w3)
+    c = m // (4 * nbx)
+    dx = (m // nbx) % 4
+    bx = m % nbx
+    l_of_m = (4 * bx + dx) * 3 + c
+    return (jnp.arange(w3)[:, None] == l_of_m[None, :]).astype(jnp.int8)
+
+
+def _perm_mm(x2d: jax.Array, p: jax.Array) -> jax.Array:
+    """Exact uint8 lane permutation on the MXU: (x-128) int8 @ 0/1 int8,
+    int32 accumulation, +128 back to uint8."""
+    xi = jax.lax.bitcast_convert_type(x2d ^ jnp.uint8(128), jnp.int8)
+    y = jax.lax.dot_general(
+        xi, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (y + 128).astype(jnp.uint8)
+
+
+@jax.jit
+def images_to_strips(frames: jax.Array) -> jax.Array:
+    """[F, H, W, 3] uint8 -> strip-planar [F*(H/4)*4, 12*(W/4)] uint8."""
+    f, h, w, _ = frames.shape
+    return _perm_mm(frames.reshape(f * h, 3 * w), _perm_matrix_i8(w // 4))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def strips_to_images(strips: jax.Array, f: int, h: int, w: int) -> jax.Array:
+    """Strip-planar [F*(H/4)*4, 12*(W/4)] uint8 -> [F, H, W, 3] uint8."""
+    img = _perm_mm(strips, jnp.transpose(_perm_matrix_i8(w // 4)))
+    return img.reshape(f, h, w, 3)
+
+
+_STRIPS_PER_TILE = 4  # S: strips (4 image rows each) per kernel instance
+
+
+def _strip_supported(nbx: int) -> bool:
+    # lane tiles: input 12*nbx and output S*nbx must be 128-multiples
+    return nbx % 32 == 0
+
+
+def _enc_strip_kernel(x_ref, o_ref):
+    """[4S, 12*nbx] uint8 strip tile -> [2, S*nbx] int32 words."""
+    s_count = x_ref.shape[0] // 4
+    nbx = x_ref.shape[1] // 12
+    for s in range(s_count):
+        xf = (
+            x_ref[4 * s : 4 * s + 4, :].astype(jnp.int32).astype(jnp.float32)
+        )  # [4, 12*nbx]
+
+        def strip(c, dx):  # [4, nbx] rows dy of plane (c, dx)
+            g = c * 4 + dx
+            return xf[:, g * nbx : (g + 1) * nbx]
+
+        f0 = [
+            jnp.concatenate(
+                [strip(c, 2 * sb + xr) for c in range(3) for xr in range(2)],
+                axis=0,
+            )
+            for sb in (0, 1)
+        ]
+        f1 = [
+            jnp.concatenate(
+                [
+                    strip(c, xx)[2 * sb : 2 * sb + 2, :]
+                    for c in range(3)
+                    for xx in range(4)
+                ],
+                axis=0,
+            )
+            for sb in (0, 1)
+        ]
+        o_ref[:, nbx * s : nbx * (s + 1)] = _encode_subblocks(
+            [(f0[0], f0[1]), (f1[0], f1[1])], nbx
+        )
+
+
+def _dec_strip_kernel(w_ref, o_ref):
+    """[2, S*nbx] int32 words -> [4S, 12*nbx] uint8 strip tile.
+
+    Rows are written plane-by-plane with sub-slice stores — Mosaic's
+    lane-concatenate rejects operands at mixed sublane offsets, but
+    strided ref stores handle the scatter fine."""
+    s_count = o_ref.shape[0] // 4
+    nbx = o_ref.shape[1] // 12
+    for s in range(s_count):
+        w1 = w_ref[0:1, nbx * s : nbx * (s + 1)]
+        w2 = w_ref[1:2, nbx * s : nbx * (s + 1)]
+        px = _dec_px_rows(w1, w2, nbx, raster_rows=False)  # [48, nbx]
+        u8 = px.astype(jnp.uint8)
+        for dy in range(4):
+            for g in range(12):  # g = c*4 + dx
+                c, dx = g // 4, g % 4
+                r = c * 16 + dx * 4 + dy
+                o_ref[
+                    4 * s + dy : 4 * s + dy + 1, g * nbx : (g + 1) * nbx
+                ] = u8[r : r + 1, :]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def encode_etc1_strips_pallas(
+    strips: jax.Array, nbx: int, interpret: bool = False
+) -> jax.Array:
+    """Strip-planar [M, 12*nbx] uint8 -> [2, (M/4)*nbx] int32 word
+    planes (blocks in frame-major raster order). Bit-identical words to
+    `encode_etc1_blocks_pallas` per block."""
+    if not _strip_supported(nbx):
+        raise ValueError(f"strip codec needs nbx % 32 == 0, got {nbx}")
+    m = strips.shape[0]
+    s = _STRIPS_PER_TILE
+    rows_per = 4 * s
+    m_pad = -(-m // rows_per) * rows_per
+    if m_pad != m:
+        strips = jnp.pad(strips, ((0, m_pad - m), (0, 0)))
+    n_pad = (m_pad // 4) * nbx
+    words = pl.pallas_call(
+        _enc_strip_kernel,
+        grid=(m_pad // rows_per,),
+        in_specs=[
+            pl.BlockSpec((rows_per, 12 * nbx), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, s * nbx), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, n_pad), jnp.int32),
+        interpret=interpret,
+    )(strips)
+    return words[:, : (m // 4) * nbx]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def decode_etc1_strips_pallas(
+    words2: jax.Array, nbx: int, interpret: bool = False
+) -> jax.Array:
+    """[2, N] int32 word planes -> strip-planar [(N/nbx)*4, 12*nbx]
+    uint8, bit-identical pixels to `decode_etc1_blocks_pallas`."""
+    if not _strip_supported(nbx):
+        raise ValueError(f"strip codec needs nbx % 32 == 0, got {nbx}")
+    n = words2.shape[1]
+    s = _STRIPS_PER_TILE
+    lanes_per = s * nbx
+    n_pad = -(-n // lanes_per) * lanes_per
+    if n_pad != n:
+        words2 = jnp.pad(words2, ((0, 0), (0, n_pad - n)))
+    out = pl.pallas_call(
+        _dec_strip_kernel,
+        grid=(n_pad // lanes_per,),
+        in_specs=[
+            pl.BlockSpec((2, lanes_per), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4 * s, 12 * nbx), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(((n_pad // nbx) * 4, 12 * nbx),
+                                       jnp.uint8),
+        interpret=interpret,
+    )(words2)
+    return out[: (n // nbx) * 4, :]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def encode_etc1_images_pallas(
+    frames: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """[F, H, W, 3] uint8 -> [2, F*nb] int32 word planes: strip-planar
+    ingest (one MXU permutation) + the strip codec."""
+    f, h, w, _ = frames.shape
+    return encode_etc1_strips_pallas(
+        images_to_strips(frames), w // 4, interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def decode_etc1_images_pallas(
+    words2: jax.Array, f: int, h: int, w: int, interpret: bool = False
+) -> jax.Array:
+    """[2, F*nb] int32 word planes -> [F, H, W, 3] uint8 via the strip
+    codec + one MXU permutation egress."""
+    strips = decode_etc1_strips_pallas(words2, w // 4, interpret)
+    return strips_to_images(strips, f, h, w)
+
+
+def pack_words2(words2, f: int):
+    """Device [2, F*nb] int32 -> host wire [F, nb, 2] uint32 (numpy)."""
+    import numpy as np
+
+    a = np.asarray(words2).astype(np.uint32)  # [2, F*nb]
+    return np.ascontiguousarray(a.reshape(2, f, -1).transpose(1, 2, 0))
+
+
+def unpack_words2(words):
+    """Host wire [F, nb, 2] uint32 -> device-layout [2, F*nb] int32."""
+    import numpy as np
+
+    a = np.asarray(words, np.uint32).transpose(2, 0, 1).reshape(2, -1)
+    return np.ascontiguousarray(a).astype(np.int32)

@@ -35,14 +35,7 @@ from uvol_tpu.containers.ktx2 import (
     KTX2Level,
     write_ktx2,
 )
-from uvol_tpu.ops.prediction import delta_decode, delta_encode
-from uvol_tpu.ops.quantize import (
-    QuantizedAttr,
-    dequantize,
-    quantize,
-    zigzag_decode,
-    zigzag_encode,
-)
+from uvol_tpu.ops.quantize import zigzag_decode
 from uvol_tpu.codecs.basis.etc import (
     blocks_to_image,
     decode_etc1_blocks,
@@ -105,27 +98,32 @@ class GeometrySequenceCodec:
             use_pallas = _pallas_available()
         self.use_pallas = use_pallas
 
-        from uvol_tpu.ops.quantize import compute_quantization_transform
-
-        def _syms(x, bits, mask):
-            """Quantize+delta+zigzag in a transposed [F, C, N] layout:
-            the vertex axis rides the 128-lane dimension, so every
-            elementwise op runs at full VPU width (C=2..3 on lanes wastes
-            125 of 128). Measured faster than both the [F, N, C] XLA
-            chain and the round-1 VMEM Pallas kernel (which padded C to
-            128 lanes — ~40x dead traffic); produces identical symbols
-            (delta along N commutes with the transpose)."""
-            mn, rng = compute_quantization_transform(x, mask)
-            xt = jnp.swapaxes(x, 1, 2)  # [F, C, N]
+        def _syms(xt, bits, mask):
+            """Quantize+delta+zigzag in the planar [F, C, N] device
+            layout: the vertex axis rides the 128-lane dimension, so
+            every elementwise op runs at full VPU width (a [F, N, C]
+            chain pads C=2..3 to 128 lanes — ~40x dead traffic — and a
+            device-side swapaxes is a minor-dim-3 transpose XLA moves
+            ~50x below HBM bandwidth; the planar contract removes both).
+            Identical symbols to the interleaved form (delta along N
+            commutes with the layout; min/max reductions are
+            order-independent)."""
+            big = jnp.asarray(jnp.finfo(xt.dtype).max, xt.dtype)
+            m = mask[:, None, :]
+            mn = jnp.min(jnp.where(m, xt, big), axis=-1)  # [F, C]
+            mx = jnp.max(jnp.where(m, xt, -big), axis=-1)
+            rng = jnp.max(mx - mn, axis=-1)  # [F] Draco-style scalar range
+            rng = jnp.where(rng <= 0, jnp.ones_like(rng), rng)
             inv = ((1 << bits) - 1) / rng
-            xm = jnp.where(mask[:, None, :], xt - mn[..., None], 0.0)
+            xm = jnp.where(m, xt - mn[..., None], 0.0)
             q = jnp.floor(xm * inv[:, None, None] + 0.5).astype(jnp.int32)
             prev = jnp.pad(q[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
             d = q - prev
             syms = ((d >> 31) ^ (d << 1)).astype(jnp.uint32)
-            return jnp.swapaxes(syms, 1, 2), mn, rng
+            return syms, mn, rng  # syms [F, C, N]
 
         def _encode_fn(pos, uv, mask):
+            # planar contract: pos [F, 3, N], uv [F, 2, N], mask [F, N]
             pos_syms, pmin, prng = _syms(pos, position_bits, mask)
             out = {
                 "pos_syms": pos_syms,
@@ -140,13 +138,14 @@ class GeometrySequenceCodec:
         def _decode_fn(pos_syms, pos_min, pos_scale, uv_syms, uv_min, uv_scale):
             # per-frame scale = range / ((1<<bits_of_blob) - 1): the blob
             # header's quantization bits rule, NOT this codec instance's
-            # defaults (mixed-bits batches dequantize correctly)
-            qpos = delta_decode(zigzag_decode(pos_syms))
-            pos = pos_min[..., None, :] + (
+            # defaults (mixed-bits batches dequantize correctly).
+            # syms arrive planar [F, C, N]; outputs stay planar.
+            qpos = jnp.cumsum(zigzag_decode(pos_syms), axis=-1, dtype=jnp.int32)
+            pos = pos_min[..., None] + (
                 qpos.astype(jnp.float32) * pos_scale[..., None, None]
             )
-            quv = delta_decode(zigzag_decode(uv_syms))
-            uv = uv_min[..., None, :] + (
+            quv = jnp.cumsum(zigzag_decode(uv_syms), axis=-1, dtype=jnp.int32)
+            uv = uv_min[..., None] + (
                 quv.astype(jnp.float32) * uv_scale[..., None, None]
             )
             return pos, uv
@@ -200,9 +199,13 @@ class GeometrySequenceCodec:
         else:
             (pos_in, mask_in), _ = self._pad_frames(frames.positions, mask)
             uv_in = None
+        # planar device contract: [F, C, N] (host transposes are cheap
+        # strided copies; the device never sees a minor-dim-3 layout)
         dev = self._encode_device(
-            jnp.asarray(pos_in),
-            jnp.asarray(uv_in) if uv_in is not None else None,
+            jnp.asarray(np.ascontiguousarray(pos_in.transpose(0, 2, 1))),
+            jnp.asarray(np.ascontiguousarray(uv_in.transpose(0, 2, 1)))
+            if uv_in is not None
+            else None,
             jnp.asarray(mask_in),
         )
         # mesh-padded frames are dropped by the [:f] host loop below
@@ -222,13 +225,21 @@ class GeometrySequenceCodec:
                 out.f32(float(dev["pos_min"][i, c]))
             out.f32(float(dev["pos_range"][i]))
             encode_symbols(
-                dev["pos_syms"][i, :count].reshape(-1), 3, out
+                np.ascontiguousarray(dev["pos_syms"][i][:, :count].T).reshape(-1),
+                3,
+                out,
             )
             if frames.uvs is not None:
                 for c in range(2):
                     out.f32(float(dev["uv_min"][i, c]))
                 out.f32(float(dev["uv_range"][i]))
-                encode_symbols(dev["uv_syms"][i, :count].reshape(-1), 2, out)
+                encode_symbols(
+                    np.ascontiguousarray(
+                        dev["uv_syms"][i][:, :count].T
+                    ).reshape(-1),
+                    2,
+                    out,
+                )
             # connectivity: delta+zigzag coded indices (host; Edgebreaker is
             # the C++-native upgrade path, SURVEY.md §7 step 4)
             flat = faces.reshape(-1).astype(np.int64)
@@ -298,8 +309,9 @@ class GeometrySequenceCodec:
             metas.append(meta)
             faces_list.append(faces_i)
 
-        pos_batch = np.zeros((f, max_n, 3), np.uint32)
-        uv_batch = np.zeros((f, max_n, 2), np.uint32)
+        # planar [F, C, N] upload (see _decode_fn's device contract)
+        pos_batch = np.zeros((f, 3, max_n), np.uint32)
+        uv_batch = np.zeros((f, 2, max_n), np.uint32)
         pmin = np.zeros((f, 3), np.float32)
         pscale = np.zeros(f, np.float32)
         umin = np.zeros((f, 2), np.float32)
@@ -307,12 +319,12 @@ class GeometrySequenceCodec:
         any_uv = False
         for i in range(f):
             c = int(counts[i])
-            pos_batch[i, :c] = pos_syms[i]
+            pos_batch[i, :, :c] = pos_syms[i].T
             pmin[i] = metas[i]["pmin"]
             pscale[i] = metas[i]["prange"] / ((1 << metas[i]["pbits"]) - 1)
             if uv_syms[i] is not None:
                 any_uv = True
-                uv_batch[i, :c] = uv_syms[i]
+                uv_batch[i, :, :c] = uv_syms[i].T
                 umin[i] = metas[i]["umin"]
                 uscale[i] = metas[i]["urange"] / ((1 << metas[i]["ubits"]) - 1)
         (pos_batch, pmin, pscale, uv_batch, umin, uscale), _ = self._pad_frames(
@@ -326,9 +338,16 @@ class GeometrySequenceCodec:
         if not any_uv:
             uv = None  # UV-less streams: honor the Optional contract
         if as_numpy:
-            pos = np.asarray(pos)
-            uv = np.asarray(uv) if uv is not None else None
+            # host boundary converts back to per-vertex [F, N, C] rows
+            pos = np.ascontiguousarray(np.asarray(pos).transpose(0, 2, 1))
+            uv = (
+                np.ascontiguousarray(np.asarray(uv).transpose(0, 2, 1))
+                if uv is not None
+                else None
+            )
         else:
+            # device-resident output stays planar [F, C, N] — the
+            # TPU-native layout a downstream device consumer wants
             jax.block_until_ready(pos if uv is None else (pos, uv))
         return GeometryFrameSet(
             positions=pos,
@@ -372,18 +391,49 @@ class TextureSequenceCodec:
         self.use_pallas = use_pallas
 
         from uvol_tpu.codecs.basis.etc_pallas import (
+            _strip_supported,
             decode_etc1_blocks_pallas,
+            decode_etc1_strips_pallas,
             encode_etc1_blocks_pallas,
+            encode_etc1_strips_pallas,
+            images_to_strips,
+            strips_to_images,
         )
 
-        def _encode_fn(frames_u8):  # [L, H, W, 3]
+        # Device word layout is [2, L*nb] int32 (word planes on sublanes,
+        # blocks frame-major on lanes) — what the Pallas kernels natively
+        # produce/consume; `encode_segment`/`decode_segment` convert at
+        # the host boundary. On TPU with a strip-compatible width the
+        # codec runs the strip-planar path (etc_pallas.py): ingest/egress
+        # are single MXU permutations and the kernels see ZERO relayout
+        # ops (~2.8x faster than the block path at 1024^2).
+        def _encode_fn(frames_u8):  # [L, H, W, 3] -> [2, L*nb] int32
+            w = frames_u8.shape[2]
+            if use_pallas and _strip_supported(w // 4):
+                return encode_etc1_strips_pallas(
+                    images_to_strips(frames_u8), w // 4
+                )
             blocks = image_to_blocks(frames_u8)
-            if use_pallas:  # fused VMEM tile encoder (etc_pallas.py)
-                return jax.vmap(encode_etc1_blocks_pallas)(blocks)
-            return jax.vmap(encode_etc1_blocks)(blocks)  # [L, nb, 2] uint32
+            if use_pallas:
+                words = jax.vmap(encode_etc1_blocks_pallas)(blocks)
+            else:
+                words = jax.vmap(encode_etc1_blocks)(blocks)  # [L, nb, 2]
+            return jnp.transpose(
+                jax.lax.bitcast_convert_type(words, jnp.int32), (2, 0, 1)
+            ).reshape(2, -1)
 
-        def _decode_fn(words, h, w):  # [L, nb, 2]
-            if use_pallas:  # fused VMEM tile decoder (etc_pallas.py)
+        def _decode_fn(words2, h, w):  # [2, L*nb] -> [L, H, W, 3]
+            nb = (h // 4) * (w // 4)
+            l = words2.shape[1] // nb
+            if use_pallas and _strip_supported(w // 4):
+                return strips_to_images(
+                    decode_etc1_strips_pallas(words2, w // 4), l, h, w
+                )
+            words = jax.lax.bitcast_convert_type(
+                jnp.transpose(words2.reshape(2, l, nb), (1, 2, 0)),
+                jnp.uint32,
+            )
+            if use_pallas:
                 blocks = jax.vmap(decode_etc1_blocks_pallas)(words)
             else:
                 blocks = jax.vmap(decode_etc1_blocks)(words)
@@ -397,18 +447,21 @@ class TextureSequenceCodec:
             from uvol_tpu.parallel.mesh import FRAME_AXIS
 
             spec = P(FRAME_AXIS)
+            # word planes are [2, L*nb] with blocks frame-major on the
+            # lane axis, so sharding axis 1 IS frame parallelism
+            wspec = P(None, FRAME_AXIS)
             _encode = jax.jit(
                 jax.shard_map(
-                    _encode_fn, mesh=mesh, in_specs=(spec,), out_specs=spec
+                    _encode_fn, mesh=mesh, in_specs=(spec,), out_specs=wspec
                 )
             )
 
             @partial(jax.jit, static_argnums=(1, 2))
-            def _decode(words, h, w):
+            def _decode(words2, h, w):
                 return jax.shard_map(
                     lambda ws: _decode_fn(ws, h, w),
-                    mesh=mesh, in_specs=(spec,), out_specs=spec,
-                )(words)
+                    mesh=mesh, in_specs=(wspec,), out_specs=spec,
+                )(words2)
 
         else:
             _encode = jax.jit(_encode_fn)
@@ -427,9 +480,13 @@ class TextureSequenceCodec:
 
     def encode_segment(self, frames: np.ndarray) -> bytes:
         """[L, H, W, 3] uint8 → one `.ktx2` (layers = frames, ETC2 RGB)."""
+        from uvol_tpu.codecs.basis.etc_pallas import pack_words2
+
         l, h, w, _ = frames.shape
         frames_in, _ = self._pad_layers(np.asarray(frames))
-        words = np.asarray(self._encode(jnp.asarray(frames_in)))[:l]
+        words = pack_words2(
+            self._encode(jnp.asarray(frames_in)), frames_in.shape[0]
+        )[:l]
         payload = b"".join(pack_etc1_payload(words[i]) for i in range(l))
         raw_len = len(payload)
         scheme = SUPERCOMPRESSION_NONE
@@ -462,11 +519,13 @@ class TextureSequenceCodec:
         l = max(ktx2.header.layer_count, 1)
         per = (h // 4) * (w // 4) * 8
         data = ktx2.level_payload(0)
+        from uvol_tpu.codecs.basis.etc_pallas import unpack_words2
+
         words = np.stack(
             [unpack_etc1_payload(data[i * per : (i + 1) * per]) for i in range(l)]
         )
         words_in, _ = self._pad_layers(words)
-        out = self._decode(jnp.asarray(words_in), h, w)[:l]
+        out = self._decode(jnp.asarray(unpack_words2(words_in)), h, w)[:l]
         if as_numpy:
             return np.asarray(out)
         return jax.block_until_ready(out)
