@@ -441,18 +441,19 @@ def main() -> None:
     )
     s_uv = jnp.tile(jnp.asarray(uvs[:4].transpose(0, 2, 1)), (STREAMS, 1, 1))
     s_mask = jnp.ones((4 * STREAMS, N), bool)
-    s_tex = jnp.tile(dev_tex[:4], (STREAMS, 1, 1, 1))
+    s_strips = jax.jit(images_to_strips)(jnp.tile(dev_tex[:4], (STREAMS, 1, 1, 1)))
 
     @jax.jit
     def stream_chain():
+        # strip-resident texture path (the device-native pipeline form)
         out = enc_dev(s_pos, s_uv, s_mask)
-        words = tex_enc_dev(s_tex)
+        words = encode_etc1_strips_pallas(s_strips, W // 4)
         pos2, uv2 = dec_dev(
             out["pos_syms"], out["pos_min"], out["pos_range"] / 2047.0,
             out["uv_syms"], out["uv_min"], out["uv_range"] / 1023.0,
         )
-        imgs = tex_dec_dev(words, H, W)
-        return out, words, pos2, uv2, imgs
+        strips2 = decode_etc1_strips_pallas(words, W // 4)
+        return out, words, pos2, uv2, strips2
 
     sres = stream_chain()
     _force(sres)
@@ -462,6 +463,33 @@ def main() -> None:
     _force(sres)
     dt_s = time.perf_counter() - t0
     streams8_device_fps_per_stream = dev_reps * 4 / dt_s
+
+    # decode-only variant — the reference's actual 8-stream scenario is
+    # 8 concurrent PLAYERS (decode side only; BASELINE.json configs[4],
+    # DRACOLoader worker pools)
+    s_words = sres[1]
+    s_psyms, s_pmin = sres[0]["pos_syms"], sres[0]["pos_min"]
+    s_pscale = sres[0]["pos_range"] / 2047.0
+    s_usyms, s_umin = sres[0]["uv_syms"], sres[0]["uv_min"]
+    s_uscale = sres[0]["uv_range"] / 1023.0
+
+    @jax.jit
+    def stream_decode():
+        pos2, uv2 = dec_dev(
+            s_psyms, s_pmin, s_pscale, s_usyms, s_umin, s_uscale
+        )
+        strips2 = decode_etc1_strips_pallas(s_words, W // 4)
+        return pos2, uv2, strips2
+
+    sdres = stream_decode()
+    _force(sdres)
+    t0 = time.perf_counter()
+    for _ in range(dev_reps):
+        sdres = stream_decode()
+    _force(sdres)
+    streams8_decode_fps_per_stream = dev_reps * 4 / (
+        time.perf_counter() - t0
+    )
     # Headline: the reference's own workload — play its real 250-frame
     # corpus (draco_encoder .drc + basisu .ktx2) through the full
     # production path (facade -> V2 prefetch -> native Draco decode ->
@@ -504,6 +532,12 @@ def main() -> None:
                     ),
                     "streams8_device_realtime_multiple": round(
                         streams8_device_fps_per_stream / 30.0, 2
+                    ),
+                    "streams8_device_decode_fps_per_stream": round(
+                        streams8_decode_fps_per_stream, 1
+                    ),
+                    "streams8_device_decode_realtime_multiple": round(
+                        streams8_decode_fps_per_stream / 30.0, 2
                     ),
                     "liam_full_player_playback_fps": (
                         round(playback_fps, 1) if playback_fps else None

