@@ -81,3 +81,48 @@ def test_c_consumer_matches_python(tmp_path):
         assert int(vsum, 16) == _fnv1a(vals.tobytes()), f"attr {idx} values"
         cmap = np.ascontiguousarray(a.corner_to_value, np.int32)
         assert int(csum, 16) == _fnv1a(cmap.tobytes()), f"attr {idx} corners"
+
+
+@pytest.mark.skipif(not LIAM.exists(), reason="liam corpus not present")
+def test_native_player_plays_liam_bit_exact(tmp_path):
+    """examples/native_player.c — a Python-free streaming-player loop
+    (decoder pthread + bounded ring + 30 fps clock) over the same FFI.
+    Its running position checksum must match the Python decoder across
+    every played frame."""
+    from uvol_tpu import native
+
+    lib = native.get_draco_lib()
+    if lib is None:
+        pytest.skip("native draco lib unavailable")
+    exe = tmp_path / "native_player"
+    subprocess.run(
+        ["gcc", "-O2", "-pthread",
+         str(REPO / "examples" / "native_player.c"), "-o", str(exe), "-ldl"],
+        check=True,
+        capture_output=True,
+    )
+    frames = 12
+    out = subprocess.run(
+        [str(exe), lib._name, str(LIAM.parent), str(frames), "300"],
+        check=True, capture_output=True, text=True,
+    ).stdout
+    m = re.search(
+        r"native_player frames=(\d+) late=(\d+) fps_wall=([\d.]+) "
+        r"decode_ms_mean=([\d.]+) fnv=([0-9a-f]{16})",
+        out,
+    )
+    assert m, out
+    assert int(m.group(1)) == frames
+
+    from uvol_tpu.codecs.draco.decoder import decode_drc
+
+    h = 0xCBF29CE484222325
+    for i in range(frames):
+        mesh = decode_drc((LIAM.parent / f"{i:05d}.drc").read_bytes())
+        pos = next(
+            a for a in mesh.attributes if a.attribute_type == 0
+        )
+        payload = np.ascontiguousarray(pos.values, np.float32).tobytes()
+        for b in payload:
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    assert int(m.group(5), 16) == h

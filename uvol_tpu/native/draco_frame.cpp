@@ -921,18 +921,22 @@ int uvt_drc_attr_info(void* h, int idx, int64_t* info8) {
 }
 
 // values_out: float32[n*nc] when is_float else int64[n*nc];
-// corner_map_out: int32[3F]
+// corner_map_out: int32[3F]. Either pointer may be NULL to skip that
+// payload (consumers that only need one side, e.g. examples/native_player.c).
 int uvt_drc_attr_fetch(void* h, int idx, void* values_out,
                        int32_t* corner_map_out) {
   Frame* f = (Frame*)h;
   if (!f || idx < 0 || idx >= (int)f->attrs.size()) return -1;
   const FrameAttr& a = f->attrs[idx];
-  if (a.is_float)
-    std::memcpy(values_out, a.values_f.data(), a.values_f.size() * 4);
-  else
-    std::memcpy(values_out, a.values_i.data(), a.values_i.size() * 8);
-  std::memcpy(corner_map_out, a.corner_to_value.data(),
-              a.corner_to_value.size() * 4);
+  if (values_out) {
+    if (a.is_float)
+      std::memcpy(values_out, a.values_f.data(), a.values_f.size() * 4);
+    else
+      std::memcpy(values_out, a.values_i.data(), a.values_i.size() * 8);
+  }
+  if (corner_map_out)
+    std::memcpy(corner_map_out, a.corner_to_value.data(),
+                a.corner_to_value.size() * 4);
   return 0;
 }
 
