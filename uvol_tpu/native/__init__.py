@@ -474,7 +474,8 @@ def _bind_encode(lib) -> None:
     lib.uvt_texcoords_encode.restype = c.c_int64
     lib.uvt_normals_encode.argtypes = [
         i64p, c.c_int64, c.c_int64,
-        i32p, i32p, c.c_void_p, i32p, i64p, i32p, i64p, u8p]
+        i32p, i32p, c.c_void_p, i32p, i64p, i32p, i64p, u8p,
+        c.c_int64, c.c_void_p]
     lib.uvt_normals_encode.restype = c.c_int
     lib.uvt_quantize_normals.argtypes = [f64p, c.c_int64, c.c_int, i64p]
     lib.uvt_quantize_normals.restype = c.c_int
@@ -552,7 +553,11 @@ def texcoords_encode_native(
 def normals_encode_native(
     oct_coords, max_quantized_value, opposite, view_vertex, seam_mask,
     data_to_corner, positions, pos_data_of_corner,
+    num_faces=0, vertex_to_data=None,
 ):
+    """num_faces + vertex_to_data (the attr corner table's vertex→data
+    map) enable the linear-pass face-normal accumulation; omitted, the
+    per-vertex fan walk runs (bit-identical sums either way)."""
     lib = get_draco_lib()
     if lib is None:
         return None
@@ -571,6 +576,9 @@ def normals_encode_native(
         np.ascontiguousarray(positions.reshape(-1), np.int64),
         np.ascontiguousarray(pos_data_of_corner, np.int32),
         corr, flips,
+        int(num_faces),
+        (np.ascontiguousarray(vertex_to_data, np.int32).ctypes.data
+         if vertex_to_data is not None else None),
     )
     if rc != 0:
         raise ValueError("native normals encode failed")

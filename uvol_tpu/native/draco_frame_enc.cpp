@@ -115,7 +115,8 @@ int uvt_normals_encode(const int64_t* oct_coords, int64_t n,
                        const int32_t* view_vertex, const uint8_t* seam_mask,
                        const int32_t* data_to_corner, const int64_t* positions,
                        const int32_t* pos_data_of_corner, int64_t* corr_out,
-                       uint8_t* flip_bits);
+                       uint8_t* flip_bits, int64_t num_faces,
+                       const int32_t* vertex_to_data);
 int uvt_quantize_normals(const double* normals, int64_t n, int bits,
                          int64_t* out_st);
 int64_t uvt_rans_symbol_encode(const uint32_t* symbols, int64_t n,
@@ -809,7 +810,7 @@ extern "C" int64_t uvt_drc_encode(
       if (uvt_normals_encode(ints.data(), num_values, max_q, d_opp.data(),
                              view_vertex, view_seam, d2c, pos_values.data(),
                              pos_corner_map.data(), corr.data(),
-                             flips.data()) != 0)
+                             flips.data(), n / 3, v2d) != 0)
         return -19;
       UBuf<uint32_t> syms((size_t)(num_values * 2));
       for (int64_t i = 0; i < num_values * 2; ++i)

@@ -1299,18 +1299,51 @@ int64_t uvt_texcoords_encode(
         done = true;
       } else {
         int64_t pn[3], cn[3];
-        i128 pn_norm2 = 0;
+        int64_t amax = 0;
         for (int k = 0; k < 3; ++k) {
           pn[k] = posv(pc_, k) - posv(nc_, k);
-          pn_norm2 += (i128)pn[k] * pn[k];
+          cn[k] = posv(ci, k) - posv(nc_, k);
+          int64_t a = pn[k] < 0 ? -pn[k] : pn[k];
+          int64_t b2 = cn[k] < 0 ? -cn[k] : cn[k];
+          if (a > amax) amax = a;
+          if (b2 > amax) amax = b2;
         }
-        if (pn_norm2 != 0) {
-          i128 cn_dot_pn = 0;
+        if (pn[0] != 0 || pn[1] != 0 || pn[2] != 0) {
+          int64_t pn_uv[2] = {p_uv[0] - n_uv[0], p_uv[1] - n_uv[1]};
+          int64_t umax = 0;
+          for (int64_t u : {n_uv[0], n_uv[1], pn_uv[0], pn_uv[1]}) {
+            int64_t a = u < 0 ? -u : u;
+            if (a > umax) umax = a;
+          }
+          int64_t pu_t, pv_t, pu_f, pv_f;
+          if (amax < 16384 && umax < 16384) {
+            // int64 fast path — same magnitude analysis as the decode-side
+            // fast path in uvt_texcoords_predict (qp/qt <= 13-bit content);
+            // C++ '/' truncates toward zero exactly like tdiv64, so both
+            // orientation predictions are bit-identical to the i128 path
+            int64_t pn_norm2 =
+                pn[0] * pn[0] + pn[1] * pn[1] + pn[2] * pn[2];
+            int64_t cn_dot_pn =
+                pn[0] * cn[0] + pn[1] * cn[1] + pn[2] * cn[2];
+            int64_t x_uv0 = n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0];
+            int64_t x_uv1 = n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1];
+            int64_t cx_norm2 = 0;
+            for (int k = 0; k < 3; ++k) {
+              int64_t cx = cn[k] - cn_dot_pn * pn[k] / pn_norm2;
+              cx_norm2 += cx * cx;
+            }
+            int64_t norm_sq =
+                (int64_t)isqrt64((uint64_t)cx_norm2 * (uint64_t)pn_norm2);
+            pu_t = (x_uv0 + pn_uv[1] * norm_sq) / pn_norm2;
+            pv_t = (x_uv1 - pn_uv[0] * norm_sq) / pn_norm2;
+            pu_f = (x_uv0 - pn_uv[1] * norm_sq) / pn_norm2;
+            pv_f = (x_uv1 + pn_uv[0] * norm_sq) / pn_norm2;
+          } else {
+          i128 pn_norm2 = 0, cn_dot_pn = 0;
           for (int k = 0; k < 3; ++k) {
-            cn[k] = posv(ci, k) - posv(nc_, k);
+            pn_norm2 += (i128)pn[k] * pn[k];
             cn_dot_pn += (i128)pn[k] * cn[k];
           }
-          int64_t pn_uv[2] = {p_uv[0] - n_uv[0], p_uv[1] - n_uv[1]};
           i128 x_uv[2] = {
               (i128)n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0],
               (i128)n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1],
@@ -1323,10 +1356,11 @@ int64_t uvt_texcoords_encode(
           }
           int64_t pn_uv_perp[2] = {pn_uv[1], -pn_uv[0]};
           i128 norm_sq = (i128)isqrt128((u128)cx_norm2 * (u128)pn_norm2);
-          int64_t pu_t = tdiv64(x_uv[0] + (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
-          int64_t pv_t = tdiv64(x_uv[1] + (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
-          int64_t pu_f = tdiv64(x_uv[0] - (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
-          int64_t pv_f = tdiv64(x_uv[1] - (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          pu_t = tdiv64(x_uv[0] + (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
+          pv_t = tdiv64(x_uv[1] + (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          pu_f = tdiv64(x_uv[0] - (i128)pn_uv_perp[0] * norm_sq, pn_norm2);
+          pv_f = tdiv64(x_uv[1] - (i128)pn_uv_perp[1] * norm_sq, pn_norm2);
+          }
           const int64_t* tv = values + p * 2;
           // corrections are coded as POSITIVE MODULAR symbols, so a small
           // NEGATIVE error is an expensive near-`dif` symbol: compare the
@@ -1389,7 +1423,13 @@ int uvt_normals_encode(
     const int32_t* data_to_corner,
     const int64_t* positions, const int32_t* pos_data_of_corner,
     int64_t* corr_out,  // [n, 2] positive modular
-    uint8_t* flip_bits  // [n]
+    uint8_t* flip_bits,  // [n]
+    int64_t num_faces /*0: fan-walk only*/,
+    const int32_t* vertex_to_data /*nullable: enables the linear-pass
+        accumulation — same invariant as the decode-side predictor: a
+        data value's seam-aware fan is exactly the corner set the attr
+        corner table mapped to its view vertex; int64 adds commute, so
+        sums are bit-identical to the walk*/
 ) {
   OctTool tb;
   tb.max_quantized_value = max_quantized_value;
@@ -1442,24 +1482,69 @@ int uvt_normals_encode(
     *ct = tb.mod_max(o_t - t);
   };
 
-  for (int64_t p = 0; p < n; ++p) {
-    int32_t ci = data_to_corner[p];
-    int64_t normal[3] = {0, 0, 0};
-    int32_t start = ci, c = ci;
-    bool wrapped = false;
-    while (c != INVALID) {
-      add_face_normal(c, normal);
-      c = swing_right(c);
-      if (c == start) {
-        wrapped = true;
-        break;
+  std::unique_ptr<int64_t[]> accum;
+  if (vertex_to_data && num_faces > 0) {
+    // linear pass: memoize each face normal once, scatter-add into the
+    // data value its view vertex maps to (mirrors uvt_normals_predict)
+    std::unique_ptr<int64_t[]> face_normal(new int64_t[(size_t)num_faces * 3]);
+    for (int64_t f = 0; f < num_faces; ++f) {
+      int32_t base = (int32_t)(3 * f);
+      int32_t nn = next_corner(base), pp = prev_corner(base);
+      if (pos_data_of_corner[base] < 0 || pos_data_of_corner[nn] < 0 ||
+          pos_data_of_corner[pp] < 0) {
+        face_normal[f * 3] = face_normal[f * 3 + 1] =
+            face_normal[f * 3 + 2] = 0;
+        continue;
       }
+      int64_t c0[3], d1[3], d2[3];
+      for (int k = 0; k < 3; ++k) {
+        c0[k] = posv(base, k);
+        d1[k] = posv(nn, k) - c0[k];
+        d2[k] = posv(pp, k) - c0[k];
+      }
+      face_normal[f * 3] = d1[1] * d2[2] - d1[2] * d2[1];
+      face_normal[f * 3 + 1] = d1[2] * d2[0] - d1[0] * d2[2];
+      face_normal[f * 3 + 2] = d1[0] * d2[1] - d1[1] * d2[0];
     }
-    if (!wrapped) {
-      c = swing_left(start);
-      while (c != INVALID && c != start) {
+    accum.reset(new int64_t[(size_t)n * 3]());
+    const int64_t nc3 = 3 * num_faces;
+    for (int64_t c = 0; c < nc3; ++c) {
+      int32_t v = view_vertex[c];
+      if (v < 0) continue;
+      int32_t p = vertex_to_data[v];
+      if (p < 0 || (int64_t)p >= n) continue;
+      const int64_t* fnp = &face_normal[(c / 3) * 3];
+      int64_t* ap = &accum[(size_t)p * 3];
+      ap[0] += fnp[0];
+      ap[1] += fnp[1];
+      ap[2] += fnp[2];
+    }
+  }
+
+  for (int64_t p = 0; p < n; ++p) {
+    int64_t normal[3] = {0, 0, 0};
+    if (accum) {
+      normal[0] = accum[(size_t)p * 3];
+      normal[1] = accum[(size_t)p * 3 + 1];
+      normal[2] = accum[(size_t)p * 3 + 2];
+    } else {
+      int32_t ci = data_to_corner[p];
+      int32_t start = ci, c = ci;
+      bool wrapped = false;
+      while (c != INVALID) {
         add_face_normal(c, normal);
-        c = swing_left(c);
+        c = swing_right(c);
+        if (c == start) {
+          wrapped = true;
+          break;
+        }
+      }
+      if (!wrapped) {
+        c = swing_left(start);
+        while (c != INVALID && c != start) {
+          add_face_normal(c, normal);
+          c = swing_left(c);
+        }
       }
     }
     tb.canonicalize(normal);
