@@ -535,15 +535,18 @@ extern "C" int64_t uvt_drc_encode(
     top2idx[TOP_R] = 3;
     top2idx[TOP_E] = 4;
     const int NUM_CTX = 6;
+    std::vector<uint32_t> buckets[NUM_CTX];
+    for (int k = 0; k < NUM_CTX; ++k)
+      buckets[k].reserve((size_t)num_symbols / 4 + 4);
+    for (int64_t i = num_symbols - 1; i >= 0; --i) {
+      int32_t k = contexts[i];
+      if (k >= 0 && k < NUM_CTX) buckets[k].push_back(top2idx[syms_dec[i]]);
+    }
     for (int k = 0; k < NUM_CTX; ++k) {
-      std::vector<uint32_t> bucket;
-      bucket.reserve((size_t)num_symbols / 4 + 4);
-      for (int64_t i = num_symbols - 1; i >= 0; --i) {
-        if (contexts[i] == k) bucket.push_back(top2idx[syms_dec[i]]);
-      }
-      out.varint((uint64_t)bucket.size());
-      if (!bucket.empty()) {
-        if (encode_symbols_raw(bucket.data(), (int64_t)bucket.size(), out) != 0)
+      out.varint((uint64_t)buckets[k].size());
+      if (!buckets[k].empty()) {
+        if (encode_symbols_raw(buckets[k].data(), (int64_t)buckets[k].size(),
+                               out) != 0)
           return -10;
       }
     }

@@ -2193,33 +2193,36 @@ extern "C" int uvt_eb_encode_maps(
     }
     if (o / 3 > (int32_t)(c / 3)) cs_out[n_edges++] = c;
   }
-  for (int64_t a = 0; a < num_attrs; ++a) {
-    const int64_t* c2v = c2v_all + a * n;
-    uint8_t* bits = bits_out + a * n;
-    int64_t* pairs = pairs_out + a * 2 * n;
-    int64_t n_pairs = 0;
-    for (int64_t e = 0; e < n_edges; ++e) {
-      int64_t c = cs_out[e];
-      int64_t ce = dec2enc_corner[c];
-      int32_t oe = enc_opposite[ce];
-      uint8_t bit;
-      if (oe == INVALID) {
-        bit = 1;
-      } else {
-        int64_t nxt_ce = (ce % 3 == 2) ? ce - 2 : ce + 1;
-        int64_t prv_ce = (ce % 3 == 0) ? ce + 2 : ce - 1;
-        int64_t nxt_o = (oe % 3 == 2) ? oe - 2 : oe + 1;
-        int64_t prv_o = (oe % 3 == 0) ? oe + 2 : oe - 1;
-        bit = (c2v[nxt_ce] != c2v[prv_o]) || (c2v[prv_ce] != c2v[nxt_o]);
-      }
-      bits[e] = bit;
+  // one pass over edges: the corner geometry (dec2enc, next/prev of the
+  // mapped corner and its opposite) is attribute-invariant, so compute it
+  // once and test every attribute's c2v inside (same bits/pairs as the
+  // per-attribute loops this fuses)
+  std::vector<int64_t> n_pairs_a((size_t)std::max<int64_t>(num_attrs, 1), 0);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t c = cs_out[e];
+    int64_t ce = dec2enc_corner[c];
+    int32_t oe = enc_opposite[ce];
+    int64_t nxt_ce = 0, prv_ce = 0, nxt_o = 0, prv_o = 0;
+    if (oe != INVALID) {
+      nxt_ce = (ce % 3 == 2) ? ce - 2 : ce + 1;
+      prv_ce = (ce % 3 == 0) ? ce + 2 : ce - 1;
+      nxt_o = (oe % 3 == 2) ? oe - 2 : oe + 1;
+      prv_o = (oe % 3 == 0) ? oe + 2 : oe - 1;
+    }
+    for (int64_t a = 0; a < num_attrs; ++a) {
+      const int64_t* c2v = c2v_all + a * n;
+      uint8_t bit =
+          (oe == INVALID) ||
+          (c2v[nxt_ce] != c2v[prv_o]) || (c2v[prv_ce] != c2v[nxt_o]);
+      bits_out[a * n + e] = bit;
       if (bit) {
-        pairs[n_pairs++] = c;
-        pairs[n_pairs++] = opp_d[c];
+        int64_t* pairs = pairs_out + a * 2 * n;
+        pairs[n_pairs_a[a]++] = c;
+        pairs[n_pairs_a[a]++] = opp_d[c];
       }
     }
-    counts_out[2 + a] = n_pairs;
   }
+  for (int64_t a = 0; a < num_attrs; ++a) counts_out[2 + a] = n_pairs_a[a];
   counts_out[0] = n_edges;
   counts_out[1] = n_boundary;
   return 0;
