@@ -1823,18 +1823,27 @@ int64_t uvt_rabs_encode_bits(const uint8_t* bits, int64_t n,
                              uint32_t prob_zero, uint8_t* out,
                              int64_t out_cap) {
   const uint32_t IO_BASE = 256, L_BASE = 4096, P8 = 256;
+  if (prob_zero < 1 || prob_zero > 255) return -1;  // both divisors >= 1
   uint32_t p = P8 - prob_zero;
   uint64_t state = L_BASE;
+  // only two divisors exist (p / prob_zero): 32-bit reciprocals + a
+  // <=2-step fixup replace the per-bit udiv (state < 4096*l_s < 2^20,
+  // so the estimate product never overflows and q_est <= q exactly)
+  const uint64_t recip1 = p ? (((uint64_t)1 << 32) / p) : 0;
+  const uint64_t recip0 =
+      prob_zero ? (((uint64_t)1 << 32) / prob_zero) : 0;
   std::vector<uint8_t> renorm;
   renorm.reserve((size_t)(n / 4 + 16));
   for (int64_t i = n - 1; i >= 0; --i) {
     uint32_t l_s = bits[i] ? p : prob_zero;
     uint64_t bound = (uint64_t)(L_BASE / P8) * IO_BASE * l_s;
     while (state >= bound) {
-      renorm.push_back((uint8_t)(state % IO_BASE));
-      state /= IO_BASE;
+      renorm.push_back((uint8_t)(state & 0xFF));
+      state >>= 8;
     }
-    uint64_t quot = state / l_s, rem = state % l_s;
+    uint64_t quot = (state * (bits[i] ? recip1 : recip0)) >> 32;
+    uint64_t rem = state - quot * l_s;
+    while (rem >= l_s) { quot++; rem -= l_s; }
     state = quot * P8 + rem + (bits[i] ? 0 : p);
   }
   // final-state marker (rans.py _write_final_state)

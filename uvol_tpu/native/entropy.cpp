@@ -88,6 +88,14 @@ int uvt_rans_encode(const uint32_t* probs, int num_probs, int precision_bits,
     std::vector<uint64_t> cum(num_probs + 1, 0);
     for (int s = 0; s < num_probs; s++) cum[s + 1] = cum[s] + probs[s];
 
+    // per-symbol reciprocals: at the division site state < 1024*p (the
+    // renorm loop guarantees it), so a 32-bit reciprocal estimate plus a
+    // <=2-step fixup gives the exact quotient without a hardware divide
+    // (the per-symbol udiv dominated this loop)
+    std::vector<uint64_t> recip(num_probs, 0);
+    for (int s = 0; s < num_probs; s++)
+        if (probs[s]) recip[s] = ((uint64_t)1 << 32) / probs[s];
+
     std::vector<uint8_t> renorm;
     renorm.reserve(n);
     uint64_t state = l_base;
@@ -97,10 +105,13 @@ int uvt_rans_encode(const uint32_t* probs, int num_probs, int precision_bits,
         uint64_t p = probs[s];
         uint64_t bound = upper_factor * p;
         while (state >= bound) {
-            renorm.push_back((uint8_t)(state % 256));
-            state /= 256;
+            renorm.push_back((uint8_t)(state & 0xFF));
+            state >>= 8;
         }
-        state = (state / p) * precision + state % p + cum[s];
+        uint64_t q = (state * recip[s]) >> 32;  // state < 2^30: no overflow
+        uint64_t r = state - q * p;
+        while (r >= p) { q++; r -= p; }
+        state = q * precision + r + cum[s];
     }
     // final-state marker
     uint8_t marker[4];
