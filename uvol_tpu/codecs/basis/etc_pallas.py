@@ -423,10 +423,22 @@ def images_to_strips(frames: jax.Array) -> jax.Array:
     return _perm_mm(frames.reshape(f * h, 3 * w), _perm_matrix_i8(w // 4))
 
 
+def _perm_matrix_i8_inv(nbx: int) -> jax.Array:
+    """Inverse of `_perm_matrix_i8`, built directly from iota compares
+    (constant-folded; avoids a runtime transpose of the 3Wx3W constant)."""
+    w3 = 12 * nbx
+    ll = jnp.arange(w3)
+    bx = ll // 12
+    dx = (ll % 12) // 3
+    c = ll % 3
+    m_of_l = (c * 4 + dx) * nbx + bx
+    return (jnp.arange(w3)[:, None] == m_of_l[None, :]).astype(jnp.int8)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def strips_to_images(strips: jax.Array, f: int, h: int, w: int) -> jax.Array:
     """Strip-planar [F*(H/4)*4, 12*(W/4)] uint8 -> [F, H, W, 3] uint8."""
-    img = _perm_mm(strips, jnp.transpose(_perm_matrix_i8(w // 4)))
+    img = _perm_mm(strips, _perm_matrix_i8_inv(w // 4))
     return img.reshape(f, h, w, 3)
 
 
@@ -482,17 +494,19 @@ def _dec_strip_kernel(w_ref, o_ref):
     strided ref stores handle the scatter fine."""
     s_count = o_ref.shape[0] // 4
     nbx = o_ref.shape[1] // 12
+    # decode ALL the tile's strips in one pass — every op runs at the
+    # full s_count*nbx lane width (blocks are lane-independent)
+    px = _dec_px_rows(
+        w_ref[0:1, :], w_ref[1:2, :], s_count * nbx, raster_rows=False
+    )
+    u8 = px.astype(jnp.uint8)
     for s in range(s_count):
-        w1 = w_ref[0:1, nbx * s : nbx * (s + 1)]
-        w2 = w_ref[1:2, nbx * s : nbx * (s + 1)]
-        px = _dec_px_rows(w1, w2, nbx, raster_rows=False)  # [48, nbx]
-        u8 = px.astype(jnp.uint8)
         # px rows (c, dx, dy): rows g*4..g*4+3 ARE the strip's dy rows of
         # plane g — one contiguous [4, nbx] store per plane
         for g in range(12):  # g = c*4 + dx
-            o_ref[
-                4 * s : 4 * s + 4, g * nbx : (g + 1) * nbx
-            ] = u8[g * 4 : g * 4 + 4, :]
+            o_ref[4 * s : 4 * s + 4, g * nbx : (g + 1) * nbx] = u8[
+                g * 4 : g * 4 + 4, s * nbx : (s + 1) * nbx
+            ]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

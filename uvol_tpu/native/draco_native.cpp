@@ -1279,7 +1279,9 @@ int64_t uvt_texcoords_encode(
   auto pos_mod = [&](int64_t orig, int64_t pred) -> int64_t {
     if (pred < mn) pred = mn;
     if (pred > mx) pred = mx;
-    int64_t c = (orig - pred) % dif;
+    // orig and the clamped pred are both in [mn, mx], so the difference
+    // is already in (-dif, dif): the conditional add IS the mod
+    int64_t c = orig - pred;
     if (c < 0) c += dif;
     return c;
   };
@@ -1562,9 +1564,10 @@ int uvt_normals_encode(
     int flip = mag(f0, f1) < mag(c0, c1) ? 1 : 0;
     flip_bits[p] = (uint8_t)flip;
     int64_t cs = flip ? f0 : c0, ct = flip ? f1 : c1;
-    int64_t m = max_quantized_value;
-    cs %= m; if (cs < 0) cs += m;
-    ct %= m; if (ct < 0) ct += m;
+    // mod_max outputs are already in (-m, m): conditional add IS the mod
+    const int64_t m = max_quantized_value;
+    if (cs < 0) cs += m;
+    if (ct < 0) ct += m;
     corr_out[p * 2] = cs;
     corr_out[p * 2 + 1] = ct;
   }
