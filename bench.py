@@ -31,10 +31,89 @@ def _enable_compile_cache(jax) -> None:
         pass
 
 
+def _probe_backend(jax, timeout_s: float = 180.0) -> bool:
+    """True when jax.devices() answers within timeout_s.
+
+    The axon tunnel can wedge hard (jax.devices() blocks forever, not
+    just slowly) — probing in a daemon thread lets the bench fall back
+    to an honest host-only report instead of hanging the whole round's
+    bench artifact. Override with UVT_BENCH_PROBE_TIMEOUT seconds."""
+    import threading
+
+    result: list = []
+
+    def _t() -> None:
+        try:
+            result.append(bool(jax.devices()))
+        except Exception:
+            result.append(False)
+
+    th = threading.Thread(target=_t, daemon=True)
+    th.start()
+    th.join(float(os.environ.get("UVT_BENCH_PROBE_TIMEOUT", timeout_s)))
+    return bool(result and result[0])
+
+
+def _liam_host_metrics():
+    """Host-only corpus metrics: 8-frame decode fps, 4-frame re-encode
+    fps, 4-worker pool decode fps. Returns (fps, pool_fps, enc_fps,
+    frames_bin, meshes) or Nones when the corpus is absent."""
+    liam_dir = "/root/reference/example/public/liam/output/geometry_draco"
+    if not os.path.isdir(liam_dir):
+        return None, None, None, None, None
+    from uvol_tpu.codecs.draco import constants as KD
+    from uvol_tpu.codecs.draco.decoder import decode_drc
+    from uvol_tpu.codecs.draco.encoder import AttributeToEncode, encode_drc
+    from uvol_tpu.runtime.prefetch import PrefetchPool
+
+    frames_bin = [
+        open(os.path.join(liam_dir, f"{i:05d}.drc"), "rb").read()
+        for i in range(8)
+    ]
+    decode_drc(frames_bin[0])  # warm native build
+    t0 = time.perf_counter()
+    meshes = [decode_drc(b) for b in frames_bin]
+    liam_fps = len(frames_bin) / (time.perf_counter() - t0)
+
+    def reenc(mm):
+        atts = []
+        for t, bits in ((KD.ATT_POSITION, 11), (KD.ATT_TEX_COORD, 10),
+                        (KD.ATT_NORMAL, 8)):
+            a = mm.attribute_by_type(t)
+            if a is not None:
+                atts.append(
+                    AttributeToEncode(t, a.values, a.corner_to_value, bits)
+                )
+        g = mm.attribute_by_type(KD.ATT_GENERIC)
+        if g is not None:
+            atts.append(
+                AttributeToEncode(
+                    KD.ATT_GENERIC, g.values, g.corner_to_value, integer=True
+                )
+            )
+        faces_idx = atts[0].corner_to_value.reshape(-1, 3)
+        return encode_drc(faces_idx, atts)
+
+    reenc(meshes[0])  # warm
+    t0 = time.perf_counter()
+    for mm in meshes[:4]:
+        reenc(mm)
+    liam_enc_fps = 4 / (time.perf_counter() - t0)
+    pool = PrefetchPool(decode_drc, workers=4)
+    t0 = time.perf_counter()
+    for i, b in enumerate(frames_bin * 3):
+        pool.request(i, b)
+    pool.wait_idle(60)
+    liam_fps_pool = 3 * len(frames_bin) / (time.perf_counter() - t0)
+    pool.close()
+    return liam_fps, liam_fps_pool, liam_enc_fps, frames_bin, meshes
+
+
 def main() -> None:
     import jax
 
     _enable_compile_cache(jax)
+    device_ok = _probe_backend(jax)
 
     def _force(tree):
         """Force remote execution: fetch ONE element. On the axon tunnel
@@ -94,6 +173,47 @@ def main() -> None:
                 last = rr.geometry_frame
             vc.advance(1 / 30)
         playback_fps = shown / (time.perf_counter() - t0)
+
+    if not device_ok:
+        # honest host-only report: the TPU backend did not answer the
+        # probe, so every device metric is absent rather than stale
+        liam_fps, liam_fps_pool, liam_enc_fps, _, _ = _liam_host_metrics()
+        headline = playback_fps or liam_fps or 0.0
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "liam 250-frame full-player playback fps (real "
+                        "reference corpus; HOST-ONLY: TPU backend probe "
+                        "timed out)"
+                    ),
+                    "value": round(headline, 2),
+                    "unit": "frames/s",
+                    "vs_baseline": round(headline / 30.0, 2),
+                    "detail": {
+                        "device_unavailable": True,
+                        "liam_full_player_playback_fps": (
+                            round(playback_fps, 1) if playback_fps else None
+                        ),
+                        "liam_draco_decode_fps": (
+                            round(liam_fps, 1) if liam_fps else None
+                        ),
+                        "liam_draco_decode_fps_pool4": (
+                            round(liam_fps_pool, 1) if liam_fps_pool else None
+                        ),
+                        "liam_draco_encode_fps": (
+                            round(liam_enc_fps, 1) if liam_enc_fps else None
+                        ),
+                        "note": (
+                            "jax.devices() hung past the probe timeout "
+                            "(axon tunnel outage); host metrics only — "
+                            "no stale device numbers are reported"
+                        ),
+                    },
+                }
+            )
+        )
+        return
 
     r = np.random.default_rng(0)
     # 32-frame batches: per-dispatch overhead on the tunnel is ~20 ms
@@ -183,62 +303,12 @@ def main() -> None:
     mverts = nframes * N / (t_geo_enc + t_geo_dec) / 1e6
 
     # ---- real Draco corpus decode (the reference's own playback format) -----
-    liam_fps = liam_fps_pool = liam_enc_fps = None
     liam_device_decode_fps = liam_device_decode_mverts = None
     liam_device_stage_mverts = None
-    liam_dir = "/root/reference/example/public/liam/output/geometry_draco"
-    if os.path.isdir(liam_dir):
-        from uvol_tpu.codecs.draco.decoder import decode_drc
-        from uvol_tpu.runtime.prefetch import PrefetchPool
-
-        frames_bin = [
-            open(os.path.join(liam_dir, f"{i:05d}.drc"), "rb").read()
-            for i in range(8)
-        ]
-        decode_drc(frames_bin[0])  # warm native build
-        t0 = time.perf_counter()
-        meshes = [decode_drc(b) for b in frames_bin]
-        liam_fps = len(frames_bin) / (time.perf_counter() - t0)
-        # re-encode the decoded frames with OUR Draco encoder
+    (liam_fps, liam_fps_pool, liam_enc_fps,
+     frames_bin, meshes) = _liam_host_metrics()
+    if frames_bin is not None:
         from uvol_tpu.codecs.draco import constants as KD
-        from uvol_tpu.codecs.draco.encoder import (
-            AttributeToEncode,
-            encode_drc,
-        )
-
-        def reenc(mm):
-            atts = []
-            for t, bits in ((KD.ATT_POSITION, 11), (KD.ATT_TEX_COORD, 10),
-                            (KD.ATT_NORMAL, 8)):
-                a = mm.attribute_by_type(t)
-                if a is not None:
-                    atts.append(
-                        AttributeToEncode(t, a.values, a.corner_to_value, bits)
-                    )
-            g = mm.attribute_by_type(KD.ATT_GENERIC)
-            if g is not None:
-                atts.append(
-                    AttributeToEncode(
-                        KD.ATT_GENERIC, g.values, g.corner_to_value,
-                        integer=True,
-                    )
-                )
-            faces_idx = atts[0].corner_to_value.reshape(-1, 3)
-            return encode_drc(faces_idx, atts)
-
-        reenc(meshes[0])  # warm
-        t0 = time.perf_counter()
-        for mm in meshes[:4]:
-            reenc(mm)
-        liam_enc_fps = 4 / (time.perf_counter() - t0)
-        # DRACOLoader-style 4-worker pool (ctypes releases the GIL)
-        pool = PrefetchPool(decode_drc, workers=4)
-        t0 = time.perf_counter()
-        for i, b in enumerate(frames_bin * 3):
-            pool.request(i, b)
-        pool.wait_idle(60)
-        liam_fps_pool = 3 * len(frames_bin) / (time.perf_counter() - t0)
-        pool.close()
 
         # real .drc -> DEVICE-resident tensors: host C wire stages
         # (sequential recurrences) + batched device dequantize/oct->unit
