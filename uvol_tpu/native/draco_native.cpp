@@ -1116,13 +1116,18 @@ int64_t uvt_encoder_corner_table(
   // edges; fwd/bwd pairing then matches k-th with k-th in ascending
   // corner order (deterministic; manifold edges pair identically to the
   // sorted version since each key holds at most one of each direction).
-  auto pos_of = [&](int64_t c) { return faces[c]; };
-  std::vector<int64_t> lo_of(n), hi_of(n);
+  // int32 working copies: the sort passes are memory-bound on this
+  // class of host, and corner/position ids always fit in 31 bits
+  if (num_positions > INT32_MAX || n > INT32_MAX) return -1;
+  std::vector<int32_t> f32((size_t)n);
+  for (int64_t c = 0; c < n; ++c) f32[c] = (int32_t)faces[c];
+  auto pos_of = [&](int64_t c) { return f32[c]; };
+  std::vector<int32_t> lo_of(n), hi_of(n);
   std::vector<int32_t> bstart(num_positions + 1, 0);
   for (int64_t c = 0; c < n; ++c) {
-    int64_t a = pos_of(next_corner((int32_t)c));
-    int64_t b = pos_of(prev_corner((int32_t)c));
-    int64_t lo = a < b ? a : b, hi = a < b ? b : a;
+    int32_t a = pos_of(next_corner((int32_t)c));
+    int32_t b = pos_of(prev_corner((int32_t)c));
+    int32_t lo = a < b ? a : b, hi = a < b ? b : a;
     lo_of[c] = lo;
     hi_of[c] = hi;
     bstart[lo + 1]++;
