@@ -129,12 +129,16 @@ class HuffmanTable:
                 self._flat = False  # cannot flat-decode; use Python
             else:
                 syms, lens, revs = self._canonical()
-                lut = np.zeros(1 << 16, np.uint32)
+                # fill a 2^maxlen table, then tile: every code repeats
+                # with period 2^len <= 2^maxlen, so the tile is exact —
+                # and the strided stores touch KBs instead of 256 KB
+                m = int(lens.max()) if len(lens) else 0
+                small = np.zeros(1 << m, np.uint32)
                 for s, l, r in zip(
                     syms.tolist(), lens.tolist(), revs.tolist()
                 ):
-                    lut[r :: 1 << l] = (s << 5) | l
-                self._flat = lut
+                    small[r :: 1 << l] = (s << 5) | l
+                self._flat = np.tile(small, 1 << (16 - m))
         return None if self._flat is False else self._flat
 
 
