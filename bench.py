@@ -50,7 +50,11 @@ def _probe_backend(jax, timeout_s: float = 180.0) -> bool:
 
     th = threading.Thread(target=_t, daemon=True)
     th.start()
-    th.join(float(os.environ.get("UVT_BENCH_PROBE_TIMEOUT", timeout_s)))
+    try:
+        wait_s = float(os.environ.get("UVT_BENCH_PROBE_TIMEOUT", timeout_s))
+    except ValueError:
+        wait_s = timeout_s
+    th.join(wait_s)
     return bool(result and result[0])
 
 
@@ -179,14 +183,17 @@ def main() -> None:
         # probe, so every device metric is absent rather than stale
         liam_fps, liam_fps_pool, liam_enc_fps, _, _ = _liam_host_metrics()
         headline = playback_fps or liam_fps or 0.0
+        metric_name = (
+            "liam 250-frame full-player playback fps (real reference "
+            "corpus; HOST-ONLY: TPU backend probe timed out)"
+            if playback_fps
+            else "liam .drc decode fps (HOST-ONLY fallback: TPU backend "
+            "probe timed out and playback did not run)"
+        )
         print(
             json.dumps(
                 {
-                    "metric": (
-                        "liam 250-frame full-player playback fps (real "
-                        "reference corpus; HOST-ONLY: TPU backend probe "
-                        "timed out)"
-                    ),
+                    "metric": metric_name,
                     "value": round(headline, 2),
                     "unit": "frames/s",
                     "vs_baseline": round(headline / 30.0, 2),

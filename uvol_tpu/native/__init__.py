@@ -566,6 +566,10 @@ def normals_encode_native(
     corr = np.empty(n * 2, np.int64)
     flips = np.empty(max(n, 1), np.uint8)
     ptr_keep = _mask_ptr(seam_mask)
+    v2d_keep = None  # (ptr, arr): the arr ref keeps the copy alive
+    if vertex_to_data is not None:
+        arr = np.ascontiguousarray(vertex_to_data, np.int32)
+        v2d_keep = (arr.ctypes.data_as(ctypes.c_void_p), arr)
     rc = lib.uvt_normals_encode(
         np.ascontiguousarray(oct_coords.reshape(-1), np.int64), n,
         max_quantized_value,
@@ -577,8 +581,7 @@ def normals_encode_native(
         np.ascontiguousarray(pos_data_of_corner, np.int32),
         corr, flips,
         int(num_faces),
-        (np.ascontiguousarray(vertex_to_data, np.int32).ctypes.data
-         if vertex_to_data is not None else None),
+        v2d_keep[0] if v2d_keep else None,
     )
     if rc != 0:
         raise ValueError("native normals encode failed")

@@ -103,6 +103,7 @@ int uvt_rans_encode(const uint32_t* probs, int num_probs, int precision_bits,
     for (int i = n - 1; i >= 0; i--) {
         uint32_t s = symbols[i];
         uint64_t p = probs[s];
+        if (p == 0) return -1;  // keep the old SIGFPE fail-fast as an error
         uint64_t bound = upper_factor * p;
         while (state >= bound) {
             renorm.push_back((uint8_t)(state & 0xFF));
