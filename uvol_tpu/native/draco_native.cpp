@@ -2160,9 +2160,13 @@ extern "C" int uvt_eb_encode_maps(
     int64_t* counts_out                  // out [2+num_attrs]
 ) {
   const int64_t n = 3 * num_faces;
-  for (int64_t i = 0; i < n; ++i) dec2enc_corner[i] = INVALID;
   std::vector<int64_t> enc_vert_of_dec(num_vertex_slots, INVALID);
 
+  // one fused pass: write the symbol-face corner maps and check vertex
+  // correspondence while the mapped corners are still in registers.
+  // (No INVALID pre-fill / completeness post-check: symbol faces cover
+  // corners [0, 3*num_symbols) here and the init-face loop below covers
+  // the rest or returns an error, so every entry is written exactly once.)
   for (int64_t j = 0; j < num_symbols; ++j) {
     int64_t sc = symbol_corners_rev[j];
     int64_t nxt = (sc % 3 == 2) ? sc - 2 : sc + 1;
@@ -2170,14 +2174,15 @@ extern "C" int uvt_eb_encode_maps(
     dec2enc_corner[3 * j] = sc;
     dec2enc_corner[3 * j + 1] = nxt;
     dec2enc_corner[3 * j + 2] = prv;
-  }
-  for (int64_t c = 0; c < 3 * num_symbols; ++c) {
-    int64_t dv = dvert[c];
-    if (dv < 0 || dv >= num_vertex_slots) return -1;
-    int64_t ev = enc_vertex[dec2enc_corner[c]];
-    if (enc_vert_of_dec[dv] != INVALID && enc_vert_of_dec[dv] != ev)
-      return -2;  // inconsistent vertex correspondence
-    enc_vert_of_dec[dv] = ev;
+    const int64_t ecs[3] = {sc, nxt, prv};
+    for (int k = 0; k < 3; ++k) {
+      int64_t dv = dvert[3 * j + k];
+      if (dv < 0 || dv >= num_vertex_slots) return -1;
+      int64_t ev = enc_vertex[ecs[k]];
+      if (enc_vert_of_dec[dv] != INVALID && enc_vert_of_dec[dv] != ev)
+        return -2;  // inconsistent vertex correspondence
+      enc_vert_of_dec[dv] = ev;
+    }
   }
   // init faces: match by (already mapped) vertices
   for (int64_t i = 0, df = num_symbols; df < num_faces; ++df, ++i) {
@@ -2197,8 +2202,6 @@ extern "C" int uvt_eb_encode_maps(
       dec2enc_corner[dc] = ec[found];
     }
   }
-  for (int64_t i = 0; i < n; ++i)
-    if (dec2enc_corner[i] == INVALID) return -5;
 
   // seam pass: ascending corner order, interior edges with opp face > face
   int64_t n_edges = 0, n_boundary = 0;
