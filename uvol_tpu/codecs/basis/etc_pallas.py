@@ -494,19 +494,23 @@ def _dec_strip_kernel(w_ref, o_ref):
     strided ref stores handle the scatter fine."""
     s_count = o_ref.shape[0] // 4
     nbx = o_ref.shape[1] // 12
-    # decode ALL the tile's strips in one pass — every op runs at the
-    # full s_count*nbx lane width (blocks are lane-independent)
-    px = _dec_px_rows(
-        w_ref[0:1, :], w_ref[1:2, :], s_count * nbx, raster_rows=False
-    )
-    u8 = px.astype(jnp.uint8)
+    # per-strip decode: a one-pass s_count*nbx-wide variant (all strips
+    # decoded at full lane width, stores lane-sliced from the wide value)
+    # passes interpret-mode parity but its Mosaic lowering is UNVERIFIED
+    # (the TPU tunnel was down when it was attempted) — and the analogous
+    # encode-kernel widening measured no speedup (ALU-bound, not
+    # issue-bound), so the proven-on-chip form stays
     for s in range(s_count):
+        w1 = w_ref[0:1, nbx * s : nbx * (s + 1)]
+        w2 = w_ref[1:2, nbx * s : nbx * (s + 1)]
+        px = _dec_px_rows(w1, w2, nbx, raster_rows=False)  # [48, nbx]
+        u8 = px.astype(jnp.uint8)
         # px rows (c, dx, dy): rows g*4..g*4+3 ARE the strip's dy rows of
         # plane g — one contiguous [4, nbx] store per plane
         for g in range(12):  # g = c*4 + dx
-            o_ref[4 * s : 4 * s + 4, g * nbx : (g + 1) * nbx] = u8[
-                g * 4 : g * 4 + 4, s * nbx : (s + 1) * nbx
-            ]
+            o_ref[
+                4 * s : 4 * s + 4, g * nbx : (g + 1) * nbx
+            ] = u8[g * 4 : g * 4 + 4, :]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
