@@ -241,3 +241,86 @@ def test_native_encode_orchestrator_byte_parity(liam_output, monkeypatch):
             traversal_encoding=enc,
         )
         assert fast == ref, enc
+
+
+def test_geometric_predictor_qbits_paths_vs_python_oracle():
+    """The UV/normal encode predictors have an int64 fast path
+    (qp/qt <= 13-bit content) and an i128 reference path. Pin BOTH
+    against the pure-Python encoder (UVT_DISABLE_NATIVE_DRACO=1
+    subprocess): byte-identical bitstreams at qp=11/qt=10 (fast path)
+    and qp=16/qt=15 (i128 path, amax/umax >= 16384)."""
+    import os
+    import subprocess
+    import sys
+
+    from uvol_tpu import native
+    from uvol_tpu.codecs.draco import constants as K
+    from uvol_tpu.codecs.draco.encoder import AttributeToEncode, encode_drc
+
+    if native.get_draco_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    nx, ny = 6, 5
+    idx2 = lambda i, j: i * ny + j
+    pos = np.array(
+        [[i, j, (i * 2 + j) % 4 * 0.4] for i in range(nx) for j in range(ny)],
+        np.float32,
+    )
+    faces = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a, b, c, d = (idx2(i, j), idx2(i + 1, j),
+                          idx2(i + 1, j + 1), idx2(i, j + 1))
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+    faces = np.array(faces, np.int32)
+    r = np.random.default_rng(11)
+    uv = (np.round(r.uniform(0, 1, (len(pos), 2)) * 64) / 64).astype(np.float32)
+    nrm = r.normal(size=(len(pos), 3))
+    nrm = (nrm / np.linalg.norm(nrm, axis=1, keepdims=True)).astype(np.float32)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for qp, qt, qn in ((11, 10, 8), (16, 15, 12)):
+        atts = [
+            AttributeToEncode(K.ATT_POSITION, pos, faces.reshape(-1), qp),
+            AttributeToEncode(K.ATT_TEX_COORD, uv, faces.reshape(-1), qt),
+            AttributeToEncode(K.ATT_NORMAL, nrm, faces.reshape(-1), qn),
+        ]
+        fast = encode_drc(faces, atts)
+
+        # pure-Python oracle in a subprocess (the native lib handle is
+        # cached per-process, so the env var must be set before import)
+        code = (
+            "import sys, numpy as np; sys.path.insert(0, sys.argv[1])\n"
+            "from uvol_tpu.codecs.draco import constants as K\n"
+            "from uvol_tpu.codecs.draco.encoder import AttributeToEncode, "
+            "encode_drc\n"
+            "pos = np.load(sys.argv[2] + '/pos.npy'); "
+            "uv = np.load(sys.argv[2] + '/uv.npy'); "
+            "nrm = np.load(sys.argv[2] + '/nrm.npy'); "
+            "faces = np.load(sys.argv[2] + '/faces.npy')\n"
+            "qp, qt, qn = map(int, sys.argv[3].split(','))\n"
+            "atts = [AttributeToEncode(K.ATT_POSITION, pos, "
+            "faces.reshape(-1), qp), AttributeToEncode(K.ATT_TEX_COORD, uv, "
+            "faces.reshape(-1), qt), AttributeToEncode(K.ATT_NORMAL, nrm, "
+            "faces.reshape(-1), qn)]\n"
+            "sys.stdout.buffer.write(encode_drc(faces, atts))\n"
+        )
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            np.save(td + "/pos.npy", pos)
+            np.save(td + "/uv.npy", uv)
+            np.save(td + "/nrm.npy", nrm)
+            np.save(td + "/faces.npy", faces)
+            env = dict(os.environ)
+            env["UVT_DISABLE_NATIVE_DRACO"] = "1"
+            env["UVT_DISABLE_NATIVE_FRAME"] = "1"
+            proc = subprocess.run(
+                [sys.executable, "-c", code, repo, td, f"{qp},{qt},{qn}"],
+                env=env, capture_output=True, timeout=300,
+            )
+        assert proc.returncode == 0, proc.stderr.decode()[-2000:]
+        assert fast == proc.stdout, (qp, qt, qn)
