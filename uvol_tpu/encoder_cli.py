@@ -305,6 +305,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # UVT_PLATFORM=cpu forces the CPU backend (config API, not the
+        # JAX_PLATFORMS env var: a sitecustomize-registered accelerator
+        # plugin can hang backend init forever when its transport is
+        # down, and the env var does not reliably bypass it)
+        plat = os.environ.get("UVT_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
     except Exception:
         pass
     argv = sys.argv[1:] if argv is None else argv
