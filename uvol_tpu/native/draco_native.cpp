@@ -654,6 +654,21 @@ inline int64_t tdiv64(i128 a, i128 b) {
   return (int64_t)(a / b);
 }
 
+// exact division by a per-vertex invariant divisor: one hardware divide
+// builds M = floor((2^64-1)/p); then q_est = (x*M)>>64 <= x/p with a
+// <=2-step fixup (error < x/2^64 * 2 for the magnitudes used here).
+// rdivs truncates toward zero exactly like C++ '/'.
+inline uint64_t rdivu64(uint64_t x, uint64_t p, uint64_t m) {
+  uint64_t q = (uint64_t)(((u128)x * m) >> 64);
+  uint64_t r = x - q * p;
+  while (r >= p) { q++; r -= p; }
+  return q;
+}
+inline int64_t rdivs64(int64_t x, int64_t p, uint64_t m) {
+  return x >= 0 ? (int64_t)rdivu64((uint64_t)x, (uint64_t)p, m)
+                : -(int64_t)rdivu64((uint64_t)(-x), (uint64_t)p, m);
+}
+
 inline uint64_t isqrt64(uint64_t x) {
   // exact floor sqrt for x < 2^62: double estimate + integer correction
   uint64_t s = (uint64_t)sqrt((double)x);
@@ -744,19 +759,22 @@ int uvt_texcoords_predict(
             // multiplies and __divti3 calls dominated this loop)
             int64_t pn_norm2 =
                 pn[0] * pn[0] + pn[1] * pn[1] + pn[2] * pn[2];
+            // all 5 divisions share this vertex's divisor: one hardware
+            // div builds the reciprocal, each use is a mul + fixup
+            const uint64_t rm = ~0ull / (uint64_t)pn_norm2;
             int64_t cn_dot_pn =
                 pn[0] * cn[0] + pn[1] * cn[1] + pn[2] * cn[2];
             int64_t x_uv0 = n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0];
             int64_t x_uv1 = n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1];
             int64_t cx_norm2 = 0;
             for (int k = 0; k < 3; ++k) {
-              int64_t cx = cn[k] - cn_dot_pn * pn[k] / pn_norm2;
+              int64_t cx = cn[k] - rdivs64(cn_dot_pn * pn[k], pn_norm2, rm);
               cx_norm2 += cx * cx;
             }
             int64_t norm_sq =
                 (int64_t)isqrt64((uint64_t)cx_norm2 * (uint64_t)pn_norm2);
-            pred[0] = (x_uv0 + sgn * pn_uv[1] * norm_sq) / pn_norm2;
-            pred[1] = (x_uv1 - sgn * pn_uv[0] * norm_sq) / pn_norm2;
+            pred[0] = rdivs64(x_uv0 + sgn * pn_uv[1] * norm_sq, pn_norm2, rm);
+            pred[1] = rdivs64(x_uv1 - sgn * pn_uv[0] * norm_sq, pn_norm2, rm);
           } else {
             i128 pn_norm2 = 0, cn_dot_pn = 0;
             for (int k = 0; k < 3; ++k) {
@@ -1330,21 +1348,24 @@ int64_t uvt_texcoords_encode(
             // orientation predictions are bit-identical to the i128 path
             int64_t pn_norm2 =
                 pn[0] * pn[0] + pn[1] * pn[1] + pn[2] * pn[2];
+            // 7 divisions share this vertex's divisor: one hardware div
+            // builds the reciprocal, each use is a mul + fixup
+            const uint64_t rm = ~0ull / (uint64_t)pn_norm2;
             int64_t cn_dot_pn =
                 pn[0] * cn[0] + pn[1] * cn[1] + pn[2] * cn[2];
             int64_t x_uv0 = n_uv[0] * pn_norm2 + cn_dot_pn * pn_uv[0];
             int64_t x_uv1 = n_uv[1] * pn_norm2 + cn_dot_pn * pn_uv[1];
             int64_t cx_norm2 = 0;
             for (int k = 0; k < 3; ++k) {
-              int64_t cx = cn[k] - cn_dot_pn * pn[k] / pn_norm2;
+              int64_t cx = cn[k] - rdivs64(cn_dot_pn * pn[k], pn_norm2, rm);
               cx_norm2 += cx * cx;
             }
             int64_t norm_sq =
                 (int64_t)isqrt64((uint64_t)cx_norm2 * (uint64_t)pn_norm2);
-            pu_t = (x_uv0 + pn_uv[1] * norm_sq) / pn_norm2;
-            pv_t = (x_uv1 - pn_uv[0] * norm_sq) / pn_norm2;
-            pu_f = (x_uv0 - pn_uv[1] * norm_sq) / pn_norm2;
-            pv_f = (x_uv1 + pn_uv[0] * norm_sq) / pn_norm2;
+            pu_t = rdivs64(x_uv0 + pn_uv[1] * norm_sq, pn_norm2, rm);
+            pv_t = rdivs64(x_uv1 - pn_uv[0] * norm_sq, pn_norm2, rm);
+            pu_f = rdivs64(x_uv0 - pn_uv[1] * norm_sq, pn_norm2, rm);
+            pv_f = rdivs64(x_uv1 + pn_uv[0] * norm_sq, pn_norm2, rm);
           } else {
           i128 pn_norm2 = 0, cn_dot_pn = 0;
           for (int k = 0; k < 3; ++k) {
