@@ -380,6 +380,21 @@ def encode_crt(
 
     def delta_generic(values_q: np.ndarray, strategy: int) -> np.ndarray:
         vq = np.asarray(values_q, np.int64)
+        if vq.size and np.abs(vq).max() < (1 << 29):
+            # int32 gathers halve the memory traffic of this hot pass;
+            # |a+b-c| < 3*2^29 < 2^31 so the parallelogram stays exact,
+            # and the int64 cast back preserves the wire values
+            vq32 = vq.astype(np.int32)
+            if strategy & PARALLEL:
+                par = (q_a != q_b)[:, None]
+                pred = np.where(
+                    par, vq32[q_a] + vq32[q_b] - vq32[q_c], vq32[q_a]
+                )
+            else:
+                pred = vq32[q_a]
+            out = (vq32[q_t] - pred).astype(np.int64)
+            out[0] = vq[q_t[0]]
+            return out
         if strategy & PARALLEL:
             par = (q_a != q_b)[:, None]
             pred = np.where(par, vq[q_a] + vq[q_b] - vq[q_c], vq[q_a])
