@@ -16,10 +16,11 @@ basisu UASTC output CANNOT be verified here. What this module is:
   LDR endpoint expansion (bit replication), and the 16-bit endpoint
   interpolation `(e0*(64-w) + e1*w + 32) >> 6`.
 - A documented block layout (5-bit mode field, then component selector /
-  endpoints / BISE weights) covering a subset of UASTC's mode space:
-  solid color (mode 8), single-subset RGB and RGBA at several weight
-  quantizations, and a dual-plane RGBA mode. Multi-subset partitions and
-  the remaining modes are not implemented and raise.
+  endpoints / BISE weights) covering ALL 19 mode slots (0-18): solid
+  color (8), single-subset RGB/RGBA/LA at weight levels 2-16, 2/3-subset
+  partitions via the real ASTC hash52 pattern function, alpha-plane
+  dual-plane RGBA (modes 11/13/17), and shared-endpoint RGB dual-plane
+  (mode 6, the ASTC dual-plane rule). Ids 19-31 raise.
 - Deliberate simplifications flagged for later verification: weight
   dequantization uses exact rational rounding to 0..64 (the ASTC spec's
   bit-replication approximation can differ by ±1 at some levels), and
@@ -174,9 +175,13 @@ def bise_bits(n_values: int, base: int) -> int:
 class UastcMode:
     cem: int          # 4 = LA direct, 8 = RGB direct, 12 = RGBA direct
     ep_bits: int      # endpoint component bits (bit-replicated to 8)
-    weight_levels: int  # 3 / 4 / 5 / 8 / 16 (3, 5 go through BISE)
+    weight_levels: int  # 2 / 3 / 4 / 5 / 8 / 16 (3, 5 go through BISE)
     dual_plane: bool = False
     subsets: int = 1  # ASTC partitions; >1 adds a 10-bit seed field
+    plane2: int = 3   # dual-plane: channel the 2nd weight plane drives
+                      # (3 = alpha with its own endpoint pair for cem 12;
+                      # an RGB channel with SHARED endpoints for cem 8,
+                      # the ASTC dual-plane rule)
 
 
 def _ncomp(m: UastcMode) -> int:
@@ -191,14 +196,20 @@ MODE_SOLID = 8
 #: (astc_partition_4x4, Khronos spec hash52) for texel->subset mapping).
 MODES: Dict[int, UastcMode] = {
     0: UastcMode(cem=8, ep_bits=8, weight_levels=16),
+    1: UastcMode(cem=8, ep_bits=8, weight_levels=2),
     2: UastcMode(cem=8, ep_bits=8, weight_levels=3),
     3: UastcMode(cem=8, ep_bits=5, weight_levels=4, subsets=2),
     4: UastcMode(cem=8, ep_bits=4, weight_levels=3, subsets=3),
     5: UastcMode(cem=8, ep_bits=8, weight_levels=8),
+    6: UastcMode(cem=8, ep_bits=7, weight_levels=4, dual_plane=True,
+                 plane2=2),  # RGB dual-plane, shared endpoints (ASTC rule)
     7: UastcMode(cem=8, ep_bits=6, weight_levels=3, subsets=2),
     9: UastcMode(cem=12, ep_bits=4, weight_levels=3, subsets=2),
     10: UastcMode(cem=12, ep_bits=8, weight_levels=8),
+    11: UastcMode(cem=12, ep_bits=5, weight_levels=4, dual_plane=True),
     12: UastcMode(cem=12, ep_bits=8, weight_levels=5),
+    13: UastcMode(cem=12, ep_bits=8, weight_levels=2, dual_plane=True),
+    14: UastcMode(cem=12, ep_bits=6, weight_levels=4),
     15: UastcMode(cem=4, ep_bits=8, weight_levels=8),
     16: UastcMode(cem=4, ep_bits=8, weight_levels=4, subsets=2),
     17: UastcMode(cem=12, ep_bits=6, weight_levels=4, dual_plane=True),
@@ -375,12 +386,17 @@ def _get_bise(bits: np.ndarray, pos: int, n_values: int, base: int):
 
 
 def _fit_endpoints_weights(
-    px: np.ndarray, levels: int
+    px: np.ndarray, levels: int,
+    endpoints: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """px: [B,16,C] float. Min/max-diagonal fit: endpoints e0/e1 [B,C] and
-    per-texel weight level indices [B,16]."""
-    e0 = px.min(axis=1)
-    e1 = px.max(axis=1)
+    per-texel weight level indices [B,16]. Pass `endpoints` to project
+    onto a FIXED pair (shared-endpoint dual-plane modes)."""
+    if endpoints is not None:
+        e0, e1 = endpoints
+    else:
+        e0 = px.min(axis=1)
+        e1 = px.max(axis=1)
     d = e1 - e0  # [B,C]
     denom = (d * d).sum(-1)  # [B]
     t = np.where(
@@ -423,7 +439,7 @@ def _pack_mode_blocks(
     _put_field(bits, 0, 5, np.full(B, mode_id))
     pos = 5
     if m.dual_plane:
-        _put_field(bits, pos, 2, np.full(B, 3))  # plane 2 = alpha
+        _put_field(bits, pos, 2, np.full(B, m.plane2))
         pos += 2
     if m.subsets > 1:
         _put_field(bits, pos, 10, seed)
@@ -516,7 +532,7 @@ def _fit_mode(px: np.ndarray, mode_id: int):
         part = astc_partition_4x4(seed, m.subsets)  # [B, 16]
         e0, e1, wmain = _fit_subsets(pxf, part, m.weight_levels, m.subsets)
         walpha = None
-    elif m.dual_plane:
+    elif m.dual_plane and m.cem == 12:
         # main plane fits RGB; second plane carries alpha (selector = 3)
         e0m, e1m, wmain = _fit_endpoints_weights(pxf[..., :3], m.weight_levels)
         e0a, e1a, walpha = _fit_endpoints_weights(
@@ -524,6 +540,21 @@ def _fit_mode(px: np.ndarray, mode_id: int):
         )
         e0 = np.concatenate([e0m, e0a], -1)
         e1 = np.concatenate([e1m, e1a], -1)
+    elif m.dual_plane:
+        # cem 8 RGB dual-plane: ONE shared endpoint pair (ASTC rule) —
+        # plane 1 weights drive the non-selected channels, plane 2 the
+        # selected channel against the SAME endpoints
+        sel = m.plane2
+        rest = [c for c in range(3) if c != sel]
+        e0, e1, _ = _fit_endpoints_weights(pxf, m.weight_levels)
+        _, _, wmain = _fit_endpoints_weights(
+            pxf[..., rest], m.weight_levels, endpoints=(e0[:, rest],
+                                                        e1[:, rest])
+        )
+        _, _, walpha = _fit_endpoints_weights(
+            pxf[..., sel:sel + 1], m.weight_levels,
+            endpoints=(e0[:, sel:sel + 1], e1[:, sel:sel + 1]),
+        )
     else:
         e0, e1, wmain = _fit_endpoints_weights(pxf, m.weight_levels)
         walpha = None
@@ -667,11 +698,13 @@ def encode_uastc_blocks(
     has_alpha = (px16[..., 3] != 255).any()
     if modes is None:
         modes = [10, 12] if has_alpha else [0, 5]
-    # the jitted fit covers single-subset RGB/RGBA modes; multi-subset
-    # and LA candidates route through the host fit (partition seed search
-    # is host-side)
+    # the jitted fit covers single-subset RGB/RGBA modes; multi-subset,
+    # LA and shared-endpoint (cem-8 dual-plane) candidates route through
+    # the host fit (partition seed search is host-side)
     device_ok = all(
-        MODES[mid].subsets == 1 and MODES[mid].cem != 4 for mid in modes
+        MODES[mid].subsets == 1 and MODES[mid].cem != 4
+        and not (MODES[mid].dual_plane and MODES[mid].cem != 12)
+        for mid in modes
     )
     use_device = device_ok and (
         device is True or (device == "auto" and B >= 16384)
@@ -782,18 +815,29 @@ def _decode_mode_payload(bits: np.ndarray, mode_id: int) -> np.ndarray:
         widx2, pos = _get_bise(bits, pos, 16, m.weight_levels)
         w64b = WEIGHT_TABLES[m.weight_levels][widx2]
         rgb = _interp(e0[:, None, :3], e1[:, None, :3], w64)
-        alpha = _interp(e0[:, None, 3:], e1[:, None, 3:], w64b)[..., 0]
         out[..., :3] = rgb
-        # comp selector: plane 2 drives the selected component (alpha in
-        # everything our encoder emits; honor the field anyway)
+        if nc == 4:
+            # cem 12: the 4th endpoint pair feeds plane 2 (alpha in
+            # everything our encoder emits; honor the field anyway)
+            second = _interp(e0[:, None, 3:], e1[:, None, 3:], w64b)[..., 0]
+        else:
+            # cem 8: SHARED endpoints (ASTC dual-plane rule) — plane 2
+            # re-interpolates the selected channel's own endpoint pair
+            bi = np.arange(B)
+            comp_c = np.clip(comp, 0, nc - 1)
+            second = _interp(
+                e0[bi, comp_c][:, None, None],
+                e1[bi, comp_c][:, None, None],
+                w64b,
+            )[..., 0]
         for c in range(4):
             sel = comp == c
             if not sel.any():
                 continue
             if c == 3:
-                out[sel, :, 3] = alpha[sel]
+                out[sel, :, 3] = second[sel]
             else:
-                out[sel, :, c] = alpha[sel]
+                out[sel, :, c] = second[sel]
     else:
         vals = _interp(e0[:, None, :], e1[:, None, :], w64)
         if m.cem == 4:  # LA: L replicated to RGB, A separate
