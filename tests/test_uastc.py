@@ -276,3 +276,26 @@ def test_subset_and_la_modes_roundtrip_via_public_api():
         mse = ((got - ref) ** 2).mean()
         psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
         assert psnr > 27, (modes, psnr)
+
+
+def test_quality_levels_widen_candidates():
+    """UASTC_QUALITY_MODES: higher levels may only improve PSNR (pure-MSE
+    selection over supersets), and level 2's partition modes beat the
+    fast pair on hard-edged content."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = np.stack(
+        [xx * 4 % 256, yy * 4 % 256, (xx + yy) * 2 % 256], -1
+    ).astype(np.uint8)
+    imgs = np.stack([np.roll(img, k * 3, 1) for k in range(2)])
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    def psnr(q):
+        blob = U.encode_uastc_ktx2(imgs, quality=q)
+        dec = U.transcode_uastc(read_ktx2(blob))
+        mse = ((dec[..., :3].astype(float) - imgs.astype(float)) ** 2).mean()
+        return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+    p0, p1, p2 = psnr(0), psnr(1), psnr(2)
+    assert p1 >= p0 - 1e-9
+    assert p2 >= p1 - 1e-9
+    assert p2 > p0 + 0.5, (p0, p2)

@@ -906,16 +906,32 @@ def blocks_to_image_rgba(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
     )
 
 
+#: candidate-mode sets per quality level (basisu's quality knob trades
+#: candidate modes for speed the same way): level 0 = the fast pair,
+#: 1 adds dual-plane slots, 2 adds multi-subset partitions. Only modes
+#: that can IMPROVE the fit belong here — selection is pure MSE, so
+#: low-rate modes (coarser weights, narrower endpoints) can never win;
+#: they exist for decode coverage and explicit `modes=` requests.
+UASTC_QUALITY_MODES = {
+    0: ([0, 5], [10, 12]),
+    1: ([0, 5, 6], [10, 12, 11, 17]),
+    2: ([0, 5, 6, 3, 7], [10, 12, 11, 17, 9]),
+}
+
+
 def encode_uastc_ktx2(
     images: np.ndarray,
     *,
     zstd: bool = True,
     zstd_level: int = 6,
     device: object = False,
+    quality: int = 0,
 ) -> bytes:
     """[layers, H, W, 3|4] uint8 -> UASTC .ktx2 bytes (array texture),
     Zstd-supercompressed by default like `basisu -uastc -ktx2`.
 
+    `quality` (0-2) widens the candidate-mode set per block
+    (UASTC_QUALITY_MODES), like basisu's quality levels.
     `device=False` (default) pins the float64 host fit so wire bytes are
     deterministic across environments; pass True/"auto" for the jitted
     device fit, whose f32 round/argmin ties can pick different (equally
@@ -939,12 +955,19 @@ def encode_uastc_ktx2(
         images = np.concatenate(
             [images, np.full(images.shape[:-1] + (1,), 255, np.uint8)], -1
         )
-    payload = b"".join(
-        encode_uastc_blocks(
-            image_to_blocks_rgba(images[i]), device=device
+    rgb_set, rgba_set = UASTC_QUALITY_MODES[min(max(int(quality), 0), 2)]
+
+    def _encode_layer(i: int) -> bytes:
+        blocks_px = image_to_blocks_rgba(images[i])
+        modes = None  # quality 0 = the encoder's own default pair
+        if quality > 0:
+            has_a = (blocks_px[..., 3] != 255).any()
+            modes = list(rgba_set if has_a else rgb_set)
+        return encode_uastc_blocks(
+            blocks_px, modes=modes, device=device
         ).tobytes()
-        for i in range(L)
-    )
+
+    payload = b"".join(_encode_layer(i) for i in range(L))
     uncompressed = len(payload)
     scheme = SUPERCOMPRESSION_NONE
     if zstd and zstdlib.is_available():

@@ -439,9 +439,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     # compatible (see codecs/basis/uastc.py docstring)
                     from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2
 
+                    uastc_q = int(cfg.get("UASTC_QUALITY", 0))
+
                     class _UastcSegmentCodec:
                         def encode_segment(self, px):
-                            return encode_uastc_ktx2(px)
+                            return encode_uastc_ktx2(px, quality=uastc_q)
 
                     codec = _UastcSegmentCodec()
                     target_name = "uastc-tpu"
