@@ -114,3 +114,39 @@ def test_codebook_kmeans_monotone():
         d = float(d)
         assert d <= d_prev + 1e-3
         d_prev = d
+
+
+def test_encode_bucketed_ragged_matches_and_saves_padding():
+    """encode_bucketed: ragged frames produce byte-identical blobs to a
+    single-frame encode of each, and the buckets pad far less than one
+    sequence-max batch."""
+    import numpy as np
+
+    from uvol_tpu.models.sequence import GeometryFrameSet, GeometrySequenceCodec
+    from uvol_tpu.parallel.mesh import bucket_frames_by_count
+
+    r = np.random.default_rng(3)
+    counts = np.array([100, 120, 2000, 110, 1900, 130, 2100, 105])
+    positions = [r.normal(size=(c, 3)).astype(np.float32) for c in counts]
+    uvs = [r.uniform(size=(c, 2)).astype(np.float32) for c in counts]
+    faces = [
+        np.stack([np.arange(c - 2), np.arange(1, c - 1), np.arange(2, c)], 1)
+        .astype(np.int32)
+        for c in counts
+    ]
+    codec = GeometrySequenceCodec(use_pallas=False)
+    got = codec.encode_bucketed(positions, uvs, faces)
+
+    for i, c in enumerate(counts):
+        fs = GeometryFrameSet(
+            positions[i][None], uvs[i][None],
+            np.array([c]), [faces[i]],
+        )
+        (ref,) = codec.encode(fs)
+        assert got[i] == ref, i
+
+    # padded-element accounting: buckets vs one max-padded batch
+    buckets = bucket_frames_by_count(counts)
+    bucketed = sum(len(b) * int(counts[b].max()) for b in buckets)
+    single = len(counts) * int(counts.max())
+    assert bucketed < single * 0.7, (bucketed, single)

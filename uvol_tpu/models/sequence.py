@@ -258,6 +258,52 @@ class GeometrySequenceCodec:
                 return list(pool.map(frame_blob, range(f)))
         return [frame_blob(i) for i in range(f)]
 
+    def encode_bucketed(
+        self,
+        positions,
+        uvs,
+        faces,
+        *,
+        max_waste: float = 0.25,
+    ) -> List[bytes]:
+        """Ragged-sequence encode: per-frame arrays of differing vertex
+        counts are bucketed (`parallel.mesh.bucket_frames_by_count`) so
+        each device batch pads to its own max vertex count instead of the
+        sequence max — SURVEY §7 hard part (d). Bucket lengths honor the
+        codec's mesh so the frame axis still shards evenly.
+
+        positions: sequence of [Ni, 3]; uvs: sequence of [Ni, 2] or None;
+        faces: sequence of [Mi, 3]. Returns blobs in input order — each
+        frame's quantization is per-frame, so output bytes are identical
+        to any other batching of the same frames.
+        """
+        from uvol_tpu.parallel.mesh import FRAME_AXIS, bucket_frames_by_count
+
+        counts = np.array([len(p) for p in positions], np.int64)
+        mesh_size = (
+            int(self.mesh.shape[FRAME_AXIS]) if self.mesh is not None else 1
+        )
+        out: List[Optional[bytes]] = [None] * len(counts)
+        for idx in bucket_frames_by_count(counts, mesh_size, max_waste):
+            nmax = int(counts[idx].max())
+            pos = np.zeros((len(idx), nmax, 3), np.float32)
+            uv = (
+                np.zeros((len(idx), nmax, 2), np.float32)
+                if uvs is not None
+                else None
+            )
+            for j, i in enumerate(idx):
+                pos[j, : counts[i]] = positions[i]
+                if uv is not None:
+                    uv[j, : counts[i]] = uvs[i]
+            fs = GeometryFrameSet(
+                pos, uv, counts[idx],
+                [np.asarray(faces[i], np.int32) for i in idx],
+            )
+            for j, blob in enumerate(self.encode(fs)):
+                out[int(idx[j])] = blob
+        return out  # type: ignore[return-value]
+
     # -- decode --------------------------------------------------------------
     def decode(
         self, blobs: Sequence[bytes], *, as_numpy: bool = True

@@ -105,3 +105,48 @@ def pad_frames_to_mesh(array: np.ndarray, mesh: Mesh, frame_dim: int = 0):
     pad = [(0, 0)] * array.ndim
     pad[frame_dim] = (0, target - n)
     return np.pad(array, pad), n
+
+
+def bucket_frames_by_count(
+    counts,
+    mesh_size: int = 1,
+    max_waste: float = 0.25,
+):
+    """Group frame indices into padding buckets for ragged sequences.
+
+    Frames in one device batch pad to the batch's max vertex count, so a
+    single 50k-vert frame in a batch of 5k-vert frames makes every lane
+    10x wider than needed. This sorts frames by count and greedily cuts
+    buckets so each bucket's padded-compute waste
+    (1 - sum(counts)/(len*max)) stays under `max_waste`; bucket lengths
+    are then rounded to multiples of `mesh_size` when possible so the
+    frame axis shards evenly (the remainder bucket relies on
+    `pad_frames_to_mesh`). Returns a list of index arrays covering every
+    frame exactly once (ascending count across buckets).
+    """
+    counts = np.asarray(counts, np.int64)
+    order = np.argsort(counts, kind="stable")
+    buckets = []
+    start = 0
+    n = len(order)
+    while start < n:
+        end = start + 1
+        total = int(counts[order[start]])
+        while end < n:
+            c = int(counts[order[end]])
+            new_total = total + c
+            # order is count-sorted, so c IS the running max
+            waste = 1.0 - new_total / ((end - start + 1) * max(c, 1))
+            if waste > max_waste and (end - start) >= mesh_size:
+                break
+            total = new_total
+            end += 1
+        if mesh_size > 1 and end < n:
+            # round down to a sharding-even length (keep >= mesh_size)
+            span = end - start
+            even = (span // mesh_size) * mesh_size
+            if even >= mesh_size:
+                end = start + even
+        buckets.append(order[start:end])
+        start = end
+    return buckets
