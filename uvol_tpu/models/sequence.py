@@ -60,6 +60,12 @@ class GeometryFrameSet:
     faces: List[np.ndarray]  # per-frame [Mf, 3] int32
 
 
+def _mesh_is_multiprocess(mesh) -> bool:
+    from uvol_tpu.parallel.mesh import mesh_is_multiprocess
+
+    return mesh_is_multiprocess(mesh)
+
+
 def _pallas_available() -> bool:
     """Pallas kernels run on the real TPU backend; tests run the interpret
     path explicitly."""
@@ -79,6 +85,25 @@ class GeometrySequenceCodec:
     v5e chip because its layout padded C=3 to 128 lanes.
     """
 
+    def _dev_in(self, x):
+        """Device-call input boundary. On a multi-process mesh the host
+        value (identical on every process, the multi-host data contract)
+        is passed as numpy so pjit shards it globally; single-process
+        keeps the explicit transfer."""
+        if x is None:
+            return None
+        return np.asarray(x) if self._multiprocess else jnp.asarray(x)
+
+    def _dev_out(self, tree):
+        """Device-call output boundary: on a multi-process mesh, gather
+        shards to fully-replicated arrays so `np.asarray` works on every
+        process (each host then writes the same bytes)."""
+        if self._multiprocess:
+            from uvol_tpu.parallel.mesh import replicate_to_host
+
+            tree = replicate_to_host(self.mesh, tree)
+        return tree
+
     def __init__(
         self,
         position_bits: int = 11,
@@ -94,6 +119,7 @@ class GeometrySequenceCodec:
         self.position_bits = position_bits
         self.uv_bits = uv_bits
         self.mesh = mesh
+        self._multiprocess = mesh is not None and _mesh_is_multiprocess(mesh)
         if use_pallas is None:
             use_pallas = _pallas_available()
         self.use_pallas = use_pallas
@@ -202,14 +228,14 @@ class GeometrySequenceCodec:
         # planar device contract: [F, C, N] (host transposes are cheap
         # strided copies; the device never sees a minor-dim-3 layout)
         dev = self._encode_device(
-            jnp.asarray(np.ascontiguousarray(pos_in.transpose(0, 2, 1))),
-            jnp.asarray(np.ascontiguousarray(uv_in.transpose(0, 2, 1)))
+            self._dev_in(np.ascontiguousarray(pos_in.transpose(0, 2, 1))),
+            self._dev_in(np.ascontiguousarray(uv_in.transpose(0, 2, 1)))
             if uv_in is not None
             else None,
-            jnp.asarray(mask_in),
+            self._dev_in(mask_in),
         )
         # mesh-padded frames are dropped by the [:f] host loop below
-        dev = jax.tree.map(np.asarray, dev)
+        dev = jax.tree.map(np.asarray, self._dev_out(dev))
 
         def frame_blob(i: int) -> bytes:
             count = int(frames.counts[i])
@@ -377,9 +403,11 @@ class GeometrySequenceCodec:
             pos_batch, pmin, pscale, uv_batch, umin, uscale
         )
         pos, uv = self._decode_device(
-            jnp.asarray(pos_batch), jnp.asarray(pmin), jnp.asarray(pscale),
-            jnp.asarray(uv_batch), jnp.asarray(umin), jnp.asarray(uscale),
+            self._dev_in(pos_batch), self._dev_in(pmin), self._dev_in(pscale),
+            self._dev_in(uv_batch), self._dev_in(umin), self._dev_in(uscale),
         )
+        if as_numpy:
+            pos, uv = self._dev_out((pos, uv))
         pos, uv = pos[:f], uv[:f]  # drop mesh padding
         if not any_uv:
             uv = None  # UV-less streams: honor the Optional contract
@@ -423,6 +451,7 @@ class TextureSequenceCodec:
         single-device encode."""
         self.sequence_size = sequence_size
         self.mesh = mesh
+        self._multiprocess = mesh is not None and _mesh_is_multiprocess(mesh)
         if supercompression not in ("none", "zstd"):
             raise ValueError(
                 f"unknown supercompression {supercompression!r} "
@@ -516,6 +545,10 @@ class TextureSequenceCodec:
         self._encode = _encode
         self._decode = _decode
 
+    # shared multi-host host↔device boundary (same contract as geometry)
+    _dev_in = GeometrySequenceCodec._dev_in
+    _dev_out = GeometrySequenceCodec._dev_out
+
     def _pad_layers(self, arr: np.ndarray):
         """Pad the layer axis to the mesh multiple (shared helper)."""
         if self.mesh is None:
@@ -531,7 +564,8 @@ class TextureSequenceCodec:
         l, h, w, _ = frames.shape
         frames_in, _ = self._pad_layers(np.asarray(frames))
         words = pack_words2(
-            self._encode(jnp.asarray(frames_in)), frames_in.shape[0]
+            self._dev_out(self._encode(self._dev_in(frames_in))),
+            frames_in.shape[0],
         )[:l]
         payload = b"".join(pack_etc1_payload(words[i]) for i in range(l))
         raw_len = len(payload)
@@ -571,7 +605,7 @@ class TextureSequenceCodec:
             [unpack_etc1_payload(data[i * per : (i + 1) * per]) for i in range(l)]
         )
         words_in, _ = self._pad_layers(words)
-        out = self._decode(jnp.asarray(unpack_words2(words_in)), h, w)[:l]
+        out = self._decode(self._dev_in(unpack_words2(words_in)), h, w)
         if as_numpy:
-            return np.asarray(out)
-        return jax.block_until_ready(out)
+            return np.asarray(self._dev_out(out)[:l])
+        return jax.block_until_ready(out[:l])

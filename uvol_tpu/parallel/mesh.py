@@ -59,6 +59,25 @@ def initialize_distributed(
     return True
 
 
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by more than one process —
+    the multi-host case where per-process `np.asarray` of a sharded array
+    would fail (shards live on non-addressable devices)."""
+    pid = jax.process_index()
+    return any(d.process_index != pid for d in mesh.devices.flat)
+
+
+def replicate_to_host(mesh: Mesh, tree):
+    """Gather a pytree of mesh-sharded arrays to fully-replicated arrays.
+
+    One all-gather per leaf (rides ICI/DCN); afterwards every process can
+    `np.asarray` the result. This is the multi-host analog of the
+    reference's worker→main-thread transferable handoff
+    (/root/reference/src/V1/worker.ts:69)."""
+    sharding = NamedSharding(mesh, jax.sharding.PartitionSpec())
+    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     *,
