@@ -287,6 +287,114 @@ def decode_parallelogram(
     return out
 
 
+def decode_constrained_multi_parallelogram(
+    corr: np.ndarray,
+    num_components: int,
+    buf: DecoderBuffer,
+    table_view,
+    vertex_to_data: np.ndarray,
+    data_to_corner: np.ndarray,
+) -> np.ndarray:
+    """MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM (method 4).
+
+    Prediction data (read from `buf`, which sits just past the symbol
+    block): four crease-edge flag streams — one rABS-coded stream per
+    context, where context = (number of available parallelograms) - 1 —
+    then the wrap-transform bounds. For each value, the corner ring
+    around its vertex is walked (swing left from the mapped corner, then
+    right from the start on hitting a boundary) collecting up to 4 full
+    parallelogram predictions; the non-crease ones are averaged
+    (truncated integer division) and the wrap transform folds the
+    correction. No usable parallelogram ⇒ delta from the previous value.
+    Mirrors the semantics of the reference's WASM decoder for foreign
+    files encoded at compression levels that select this scheme
+    (/root/reference/src/lib/DRACOLoader.js:483 path; the reference's own
+    settings at scripts/Encoder.py:260-267 emit plain parallelogram).
+    """
+    max_par = 4  # Draco kMaxNumParallelograms
+    n = len(corr) // num_components
+    corr = corr.reshape(n, num_components).astype(np.int64)
+    num_corners = 3 * table_view.num_faces
+    is_crease: List[np.ndarray] = []
+    for _ in range(max_par):
+        num_flags = buf.varint()
+        if num_flags > num_corners:
+            raise ValueError("crease flag count exceeds corner count")
+        if num_flags:
+            dec = RansBitDecoder(buf)
+            from uvol_tpu import native as uvt_native
+
+            bits = (
+                uvt_native.rabs_decode_bits_native(
+                    dec.prob_zero, dec._buf, num_flags
+                )
+                if uvt_native.get_draco_lib() is not None
+                else None
+            )
+            if bits is None:
+                bits = np.asarray(
+                    [dec.decode_bit() for _ in range(num_flags)], np.uint8
+                )
+            is_crease.append(np.asarray(bits, np.uint8))
+        else:
+            is_crease.append(np.zeros(0, np.uint8))
+    transform = WrapTransform(buf)
+    flag_pos = [0] * max_par
+    out = np.zeros_like(corr)
+    if n == 0:
+        return out
+    out[0] = transform.compute_original(
+        np.zeros(num_components, np.int64), corr[0]
+    )
+    for p in range(1, n):
+        start = int(data_to_corner[p])
+        ci = start
+        preds: List[np.ndarray] = []
+        first_pass = True
+        while ci != INVALID:
+            oci = table_view.opp(ci)
+            if oci != INVALID:
+                pred = parallelogram_prediction(
+                    out, p, oci, table_view, vertex_to_data
+                )
+                if pred is not None:
+                    preds.append(pred)
+                    if len(preds) == max_par:
+                        break
+            ci = (
+                table_view.swing_left(ci)
+                if first_pass
+                else table_view.swing_right(ci)
+            )
+            if ci == start:
+                break
+            if ci == INVALID and first_pass:
+                first_pass = False
+                ci = table_view.swing_right(start)
+        used = 0
+        total = np.zeros(num_components, np.int64)
+        if preds:
+            ctx = len(preds) - 1
+            flags = is_crease[ctx]
+            for i in range(len(preds)):
+                pos = flag_pos[ctx]
+                flag_pos[ctx] += 1
+                if pos >= len(flags):
+                    raise ValueError("crease flag stream exhausted")
+                if not flags[pos]:
+                    used += 1
+                    total += preds[i]
+        if used == 0:
+            pred = out[p - 1]
+        else:
+            pred = np.asarray(
+                [tdiv(int(total[c]), used) for c in range(num_components)],
+                np.int64,
+            )
+        out[p] = transform.compute_original(pred, corr[p])
+    return out
+
+
 class TexCoordsPortablePredictor:
     """Geometric UV prediction (Draco MESH_PREDICTION_TEX_COORDS_PORTABLE)."""
 

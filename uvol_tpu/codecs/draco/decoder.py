@@ -20,6 +20,7 @@ from uvol_tpu.codecs.draco.attributes import (
     GeometricNormalPredictor,
     TexCoordsPortablePredictor,
     WrapTransform,
+    decode_constrained_multi_parallelogram,
     decode_difference,
     decode_parallelogram,
 )
@@ -28,7 +29,11 @@ from uvol_tpu.codecs.draco.corner_table import (
     MeshAttributeCornerTable,
 )
 from uvol_tpu.codecs.draco.edgebreaker import decode_edgebreaker_connectivity
-from uvol_tpu.codecs.draco.traverser import _TableView, traverse_depth_first
+from uvol_tpu.codecs.draco.traverser import (
+    _TableView,
+    traverse_depth_first,
+    traverse_prediction_degree,
+)
 from uvol_tpu.codecs.symbol_coding import (
     convert_symbols_to_signed,
     decode_symbols,
@@ -193,11 +198,24 @@ def _decode_drc(data: bytes) -> DracoMesh:
         att_data_id = _i8(buf.u8())
         decoder_type = buf.u8()
         traversal = buf.u8()
-        if traversal != K.MESH_TRAVERSAL_DEPTH_FIRST:
-            raise NotImplementedError("prediction-degree traversal")
-        headers.append((int(att_data_id), decoder_type))
+        if traversal not in (
+            K.MESH_TRAVERSAL_DEPTH_FIRST,
+            K.MESH_TRAVERSAL_PREDICTION_DEGREE,
+        ):
+            raise NotImplementedError(f"traversal method {traversal}")
+        if (
+            traversal == K.MESH_TRAVERSAL_PREDICTION_DEGREE
+            and decoder_type != K.MESH_VERTEX_ATTRIBUTE
+        ):
+            # Draco only wires MaxPredictionDegreeTraverser for vertex
+            # decoders; corner-mapped attributes are depth-first-only
+            raise ValueError(
+                "prediction-degree traversal is only valid for "
+                "vertex-attribute decoders"
+            )
+        headers.append((int(att_data_id), decoder_type, traversal))
     decoders = []
-    for att_data_id, decoder_type in headers:
+    for att_data_id, decoder_type, traversal in headers:
         n_att = buf.varint()
         attrs = []
         for _ in range(n_att):
@@ -208,7 +226,7 @@ def _decode_drc(data: bytes) -> DracoMesh:
             uid = buf.varint()
             attrs.append(DracoAttribute(att_type, dtype, comps, bool(norm), uid))
         seq_types = [buf.u8() for _ in range(n_att)]
-        decoders.append((att_data_id, decoder_type, attrs, seq_types))
+        decoders.append((att_data_id, decoder_type, traversal, attrs, seq_types))
 
     # ---- per-decoder attribute decode -------------------------------------
     pos_values: Optional[np.ndarray] = None  # portable ints, for predictors
@@ -216,7 +234,7 @@ def _decode_drc(data: bytes) -> DracoMesh:
     all_attributes: List[DracoAttribute] = []
     corner_maps: List[np.ndarray] = []  # per attribute: corner -> value index
 
-    for att_data_id, decoder_type, attrs, seq_types in decoders:
+    for att_data_id, decoder_type, traversal, attrs, seq_types in decoders:
         if decoder_type == K.MESH_CORNER_ATTRIBUTE:
             att_table = MeshAttributeCornerTable(
                 ct, conn.attribute_seam_corners[att_data_id]
@@ -226,7 +244,12 @@ def _decode_drc(data: bytes) -> DracoMesh:
         else:
             view = _TableView(ct, num_faces)
             corner_vertex = ct.vertex
-        vertex_to_data, data_to_corner = traverse_depth_first(
+        traverse = (
+            traverse_prediction_degree
+            if traversal == K.MESH_TRAVERSAL_PREDICTION_DEGREE
+            else traverse_depth_first
+        )
+        vertex_to_data, data_to_corner = traverse(
             att_table if decoder_type == K.MESH_CORNER_ATTRIBUTE else ct,
             num_faces,
             corner_order=conn.processed_corners,
@@ -257,9 +280,10 @@ def _decode_drc(data: bytes) -> DracoMesh:
                             f"transform {transform_type} for integer attrs"
                         )
                 compressed = buf.u8()
-                if not compressed:
-                    raise NotImplementedError("uncompressed integer attributes")
-                symbols = decode_symbols(num_values * nc, nc, buf)
+                if compressed:
+                    symbols = decode_symbols(num_values * nc, nc, buf)
+                else:
+                    symbols = _read_raw_values(buf, num_values * nc)
                 # correction sign convention is per scheme (validated on the
                 # liam corpus histograms): parallelogram/difference use
                 # zigzag-signed corrections, tex-coords-portable uses
@@ -274,6 +298,15 @@ def _decode_drc(data: bytes) -> DracoMesh:
                     wrap = WrapTransform(buf)
                     ints = decode_parallelogram(
                         signed, nc, wrap, view, vertex_to_data, data_to_corner
+                    )
+                elif (
+                    method_b
+                    == K.MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM
+                ):
+                    # prediction data (crease flags + wrap bounds) is read
+                    # from `buf` inside — it follows the symbol block
+                    ints = decode_constrained_multi_parallelogram(
+                        signed, nc, buf, view, vertex_to_data, data_to_corner
                     )
                 elif method_b == K.MESH_PREDICTION_TEX_COORDS_PORTABLE:
                     pred = TexCoordsPortablePredictor(
@@ -314,9 +347,10 @@ def _decode_drc(data: bytes) -> DracoMesh:
                         f"normals method {method_b} transform {transform_type}"
                     )
                 compressed = buf.u8()
-                if not compressed:
-                    raise NotImplementedError("uncompressed normals")
-                symbols = decode_symbols(num_values * 2, 2, buf)
+                if compressed:
+                    symbols = decode_symbols(num_values * 2, 2, buf)
+                else:
+                    symbols = _read_raw_values(buf, num_values * 2)
                 pred = GeometricNormalPredictor(
                     buf, view, pos_for_corner,
                     pos_values=pos_values,
@@ -415,6 +449,24 @@ def integer_dtype(data_type: int):
 
 def _i8(v: int) -> int:
     return v - 256 if v >= 128 else v
+
+
+def _read_raw_values(buf: DecoderBuffer, num_values: int) -> np.ndarray:
+    """compressed=0 storage: u8 byte-width, then each value as that many
+    little-endian bytes (4 ⇒ one contiguous int32 block). The values are
+    the same zigzag/positive symbols the compressed path carries."""
+    nb = buf.u8()
+    if nb == 4:
+        return np.frombuffer(buf.raw(4 * num_values), "<u4").astype(np.uint32)
+    if nb not in (1, 2, 3):
+        raise ValueError(f"invalid raw integer byte width {nb}")
+    raw = (
+        np.frombuffer(buf.raw(nb * num_values), np.uint8)
+        .reshape(num_values, nb)
+        .astype(np.uint32)
+    )
+    shifts = np.arange(nb, dtype=np.uint32) * 8
+    return (raw << shifts[None, :]).sum(axis=1, dtype=np.uint32)
 
 
 def _skip_metadata(buf: DecoderBuffer) -> None:

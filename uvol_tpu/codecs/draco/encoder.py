@@ -44,7 +44,11 @@ from uvol_tpu.codecs.draco.edgebreaker import (
     TopologySplit,
     run_connectivity_machine,
 )
-from uvol_tpu.codecs.draco.traverser import _TableView, traverse_depth_first
+from uvol_tpu.codecs.draco.traverser import (
+    _TableView,
+    traverse_depth_first,
+    traverse_prediction_degree,
+)
 from uvol_tpu.codecs.rans import RansBitEncoder
 from uvol_tpu.codecs.symbol_coding import (
     convert_signed_to_symbols,
@@ -487,6 +491,77 @@ def _encode_parallelogram(
     return corr, wrap
 
 
+def _encode_constrained_multi(
+    values: np.ndarray, view, vertex_to_data, data_to_corner
+):
+    """Encoder counterpart of
+    attributes.decode_constrained_multi_parallelogram: same corner-ring
+    walk, every available parallelogram used (all crease flags 0 — any
+    flag assignment is valid wire; Draco's encoder optimizes the choice
+    for rate, which affects compression only, never correctness).
+    Returns (corr, wrap, crease_flag_streams[4])."""
+    n, nc = values.shape
+    wrap = WrapEncoder(values)
+    corr = np.zeros_like(values)
+    creases: List[List[int]] = [[] for _ in range(4)]
+    if n == 0:
+        return corr, wrap, creases
+    corr[0] = wrap.correction(values[0], np.zeros(nc, np.int64))
+    for p in range(1, n):
+        start = int(data_to_corner[p])
+        ci = start
+        preds = []
+        first_pass = True
+        while ci != INVALID:
+            oci = view.opp(ci)
+            if oci != INVALID:
+                pred = parallelogram_prediction(
+                    values, p, oci, view, vertex_to_data
+                )
+                if pred is not None:
+                    preds.append(pred)
+                    if len(preds) == 4:
+                        break
+            ci = (
+                view.swing_left(ci) if first_pass else view.swing_right(ci)
+            )
+            if ci == start:
+                break
+            if ci == INVALID and first_pass:
+                first_pass = False
+                ci = view.swing_right(start)
+        if preds:
+            creases[len(preds) - 1].extend([0] * len(preds))
+            total = np.sum(preds, axis=0)
+            pred = np.asarray(
+                [tdiv(int(total[c]), len(preds)) for c in range(nc)],
+                np.int64,
+            )
+        else:
+            pred = values[p - 1]
+        corr[p] = wrap.correction(values[p], pred)
+    return corr, wrap, creases
+
+
+def _write_symbol_block(
+    symbols: np.ndarray, nc: int, out: EncoderBuffer, compress: bool = True
+) -> None:
+    """The `compressed` flag + symbol payload: rANS-coded symbols, or the
+    raw storage form (u8 byte-width + little-endian values) a foreign
+    encoder emits with attribute compression disabled."""
+    if compress:
+        out.u8(1)
+        encode_symbols(symbols, nc, out)
+        return
+    out.u8(0)
+    symbols = np.asarray(symbols, np.uint32)
+    masked = int(np.bitwise_or.reduce(symbols)) if len(symbols) else 0
+    nb = 1 + (masked.bit_length() - 1) // 8 if masked else 1
+    out.u8(nb)
+    le = symbols.astype("<u4").view(np.uint8).reshape(-1, 4)[:, :nb]
+    out.raw(np.ascontiguousarray(le).tobytes())
+
+
 def _encode_difference(values: np.ndarray) -> Tuple[np.ndarray, WrapEncoder]:
     n, nc = values.shape
     wrap = WrapEncoder(values)
@@ -811,6 +886,9 @@ def encode_drc(
     attributes: List[AttributeToEncode],
     *,
     traversal_encoding: str = "valence",
+    attribute_traversal: str = "depth_first",
+    position_prediction: str = "parallelogram",
+    integer_compression: bool = True,
 ) -> bytes:
     """Encode a triangular mesh to a Draco 2.2 bitstream.
 
@@ -818,7 +896,21 @@ def encode_drc(
     Per-corner attribute indexing (`corner_to_value`) expresses seams.
     `traversal_encoding`: "valence" (context-modeled rANS symbols, what
     draco_encoder emits by default) or "standard" (bit-coded CLER stream).
+    `attribute_traversal`: "depth_first" or "prediction_degree" (vertex
+    decoders only — draco's selection at low encoding speeds).
+    `position_prediction`: "parallelogram" or "constrained_multi"
+    (MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM, the scheme foreign
+    draco encoders pair with prediction-degree traversal).
+    `integer_compression=False` stores integer corrections raw
+    (compressed=0 wire) instead of rANS symbol coding.
+    These three exist to generate foreign-settings fixtures — default
+    values reproduce draco_encoder's output at the reference's settings
+    (/root/reference/scripts/Encoder.py:260-267).
     """
+    if attribute_traversal not in ("depth_first", "prediction_degree"):
+        raise ValueError(f"unknown attribute_traversal {attribute_traversal!r}")
+    if position_prediction not in ("parallelogram", "constrained_multi"):
+        raise ValueError(f"unknown position_prediction {position_prediction!r}")
     if attributes[0].attribute_type != K.ATT_POSITION:
         raise ValueError("attributes[0] must be POSITION")
     faces = np.asarray(faces, np.int64)
@@ -834,8 +926,17 @@ def encode_drc(
     # (parity locked in tests/test_native_draco.py).
     from uvol_tpu import native as _native_mod
 
-    _fast = _native_mod.drc_encode_native(
-        faces, attributes, traversal_encoding == "standard"
+    _default_wire = (
+        attribute_traversal == "depth_first"
+        and position_prediction == "parallelogram"
+        and integer_compression
+    )
+    _fast = (
+        _native_mod.drc_encode_native(
+            faces, attributes, traversal_encoding == "standard"
+        )
+        if _default_wire
+        else None
     )
     if _fast is not None:
         return _fast
@@ -1087,10 +1188,17 @@ def encode_drc(
         decoder_plan.append((i, dec_type, att))
 
     out.u8(len(decoder_plan))
+    pred_degree = attribute_traversal == "prediction_degree"
     for att_data_id, dec_type, att in decoder_plan:
         out.u8(att_data_id & 0xFF)
         out.u8(dec_type)
-        out.u8(K.MESH_TRAVERSAL_DEPTH_FIRST)
+        # prediction-degree only applies to vertex decoders (corner
+        # decoders are depth-first-only per the format)
+        out.u8(
+            K.MESH_TRAVERSAL_PREDICTION_DEGREE
+            if pred_degree and dec_type == K.MESH_VERTEX_ATTRIBUTE
+            else K.MESH_TRAVERSAL_DEPTH_FIRST
+        )
     uid = 0
     for att_data_id, dec_type, att in decoder_plan:
         out.varint(1)
@@ -1136,7 +1244,12 @@ def encode_drc(
             # seamless vertex attributes (POSITION + every integer attr)
             # share one DFS over ct_d — identical inputs, identical result
             if vertex_traversal_cache is None:
-                vertex_traversal_cache = traverse_depth_first(
+                _tfn = (
+                    traverse_prediction_degree
+                    if pred_degree
+                    else traverse_depth_first
+                )
+                vertex_traversal_cache = _tfn(
                     table_for_traversal, num_faces,
                     corner_order=conn.processed_corners,
                 )
@@ -1165,17 +1278,36 @@ def encode_drc(
                 q = None
             if att.attribute_type == K.ATT_TEX_COORD:
                 method = K.MESH_PREDICTION_TEX_COORDS_PORTABLE
+            elif position_prediction == "constrained_multi":
+                method = K.MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM
             else:
                 method = K.MESH_PREDICTION_PARALLELOGRAM
             out.u8(method & 0xFF)
             out.u8(K.PREDICTION_TRANSFORM_WRAP)
-            out.u8(1)  # compressed
             if method == K.MESH_PREDICTION_PARALLELOGRAM:
                 corr, wrap = _encode_parallelogram(
                     ints, view, vertex_to_data, data_to_corner
                 )
                 symbols = convert_signed_to_symbols(corr.reshape(-1))
-                encode_symbols(symbols, ints.shape[1], out)
+                _write_symbol_block(
+                    symbols, ints.shape[1], out, integer_compression
+                )
+                wrap.write(out)
+            elif method == K.MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM:
+                corr, wrap, creases = _encode_constrained_multi(
+                    ints, view, vertex_to_data, data_to_corner
+                )
+                symbols = convert_signed_to_symbols(corr.reshape(-1))
+                _write_symbol_block(
+                    symbols, ints.shape[1], out, integer_compression
+                )
+                # prediction data: 4 crease-flag streams, then wrap bounds
+                for ctx_flags in creases:
+                    out.varint(len(ctx_flags))
+                    if ctx_flags:
+                        enc = RansBitEncoder()
+                        enc.encode_bits(ctx_flags)
+                        enc.flush(out)
                 wrap.write(out)
             else:
                 pos_corner_map = (
@@ -1193,7 +1325,7 @@ def encode_drc(
                 )
                 corr, wrap = tex.encode(ints, data_to_corner)
                 symbols = corr.reshape(-1).astype(np.uint32)
-                encode_symbols(symbols, 2, out)
+                _write_symbol_block(symbols, 2, out, integer_compression)
                 tex.write_orientations(out)
                 wrap.write(out)
             if seq_type == K.SEQ_QUANTIZATION:
@@ -1206,7 +1338,6 @@ def encode_drc(
         elif seq_type == K.SEQ_NORMALS:
             out.u8(K.MESH_PREDICTION_GEOMETRIC_NORMAL & 0xFF)
             out.u8(K.PREDICTION_TRANSFORM_NORMAL_OCTAHEDRON_CANONICALIZED & 0xFF)
-            out.u8(1)  # compressed
             bits = att.quantization_bits
             oct_coords = quantize_normals(raw, bits)
             # the decoder's predictor swings over the SEAM-CUT attribute view
@@ -1228,7 +1359,7 @@ def encode_drc(
             # corrections are already positive modular representatives —
             # the decoder consumes them raw (no zigzag) and mod_max-folds
             symbols = corr.reshape(-1).astype(np.uint32)
-            encode_symbols(symbols, 2, out)
+            _write_symbol_block(symbols, 2, out, integer_compression)
             # transform header (max_quantized_value, center_value)
             tb = genc.tool
             out.raw(

@@ -173,3 +173,105 @@ def traverse_depth_first(
                         break
 
     return vertex_to_data, np.asarray(data_to_corner, np.int64)
+
+
+_MAX_PRIORITY = 3  # Draco MaxPredictionDegreeTraverser::kMaxPriority
+
+
+def traverse_prediction_degree(
+    table, num_faces: int, corner_order=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """MESH_TRAVERSAL_PREDICTION_DEGREE order (Draco
+    MaxPredictionDegreeTraverser semantics): corners are expanded from
+    priority buckets 0..2 where traversing toward an already-visited
+    vertex has priority 0, toward a vertex whose running prediction
+    degree exceeds 1 has priority 1, and toward a fresh vertex priority 2
+    — so vertices reachable by full parallelograms decode first. Only
+    valid for vertex-attribute decoders (the reference WASM decoder
+    rejects it for corner-mapped attributes; so do we).
+
+    Returns the same (vertex_to_data, data_to_corner) contract as
+    `traverse_depth_first`.
+    """
+    view = _TableView(table, num_faces)
+    nv = view.num_vertices
+    vertex = view.vertex
+    vertex_to_data = np.full(nv, INVALID, np.int32)
+    data_to_corner: List[int] = []
+    is_face_visited = np.zeros(num_faces, bool)
+    is_vertex_visited = np.zeros(nv, bool)
+    prediction_degree = np.zeros(nv, np.int32)
+
+    def visit_vertex(v: int, corner: int) -> None:
+        is_vertex_visited[v] = True
+        vertex_to_data[v] = len(data_to_corner)
+        data_to_corner.append(corner)
+
+    def face_visited(corner: int) -> bool:
+        return corner == INVALID or bool(is_face_visited[corner // 3])
+
+    stacks: List[List[int]] = [[] for _ in range(_MAX_PRIORITY)]
+
+    def compute_priority(corner_id: int) -> int:
+        v_tip = int(vertex[corner_id])
+        priority = 0
+        if not is_vertex_visited[v_tip]:
+            prediction_degree[v_tip] += 1
+            priority = 1 if prediction_degree[v_tip] > 1 else 2
+        return min(priority, _MAX_PRIORITY - 1)
+
+    seeds = corner_order if corner_order is not None else [
+        3 * f for f in range(num_faces)
+    ]
+    for seed in seeds:
+        if is_face_visited[seed // 3]:
+            continue
+        stacks[0].append(int(seed))
+        best_priority = 0
+        nxt, prv = next_corner(int(seed)), previous_corner(int(seed))
+        for c in (nxt, prv):
+            v = int(vertex[c])
+            if not is_vertex_visited[v]:
+                visit_vertex(v, c)
+
+        while True:
+            # pop the next corner from the best-priority bucket (LIFO)
+            corner_id = INVALID
+            for i in range(best_priority, _MAX_PRIORITY):
+                if stacks[i]:
+                    corner_id = stacks[i].pop()
+                    best_priority = i
+                    break
+            if corner_id == INVALID:
+                break
+            if face_visited(corner_id):
+                continue
+            while True:
+                is_face_visited[corner_id // 3] = True
+                vert_id = int(vertex[corner_id])
+                if not is_vertex_visited[vert_id]:
+                    visit_vertex(vert_id, corner_id)
+                right_corner = view.right_corner(corner_id)
+                left_corner = view.left_corner(corner_id)
+                right_visited = face_visited(right_corner)
+                left_visited = face_visited(left_corner)
+                if not left_visited:
+                    priority = compute_priority(left_corner)
+                    if right_visited and priority <= best_priority:
+                        # the left face is guaranteed next — skip the stack
+                        corner_id = left_corner
+                        continue
+                    stacks[priority].append(left_corner)
+                    if priority < best_priority:
+                        best_priority = priority
+                if not right_visited:
+                    priority = compute_priority(right_corner)
+                    if priority <= best_priority:
+                        corner_id = right_corner
+                        continue
+                    stacks[priority].append(right_corner)
+                    if priority < best_priority:
+                        best_priority = priority
+                break
+
+    return vertex_to_data, np.asarray(data_to_corner, np.int64)
