@@ -58,10 +58,31 @@ def _probe_backend(jax, timeout_s: float = 180.0) -> bool:
     return bool(result and result[0])
 
 
+def _bench_repeats() -> int:
+    """Host timings on this 1-core box swing ±20-25% run to run
+    (TODO.md): every host metric reports the MEDIAN of N repeats
+    (VERDICT r2 weak #7). UVT_BENCH_REPEATS overrides N."""
+    try:
+        return max(1, int(os.environ.get("UVT_BENCH_REPEATS", "3")))
+    except ValueError:
+        return 3
+
+
+def _median_fps(fn, units: float, n: int) -> float:
+    """Median over n runs of units/elapsed(fn)."""
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(units / (time.perf_counter() - t0))
+    return float(np.median(samples))
+
+
 def _liam_host_metrics():
-    """Host-only corpus metrics: 8-frame decode fps, 4-frame re-encode
-    fps, 4-worker pool decode fps. Returns (fps, pool_fps, enc_fps,
-    frames_bin, meshes) or Nones when the corpus is absent."""
+    """Host-only corpus metrics (median of N runs each): 8-frame decode
+    fps, 4-frame re-encode fps, 4-worker pool decode fps. Returns
+    (fps, pool_fps, enc_fps, frames_bin, meshes) or Nones when the
+    corpus is absent."""
     liam_dir = "/root/reference/example/public/liam/output/geometry_draco"
     if not os.path.isdir(liam_dir):
         return None, None, None, None, None
@@ -70,14 +91,16 @@ def _liam_host_metrics():
     from uvol_tpu.codecs.draco.encoder import AttributeToEncode, encode_drc
     from uvol_tpu.runtime.prefetch import PrefetchPool
 
+    reps = _bench_repeats()
     frames_bin = [
         open(os.path.join(liam_dir, f"{i:05d}.drc"), "rb").read()
         for i in range(8)
     ]
     decode_drc(frames_bin[0])  # warm native build
-    t0 = time.perf_counter()
     meshes = [decode_drc(b) for b in frames_bin]
-    liam_fps = len(frames_bin) / (time.perf_counter() - t0)
+    liam_fps = _median_fps(
+        lambda: [decode_drc(b) for b in frames_bin], len(frames_bin), reps
+    )
 
     def reenc(mm):
         atts = []
@@ -99,17 +122,18 @@ def _liam_host_metrics():
         return encode_drc(faces_idx, atts)
 
     reenc(meshes[0])  # warm
-    t0 = time.perf_counter()
-    for mm in meshes[:4]:
-        reenc(mm)
-    liam_enc_fps = 4 / (time.perf_counter() - t0)
-    pool = PrefetchPool(decode_drc, workers=4)
-    t0 = time.perf_counter()
-    for i, b in enumerate(frames_bin * 3):
-        pool.request(i, b)
-    pool.wait_idle(60)
-    liam_fps_pool = 3 * len(frames_bin) / (time.perf_counter() - t0)
-    pool.close()
+    liam_enc_fps = _median_fps(
+        lambda: [reenc(mm) for mm in meshes[:4]], 4, reps
+    )
+
+    def pooled():
+        pool = PrefetchPool(decode_drc, workers=4)
+        for i, b in enumerate(frames_bin * 3):
+            pool.request(i, b)
+        pool.wait_idle(60)
+        pool.close()
+
+    liam_fps_pool = _median_fps(pooled, 3 * len(frames_bin), reps)
     return liam_fps, liam_fps_pool, liam_enc_fps, frames_bin, meshes
 
 
@@ -157,26 +181,32 @@ def main() -> None:
                 return files[url]
             return open(os.path.join(liam_root, url.lstrip("/")), "rb").read()
 
-        vc = VirtualClock()
-        fp = FacadePlayer(
-            paths=["/liam.uvol.json"],
-            fetcher=_fetch,
-            play_mode=PlayMode.unmanaged,
-            on_track_end=lambda: None,
-            v2_player_kwargs={"clock": PlaybackClock(now=vc)},
+        def _play_once() -> float:
+            vc = VirtualClock()
+            fp = FacadePlayer(
+                paths=["/liam.uvol.json"],
+                fetcher=_fetch,
+                play_mode=PlayMode.unmanaged,
+                on_track_end=lambda: None,
+                v2_player_kwargs={"clock": PlaybackClock(now=vc)},
+            )
+            t0 = time.perf_counter()
+            fp.set_track_path("/liam.uvol.json")
+            shown, last = 0, -1
+            while shown < 250:
+                rr = fp.update()
+                if rr is None:
+                    break
+                if rr.status == "ok" and rr.geometry_frame != last:
+                    shown += 1
+                    last = rr.geometry_frame
+                vc.advance(1 / 30)
+            return shown / (time.perf_counter() - t0)
+
+        _play_once()  # warm (native builds, page cache)
+        playback_fps = float(
+            np.median([_play_once() for _ in range(_bench_repeats())])
         )
-        t0 = time.perf_counter()
-        fp.set_track_path("/liam.uvol.json")
-        shown, last = 0, -1
-        while shown < 250:
-            rr = fp.update()
-            if rr is None:
-                break
-            if rr.status == "ok" and rr.geometry_frame != last:
-                shown += 1
-                last = rr.geometry_frame
-            vc.advance(1 / 30)
-        playback_fps = shown / (time.perf_counter() - t0)
 
     if not device_ok:
         # honest host-only report: the TPU backend did not answer the
@@ -199,6 +229,7 @@ def main() -> None:
                     "vs_baseline": round(headline / 30.0, 2),
                     "detail": {
                         "device_unavailable": True,
+                        "host_metric_repeats": _bench_repeats(),
                         "liam_full_player_playback_fps": (
                             round(playback_fps, 1) if playback_fps else None
                         ),
@@ -472,6 +503,26 @@ def main() -> None:
 
     res = device_chain()
     _force(res)
+
+    # ---- jax.profiler trace capture (SURVEY §5 tracing; VERDICT r2 #9) -------
+    # UVT_BENCH_TRACE=1 (or UVT_BENCH_TRACE_DIR=path) wraps one full
+    # device-chain dispatch in jax.profiler.trace so kernel-level device
+    # attribution comes from real XLA traces instead of tunnel-timing
+    # heuristics. View with TensorBoard or xprof (docs/PERF.md).
+    trace_dir = None
+    if os.environ.get("UVT_BENCH_TRACE") == "1" or os.environ.get(
+        "UVT_BENCH_TRACE_DIR"
+    ):
+        trace_dir = os.environ.get("UVT_BENCH_TRACE_DIR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "traces",
+            time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
+        )
+        os.makedirs(trace_dir, exist_ok=True)
+        with jax.profiler.trace(trace_dir):
+            res = device_chain()
+            _force(res)
+
     dev_reps = 3
     t0 = time.perf_counter()
     for _ in range(dev_reps):
@@ -598,6 +649,8 @@ def main() -> None:
                     "geometry_mverts_per_s": round(mverts, 2),
                     "stream_bytes_per_batch": total_bytes,
                     "pallas": geo.use_pallas,
+                    "host_metric_repeats": _bench_repeats(),
+                    "profiler_trace_dir": trace_dir,
                     "device_compute_only_fps": round(device_fps, 1),
                     "device_strip_resident_fps": round(device_strip_fps, 1),
                     "device_strip_resident_realtime_multiple": round(
