@@ -1,0 +1,101 @@
+// Reference H.264 decoder shim over the system libavcodec — the
+// conformance oracle for uvol_tpu/codecs/h264.py. The reference project
+// consumes its V1 texture MP4 through the platform's H.264 decoder
+// (/root/reference/src/V1/player.ts:120-132 <video>); this shim plays the
+// same role offline: streams our encoder writes must decode in a real,
+// independent decoder to the same reconstruction our own decoder
+// produces. Used by tests (tests/test_h264.py) — the production decode
+// path stays our own (codecs/h264.py), with this as cross-validation.
+//
+// Build: g++ -shared -fPIC h264ref.cpp -lavcodec -lavutil
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavutil/frame.h>
+#include <libavutil/imgutils.h>
+}
+
+#include <cstring>
+
+namespace {
+
+// copy one decoded frame (YUV420P/YUVJ420P) into out; returns bytes or -1
+long emit_frame(const AVFrame *f, uint8_t *out, long cap) {
+    if (f->format != AV_PIX_FMT_YUV420P && f->format != AV_PIX_FMT_YUVJ420P)
+        return -1;
+    const int w = f->width, h = f->height;
+    const long need = (long)w * h + 2L * (w / 2) * (h / 2);
+    if (cap < need) return -2;
+    uint8_t *dst = out;
+    for (int y = 0; y < h; ++y, dst += w)
+        std::memcpy(dst, f->data[0] + (long)y * f->linesize[0], w);
+    for (int p = 1; p <= 2; ++p)
+        for (int y = 0; y < h / 2; ++y, dst += w / 2)
+            std::memcpy(dst, f->data[p] + (long)y * f->linesize[p], w / 2);
+    return need;
+}
+
+}  // namespace
+
+extern "C" long uvt_h264ref_decode(const uint8_t *data, long size,
+                                   uint8_t *out, long out_cap,
+                                   int *dims /* [w, h, nframes] */) {
+    const AVCodec *codec = avcodec_find_decoder(AV_CODEC_ID_H264);
+    if (!codec) return -10;
+    AVCodecParserContext *parser = av_parser_init(codec->id);
+    AVCodecContext *ctx = avcodec_alloc_context3(codec);
+    AVPacket *pkt = av_packet_alloc();
+    AVFrame *frame = av_frame_alloc();
+    long written = 0;
+    int nframes = 0, w = 0, h = 0, err = 0;
+    if (!parser || !ctx || !pkt || !frame || avcodec_open2(ctx, codec, NULL) < 0) {
+        err = -11;
+        goto done;
+    }
+    {
+        const uint8_t *p = data;
+        long remaining = size;
+        bool flushed = false;
+        while (!flushed) {
+            if (remaining > 0) {
+                int used = av_parser_parse2(parser, ctx, &pkt->data, &pkt->size,
+                                            p, (int)remaining, AV_NOPTS_VALUE,
+                                            AV_NOPTS_VALUE, 0);
+                if (used < 0) { err = -12; goto done; }
+                p += used;
+                remaining -= used;
+            } else {
+                pkt->data = NULL;  // triggers parser flush, then decoder flush
+                pkt->size = 0;
+                av_parser_parse2(parser, ctx, &pkt->data, &pkt->size, NULL, 0,
+                                 AV_NOPTS_VALUE, AV_NOPTS_VALUE, 0);
+                flushed = true;
+            }
+            if (pkt->size || flushed) {
+                int rc = avcodec_send_packet(ctx, pkt->size ? pkt : NULL);
+                if (rc < 0 && rc != AVERROR_EOF) { err = -13; goto done; }
+                while (true) {
+                    rc = avcodec_receive_frame(ctx, frame);
+                    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
+                    if (rc < 0) { err = -14; goto done; }
+                    w = frame->width;
+                    h = frame->height;
+                    long n = emit_frame(frame, out + written, out_cap - written);
+                    if (n < 0) { err = (int)n; goto done; }
+                    written += n;
+                    ++nframes;
+                }
+            }
+        }
+    }
+done:
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    avcodec_free_context(&ctx);
+    if (parser) av_parser_close(parser);
+    if (err) return err;
+    dims[0] = w;
+    dims[1] = h;
+    dims[2] = nframes;
+    return written;
+}
