@@ -1,0 +1,709 @@
+"""H.264 intra coding: I_4x4 / I_16x16 prediction, 4x4 integer transform,
+quantization and CAVLC entropy — the real compression layer behind the V1
+texture track (VERDICT r2 item 5; the reference's V1 texture is a
+genuinely compressed H.264 MP4, /root/reference/example/texture_encoder.py
++ deprecated/README.md:63).
+
+Scope: baseline-profile I slices.
+  decode — I_PCM + I_4x4 (all 9 luma modes) + I_16x16 (all 4 modes,
+  luma DC Hadamard) + all 4 chroma modes: everything libx264 emits for
+  all-intra CAVLC baseline streams, which is the conformance oracle
+  (tests decode x264 streams and pin the reconstruction against
+  libavcodec's own — native/h264ref.py).
+  encode — I_4x4 mode decision (SAD + mode-bit cost) with per-MB I_PCM
+  escape (the V1 frame-counter strip stays lossless), chroma DC/H/V.
+
+Normative pieces (transform scaling, prediction formulas, CAVLC tables)
+follow the H.264 spec clause numbers noted inline; everything is integer
+arithmetic with C semantics.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from uvol_tpu.codecs.h264 import BitReader, BitWriter
+
+# ---------------------------------------------------------------------------
+# Scans and tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG_4x4 = np.array([0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15])
+# 4x4 luma block order within a macroblock (raster coords per blkIdx)
+BLK_X = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK_Y = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+
+# quant multipliers MF (col by coefficient position class) and dequant V
+_QUANT_MF = np.array(
+    [
+        [13107, 5243, 8066],
+        [11916, 4660, 7490],
+        [10082, 4194, 6554],
+        [9362, 3647, 5825],
+        [8192, 3355, 5243],
+        [7282, 2893, 4559],
+    ]
+)
+_DEQUANT_V = np.array(
+    [
+        [10, 16, 13],
+        [11, 18, 14],
+        [13, 20, 16],
+        [14, 23, 18],
+        [16, 25, 20],
+        [18, 29, 23],
+    ]
+)
+# position class per raster coefficient position: 0 for (0,0),(0,2),(2,0),
+# (2,2); 1 for (1,1),(1,3),(3,1),(3,3); 2 otherwise
+_POS_CLASS = np.array(
+    [0, 2, 0, 2, 2, 1, 2, 1, 0, 2, 0, 2, 2, 1, 2, 1]
+).reshape(4, 4)
+
+# chroma qP mapping (Table 8-15), index by clipped qPi 0..51
+_CHROMA_QP = list(range(30)) + [
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37, 38, 38,
+    38, 39, 39, 39, 39,
+]
+
+
+def chroma_qp(qp: int) -> int:
+    return _CHROMA_QP[min(max(qp, 0), 51)]
+
+
+# ---- CAVLC VLC tables (Table 9-5, 9-7, 9-8, 9-10) --------------------------
+# coeff_token: [table][total_coeff*4 + trailing_ones] -> (len, bits);
+# len 0 marks impossible combinations. Table 3 is the 6-bit FLC.
+_COEFF_TOKEN_LEN = [
+    [1, 0, 0, 0, 6, 2, 0, 0, 8, 6, 3, 0, 9, 8, 7, 5, 10, 9, 8, 6, 11, 10, 9, 7, 13, 11, 10, 8, 13, 13, 11, 9, 13, 13, 13, 10, 14, 14, 13, 11, 14, 14, 14, 13, 15, 15, 14, 14, 15, 15, 15, 14, 16, 15, 15, 15, 16, 16, 16, 15, 16, 16, 16, 16, 16, 16, 16, 16],
+    [2, 0, 0, 0, 6, 2, 0, 0, 6, 5, 3, 0, 7, 6, 6, 4, 8, 6, 6, 4, 8, 7, 7, 5, 9, 8, 8, 6, 11, 9, 9, 6, 11, 11, 11, 7, 12, 11, 11, 9, 12, 12, 12, 11, 12, 12, 12, 11, 13, 13, 13, 12, 13, 13, 13, 13, 13, 14, 13, 13, 14, 14, 14, 13, 14, 14, 14, 14],
+    [4, 0, 0, 0, 6, 4, 0, 0, 6, 5, 4, 0, 6, 5, 5, 4, 7, 5, 5, 4, 7, 5, 5, 4, 7, 6, 6, 4, 7, 6, 6, 4, 8, 7, 7, 5, 8, 8, 7, 6, 9, 8, 8, 7, 9, 9, 8, 8, 9, 9, 9, 8, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10, 10],
+    [6, 0, 0, 0, 6, 6, 0, 0, 6, 6, 6, 0, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6],
+]
+_COEFF_TOKEN_BITS = [
+    [1, 0, 0, 0, 5, 1, 0, 0, 7, 4, 1, 0, 7, 6, 5, 3, 7, 6, 5, 3, 7, 6, 5, 4, 15, 6, 5, 4, 11, 14, 5, 4, 8, 10, 13, 4, 15, 14, 9, 4, 11, 10, 13, 12, 15, 14, 9, 12, 11, 10, 13, 8, 15, 1, 9, 12, 11, 14, 13, 8, 7, 10, 9, 12, 4, 6, 5, 8],
+    [3, 0, 0, 0, 11, 2, 0, 0, 7, 7, 3, 0, 7, 10, 9, 5, 7, 6, 5, 4, 4, 6, 5, 6, 7, 6, 5, 8, 15, 6, 5, 4, 11, 14, 13, 4, 15, 10, 9, 4, 11, 14, 13, 12, 8, 10, 9, 8, 15, 14, 13, 12, 11, 10, 9, 12, 7, 11, 6, 8, 9, 8, 10, 1, 7, 6, 5, 4],
+    [15, 0, 0, 0, 15, 14, 0, 0, 11, 15, 13, 0, 8, 12, 14, 12, 15, 10, 11, 11, 11, 8, 9, 10, 9, 14, 13, 9, 8, 10, 9, 8, 15, 14, 13, 13, 11, 14, 10, 12, 15, 10, 13, 12, 11, 14, 9, 12, 8, 10, 13, 8, 13, 7, 9, 12, 9, 12, 11, 10, 5, 8, 7, 6, 1, 4, 3, 2],
+    [3, 0, 0, 0, 0, 1, 0, 0, 4, 5, 6, 0, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63],
+]
+# chroma DC (4:2:0) coeff_token
+_CDC_TOKEN_LEN = [2, 0, 0, 0, 6, 1, 0, 0, 6, 6, 3, 0, 6, 7, 7, 6, 6, 8, 8, 7]
+_CDC_TOKEN_BITS = [1, 0, 0, 0, 7, 1, 0, 0, 4, 6, 1, 0, 3, 3, 2, 5, 2, 3, 2, 0]
+
+# total_zeros for 4x4 blocks: [total_coeff-1][total_zeros] -> (len, bits)
+_TOTAL_ZEROS_LEN = [
+    [1, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 9],
+    [3, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 6, 6, 6, 6],
+    [4, 3, 3, 3, 4, 4, 3, 3, 4, 5, 5, 6, 5, 6],
+    [5, 3, 4, 4, 3, 3, 3, 4, 3, 4, 5, 5, 5],
+    [4, 4, 4, 3, 3, 3, 3, 3, 4, 5, 4, 5],
+    [6, 5, 3, 3, 3, 3, 3, 3, 4, 3, 6],
+    [6, 5, 3, 3, 3, 2, 3, 4, 3, 6],
+    [6, 4, 5, 3, 2, 2, 3, 3, 6],
+    [6, 6, 4, 2, 2, 3, 2, 5],
+    [5, 5, 3, 2, 2, 2, 4],
+    [4, 4, 3, 3, 1, 3],
+    [4, 4, 2, 1, 3],
+    [3, 3, 1, 2],
+    [2, 2, 1],
+    [1, 1],
+]
+_TOTAL_ZEROS_BITS = [
+    [1, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 1],
+    [7, 6, 5, 4, 3, 5, 4, 3, 2, 3, 2, 3, 2, 1, 0],
+    [5, 7, 6, 5, 4, 3, 4, 3, 2, 3, 2, 1, 1, 0],
+    [3, 7, 5, 4, 6, 5, 4, 3, 3, 2, 2, 1, 0],
+    [5, 4, 3, 7, 6, 5, 4, 3, 2, 1, 1, 0],
+    [1, 1, 7, 6, 5, 4, 3, 2, 1, 1, 0],
+    [1, 1, 5, 4, 3, 3, 2, 1, 1, 0],
+    [1, 1, 1, 3, 3, 2, 2, 1, 0],
+    [1, 0, 1, 3, 2, 1, 1, 1],
+    [1, 0, 1, 3, 2, 1, 1],
+    [0, 1, 1, 2, 1, 3],
+    [0, 1, 1, 1, 1],
+    [0, 1, 1, 1],
+    [0, 1, 1],
+    [0, 1],
+]
+# chroma DC total_zeros (maxNumCoeff 4)
+_CDC_TZ_LEN = [[1, 2, 3, 3], [1, 2, 2], [1, 1]]
+_CDC_TZ_BITS = [[1, 1, 1, 0], [1, 1, 0], [1, 0]]
+
+# run_before: [min(zeros_left,7)-1][run] -> (len, bits)
+_RUN_LEN = [
+    [1, 1],
+    [1, 2, 2],
+    [2, 2, 2, 2],
+    [2, 2, 2, 3, 3],
+    [2, 2, 3, 3, 3, 3],
+    [2, 3, 3, 3, 3, 3, 3],
+    [3, 3, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9, 10, 11],
+]
+_RUN_BITS = [
+    [1, 0],
+    [1, 1, 0],
+    [3, 2, 1, 0],
+    [3, 2, 1, 1, 0],
+    [3, 2, 3, 2, 1, 0],
+    [3, 0, 1, 3, 2, 5, 4],
+    [7, 6, 5, 4, 3, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+]
+
+
+def _check_tables() -> None:
+    """Import-time self-check: every VLC family must be prefix-free with
+    Kraft sum ≤ 1 and near-complete (the spec tables leave a few codes
+    unused, so exact completeness is NOT expected). Catches
+    transcription slips in the table data."""
+    def check(pairs, name):
+        entries = [(l, b) for l, b in pairs if l]
+        kraft = sum(2.0 ** -l for l, _ in entries)
+        assert 0.95 <= kraft <= 1.0 + 1e-9, (name, kraft)
+        for i, (l1, b1) in enumerate(entries):
+            for l2, b2 in entries[i + 1 :]:
+                la, ba, lb, bb = (
+                    (l1, b1, l2, b2) if l1 <= l2 else (l2, b2, l1, b1)
+                )
+                assert not (bb >> (lb - la)) == ba or (la, ba) == (lb, bb), (
+                    name, (l1, b1), (l2, b2),
+                )
+
+    for t in range(3):
+        check(zip(_COEFF_TOKEN_LEN[t], _COEFF_TOKEN_BITS[t]),
+              f"coeff_token[{t}]")
+    check(zip(_CDC_TOKEN_LEN, _CDC_TOKEN_BITS), "cdc_token")
+    for i, (ls, bs) in enumerate(zip(_TOTAL_ZEROS_LEN, _TOTAL_ZEROS_BITS)):
+        check(zip(ls, bs), f"total_zeros[{i}]")
+    for i, (ls, bs) in enumerate(zip(_CDC_TZ_LEN, _CDC_TZ_BITS)):
+        check(zip(ls, bs), f"cdc_tz[{i}]")
+    for i in range(7):
+        check(zip(_RUN_LEN[i], _RUN_BITS[i]), f"run_before[{i}]")
+
+
+_check_tables()
+
+
+def _vlc_decoder(lens, bits):
+    """(len,bits) table -> dict[(len, code)] = index for linear-probe read."""
+    table = {}
+    for idx, (l, b) in enumerate(zip(lens, bits)):
+        if l:
+            key = (l, b)
+            assert key not in table, key
+            table[key] = idx
+    return table
+
+
+_COEFF_TOKEN_DEC = [
+    _vlc_decoder(_COEFF_TOKEN_LEN[t], _COEFF_TOKEN_BITS[t]) for t in range(3)
+]
+_CDC_TOKEN_DEC = _vlc_decoder(_CDC_TOKEN_LEN, _CDC_TOKEN_BITS)
+_TOTAL_ZEROS_DEC = [
+    _vlc_decoder(ls, bs)
+    for ls, bs in zip(_TOTAL_ZEROS_LEN, _TOTAL_ZEROS_BITS)
+]
+_CDC_TZ_DEC = [
+    _vlc_decoder(ls, bs) for ls, bs in zip(_CDC_TZ_LEN, _CDC_TZ_BITS)
+]
+_RUN_DEC = [_vlc_decoder(ls, bs) for ls, bs in zip(_RUN_LEN, _RUN_BITS)]
+
+
+def _read_vlc(r: BitReader, table: dict, max_len: int = 24) -> int:
+    code = 0
+    for length in range(1, max_len + 1):
+        code = (code << 1) | r.u(1)
+        idx = table.get((length, code))
+        if idx is not None:
+            return idx
+    raise ValueError("h264: invalid VLC code")
+
+
+# coded_block_pattern me-mapping for Intra_4x4 (Table 9-4, intra column)
+_CBP_INTRA_FROM_CODE = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_TO_CODE = {v: i for i, v in enumerate(_CBP_INTRA_FROM_CODE)}
+
+
+# ---------------------------------------------------------------------------
+# Transforms and quantization (8.5)
+# ---------------------------------------------------------------------------
+
+
+def forward_4x4(block: np.ndarray) -> np.ndarray:
+    """Core forward transform W = Cf X Cf^T (encoder side)."""
+    c = np.array(
+        [[1, 1, 1, 1], [2, 1, -1, -2], [1, -1, -1, 1], [1, -2, 2, -1]],
+        np.int64,
+    )
+    return c @ block.astype(np.int64) @ c.T
+
+
+def inverse_4x4(d: np.ndarray) -> np.ndarray:
+    """Normative inverse transform (8.5.12.2), result includes (x+32)>>6."""
+    d = d.astype(np.int64)
+    # horizontal
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    # vertical
+    g0 = f[0] + f[2]
+    g1 = f[0] - f[2]
+    g2 = (f[1] >> 1) - f[3]
+    g3 = f[1] + (f[3] >> 1)
+    h = np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=0)
+    return (h + 32) >> 6
+
+
+def quant_4x4(w: np.ndarray, qp: int, skip_dc: bool = False) -> np.ndarray:
+    """Encoder quantization (intra deadzone f = 2^qbits/3)."""
+    mf = _QUANT_MF[qp % 6][_POS_CLASS]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3
+    lv = (np.abs(w) * mf + f) >> qbits
+    out = np.sign(w) * lv
+    if skip_dc:
+        out[0, 0] = 0
+    return out
+
+
+def dequant_4x4(c: np.ndarray, qp: int) -> np.ndarray:
+    """Normative 4x4 AC scaling: d = c * V(qp%6,pos) << (qp/6)."""
+    v = _DEQUANT_V[qp % 6][_POS_CLASS]
+    return (c.astype(np.int64) * v) << (qp // 6)
+
+
+def _clip8(x: np.ndarray) -> np.ndarray:
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction (8.3)
+# ---------------------------------------------------------------------------
+
+
+def predict_4x4(
+    mode: int,
+    left: Optional[np.ndarray],   # p[-1, 0..3] top-down, None if unavailable
+    top: Optional[np.ndarray],    # p[0..3, -1]
+    top_right: Optional[np.ndarray],  # p[4..7, -1] (pre-substituted)
+    top_left: Optional[int],      # p[-1,-1]
+) -> np.ndarray:
+    """One 4x4 luma prediction (modes 0..8, 8.3.1.2). The caller applies
+    the above-right substitution rule (replicate p[3,-1]) before calling."""
+    if mode == 0:  # Vertical
+        if top is None:
+            raise ValueError("h264: vertical pred without top")
+        return np.tile(top, (4, 1)).astype(np.uint8)
+    if mode == 1:  # Horizontal
+        if left is None:
+            raise ValueError("h264: horizontal pred without left")
+        return np.tile(left[:, None], (1, 4)).astype(np.uint8)
+    if mode == 2:  # DC
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif top is not None:
+            dc = (int(top.sum()) + 2) >> 2
+        elif left is not None:
+            dc = (int(left.sum()) + 2) >> 2
+        else:
+            dc = 128
+        return np.full((4, 4), dc, np.uint8)
+    # directional modes: constructed lines with T(i)=p[i,-1] (i -1..7),
+    # L(i)=p[-1,i] (i -1..3) per 8.3.1.2; T(-1)=L(-1)=p[-1,-1]
+    t = np.zeros(8, np.int64)
+    if top is not None:
+        t[:4] = top
+        t[4:] = top_right if top_right is not None else top[3]
+    lf = left.astype(np.int64) if left is not None else None
+    tl = int(top_left) if top_left is not None else 0
+
+    def T(i: int) -> int:
+        return tl if i < 0 else int(t[i])
+
+    def L(i: int) -> int:
+        return tl if i < 0 else int(lf[i])
+
+    p = np.zeros((4, 4), np.int64)
+    if mode == 3:  # Diagonal-Down-Left
+        if top is None:
+            raise ValueError("h264: DDL pred without top")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (T(6) + 3 * T(7) + 2) >> 2
+                else:
+                    i = x + y
+                    p[y, x] = (T(i) + 2 * T(i + 1) + T(i + 2) + 2) >> 2
+    elif mode == 4:  # Diagonal-Down-Right
+        if top is None or lf is None:
+            raise ValueError("h264: DDR pred needs top+left")
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (T(x - y - 2) + 2 * T(x - y - 1) + T(x - y) + 2) >> 2
+                elif x < y:
+                    p[y, x] = (L(y - x - 2) + 2 * L(y - x - 1) + L(y - x) + 2) >> 2
+                else:
+                    p[y, x] = (T(0) + 2 * tl + L(0) + 2) >> 2
+    elif mode == 5:  # Vertical-Right
+        if top is None or lf is None:
+            raise ValueError("h264: VR pred needs top+left")
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (T(i - 1) + T(i) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (L(0) + 2 * tl + T(0) + 2) >> 2
+                else:
+                    p[y, x] = (L(y - 1) + 2 * L(y - 2) + L(y - 3) + 2) >> 2
+    elif mode == 6:  # Horizontal-Down
+        if top is None or lf is None:
+            raise ValueError("h264: HD pred needs top+left")
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = (L(i - 1) + L(i) + 1) >> 1
+                elif z >= 0:
+                    p[y, x] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (L(0) + 2 * tl + T(0) + 2) >> 2
+                else:
+                    p[y, x] = (T(x - 1) + 2 * T(x - 2) + T(x - 3) + 2) >> 2
+    elif mode == 7:  # Vertical-Left
+        if top is None:
+            raise ValueError("h264: VL pred without top")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (T(i) + T(i + 1) + 1) >> 1
+                else:
+                    p[y, x] = (T(i) + 2 * T(i + 1) + T(i + 2) + 2) >> 2
+    elif mode == 8:  # Horizontal-Up
+        if lf is None:
+            raise ValueError("h264: HU pred without left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z % 2 == 0 and z < 6:
+                    p[y, x] = (L(i) + L(i + 1) + 1) >> 1
+                elif z % 2 == 1 and z < 5:
+                    p[y, x] = (L(i) + 2 * L(i + 1) + L(i + 2) + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (L(2) + 3 * L(3) + 2) >> 2
+                else:
+                    p[y, x] = L(3)
+    else:
+        raise ValueError(f"h264: intra4x4 mode {mode}")
+    return _clip8(p)
+
+
+def predict_chroma(
+    mode: int,
+    plane: np.ndarray,   # recon chroma plane
+    cx: int, cy: int,    # top-left of the 8x8 block in chroma coords
+    left_avail: bool, top_avail: bool,
+) -> np.ndarray:
+    """8x8 chroma prediction (8.3.4), modes 0 DC / 1 H / 2 V / 3 Plane."""
+    left = plane[cy : cy + 8, cx - 1].astype(np.int64) if left_avail else None
+    top = plane[cy - 1, cx : cx + 8].astype(np.int64) if top_avail else None
+    if mode == 0:  # DC with per-quadrant rules
+        out = np.zeros((8, 8), np.uint8)
+        for qy in (0, 4):
+            for qx in (0, 4):
+                ts = top[qx : qx + 4] if top is not None else None
+                ls = left[qy : qy + 4] if left is not None else None
+                if qx == qy:  # corner quadrants use both when available
+                    if ts is not None and ls is not None:
+                        dc = (int(ts.sum()) + int(ls.sum()) + 4) >> 3
+                    elif ts is not None:
+                        dc = (int(ts.sum()) + 2) >> 2
+                    elif ls is not None:
+                        dc = (int(ls.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                elif qx == 4:  # top-right: prefer top
+                    if ts is not None:
+                        dc = (int(ts.sum()) + 2) >> 2
+                    elif ls is not None:
+                        dc = (int(ls.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                else:  # bottom-left: prefer left
+                    if ls is not None:
+                        dc = (int(ls.sum()) + 2) >> 2
+                    elif ts is not None:
+                        dc = (int(ts.sum()) + 2) >> 2
+                    else:
+                        dc = 128
+                out[qy : qy + 4, qx : qx + 4] = dc
+        return out
+    if mode == 1:  # Horizontal
+        if left is None:
+            raise ValueError("h264: chroma H pred without left")
+        return np.tile(left[:, None], (1, 8)).astype(np.uint8)
+    if mode == 2:  # Vertical
+        if top is None:
+            raise ValueError("h264: chroma V pred without top")
+        return np.tile(top, (8, 1)).astype(np.uint8)
+    if mode == 3:  # Plane
+        if top is None or left is None:
+            raise ValueError("h264: chroma plane pred needs top+left")
+        tl = int(plane[cy - 1, cx - 1])
+        hh = sum((x + 1) * (int(top[4 + x]) - (int(top[2 - x]) if 2 - x >= 0 else tl)) for x in range(4))
+        vv = sum((y + 1) * (int(left[4 + y]) - (int(left[2 - y]) if 2 - y >= 0 else tl)) for y in range(4))
+        a = 16 * (int(left[7]) + int(top[7]))
+        b = (17 * hh + 16) >> 5
+        c = (17 * vv + 16) >> 5
+        xs = np.arange(8) - 3
+        ys = (np.arange(8) - 3)[:, None]
+        return _clip8((a + b * xs + c * ys + 16) >> 5)
+    raise ValueError(f"h264: chroma pred mode {mode}")
+
+
+def predict_16x16(
+    mode: int, plane: np.ndarray, x0: int, y0: int,
+    left_avail: bool, top_avail: bool,
+) -> np.ndarray:
+    """16x16 luma prediction (8.3.3), modes 0 V / 1 H / 2 DC / 3 Plane."""
+    left = plane[y0 : y0 + 16, x0 - 1].astype(np.int64) if left_avail else None
+    top = plane[y0 - 1, x0 : x0 + 16].astype(np.int64) if top_avail else None
+    if mode == 0:
+        if top is None:
+            raise ValueError("h264: I16 V pred without top")
+        return np.tile(top, (16, 1)).astype(np.uint8)
+    if mode == 1:
+        if left is None:
+            raise ValueError("h264: I16 H pred without left")
+        return np.tile(left[:, None], (1, 16)).astype(np.uint8)
+    if mode == 2:
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            dc = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            dc = (int(left.sum()) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, np.uint8)
+    if mode == 3:
+        if top is None or left is None:
+            raise ValueError("h264: I16 plane pred needs top+left")
+        tl = int(plane[y0 - 1, x0 - 1])
+        hh = sum((x + 1) * (int(top[8 + x]) - (int(top[6 - x]) if 6 - x >= 0 else tl)) for x in range(8))
+        vv = sum((y + 1) * (int(left[8 + y]) - (int(left[6 - y]) if 6 - y >= 0 else tl)) for y in range(8))
+        a = 16 * (int(left[15]) + int(top[15]))
+        b = (5 * hh + 32) >> 6
+        c = (5 * vv + 32) >> 6
+        xs = np.arange(16) - 7
+        ys = (np.arange(16) - 7)[:, None]
+        return _clip8((a + b * xs + c * ys + 16) >> 5)
+    raise ValueError(f"h264: I16 pred mode {mode}")
+
+
+# ---------------------------------------------------------------------------
+# CAVLC residual block read/write (9.2)
+# ---------------------------------------------------------------------------
+
+
+def read_residual_block(
+    r: BitReader, nc: int, max_coeff: int
+) -> Tuple[np.ndarray, int]:
+    """Parse one CAVLC residual block.
+
+    nc: neighbor context (−1 for chroma DC). Returns (coeff levels in
+    scan order [max_coeff], total_coeff)."""
+    if nc == -1:
+        idx = _read_vlc(r, _CDC_TOKEN_DEC)
+    elif nc < 2:
+        idx = _read_vlc(r, _COEFF_TOKEN_DEC[0])
+    elif nc < 4:
+        idx = _read_vlc(r, _COEFF_TOKEN_DEC[1])
+    elif nc < 8:
+        idx = _read_vlc(r, _COEFF_TOKEN_DEC[2])
+    else:
+        code = r.u(6)
+        if code == 3:  # 000011 -> (0,0)
+            idx = 0
+        else:
+            idx = 4 * (code // 4 + 1) + code % 4
+    total_coeff, t1s = idx // 4, idx % 4
+    out = np.zeros(max_coeff, np.int64)
+    if total_coeff == 0:
+        return out, 0
+    if total_coeff > max_coeff:
+        raise ValueError("h264: total_coeff exceeds block size")
+    levels: List[int] = []
+    for _ in range(t1s):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_length = 1 if total_coeff > 10 and t1s < 3 else 0
+    for i in range(total_coeff - t1s):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 32:
+                raise ValueError("h264: level_prefix overflow")
+        if prefix == 14 and suffix_length == 0:
+            size = 4
+        elif prefix >= 15:
+            size = prefix - 3
+        else:
+            size = suffix_length
+        suffix = r.u(size) if size else 0
+        level_code = (min(15, prefix) << suffix_length) + suffix
+        if prefix >= 15 and suffix_length == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1s < 3:
+            level_code += 2
+        level = (level_code + 2) >> 1
+        if level_code % 2:
+            level = -level
+        levels.append(level)
+        if suffix_length == 0:
+            suffix_length = 1
+        if abs(level) > (3 << (suffix_length - 1)) and suffix_length < 6:
+            suffix_length += 1
+    if total_coeff < max_coeff:
+        if nc == -1:
+            tz = _read_vlc(r, _CDC_TZ_DEC[total_coeff - 1])
+        else:
+            tz = _read_vlc(r, _TOTAL_ZEROS_DEC[total_coeff - 1])
+    else:
+        tz = 0
+    if total_coeff + tz > max_coeff:
+        raise ValueError("h264: total_zeros exceeds block size")
+    pos = total_coeff + tz - 1
+    zeros_left = tz
+    for i, level in enumerate(levels):
+        out[pos] = level
+        if i < total_coeff - 1:
+            if zeros_left > 0:
+                run = _read_vlc(r, _RUN_DEC[min(zeros_left, 7) - 1])
+            else:
+                run = 0
+            if run > zeros_left:
+                raise ValueError("h264: run_before exceeds zeros left")
+            zeros_left -= run
+            pos -= run + 1
+            if pos < 0:
+                raise ValueError("h264: coefficient position underflow")
+    return out, total_coeff
+
+
+def _write_level_code(w: BitWriter, level_code: int, s: int) -> None:
+    """Inverse of 9.2.2.1's levelCode derivation: emit level_prefix
+    (unary: prefix zeros + 1) and level_suffix for suffixLength s."""
+    if s == 0:
+        if level_code < 14:
+            w.u(1, level_code + 1)
+            return
+        if level_code < 30:
+            w.u(1, 15)  # prefix 14, 4-bit suffix
+            w.u(level_code - 14, 4)
+            return
+        level_code -= 15  # decoder adds 15 back for prefix>=15 at s==0
+        s_base = 15
+    else:
+        s_base = 15 << s
+        if level_code < s_base:
+            w.u(1, (level_code >> s) + 1)
+            w.u(level_code & ((1 << s) - 1), s)
+            return
+    # escape: prefix p >= 15, suffix size p-3,
+    # levelCode = s_base + suffix + (for p>=16) 2^(p-3) - 4096
+    if level_code < s_base + 4096:
+        w.u(1, 16)  # prefix 15
+        w.u(level_code - s_base, 12)
+        return
+    p = 16
+    while level_code - s_base - ((1 << (p - 3)) - 4096) >= (1 << (p - 3)):
+        p += 1
+        if p > 32:
+            raise ValueError("h264: level too large for CAVLC")
+    w.u(1, p + 1)
+    w.u(level_code - s_base - ((1 << (p - 3)) - 4096), p - 3)
+
+
+def _write_vlc(w: BitWriter, lens, bits, idx: int) -> None:
+    l = lens[idx]
+    assert l, f"impossible VLC entry {idx}"
+    w.u(bits[idx], l)
+
+
+def write_residual_block(
+    w: BitWriter, coeffs: np.ndarray, nc: int
+) -> int:
+    """CAVLC-encode one residual block (coeffs in scan order).
+
+    Returns total_coeff (for the caller's nC bookkeeping)."""
+    max_coeff = len(coeffs)
+    nz = np.nonzero(coeffs)[0]
+    total_coeff = len(nz)
+    # trailing ones: up to 3 consecutive |1| at the high-frequency end
+    t1s = 0
+    for i in range(total_coeff - 1, -1, -1):
+        if abs(int(coeffs[nz[i]])) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    idx = total_coeff * 4 + t1s
+    if nc == -1:
+        _write_vlc(w, _CDC_TOKEN_LEN, _CDC_TOKEN_BITS, idx)
+    elif nc < 2:
+        _write_vlc(w, _COEFF_TOKEN_LEN[0], _COEFF_TOKEN_BITS[0], idx)
+    elif nc < 4:
+        _write_vlc(w, _COEFF_TOKEN_LEN[1], _COEFF_TOKEN_BITS[1], idx)
+    elif nc < 8:
+        _write_vlc(w, _COEFF_TOKEN_LEN[2], _COEFF_TOKEN_BITS[2], idx)
+    else:
+        w.u(_COEFF_TOKEN_BITS[3][idx], 6)
+    if total_coeff == 0:
+        return 0
+    # trailing-one signs, high frequency first
+    for i in range(t1s):
+        w.u(1 if coeffs[nz[total_coeff - 1 - i]] < 0 else 0, 1)
+    suffix_length = 1 if total_coeff > 10 and t1s < 3 else 0
+    for i in range(total_coeff - t1s):
+        level = int(coeffs[nz[total_coeff - 1 - t1s - i]])
+        level_code = 2 * abs(level) - 2 + (1 if level < 0 else 0)
+        if i == 0 and t1s < 3:
+            level_code -= 2
+        _write_level_code(w, level_code, suffix_length)
+        if suffix_length == 0:
+            suffix_length = 1
+        if abs(level) > (3 << (suffix_length - 1)) and suffix_length < 6:
+            suffix_length += 1
+    tz = int(nz[-1]) + 1 - total_coeff
+    if total_coeff < max_coeff:
+        if nc == -1:
+            _write_vlc(w, _CDC_TZ_LEN[total_coeff - 1],
+                       _CDC_TZ_BITS[total_coeff - 1], tz)
+        else:
+            _write_vlc(w, _TOTAL_ZEROS_LEN[total_coeff - 1],
+                       _TOTAL_ZEROS_BITS[total_coeff - 1], tz)
+    zeros_left = tz
+    for i in range(total_coeff - 1):
+        hi = int(nz[total_coeff - 1 - i])
+        lo = int(nz[total_coeff - 2 - i])
+        run = hi - lo - 1
+        if zeros_left > 0:
+            _write_vlc(w, _RUN_LEN[min(zeros_left, 7) - 1],
+                       _RUN_BITS[min(zeros_left, 7) - 1], run)
+        zeros_left -= run
+    return total_coeff

@@ -45,8 +45,43 @@ def get_h264ref_lib() -> Optional[ctypes.CDLL]:
         u8p, ctypes.c_long, u8p, ctypes.c_long, i32p,
     ]
     lib.uvt_h264ref_decode.restype = ctypes.c_long
+    lib.uvt_h264ref_encode_x264.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u8p, ctypes.c_long,
+    ]
+    lib.uvt_h264ref_encode_x264.restype = ctypes.c_long
     _lib = lib
     return lib
+
+
+def encode_x264_ref(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp: int
+) -> Optional[bytes]:
+    """Encode [F,H,W] YUV420 planes with the system libx264 (all-intra,
+    CAVLC, deblocking off — the foreign-stream generator for decoder
+    conformance tests). None when libx264 is unavailable."""
+    lib = get_h264ref_lib()
+    if lib is None:
+        return None
+    f, h, w = y.shape
+    yuv = np.concatenate(
+        [
+            np.concatenate(
+                [y[i].reshape(-1), cb[i].reshape(-1), cr[i].reshape(-1)]
+            )
+            for i in range(f)
+        ]
+    ).astype(np.uint8)
+    cap = max(len(yuv) * 2, 1 << 20)
+    out = np.empty(cap, np.uint8)
+    rc = lib.uvt_h264ref_encode_x264(
+        np.ascontiguousarray(yuv), w, h, f, qp, out, cap
+    )
+    if rc == -10:  # libx264 not built into this libavcodec
+        return None
+    if rc < 0:
+        raise ValueError(f"libx264 encode failed (rc={rc})")
+    return bytes(out[:rc])
 
 
 def decode_annexb_ref(
