@@ -145,10 +145,11 @@ def test_decoder_rejects_residual_streams():
                 pass
 
 
-def test_non_ipcm_mbtype_raises_directly():
-    """A crafted slice whose first mb_type is NOT 25 must raise the
-    NotImplementedError contract (review r2: the fuzz loop above never
-    asserted the rejection)."""
+def test_truncated_intra_mb_raises_cleanly():
+    """A crafted slice whose first mb_type is I_4x4 but carries none of
+    its payload must fail as a clean truncation error (the round-2 form
+    of this test asserted I_4x4 was rejected outright; it is now a
+    supported mb_type — h264_intra.py)."""
     gray = np.full((1, 16, 16, 3), 128, np.uint8)
     nals = h264.split_nals(h264.encode_annexb(gray))
     sps = h264.parse_sps(h264._unescape(nals[0][1:]))
@@ -167,7 +168,7 @@ def test_non_ipcm_mbtype_raises_directly():
         + h264.nal(8, h264._unescape(nals[1][1:]))
         + h264.nal(5, w.getvalue())
     )
-    with pytest.raises(NotImplementedError, match="I_PCM"):
+    with pytest.raises(ValueError, match="truncated"):
         h264.decode_annexb(blob)
 
 

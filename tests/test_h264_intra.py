@@ -1,0 +1,191 @@
+"""H.264 intra-compression conformance tests (VERDICT r2 item 5).
+
+Two-sided oracle against the system libavcodec (native/h264ref.py):
+  encoder side — streams our I_4x4 encoder writes must reconstruct
+  BIT-EXACTLY identically in libavcodec and in our decoder;
+  decoder side — all-intra CAVLC baseline streams produced by libx264
+  (I_16x16 + all 9 I4x4 modes + chroma plane + qp deltas) must
+  reconstruct bit-exactly as libavcodec reconstructs them.
+Both skip gracefully when the shim is unavailable; the pure self checks
+(roundtrip, counter strip, rate target) always run.
+"""
+
+import numpy as np
+import pytest
+
+from uvol_tpu.codecs import h264 as H
+from uvol_tpu.codecs.h264 import BitReader, BitWriter
+from uvol_tpu.codecs.h264_intra import (
+    read_residual_block,
+    write_residual_block,
+)
+from uvol_tpu.native.h264ref import (
+    decode_annexb_ref,
+    encode_x264_ref,
+    get_h264ref_lib,
+)
+
+_HAS_REF = get_h264ref_lib() is not None
+
+
+def _content(seed=0, h=64, w=48, f=2):
+    r = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    base = (xx * 3 + yy * 2) % 256
+    frames = [np.stack([base, 255 - base, (base * 2) % 256], -1)]
+    for _ in range(f - 1):
+        frames.append(r.integers(0, 256, (h, w, 3)))
+    return np.stack(frames).astype(np.uint8)
+
+
+def test_cavlc_residual_roundtrip_fuzz():
+    r = np.random.default_rng(1)
+    for _ in range(800):
+        max_coeff = int(r.choice([4, 15, 16]))
+        nc = -1 if max_coeff == 4 else int(r.choice([0, 1, 2, 3, 4, 7, 8, 16]))
+        mag = int(r.choice([2, 30, 2200, 100000]))
+        coeffs = np.where(
+            r.uniform(0, 1, max_coeff) < r.uniform(0, 1),
+            r.integers(-mag, mag + 1, max_coeff),
+            0,
+        ).astype(np.int64)
+        w = BitWriter()
+        tc_w = write_residual_block(w, coeffs, nc)
+        w.u(1, 1)
+        w.align()
+        out, tc_r = read_residual_block(BitReader(w.getvalue()), nc, max_coeff)
+        assert np.array_equal(out, coeffs) and tc_w == tc_r
+
+
+@pytest.mark.parametrize("qp", [20, 28, 36, 44])
+def test_intra_selfroundtrip_and_rate(qp):
+    frames = _content()
+    stream = H.encode_annexb(frames, qp=qp)
+    pcm = H.encode_annexb(frames)  # all-I_PCM
+    assert len(stream) < len(pcm) / 2
+    y, cb, cr, sps = H.decode_annexb_planes(stream)
+    ey = np.stack([H.rgb_to_yuv420(fr)[0] for fr in frames])
+    mse = ((y.astype(float) - ey) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+    assert psnr > 40 - qp / 2  # sanity quality curve
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="libavcodec shim unavailable")
+@pytest.mark.parametrize("qp", [20, 28, 36])
+def test_encoder_conformance_vs_libavcodec(qp):
+    """Our streams decode bit-exactly the same in a real decoder."""
+    frames = _content(seed=qp)
+    stream = H.encode_annexb(frames, qp=qp)
+    y, cb, cr, _ = H.decode_annexb_planes(stream)
+    ry, rcb, rcr = decode_annexb_ref(stream)
+    assert np.array_equal(y, ry)
+    assert np.array_equal(cb, rcb)
+    assert np.array_equal(cr, rcr)
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="libavcodec shim unavailable")
+def test_pcm_strip_conformance_and_exactness():
+    frames = _content(seed=9)
+    frames[:, -8:] = 0
+    frames[0, -8:, :24] = 255  # counter-ish strip
+    stream = H.encode_annexb(frames, qp=32, pcm_rows=8)
+    y, cb, cr, _ = H.decode_annexb_planes(stream)
+    ry, rcb, rcr = decode_annexb_ref(stream)
+    assert np.array_equal(y, ry) and np.array_equal(cb, rcb)
+    ey0 = H.rgb_to_yuv420(frames[0])[0]
+    assert np.array_equal(y[0][-8:], ey0[-8:])  # strip lossless
+    rgb = H.decode_annexb(stream)
+    assert np.array_equal(rgb[0][-8:], frames[0][-8:])
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="libavcodec shim unavailable")
+@pytest.mark.parametrize("qp", [18, 26, 34])
+def test_decoder_conformance_on_x264_streams(qp):
+    """Foreign conformant streams (libx264, all-intra CAVLC baseline,
+    deblocking off) reconstruct bit-exactly as libavcodec reconstructs
+    them — covers I_16x16 (incl. plane + luma DC Hadamard), every I4x4
+    mode, chroma plane prediction and mb_qp_delta."""
+    r = np.random.default_rng(7)
+    h, w = 64, 80
+    y = np.zeros((2, h, w), np.uint8)
+    y[0, :32] = 200
+    y[0, 32:] = r.integers(0, 256, (32, w))
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    y[1] = (gx * 7 + gy * 13) % 256
+    cb = ((gx[::2, ::2] + 3 * gy[::2, ::2]) % 256).astype(np.uint8)
+    cb = np.stack([cb, 255 - cb])
+    cr = 255 - cb
+    s = encode_x264_ref(y, cb, cr, qp=qp)
+    if s is None:
+        pytest.skip("libx264 not built into this libavcodec")
+    my_y, my_cb, my_cr, _ = H.decode_annexb_planes(s)
+    ry, rcb, rcr = decode_annexb_ref(s)
+    assert np.array_equal(my_y, ry)
+    assert np.array_equal(my_cb, rcb)
+    assert np.array_equal(my_cr, rcr)
+
+
+def test_liam_texture_rate_quality():
+    """VERDICT r2 item 5 'Done' bar: <=1.5 bpp at >=35 dB on
+    liam-derived textures (256^2 crop of a real decoded segment)."""
+    import os
+
+    path = (
+        "/root/reference/example/public/liam/output/"
+        "texture_ktx2-fps30-1k_baseColor_default/00000.ktx2"
+    )
+    if not os.path.exists(path):
+        pytest.skip("liam corpus absent")
+    from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+    from uvol_tpu.containers.ktx2 import read_ktx2_file
+
+    rgb = np.asarray(
+        transcode_ktx2_etc1s(read_ktx2_file(path), "rgba")
+    )[:1, 256:512, 256:512]
+    stream = H.encode_annexb(rgb, qp=28)
+    bpp = len(stream) * 8 / (256 * 256)
+    y, _, _, _ = H.decode_annexb_planes(stream)
+    ey = H.rgb_to_yuv420(rgb[0])[0]
+    psnr = 10 * np.log10(255**2 / ((y[0].astype(float) - ey) ** 2).mean())
+    assert bpp <= 1.5, bpp
+    assert psnr >= 35.0, psnr
+    if _HAS_REF:
+        ry, _, _ = decode_annexb_ref(stream)
+        assert np.array_equal(y, ry)
+
+
+def test_v1_texture_video_compressed_counter():
+    """The V1 texture MP4 with the default compressed codec keeps the
+    baked counter bit-exact and shrinks vs the all-PCM form."""
+    from uvol_tpu.io.video import Mp4VideoTexture, encode_v1_texture_video
+
+    xx, yy = np.meshgrid(np.arange(128), np.arange(128))
+    frames = [
+        np.stack(
+            [(xx * 2 + yy + 17 * i) % 256, (xx + 31 * i) % 256,
+             (yy * 3) % 256], -1
+        ).astype(np.uint8)
+        for i in range(4)
+    ]
+    blob = encode_v1_texture_video(frames, codec="h264", qp=30)
+    blob_pcm = encode_v1_texture_video(frames, codec="h264", qp=None)
+    assert len(blob) < len(blob_pcm) / 4  # (real liam textures reach ~12x)
+    tex = Mp4VideoTexture(blob)
+    for i in range(4):
+        tex.current_time = (i + 0.25) / 30.0
+        # read-back returns max(stored-1, 0) = the frame index
+        assert tex.read_baked_frame_number() == i
+
+
+def test_intra_decode_fuzz_no_crash():
+    frames = _content(seed=13, h=32, w=32)
+    blob = bytearray(H.encode_annexb(frames, qp=30))
+    r = np.random.default_rng(17)
+    for _ in range(150):
+        b = bytearray(blob)
+        for _ in range(r.integers(1, 4)):
+            b[r.integers(10, len(b))] = r.integers(0, 256)
+        try:
+            H.decode_annexb(bytes(b))
+        except (ValueError, NotImplementedError, IndexError, OverflowError):
+            pass

@@ -25,7 +25,7 @@ Layout notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -88,6 +88,8 @@ class BitReader:
         self.pos = 0  # bit position
 
     def u(self, bits: int) -> int:
+        if self.pos + bits > 8 * len(self.data):
+            raise ValueError("h264: truncated bitstream")
         v = 0
         for _ in range(bits):
             byte = self.data[self.pos >> 3]
@@ -237,6 +239,39 @@ class Sps:
     log2_max_frame_num: int
     coded_width: int = 0   # MB-aligned coded dimensions (crop applied after)
     coded_height: int = 0
+    poc_type: int = 2
+    log2_max_poc_lsb: int = 0
+
+
+@dataclasses.dataclass
+class Pps:
+    pic_init_qp: int = 26
+    deblocking_control_present: bool = True
+    bottom_field_poc_present: bool = False
+    redundant_pic_cnt_present: bool = False
+    chroma_qp_offset: int = 0
+
+
+def parse_pps(rbsp: bytes) -> Pps:
+    r = BitReader(rbsp)
+    r.ue()  # pps id
+    r.ue()  # sps id
+    if r.u(1):
+        raise NotImplementedError("h264: CABAC streams (CAVLC only)")
+    bottom = bool(r.u(1))
+    if r.ue() != 0:
+        raise NotImplementedError("h264: slice groups")
+    r.ue()
+    r.ue()
+    r.u(1)
+    r.u(2)
+    qp = 26 + r.se()
+    r.se()  # qs
+    cqp_offset = r.se()
+    deblock = bool(r.u(1))
+    r.u(1)  # constrained_intra_pred
+    redundant = bool(r.u(1))
+    return Pps(qp, deblock, bottom, redundant, cqp_offset)
 
 
 def parse_sps(rbsp: bytes) -> Sps:
@@ -256,8 +291,9 @@ def parse_sps(rbsp: bytes) -> Sps:
             raise NotImplementedError("h264: scaling matrices")
     log2_mfn = r.ue() + 4
     poc_type = r.ue()
+    log2_max_poc = 0
     if poc_type == 0:
-        r.ue()
+        log2_max_poc = r.ue() + 4
     elif poc_type == 1:
         r.u(1)
         r.se()
@@ -278,7 +314,8 @@ def parse_sps(rbsp: bytes) -> Sps:
         left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
         width -= 2 * (left + right)
         height -= 2 * (top + bottom)
-    return Sps(width, height, log2_mfn, coded_w, coded_h)
+    return Sps(width, height, log2_mfn, coded_w, coded_h,
+               poc_type, log2_max_poc)
 
 
 # ---------------------------------------------------------------------------
@@ -321,10 +358,22 @@ def _mb_pcm_payload(y, cb, cr, mby, mbx) -> bytes:
     return ly.tobytes() + lcb.tobytes() + lcr.tobytes()
 
 
-def encode_idr_frame(rgb: np.ndarray, idr_pic_id: int = 0) -> bytes:
-    """One RGB frame → IDR slice NAL (I_PCM macroblocks)."""
-    h, w_ = rgb.shape[:2]
-    y, cb, cr = rgb_to_yuv420(rgb)
+def encode_idr_planes(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    idr_pic_id: int = 0,
+    qp: Optional[int] = None,
+    pcm_rows: int = 0,
+) -> bytes:
+    """One YUV420 frame → IDR slice NAL.
+
+    qp=None: every macroblock I_PCM (lossless raw-rate wire, the round-2
+    form). qp set (0..51): real intra compression — I_4x4 mode decision +
+    transforms + CAVLC (codecs/h264_intra.py) — with the bottom
+    `pcm_rows` PIXEL rows forced to I_PCM macroblocks so the V1
+    frame-counter strip stays bit-exact."""
+    h, w_ = y.shape
     bw = BitWriter()
     bw.ue(0)  # first_mb_in_slice
     bw.ue(7)  # slice_type: I (all slices in picture)
@@ -334,23 +383,51 @@ def encode_idr_frame(rgb: np.ndarray, idr_pic_id: int = 0) -> bytes:
     # poc_type 2 → no POC fields
     bw.u(0, 1)  # no_output_of_prior_pics
     bw.u(0, 1)  # long_term_reference
-    bw.se(0)  # slice_qp_delta
-    bw.ue(1)  # disable_deblocking_filter_idc = 1 (off → PCM is bit-exact)
-    for mby in range(h // 16):
-        for mbx in range(w_ // 16):
-            bw.ue(25)  # mb_type I_PCM
-            bw.align()  # pcm_alignment_zero_bit(s)
-            bw.raw_bytes(_mb_pcm_payload(y, cb, cr, mby, mbx))
+    bw.se(0 if qp is None else qp - 26)  # slice_qp_delta
+    bw.ue(1)  # disable_deblocking_filter_idc = 1 (recon is normative-exact)
+    if qp is None:
+        for mby in range(h // 16):
+            for mbx in range(w_ // 16):
+                bw.ue(25)  # mb_type I_PCM
+                bw.align()  # pcm_alignment_zero_bit(s)
+                bw.raw_bytes(_mb_pcm_payload(y, cb, cr, mby, mbx))
+    else:
+        from uvol_tpu.codecs.h264_intra import SliceCoder
+
+        sc = SliceCoder(w_, h, qp)
+        pcm_from_mby = (h - max(0, pcm_rows)) // 16
+        for mby in range(h // 16):
+            for mbx in range(w_ // 16):
+                if pcm_rows and mby >= pcm_from_mby:
+                    sc.encode_mb_pcm(bw, mbx, mby, y, cb, cr)
+                else:
+                    sc.encode_mb_i4x4(bw, mbx, mby, y, cb, cr)
     bw.rbsp_trailing()
     return nal(5, bw.getvalue())
 
 
-def encode_annexb(frames: np.ndarray) -> bytes:
+def encode_idr_frame(
+    rgb: np.ndarray,
+    idr_pic_id: int = 0,
+    qp: Optional[int] = None,
+    pcm_rows: int = 0,
+) -> bytes:
+    """One RGB frame → IDR slice NAL (see encode_idr_planes)."""
+    y, cb, cr = rgb_to_yuv420(rgb)
+    return encode_idr_planes(y, cb, cr, idr_pic_id, qp, pcm_rows)
+
+
+def encode_annexb(
+    frames: np.ndarray, qp: Optional[int] = None, pcm_rows: int = 0
+) -> bytes:
     """[F, H, W, 3] uint8 RGB → Annex-B H.264 stream (SPS+PPS+F IDRs)."""
     f, h, w_ = frames.shape[:3]
     out = [nal(7, make_sps(w_, h)), nal(8, make_pps())]
     for i in range(f):
-        out.append(encode_idr_frame(frames[i], idr_pic_id=i % 2))
+        out.append(
+            encode_idr_frame(frames[i], idr_pic_id=i % 2, qp=qp,
+                             pcm_rows=pcm_rows)
+        )
     return b"".join(out)
 
 
@@ -360,76 +437,98 @@ def encode_annexb(frames: np.ndarray) -> bytes:
 
 
 def decode_annexb(stream: bytes) -> np.ndarray:
-    """Annex-B H.264 (as produced here: baseline, I_PCM) → [F, H, W, 3].
+    """Annex-B H.264 baseline intra (I_PCM / I_4x4 / I_16x16, CAVLC) →
+    [F, H, W, 3] RGB. Handles foreign all-intra streams (e.g. x264's) —
+    SEI/AUD skipped, SPS poc-type and PPS shapes parsed for real."""
+    y, cb, cr, sps = decode_annexb_planes(stream)
+    return np.stack(
+        [
+            yuv420_to_rgb(y[i], cb[i], cr[i])[: sps.height, : sps.width]
+            for i in range(len(y))
+        ]
+    )
 
-    A full H.264 decoder is out of scope offline; this parser handles the
-    profile this encoder emits (plus cropping/frame_num variants) and
-    rejects residual-coded macroblocks with a clear error."""
+
+def decode_annexb_planes(stream: bytes):
+    """Annex-B → (Y [F,ch,cw], Cb, Cr, sps) reconstruction planes at
+    CODED dimensions — the exact normative output, comparable
+    bit-for-bit against an independent decoder (native/h264ref.py)."""
     sps = None
-    frames = []
+    pps = Pps()
+    ys, cbs, crs = [], [], []
     for unit in split_nals(stream):
         ntype = unit[0] & 0x1F
+        if ntype in (6, 9, 10, 11, 12):  # SEI/AUD/end/filler
+            continue
         rbsp = _unescape(unit[1:])
         if ntype == 7:
             sps = parse_sps(rbsp)
         elif ntype == 8:
-            continue
+            pps = parse_pps(rbsp)
         elif ntype == 5:
             if sps is None:
                 raise ValueError("h264: slice before SPS")
-            frames.append(_decode_slice(rbsp, sps))
+            y, cb, cr = _decode_slice_planes(rbsp, sps, pps, idr=True)
+            ys.append(y)
+            cbs.append(cb)
+            crs.append(cr)
         elif ntype == 1:
             raise NotImplementedError(
-                "h264: non-IDR slice (this I_PCM profile emits IDR only)"
+                "h264: non-IDR slice (all-intra IDR streams only)"
             )
-    if not frames:
+    if not ys:
         raise ValueError("h264: no slices")
-    return np.stack(frames)
+    return np.stack(ys), np.stack(cbs), np.stack(crs), sps
 
 
-def _decode_slice(rbsp: bytes, sps: Sps) -> np.ndarray:
-    """Decode one IDR I_PCM slice. The slice-header tail read here is the
-    layout THIS encoder emits (PPS with deblocking_filter_control_present,
-    idc=1); foreign streams with other PPS shapes desync before the
-    mb_type check and are not supported (module docstring scope)."""
+def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
+    """One I slice → (y, cb, cr) planes at coded dimensions."""
+    from uvol_tpu.codecs.h264_intra import SliceCoder
+
     r = BitReader(rbsp)
     if r.ue() != 0:
         raise NotImplementedError("h264: multi-slice pictures")
     slice_type = r.ue()
     if slice_type % 5 != 2:  # I slice
-        raise NotImplementedError("h264: non-I slice (I_PCM profile only)")
+        raise NotImplementedError("h264: non-I slice")
     r.ue()  # pps id
     r.u(sps.log2_max_frame_num)  # frame_num
-    r.ue()  # idr_pic_id
-    r.u(1)
-    r.u(1)  # dec_ref_pic_marking (IDR form)
-    r.se()  # slice_qp_delta
-    idc = r.ue()  # disable_deblocking_filter_idc
-    if idc != 1:  # idc 0/2 carry alpha/beta offsets
-        r.se()
-        r.se()
-    # macroblock grid spans the CODED (MB-aligned) dims; crop at the end
+    if idr:
+        r.ue()  # idr_pic_id
+    if sps.poc_type == 0:
+        r.u(sps.log2_max_poc_lsb)
+        if pps.bottom_field_poc_present:
+            r.se()
+    if pps.redundant_pic_cnt_present:
+        r.ue()
+    if idr:
+        r.u(1)
+        r.u(1)  # dec_ref_pic_marking (IDR form)
+    qp = pps.pic_init_qp + r.se()
+    if pps.deblocking_control_present:
+        idc = r.ue()  # disable_deblocking_filter_idc
+        if idc != 1:  # idc 0/2 carry alpha/beta offsets
+            r.se()
+            r.se()
+        # the in-loop filter is a decoded-picture post-pass this intra
+        # profile does not implement; conformant decode requires it off
+        if idc != 1:
+            raise NotImplementedError(
+                "h264: deblocking enabled (encode with the filter off)"
+            )
     cw = sps.coded_width or sps.width
     ch = sps.coded_height or sps.height
-    w_mb, h_mb = cw // 16, ch // 16
-    y = np.zeros((ch, cw), np.uint8)
-    cb = np.zeros((ch // 2, cw // 2), np.uint8)
-    cr = np.zeros((ch // 2, cw // 2), np.uint8)
-    for mby in range(h_mb):
-        for mbx in range(w_mb):
-            mb_type = r.ue()
-            if mb_type != 25:
-                raise NotImplementedError(
-                    f"h264: mb_type {mb_type} (only I_PCM is decodable "
-                    "offline; this stream was not produced by this encoder)"
-                )
-            r.align()
-            ly = np.frombuffer(r.bytes_at(256), np.uint8).reshape(16, 16)
-            lcb = np.frombuffer(r.bytes_at(64), np.uint8).reshape(8, 8)
-            lcr = np.frombuffer(r.bytes_at(64), np.uint8).reshape(8, 8)
-            y[16 * mby : 16 * mby + 16, 16 * mbx : 16 * mbx + 16] = ly
-            cb[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = lcb
-            cr[8 * mby : 8 * mby + 8, 8 * mbx : 8 * mbx + 8] = lcr
+    sc = SliceCoder(cw, ch, qp)
+    sc.cqp_offset = pps.chroma_qp_offset
+    for mby in range(ch // 16):
+        for mbx in range(cw // 16):
+            sc.decode_mb(r, mbx, mby)
+    return sc.y, sc.cb, sc.cr
+
+
+def _decode_slice(rbsp: bytes, sps: Sps, pps: Optional[Pps] = None) -> np.ndarray:
+    """One IDR slice → RGB frame (cropped)."""
+    y, cb, cr = _decode_slice_planes(rbsp, sps, pps or Pps(), idr=True)
     return yuv420_to_rgb(y, cb, cr)[: sps.height, : sps.width]
 
 
@@ -454,12 +553,17 @@ def make_avcc(width: int, height: int) -> bytes:
     )
 
 
-def encode_avc_samples(frames: np.ndarray) -> List[bytes]:
+def encode_avc_samples(
+    frames: np.ndarray, qp: Optional[int] = None, pcm_rows: int = 0
+) -> List[bytes]:
     """Per-frame MP4 samples: 4-byte-length-prefixed IDR NAL (no SPS/PPS
-    in-band — they live in the avcC box)."""
+    in-band — they live in the avcC box). qp/pcm_rows as in
+    encode_idr_planes (None ⇒ all-I_PCM lossless)."""
     out = []
     for i in range(len(frames)):
-        unit = encode_idr_frame(frames[i], idr_pic_id=i % 2)[4:]  # strip SC
+        unit = encode_idr_frame(
+            frames[i], idr_pic_id=i % 2, qp=qp, pcm_rows=pcm_rows
+        )[4:]  # strip the start code
         out.append(len(unit).to_bytes(4, "big") + unit)
     return out
 

@@ -707,3 +707,427 @@ def write_residual_block(
                        _RUN_BITS[min(zeros_left, 7) - 1], run)
         zeros_left -= run
     return total_coeff
+
+
+# ---------------------------------------------------------------------------
+# Slice-level coder: macroblock decode/encode with shared neighbor context
+# ---------------------------------------------------------------------------
+
+# above-right availability within a macroblock: the neighbor block decodes
+# later for these blkIdx (plus picture-edge rules handled at runtime)
+_NO_TOP_RIGHT = {3, 7, 11, 13, 15}
+
+_HADAMARD4 = np.array(
+    [[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]], np.int64
+)
+
+
+class SliceCoder:
+    """One I slice over a coded (MB-aligned) picture; both directions
+    share this context (recon planes, total-coeff planes for nC, intra
+    mode plane, running QP)."""
+
+    def __init__(self, cw: int, ch: int, qp: int):
+        self.cw, self.ch = cw, ch
+        self.qp = qp
+        self.y = np.zeros((ch, cw), np.uint8)
+        self.cb = np.zeros((ch // 2, cw // 2), np.uint8)
+        self.cr = np.zeros((ch // 2, cw // 2), np.uint8)
+        self.tc_y = np.zeros((ch // 4, cw // 4), np.int32)
+        self.tc_cb = np.zeros((ch // 8, cw // 8), np.int32)
+        self.tc_cr = np.zeros((ch // 8, cw // 8), np.int32)
+        self.modes = np.full((ch // 4, cw // 4), -1, np.int32)
+        self.cqp_offset = 0  # PPS chroma_qp_index_offset
+
+    # -- neighbor context ---------------------------------------------------
+    def _nc(self, plane: np.ndarray, bx: int, by: int) -> int:
+        na = int(plane[by, bx - 1]) if bx > 0 else -1
+        nb = int(plane[by - 1, bx]) if by > 0 else -1
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        if na >= 0:
+            return na
+        if nb >= 0:
+            return nb
+        return 0
+
+    def nc_luma(self, bx: int, by: int) -> int:
+        return self._nc(self.tc_y, bx, by)
+
+    def pred_mode4(self, bx: int, by: int) -> int:
+        a = int(self.modes[by, bx - 1]) if bx > 0 else -1
+        b = int(self.modes[by - 1, bx]) if by > 0 else -1
+        if a < 0 or b < 0:
+            return 2
+        return min(a, b)
+
+    def luma_neighbors(self, x0: int, y0: int, blk: int):
+        """(left, top, top_right, top_left) sample lines for a 4x4 at
+        (x0, y0) with in-MB blkIdx `blk` (availability per 8.3.1)."""
+        left = self.y[y0 : y0 + 4, x0 - 1] if x0 > 0 else None
+        top = self.y[y0 - 1, x0 : x0 + 4] if y0 > 0 else None
+        tr = None
+        if y0 > 0 and x0 + 8 <= self.cw and blk not in _NO_TOP_RIGHT:
+            tr = self.y[y0 - 1, x0 + 4 : x0 + 8]
+        tl = self.y[y0 - 1, x0 - 1] if (x0 > 0 and y0 > 0) else None
+        return left, top, tr, tl
+
+    # -- shared transform helpers -------------------------------------------
+    def dequant_luma_block(self, coeffs_scan: np.ndarray, qp: int):
+        c = np.zeros(16, np.int64)
+        c[ZIGZAG_4x4] = coeffs_scan
+        return dequant_4x4(c.reshape(4, 4), qp)
+
+    def add_residual(self, plane, x0, y0, pred, d):
+        plane[y0 : y0 + 4, x0 : x0 + 4] = _clip8(
+            pred.astype(np.int64) + inverse_4x4(d)
+        )
+
+    # -- decode -------------------------------------------------------------
+    def decode_mb(self, r: BitReader, mbx: int, mby: int) -> None:
+        mb_type = r.ue()
+        if mb_type == 25:
+            self._decode_pcm(r, mbx, mby)
+        elif mb_type == 0:
+            self._decode_i4x4(r, mbx, mby)
+        elif 1 <= mb_type <= 24:
+            self._decode_i16(r, mbx, mby, mb_type)
+        else:
+            raise ValueError(f"h264: mb_type {mb_type} in I slice")
+
+    def _decode_pcm(self, r: BitReader, mbx: int, mby: int) -> None:
+        r.align()
+        x0, y0 = 16 * mbx, 16 * mby
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = np.frombuffer(
+            r.bytes_at(256), np.uint8
+        ).reshape(16, 16)
+        cx, cy = 8 * mbx, 8 * mby
+        self.cb[cy : cy + 8, cx : cx + 8] = np.frombuffer(
+            r.bytes_at(64), np.uint8
+        ).reshape(8, 8)
+        self.cr[cy : cy + 8, cx : cx + 8] = np.frombuffer(
+            r.bytes_at(64), np.uint8
+        ).reshape(8, 8)
+        self._mark_pcm(mbx, mby)
+
+    def _mark_pcm(self, mbx: int, mby: int) -> None:
+        self.tc_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 16
+        self.tc_cb[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+        self.tc_cr[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 16
+        self.modes[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 2
+
+    def _decode_i4x4(self, r: BitReader, mbx: int, mby: int) -> None:
+        modes = []
+        for blk in range(16):
+            bx = 4 * mbx + int(BLK_X[blk])
+            by = 4 * mby + int(BLK_Y[blk])
+            pred = self.pred_mode4(bx, by)
+            if r.u(1):
+                mode = pred
+            else:
+                rem = r.u(3)
+                mode = rem + (1 if rem >= pred else 0)
+            self.modes[by, bx] = mode
+            modes.append(mode)
+        chroma_mode = r.ue()
+        if chroma_mode > 3:
+            raise ValueError("h264: intra_chroma_pred_mode > 3")
+        code = r.ue()
+        if code >= 48:
+            raise ValueError("h264: coded_block_pattern code out of range")
+        cbp = _CBP_INTRA_FROM_CODE[code]
+        if cbp:
+            self.qp = (self.qp + r.se() + 52) % 52
+        luma, cdc, cac = self._parse_residual(r, mbx, mby, cbp, i16=False)
+        # luma reconstruction, block order
+        for blk in range(16):
+            bx = 4 * mbx + int(BLK_X[blk])
+            by = 4 * mby + int(BLK_Y[blk])
+            x0, y0 = 4 * bx, 4 * by
+            left, top, tr, tl = self.luma_neighbors(x0, y0, blk)
+            pred = predict_4x4(modes[blk], left, top, tr, tl)
+            d = self.dequant_luma_block(luma[blk], self.qp)
+            self.add_residual(self.y, x0, y0, pred, d)
+        self._recon_chroma(mbx, mby, chroma_mode, cdc, cac)
+
+    def _decode_i16(self, r, mbx: int, mby: int, mb_type: int) -> None:
+        pred_mode = (mb_type - 1) % 4
+        cbp_chroma = ((mb_type - 1) // 4) % 3
+        cbp_luma = 15 if mb_type - 1 >= 12 else 0
+        chroma_mode = r.ue()
+        if chroma_mode > 3:
+            raise ValueError("h264: intra_chroma_pred_mode > 3")
+        self.qp = (self.qp + r.se() + 52) % 52
+        # DC block (nC from blk0 neighbors)
+        bx0, by0 = 4 * mbx, 4 * mby
+        dc_scan, _ = read_residual_block(r, self.nc_luma(bx0, by0), 16)
+        cbp = cbp_luma | (cbp_chroma << 4)
+        luma, cdc, cac = self._parse_residual(
+            r, mbx, mby, cbp, i16=True
+        )
+        # luma DC: zig-zag -> 4x4, inverse Hadamard, scale (8.5.10)
+        c = np.zeros(16, np.int64)
+        c[ZIGZAG_4x4] = dc_scan
+        f = _HADAMARD4 @ c.reshape(4, 4) @ _HADAMARD4
+        qp = self.qp
+        ls = 16 * int(_DEQUANT_V[qp % 6][0])  # x16 weight (see chroma note)
+        if qp >= 36:
+            dc = (f * ls) << (qp // 6 - 6)
+        else:
+            dc = (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+        x0, y0 = 16 * mbx, 16 * mby
+        left_avail, top_avail = mbx > 0, mby > 0
+        pred = predict_16x16(pred_mode, self.y, x0, y0, left_avail, top_avail)
+        for blk in range(16):
+            bxx, byy = int(BLK_X[blk]), int(BLK_Y[blk])
+            d = self.dequant_luma_block(luma[blk], qp)
+            d[0, 0] = dc[byy, bxx]
+            px, py = x0 + 4 * bxx, y0 + 4 * byy
+            self.add_residual(
+                self.y, px, py, pred[4 * byy : 4 * byy + 4, 4 * bxx : 4 * bxx + 4], d
+            )
+        self.modes[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        self._recon_chroma(mbx, mby, chroma_mode, cdc, cac)
+
+    def _parse_residual(self, r, mbx, mby, cbp, i16: bool):
+        """Parse luma (AC if i16) + chroma residual blocks; updates the
+        total-coeff planes. Returns (luma[16], chroma_dc[2], chroma_ac[2][4])
+        as scan-order coefficient arrays."""
+        max_l = 15 if i16 else 16
+        luma = [np.zeros(16, np.int64)] * 16
+        for i8 in range(4):
+            for i4 in range(4):
+                blk = 4 * i8 + i4
+                bx = 4 * mbx + int(BLK_X[blk])
+                by = 4 * mby + int(BLK_Y[blk])
+                if cbp & (1 << i8):
+                    coeffs, tc = read_residual_block(
+                        r, self.nc_luma(bx, by), max_l
+                    )
+                    full = np.zeros(16, np.int64)
+                    full[16 - max_l :] = coeffs
+                    luma[blk] = full
+                    self.tc_y[by, bx] = tc
+                else:
+                    self.tc_y[by, bx] = 0
+        cdc = [np.zeros(4, np.int64), np.zeros(4, np.int64)]
+        cac = [[np.zeros(16, np.int64)] * 4 for _ in range(2)]
+        if cbp >> 4:
+            for c in range(2):
+                cdc[c], _ = read_residual_block(r, -1, 4)
+        for c, tc_plane in enumerate((self.tc_cb, self.tc_cr)):
+            for blk in range(4):
+                bx = 2 * mbx + blk % 2
+                by = 2 * mby + blk // 2
+                if (cbp >> 4) == 2:
+                    coeffs, tc = read_residual_block(
+                        r, self._nc(tc_plane, bx, by), 15
+                    )
+                    full = np.zeros(16, np.int64)
+                    full[1:] = coeffs
+                    cac[c][blk] = full
+                    tc_plane[by, bx] = tc
+                else:
+                    tc_plane[by, bx] = 0
+        return luma, cdc, cac
+
+    def _recon_chroma(self, mbx, mby, chroma_mode, cdc, cac) -> None:
+        qpc = chroma_qp(self.qp + self.cqp_offset)
+        cx, cy = 8 * mbx, 8 * mby
+        for c, plane in enumerate((self.cb, self.cr)):
+            pred = predict_chroma(
+                chroma_mode, plane, cx, cy, mbx > 0, mby > 0
+            )
+            # chroma DC: inverse 2x2 Hadamard, then scale with >>5 (8.5.11)
+            dc2 = cdc[c].reshape(2, 2)
+            h2 = np.array([[1, 1], [1, -1]], np.int64)
+            f = h2 @ dc2 @ h2
+            # LevelScale includes the flat weight matrix (x16): the AC
+            # path folds the x16 against the formula's >>4, the DC paths
+            # must carry it explicitly (8.5.11/8.5.12 with Flat_4x4_16)
+            ls = 16 * int(_DEQUANT_V[qpc % 6][0])
+            dc = ((f * ls) << (qpc // 6)) >> 5
+            for blk in range(4):
+                bxx, byy = blk % 2, blk // 2
+                d = self.dequant_luma_block(cac[c][blk], qpc)
+                d[0, 0] = dc[byy, bxx]
+                px, py = cx + 4 * bxx, cy + 4 * byy
+                self.add_residual(
+                    plane, px, py,
+                    pred[4 * byy : 4 * byy + 4, 4 * bxx : 4 * bxx + 4], d,
+                )
+
+    # -- encode -------------------------------------------------------------
+    def encode_mb_pcm(self, w: BitWriter, mbx, mby, sy, scb, scr) -> None:
+        """I_PCM macroblock: lossless (the V1 counter-strip guarantee)."""
+        x0, y0 = 16 * mbx, 16 * mby
+        cx, cy = 8 * mbx, 8 * mby
+        w.ue(25)
+        w.align()
+        ly = sy[y0 : y0 + 16, x0 : x0 + 16]
+        lcb = scb[cy : cy + 8, cx : cx + 8]
+        lcr = scr[cy : cy + 8, cx : cx + 8]
+        w.raw_bytes(
+            ly.tobytes() + lcb.tobytes() + lcr.tobytes()
+        )
+        self.y[y0 : y0 + 16, x0 : x0 + 16] = ly
+        self.cb[cy : cy + 8, cx : cx + 8] = lcb
+        self.cr[cy : cy + 8, cx : cx + 8] = lcr
+        self._mark_pcm(mbx, mby)
+
+    def encode_mb_i4x4(self, w: BitWriter, mbx, mby, sy, scb, scr) -> None:
+        qp = self.qp
+        lam = max(1, int(0.85 * 2.0 ** ((qp - 12) / 3.0)))
+        modes, luma_coeffs = [], []
+        for blk in range(16):
+            bx = 4 * mbx + int(BLK_X[blk])
+            by = 4 * mby + int(BLK_Y[blk])
+            x0, y0 = 4 * bx, 4 * by
+            left, top, tr, tl = self.luma_neighbors(x0, y0, blk)
+            src = sy[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
+            pmode = self.pred_mode4(bx, by)
+            best = None
+            for mode in range(9):
+                if mode == 0 and top is None:
+                    continue
+                if mode == 1 and left is None:
+                    continue
+                if mode == 3 and top is None:
+                    continue
+                if mode in (4, 5, 6) and (top is None or left is None):
+                    continue
+                if mode == 7 and top is None:
+                    continue
+                if mode == 8 and left is None:
+                    continue
+                pred = predict_4x4(mode, left, top, tr, tl)
+                cost = int(np.abs(src - pred).sum())
+                cost += lam * (1 if mode == pmode else 4)
+                if best is None or cost < best[0]:
+                    best = (cost, mode, pred)
+            _, mode, pred = best
+            modes.append(mode)
+            self.modes[by, bx] = mode
+            res = src - pred
+            wt = forward_4x4(res)
+            q = quant_4x4(wt, qp)
+            scan = q.reshape(-1)[ZIGZAG_4x4]
+            luma_coeffs.append(scan)
+            d = self.dequant_luma_block(scan, qp)
+            self.add_residual(self.y, x0, y0, pred, d)
+        # chroma: best of DC/H/V by SAD over both components
+        cx, cy = 8 * mbx, 8 * mby
+        best_c = None
+        for cmode in (0, 1, 2):
+            if cmode == 1 and mbx == 0:
+                continue
+            if cmode == 2 and mby == 0:
+                continue
+            sad = 0
+            preds = []
+            for plane, srcp in ((self.cb, scb), (self.cr, scr)):
+                pred = predict_chroma(cmode, plane, cx, cy, mbx > 0, mby > 0)
+                sad += int(
+                    np.abs(
+                        srcp[cy : cy + 8, cx : cx + 8].astype(np.int64) - pred
+                    ).sum()
+                )
+                preds.append(pred)
+            if best_c is None or sad < best_c[0]:
+                best_c = (sad, cmode, preds)
+        _, chroma_mode, cpreds = best_c
+        qpc = chroma_qp(qp + self.cqp_offset)
+        cdc_q, cac_q = [], []
+        for c, (plane, srcp, pred) in enumerate(
+            ((self.cb, scb, cpreds[0]), (self.cr, scr, cpreds[1]))
+        ):
+            res = srcp[cy : cy + 8, cx : cx + 8].astype(np.int64) - pred
+            ws = [
+                forward_4x4(res[4 * (b // 2) : 4 * (b // 2) + 4,
+                                4 * (b % 2) : 4 * (b % 2) + 4])
+                for b in range(4)
+            ]
+            # 2x2 Hadamard of DCs, DC-specific quant (doubled deadzone)
+            h2 = np.array([[1, 1], [1, -1]], np.int64)
+            dcs = np.array(
+                [[ws[0][0, 0], ws[1][0, 0]], [ws[2][0, 0], ws[3][0, 0]]],
+                np.int64,
+            )
+            fdc = h2 @ dcs @ h2
+            mf = int(_QUANT_MF[qpc % 6][0])
+            qbits = 15 + qpc // 6
+            fdz = 2 * ((1 << qbits) // 3)
+            qdc = np.sign(fdc) * ((np.abs(fdc) * mf + fdz) >> (qbits + 1))
+            cdc_q.append(qdc.reshape(-1))
+            acs = []
+            for b in range(4):
+                q = quant_4x4(ws[b], qpc, skip_dc=True)
+                acs.append(q.reshape(-1)[ZIGZAG_4x4])
+            cac_q.append(acs)
+            # reconstruct
+            ls = 16 * int(_DEQUANT_V[qpc % 6][0])  # x16 weight (see decode)
+            dc = ((h2 @ qdc.reshape(2, 2) @ h2) * ls << (qpc // 6)) >> 5
+            for b in range(4):
+                d = self.dequant_luma_block(acs[b], qpc)
+                d[0, 0] = dc[b // 2, b % 2]
+                px, py = cx + 4 * (b % 2), cy + 4 * (b // 2)
+                self.add_residual(
+                    plane, px, py,
+                    pred[4 * (b // 2) : 4 * (b // 2) + 4,
+                         4 * (b % 2) : 4 * (b % 2) + 4], d,
+                )
+        # coded block pattern from actual coefficients
+        cbp = 0
+        for i8 in range(4):
+            if any(luma_coeffs[4 * i8 + i4].any() for i4 in range(4)):
+                cbp |= 1 << i8
+        any_ac = any(a.any() for acs in cac_q for a in acs)
+        any_dc = any(d.any() for d in cdc_q)
+        if any_ac:
+            cbp |= 2 << 4
+        elif any_dc:
+            cbp |= 1 << 4
+        # ---- write syntax ----
+        w.ue(0)  # mb_type I_4x4
+        for blk in range(16):
+            bx = 4 * mbx + int(BLK_X[blk])
+            by = 4 * mby + int(BLK_Y[blk])
+            # NOTE: pred_mode4 here sees this block's own mode already
+            # written into the plane — recompute from left/above only,
+            # which never include later blocks, so the value matches the
+            # decoder's view.
+            pmode = self.pred_mode4(bx, by)
+            mode = modes[blk]
+            if mode == pmode:
+                w.u(1, 1)
+            else:
+                w.u(0, 1)
+                w.u(mode - (1 if mode > pmode else 0), 3)
+        w.ue(chroma_mode)
+        w.ue(_CBP_INTRA_TO_CODE[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+        for i8 in range(4):
+            for i4 in range(4):
+                blk = 4 * i8 + i4
+                bx = 4 * mbx + int(BLK_X[blk])
+                by = 4 * mby + int(BLK_Y[blk])
+                if cbp & (1 << i8):
+                    self.tc_y[by, bx] = write_residual_block(
+                        w, luma_coeffs[blk], self.nc_luma(bx, by)
+                    )
+                else:
+                    self.tc_y[by, bx] = 0
+        if cbp >> 4:
+            for c in range(2):
+                write_residual_block(w, cdc_q[c], -1)
+        for c, tc_plane in enumerate((self.tc_cb, self.tc_cr)):
+            for blk in range(4):
+                bx = 2 * mbx + blk % 2
+                by = 2 * mby + blk // 2
+                if (cbp >> 4) == 2:
+                    tc_plane[by, bx] = write_residual_block(
+                        w, cac_q[c][blk][1:], self._nc(tc_plane, bx, by)
+                    )
+                else:
+                    tc_plane[by, bx] = 0

@@ -46,6 +46,7 @@ def encode_v1_texture_video(
     encoder_byte_length: int = 16,
     quality: int = 92,
     codec: str = "jpeg",
+    qp: Optional[int] = 26,
 ) -> bytes:
     """Bake per-frame counters and pack an MJPEG or H.264 MP4 (V1 texture
     stream).
@@ -84,8 +85,12 @@ def encode_v1_texture_video(
     if codec == "h264":
         from uvol_tpu.codecs import h264
 
+        # qp set (default): real intra compression with the counter strip
+        # forced to I_PCM macroblocks (bit-exact readback); qp=None keeps
+        # the round-2 all-I_PCM lossless form
+        strip = max(encoder_window_size // 2, 1) if qp is not None else 0
         return write_mp4_video(
-            h264.encode_avc_samples(np.stack(baked)),
+            h264.encode_avc_samples(np.stack(baked), qp=qp, pcm_rows=strip),
             width=width,
             height=height,
             fps=fps,
