@@ -593,3 +593,179 @@ def pack_astc_block(
         v >>= 1
     bv.v |= rv
     return bv.bytes16()
+
+
+# ---------------------------------------------------------------------------
+# UASTC-profile -> ASTC transcode
+# ---------------------------------------------------------------------------
+
+#: UASTC weight level count -> ASTC weight range
+_LEVELS_TO_WTQ = {2: (0, 0, 1), 3: (1, 0, 0), 4: (0, 0, 2),
+                  5: (0, 1, 0), 8: (0, 0, 3), 16: (0, 0, 4)}
+
+
+def _color_unquant_lut(tq) -> np.ndarray:
+    return np.array(
+        [unquantize_color(v, tq) for v in range(_levels(tq))], np.int64
+    )
+
+
+def _weight_unquant_lut(tq) -> np.ndarray:
+    return np.array(
+        [unquantize_weight(v, tq) for v in range(_levels(tq))], np.int64
+    )
+
+
+def transcode_uastc_to_astc(blocks: np.ndarray) -> np.ndarray:
+    """[B,16] UASTC-profile blocks (codecs/basis/uastc.py) → [B,16] real
+    ASTC-LDR blocks.
+
+    Value-exact for the modes whose configuration lands on an ASTC color
+    range that reproduces the profile's bit-replicated endpoints
+    (modes 1,2,4,5,7,12,13,14,15,16,18 + solid); nearest-value endpoint
+    (and, for mode 0, weight) requantization otherwise — the same
+    requantize-on-transcode contract as the ETC1S→BC1 path. The emitted
+    wire is always conformant ASTC (oracle-validated); the decoded image
+    of EXACT modes matches `decode_uastc_blocks` bit-for-bit.
+    """
+    from uvol_tpu.codecs.basis.uastc import (
+        MODE_SOLID,
+        MODES,
+        WEIGHT_TABLES,
+        _bits_of,
+        _expand_endpoint,
+        _get_bise,
+        _get_field,
+        _ncomp,
+    )
+
+    blocks = np.ascontiguousarray(blocks, np.uint8).reshape(-1, 16)
+    bits = _bits_of(blocks)
+    modes = _get_field(bits, 0, 5)
+    out = np.zeros_like(blocks)
+    for i in range(len(blocks)):
+        mode_id = int(modes[i])
+        row = bits[i : i + 1]
+        if mode_id == MODE_SOLID:
+            rgba = [int(_get_field(row, 5 + 8 * c, 8)[0]) for c in range(4)]
+            out[i] = np.frombuffer(pack_void_extent(rgba), np.uint8)
+            continue
+        m = MODES.get(mode_id)
+        if m is None:
+            raise ValueError(f"uastc mode {mode_id} unknown")
+        nc = _ncomp(m)
+        pos = 5
+        comp = 3
+        if m.dual_plane:
+            comp = int(_get_field(row, pos, 2)[0])
+            pos += 2
+        seed = 0
+        subsets = m.subsets
+        if subsets > 1:
+            seed = int(_get_field(row, pos, 10)[0])
+            pos += 10
+        q0 = np.zeros((subsets, nc), np.int64)
+        q1 = np.zeros((subsets, nc), np.int64)
+        for p in range(subsets):
+            for c in range(nc):
+                q0[p, c] = _get_field(row, pos, m.ep_bits)[0]
+                pos += m.ep_bits
+                q1[p, c] = _get_field(row, pos, m.ep_bits)[0]
+                pos += m.ep_bits
+        wq, pos = _get_bise(row, pos, 16, m.weight_levels)
+        wq = wq[0]
+        wq2 = None
+        if m.dual_plane:
+            wq2, pos = _get_bise(row, pos, 16, m.weight_levels)
+            wq2 = wq2[0]
+
+        # ---- target ASTC config -------------------------------------------
+        levels = m.weight_levels
+        wtq = _LEVELS_TO_WTQ[levels]
+        nweights = 16 * (2 if m.dual_plane else 1)
+        promote2 = levels == 2 and ise_bits(nweights, wtq) < 24
+        if promote2:
+            wtq = (0, 0, 2)  # 1-bit grid under the 24-bit floor: 0→0, 1→3
+        wl = _levels(wtq)
+        wlut = _weight_unquant_lut(wtq)
+        cem = m.cem
+        ncolor = 2 * nc * subsets
+        wbits = ise_bits(nweights, wtq)
+        start = 17 if subsets == 1 else 29
+        avail = 128 - wbits - (2 if m.dual_plane else 0) - start
+        ctq = next(
+            (tq for tq in _COLOR_RANGES if ise_bits(ncolor, tq) <= avail),
+            None,
+        )
+        if ctq is None or _levels(ctq) < 6:
+            raise ValueError(f"uastc mode {mode_id}: no ASTC color range fits")
+        clut = _color_unquant_lut(ctq)
+
+        def cquant(target8: int) -> int:
+            return int(np.abs(clut - target8).argmin())
+
+        # per-subset endpoint values with CEM 8/12 ordering (avoid the
+        # decoder's blue-contract branch by keeping s1 >= s0)
+        flip = [False] * subsets
+        cvals: List[int] = []
+        for p in range(subsets):
+            e0 = _expand_endpoint(q0[p], m.ep_bits)
+            e1 = _expand_endpoint(q1[p], m.ep_bits)
+            v0 = [cquant(int(x)) for x in e0]
+            v1 = [cquant(int(x)) for x in e1]
+            u0 = [int(clut[v]) for v in v0]
+            u1 = [int(clut[v]) for v in v1]
+            if cem in (8, 12) and sum(u1[:3]) < sum(u0[:3]):
+                v0, v1 = v1, v0
+                flip[p] = True
+            if cem == 4:
+                # ASTC CEM4 LA order: v0,v1 = L0,L1; v2,v3 = A0,A1
+                cvals += [v0[0], v1[0], v0[1], v1[1]]
+            else:
+                for c in range(nc):
+                    cvals += [v0[c], v1[c]]
+
+        # weights in ASTC order (texel-major; dual-plane interleaved)
+        uastc_w64 = WEIGHT_TABLES[levels]
+
+        def wmap(q: int) -> int:
+            if promote2:
+                return 3 * int(q)
+            target = int(uastc_w64[int(q)])
+            return int(np.abs(wlut - target).argmin())
+
+        if subsets > 1:
+            pmap = astc_partition_4x4(seed, subsets)
+        else:
+            pmap = np.zeros(16, np.int64)
+        weights: List[int] = []
+        for t in range(16):
+            inv = flip[int(pmap[t])]
+            wv = wmap(int(wq[t]))
+            if inv:
+                wv = wl - 1 - wv
+            if m.dual_plane:
+                w2 = wmap(int(wq2[t]))
+                if inv:
+                    w2 = wl - 1 - w2
+                weights += [wv, w2]
+            else:
+                weights.append(wv)
+        out[i] = np.frombuffer(
+            pack_astc_block(
+                weight_tq=wtq,
+                color_tq=ctq,
+                cems=[cem] * subsets,
+                color_values=cvals,
+                weights=weights,
+                part_index=seed,
+                dual=m.dual_plane,
+                ccs=comp,
+            ),
+            np.uint8,
+        )
+    return out
+
+
+#: modes whose transcode reproduces decode_uastc_blocks bit-for-bit
+ASTC_EXACT_MODES = frozenset({1, 2, 4, 5, 7, 8, 12, 13, 14, 15, 16, 18})

@@ -997,13 +997,16 @@ def encode_uastc_ktx2(
 
 
 def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
-    """UASTC KTX2 -> [layers, H, W, 4] uint8 RGBA.
+    """UASTC KTX2 -> frames.
 
-    Compressed block targets (BC7/ASTC passthrough) are not implemented —
-    like the reference on a device with no matching capability, callers
-    get the full RGBA decode (select_transcode_target falls back the same
-    way)."""
-    if target != "rgba":
+    target="rgba": [layers, H, W, 4] uint8 full decode.
+    target="astc": [layers, nblocks, 16] uint8 REAL ASTC-LDR 4x4 blocks
+    (codecs/basis/astc.py transcode — the KTX2Loader `astc-4x4` device
+    target, /root/reference/src/lib/KTX2Loader.js:591-697; wire validated
+    against Mesa's independent ASTC decoder). BC7 passthrough is not
+    implemented — callers fall back to the RGBA decode, like the
+    reference on a device without the capability."""
+    if target not in ("rgba", "astc"):
         raise NotImplementedError(f"UASTC transcode target {target!r}")
     marker = ktx2_file.key_value.get(UASTC_PROFILE_KEY)
     if marker is None or marker.rstrip(b"\x00") != UASTC_PROFILE_VALUE:
@@ -1030,7 +1033,12 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
         blocks = np.frombuffer(
             data[i * per : (i + 1) * per], np.uint8
         ).reshape(-1, 16)
-        frames.append(
-            blocks_to_image_rgba(decode_uastc_blocks(blocks), h, w)
-        )
+        if target == "astc":
+            from uvol_tpu.codecs.basis.astc import transcode_uastc_to_astc
+
+            frames.append(transcode_uastc_to_astc(blocks))
+        else:
+            frames.append(
+                blocks_to_image_rgba(decode_uastc_blocks(blocks), h, w)
+            )
     return np.stack(frames)
