@@ -168,7 +168,7 @@ def test_truncated_intra_mb_raises_cleanly():
         + h264.nal(8, h264._unescape(nals[1][1:]))
         + h264.nal(5, w.getvalue())
     )
-    with pytest.raises(ValueError, match="truncated"):
+    with pytest.raises(ValueError, match="truncated|invalid"):
         h264.decode_annexb(blob)
 
 

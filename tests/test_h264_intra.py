@@ -189,3 +189,84 @@ def test_intra_decode_fuzz_no_crash():
             H.decode_annexb(bytes(b))
         except (ValueError, NotImplementedError, IndexError, OverflowError):
             pass
+
+
+def test_native_slice_parity():
+    """The C slice codec (native/h264_native.cpp) must be byte-identical
+    to the Python SliceCoder on encode and plane-identical on decode."""
+    from uvol_tpu.codecs.h264 import BitWriter, Pps, Sps
+    from uvol_tpu.codecs.h264_intra import SliceCoder
+    from uvol_tpu.native.h264c import (
+        decode_slice_native,
+        encode_slice_native,
+        get_h264_lib,
+    )
+
+    if get_h264_lib() is None:
+        pytest.skip("native h264 unavailable")
+    r = np.random.default_rng(23)
+    xx, yy = np.meshgrid(np.arange(96), np.arange(64))
+    base = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    for qp in (20, 30, 44):
+        ylum = ((base.astype(int) + r.integers(0, 60, base.shape)) % 256
+                ).astype(np.uint8)
+        cbp = r.integers(0, 256, (32, 48)).astype(np.uint8)
+        crp = 255 - cbp
+        for pcm_rows in (0, 8):
+            bw = BitWriter()
+            bw.ue(0); bw.ue(7); bw.ue(0); bw.u(0, 4); bw.ue(1)
+            bw.u(0, 1); bw.u(0, 1); bw.se(qp - 26); bw.ue(1)
+            sc = SliceCoder(96, 64, qp)
+            pcm_from = (64 - pcm_rows) // 16 if pcm_rows else -1
+            for mby in range(4):
+                for mbx in range(6):
+                    if pcm_rows and mby >= pcm_from:
+                        sc.encode_mb_pcm(bw, mbx, mby, ylum, cbp, crp)
+                    else:
+                        sc.encode_mb_i4x4(bw, mbx, mby, ylum, cbp, crp)
+            bw.rbsp_trailing()
+            py_rbsp = bw.getvalue()
+            assert encode_slice_native(
+                ylum, cbp, crp, qp, pcm_from, 1
+            ) == py_rbsp
+            ny, ncb, ncr = decode_slice_native(
+                py_rbsp, Sps(96, 64, 4, 96, 64), Pps(), True
+            )
+            assert np.array_equal(ny, sc.y)
+            assert np.array_equal(ncb, sc.cb)
+            assert np.array_equal(ncr, sc.cr)
+
+
+def test_native_decodes_x264_streams():
+    """Native decode parity also on FOREIGN (libx264) streams incl.
+    I_16x16 — compared against the pure-Python decoder path."""
+    import os
+
+    from uvol_tpu.native.h264c import get_h264_lib
+    from uvol_tpu.native.h264ref import encode_x264_ref
+
+    if get_h264_lib() is None:
+        pytest.skip("native h264 unavailable")
+    r = np.random.default_rng(29)
+    h, w = 48, 64
+    y = np.zeros((1, h, w), np.uint8)
+    y[0, :16] = 180
+    y[0, 16:] = r.integers(0, 256, (32, w))
+    cb = np.full((1, h // 2, w // 2), 100, np.uint8)
+    cr = 255 - cb
+    s = encode_x264_ref(y, cb, cr, qp=24)
+    if s is None:
+        pytest.skip("libx264 unavailable")
+    native = H.decode_annexb_planes(s)
+    os.environ["UVT_DISABLE_NATIVE_H264"] = "1"
+    try:
+        import uvol_tpu.native.h264c as h264c
+
+        saved = h264c._lib
+        h264c._lib = None
+        python = H.decode_annexb_planes(s)
+        h264c._lib = saved
+    finally:
+        os.environ.pop("UVT_DISABLE_NATIVE_H264", None)
+    for a, b in zip(native[:3], python[:3]):
+        assert np.array_equal(a, b)

@@ -392,10 +392,17 @@ def encode_idr_planes(
                 bw.align()  # pcm_alignment_zero_bit(s)
                 bw.raw_bytes(_mb_pcm_payload(y, cb, cr, mby, mbx))
     else:
+        pcm_from_mby = (h - max(0, pcm_rows)) // 16 if pcm_rows else -1
+        # native whole-slice fast path (bit-identical; Python SliceCoder
+        # is the oracle/fallback — tests/test_h264_intra.py pins parity)
+        from uvol_tpu.native.h264c import encode_slice_native
+
+        rbsp = encode_slice_native(y, cb, cr, qp, pcm_from_mby, idr_pic_id)
+        if rbsp is not None:
+            return nal(5, rbsp)
         from uvol_tpu.codecs.h264_intra import SliceCoder
 
         sc = SliceCoder(w_, h, qp)
-        pcm_from_mby = (h - max(0, pcm_rows)) // 16
         for mby in range(h // 16):
             for mbx in range(w_ // 16):
                 if pcm_rows and mby >= pcm_from_mby:
@@ -483,6 +490,11 @@ def decode_annexb_planes(stream: bytes):
 
 def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
     """One I slice → (y, cb, cr) planes at coded dimensions."""
+    from uvol_tpu.native.h264c import decode_slice_native
+
+    res = decode_slice_native(rbsp, sps, pps, idr)
+    if res is not None:
+        return res
     from uvol_tpu.codecs.h264_intra import SliceCoder
 
     r = BitReader(rbsp)
