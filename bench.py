@@ -346,6 +346,7 @@ def main() -> None:
     # ---- real Draco corpus decode (the reference's own playback format) -----
     liam_device_decode_fps = liam_device_decode_mverts = None
     liam_device_stage_mverts = None
+    liam_device_decode_pipelined_fps = None
     (liam_fps, liam_fps_pool, liam_enc_fps,
      frames_bin, meshes) = _liam_host_metrics()
     if frames_bin is not None:
@@ -366,6 +367,22 @@ def main() -> None:
         liam_device_decode_fps = len(frames_bin) / dt_dd
         liam_device_decode_mverts = (
             sum(int(c) for c in dbatch.counts[0]) / dt_dd / 1e6
+        )
+
+        # pipelined streaming variant (decode_drc_stream): host wire
+        # decode of window k+1 overlaps window k's device upload+compute
+        from uvol_tpu.models.drc_device import decode_drc_stream
+
+        big = frames_bin * 2  # 16 frames, 4-frame windows
+        for _s, _b in decode_drc_stream(big[:4], window=4):
+            pass  # warm
+        t0 = time.perf_counter()
+        last = None
+        for _s, batch in decode_drc_stream(big, window=4):
+            last = batch
+        _force([v for v in last.values.values() if not isinstance(v, list)])
+        liam_device_decode_pipelined_fps = len(big) / (
+            time.perf_counter() - t0
         )
 
         # device-stage-only variant: the jitted dequantize over a
@@ -690,6 +707,10 @@ def main() -> None:
                     "liam_device_decode_mverts_per_s": (
                         round(liam_device_decode_mverts, 2)
                         if liam_device_decode_mverts else None
+                    ),
+                    "liam_device_decode_pipelined_fps": (
+                        round(liam_device_decode_pipelined_fps, 1)
+                        if liam_device_decode_pipelined_fps else None
                     ),
                     "liam_device_stage_mverts_per_s": (
                         round(liam_device_stage_mverts, 1)

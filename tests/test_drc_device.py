@@ -73,3 +73,30 @@ def test_decode_drc_batch_device_matches_host():
             np.testing.assert_array_equal(
                 batch.values[K.ATT_GENERIC][i], g.values
             )
+
+
+def test_decode_drc_stream_matches_batch(liam_output):
+    """Pipelined windows must match decode_drc_batch exactly per slice."""
+    import numpy as np
+
+    from uvol_tpu.codecs.draco import constants as KD
+    from uvol_tpu.models.drc_device import decode_drc_batch, decode_drc_stream
+
+    blobs = [
+        (liam_output / "geometry_draco" / f"{i:05d}.drc").read_bytes()
+        for i in range(6)
+    ]
+    seen = 0
+    for start, batch in decode_drc_stream(blobs, window=4, as_numpy=True):
+        ref = decode_drc_batch(blobs[start : start + 4], as_numpy=True)
+        assert batch.num_points == ref.num_points
+        for t, vals in ref.values.items():
+            if isinstance(vals, list):
+                for a, b in zip(vals, batch.values[t]):
+                    np.testing.assert_array_equal(a, b)
+            else:
+                np.testing.assert_array_equal(np.asarray(batch.values[t]), vals)
+        for a, b in zip(batch.faces, ref.faces):
+            np.testing.assert_array_equal(a, b)
+        seen += len(batch.faces)
+    assert seen == 6

@@ -111,6 +111,15 @@ def decode_drc_batch(
 
     if _FNS is None:
         _FNS = _dequant_fns()
+    return _build_batch(frames, as_numpy=as_numpy)
+
+
+def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
+    """Native-decoded frame tuples → padded device batches (shared by
+    decode_drc_batch and the pipelined decode_drc_stream)."""
+    import jax
+    import jax.numpy as jnp
+
     dequantize, oct_to_unit = _FNS
 
     f = len(frames)
@@ -184,3 +193,57 @@ def decode_drc_batch(
     return DeviceFrameBatch(
         counts=counts, values=values, faces=faces, num_points=num_points
     )
+
+
+def decode_drc_stream(
+    blobs: Sequence[bytes],
+    *,
+    window: int = 8,
+    workers: int = 8,
+    as_numpy: bool = False,
+    lookahead: int = 2,
+):
+    """Pipelined wire→device decode (VERDICT r2 item 3's streaming form).
+
+    The host C wire stages of window k+1..k+lookahead run on worker
+    threads (GIL-free native loops) WHILE window k's tensors upload and
+    dequantize on device — so on a multi-core host the sequential wire
+    recurrences and the batched device math overlap instead of
+    alternating, and device dispatch stays async (jit). Yields
+    (start_index, DeviceFrameBatch) in order; per-window results are
+    byte-identical to decode_drc_batch on the same slice
+    (tests/test_drc_device.py).
+    """
+    global _FNS
+    from concurrent.futures import ThreadPoolExecutor
+
+    from uvol_tpu import native
+
+    if _FNS is None:
+        _FNS = _dequant_fns()
+
+    def host_window(start: int):
+        out = []
+        for blob in blobs[start : start + window]:
+            res = native.drc_decode_native(blob, portable=True)
+            if res is None:
+                raise NotImplementedError(
+                    "stream outside the native fast path; use decode_drc"
+                )
+            out.append(res)
+        return out
+
+    starts = list(range(0, len(blobs), window))
+    with ThreadPoolExecutor(max(1, min(workers, lookahead * 2))) as pool:
+        inflight = {}
+        next_submit = 0
+        for i, start in enumerate(starts):
+            while next_submit < len(starts) and next_submit <= i + lookahead:
+                inflight[next_submit] = pool.submit(
+                    host_window, starts[next_submit]
+                )
+                next_submit += 1
+            frames = inflight.pop(i).result()
+            # device dispatch is async: the upload/compute below overlaps
+            # the already-running host decode of the next windows
+            yield start, _build_batch(frames, as_numpy=as_numpy)
