@@ -1,0 +1,101 @@
+"""Full-corpus ETC1S rate/quality sweep (VERDICT r2 item 7).
+
+For every liam `.ktx2` segment: decode the basisu file to RGBA (the only
+available reference — the original PNGs are not in the corpus, so dB is
+measured against basisu's own decode, same methodology as the round-2
+spot numbers), re-encode with our ETC1S encoder, and record
+
+    bytes_ours / bytes_basisu   (level payloads, apples-to-apples)
+    PSNR(ours vs basisu RGBA)
+
+Appends one JSON line per segment to `docs/etc1s_sweep.jsonl` (resumable)
+and prints a summary. Runs on whatever JAX backend is up
+(UVT_PLATFORM=cpu forces host).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("UVT_PLATFORM") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+from uvol_tpu.containers.ktx2 import read_ktx2, read_ktx2_file
+
+LIAM = (
+    "/root/reference/example/public/liam/output/"
+    "texture_ktx2-fps30-1k_baseColor_default"
+)
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "docs",
+    "etc1s_sweep.jsonl",
+)
+
+
+def payload_bytes(f) -> int:
+    return sum(len(lv.data) for lv in f.levels) + (
+        len(f.raw_sgd) if f.raw_sgd else 0
+    )
+
+
+def main() -> None:
+    done = set()
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            for line in fh:
+                try:
+                    done.add(json.loads(line)["segment"])
+                except (ValueError, KeyError):
+                    pass
+    segments = sorted(
+        int(n.split(".")[0]) for n in os.listdir(LIAM) if n.endswith(".ktx2")
+    )
+    ratios, psnrs = [], []
+    for seg in segments:
+        if seg in done:
+            continue
+        path = os.path.join(LIAM, f"{seg:05d}.ktx2")
+        raw = open(path, "rb").read()
+        f = read_ktx2(raw)
+        ref_rgba = np.asarray(transcode_ktx2_etc1s(f, "rgba"))
+        t0 = time.time()
+        blob = encode_ktx2_etc1s(ref_rgba)
+        enc_s = time.time() - t0
+        ours = read_ktx2(blob)
+        got = np.asarray(transcode_ktx2_etc1s(ours, "rgba"))
+        mse = ((got.astype(np.float64) - ref_rgba) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+        ratio = payload_bytes(ours) / payload_bytes(f)
+        rec = {
+            "segment": seg,
+            "bytes_ours": payload_bytes(ours),
+            "bytes_basisu": payload_bytes(f),
+            "ratio": round(ratio, 4),
+            "psnr_vs_basisu_decode_db": round(float(psnr), 2),
+            "encode_s": round(enc_s, 1),
+        }
+        with open(OUT, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+        ratios.append(ratio)
+        psnrs.append(psnr)
+    if ratios:
+        print(
+            f"SUMMARY new={len(ratios)} ratio med={np.median(ratios):.3f} "
+            f"max={max(ratios):.3f} psnr med={np.median(psnrs):.1f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -7,10 +7,11 @@ none of which the reference's own pipeline settings produce
 (/root/reference/scripts/Encoder.py:260-267 ⇒ depth-first +
 parallelogram + rANS symbols, the liam corpus). These tests pin the
 decoder's support for those variants via self-fixtures from our encoder's
-foreign-settings knobs (no foreign binaries exist offline; the encode and
-decode sides are implemented independently from the spec semantics —
-ring-walk order, priority buckets, flag contexts — so a symmetric bug
-must be symmetric across two separate code paths to slip through).
+foreign-settings knobs (no foreign binaries exist offline; the traversal/priority machinery
+is implemented from the spec semantics — note the constrained-multi
+corner-ring walk is a SHARED helper between encode and decode
+(attributes.collect_ring_parallelograms), so these roundtrips validate
+the prediction math and wire layout, not the ring-walk order itself).
 """
 
 import numpy as np

@@ -120,8 +120,9 @@ def test_v1_texture_video_h264_counter():
 
 
 def test_decoder_rejects_residual_streams():
-    """A non-I_PCM mb_type fails with a clear message instead of
-    misparsing (we only decode what this encoder can emit)."""
+    """Bit flips in the slice-header region either keep decoding or
+    raise controlled errors — never crash (the decoder now handles
+    I_4x4/I_16x16 residual macroblocks for real)."""
     gray = np.full((1, 16, 16, 3), 128, np.uint8)
     stream = bytearray(h264.encode_annexb(gray))
     # find the IDR NAL payload and corrupt the mb_type bits

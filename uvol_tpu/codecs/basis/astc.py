@@ -314,11 +314,13 @@ def decode_block_mode(m: int):
     return gw, gh, _WEIGHT_RANGES[(h, r)], bool(d)
 
 
+_WEIGHT_RANGES_INV = {v: k for k, v in _WEIGHT_RANGES.items()}
+
+
 def encode_block_mode(gw: int, gh: int, tq, dual: bool) -> int:
     """Inverse of decode_block_mode for the grids this packer emits
     (gw ∈ 2..4, gh ∈ 2..8 subsets)."""
-    inv = {v: k for k, v in _WEIGHT_RANGES.items()}
-    h, r = inv[tuple(tq)]
+    h, r = _WEIGHT_RANGES_INV[tuple(tq)]
     r0, r1, r2 = r & 1, (r >> 1) & 1, (r >> 2) & 1
     d = 1 if dual else 0
     if 4 <= gw <= 7 and 2 <= gh <= 5:
@@ -604,12 +606,17 @@ _LEVELS_TO_WTQ = {2: (0, 0, 1), 3: (1, 0, 0), 4: (0, 0, 2),
                   5: (0, 1, 0), 8: (0, 0, 3), 16: (0, 0, 4)}
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def _color_unquant_lut(tq) -> np.ndarray:
     return np.array(
         [unquantize_color(v, tq) for v in range(_levels(tq))], np.int64
     )
 
 
+@lru_cache(maxsize=None)
 def _weight_unquant_lut(tq) -> np.ndarray:
     return np.array(
         [unquantize_weight(v, tq) for v in range(_levels(tq))], np.int64
@@ -687,7 +694,7 @@ def transcode_uastc_to_astc(blocks: np.ndarray) -> np.ndarray:
         if promote2:
             wtq = (0, 0, 2)  # 1-bit grid under the 24-bit floor: 0→0, 1→3
         wl = _levels(wtq)
-        wlut = _weight_unquant_lut(wtq)
+        wlut = _weight_unquant_lut(tuple(wtq))
         cem = m.cem
         ncolor = 2 * nc * subsets
         wbits = ise_bits(nweights, wtq)
@@ -699,7 +706,7 @@ def transcode_uastc_to_astc(blocks: np.ndarray) -> np.ndarray:
         )
         if ctq is None or _levels(ctq) < 6:
             raise ValueError(f"uastc mode {mode_id}: no ASTC color range fits")
-        clut = _color_unquant_lut(ctq)
+        clut = _color_unquant_lut(tuple(ctq))
 
         def cquant(target8: int) -> int:
             return int(np.abs(clut - target8).argmin())

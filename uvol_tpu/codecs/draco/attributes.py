@@ -287,6 +287,45 @@ def decode_parallelogram(
     return out
 
 
+def collect_ring_parallelograms(
+    values: np.ndarray,
+    p: int,
+    start_corner: int,
+    table_view,
+    vertex_to_data: np.ndarray,
+    max_par: int = 4,
+) -> List[np.ndarray]:
+    """Corner-ring walk shared by the encode and decode sides of
+    MESH_PREDICTION_CONSTRAINED_MULTI_PARALLELOGRAM: swing left from the
+    entry's mapped corner (then right from the start on hitting a
+    boundary), collecting up to `max_par` full parallelogram predictions
+    from already-decoded entries."""
+    preds: List[np.ndarray] = []
+    ci = start_corner
+    first_pass = True
+    while ci != INVALID:
+        oci = table_view.opp(ci)
+        if oci != INVALID:
+            pred = parallelogram_prediction(
+                values, p, oci, table_view, vertex_to_data
+            )
+            if pred is not None:
+                preds.append(pred)
+                if len(preds) == max_par:
+                    break
+        ci = (
+            table_view.swing_left(ci)
+            if first_pass
+            else table_view.swing_right(ci)
+        )
+        if ci == start_corner:
+            break
+        if ci == INVALID and first_pass:
+            first_pass = False
+            ci = table_view.swing_right(start_corner)
+    return preds
+
+
 def decode_constrained_multi_parallelogram(
     corr: np.ndarray,
     num_components: int,
@@ -347,30 +386,10 @@ def decode_constrained_multi_parallelogram(
         np.zeros(num_components, np.int64), corr[0]
     )
     for p in range(1, n):
-        start = int(data_to_corner[p])
-        ci = start
-        preds: List[np.ndarray] = []
-        first_pass = True
-        while ci != INVALID:
-            oci = table_view.opp(ci)
-            if oci != INVALID:
-                pred = parallelogram_prediction(
-                    out, p, oci, table_view, vertex_to_data
-                )
-                if pred is not None:
-                    preds.append(pred)
-                    if len(preds) == max_par:
-                        break
-            ci = (
-                table_view.swing_left(ci)
-                if first_pass
-                else table_view.swing_right(ci)
-            )
-            if ci == start:
-                break
-            if ci == INVALID and first_pass:
-                first_pass = False
-                ci = table_view.swing_right(start)
+        preds = collect_ring_parallelograms(
+            out, p, int(data_to_corner[p]), table_view, vertex_to_data,
+            max_par,
+        )
         used = 0
         total = np.zeros(num_components, np.int64)
         if preds:

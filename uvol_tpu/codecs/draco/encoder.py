@@ -30,6 +30,7 @@ from uvol_tpu.codecs.buffer import EncoderBuffer
 from uvol_tpu.codecs.draco import constants as K
 from uvol_tpu.codecs.draco.attributes import (
     OctahedronToolBox,
+    collect_ring_parallelograms,
     parallelogram_prediction,
     tdiv,
 )
@@ -508,28 +509,9 @@ def _encode_constrained_multi(
         return corr, wrap, creases
     corr[0] = wrap.correction(values[0], np.zeros(nc, np.int64))
     for p in range(1, n):
-        start = int(data_to_corner[p])
-        ci = start
-        preds = []
-        first_pass = True
-        while ci != INVALID:
-            oci = view.opp(ci)
-            if oci != INVALID:
-                pred = parallelogram_prediction(
-                    values, p, oci, view, vertex_to_data
-                )
-                if pred is not None:
-                    preds.append(pred)
-                    if len(preds) == 4:
-                        break
-            ci = (
-                view.swing_left(ci) if first_pass else view.swing_right(ci)
-            )
-            if ci == start:
-                break
-            if ci == INVALID and first_pass:
-                first_pass = False
-                ci = view.swing_right(start)
+        preds = collect_ring_parallelograms(
+            values, p, int(data_to_corner[p]), view, vertex_to_data
+        )
         if preds:
             creases[len(preds) - 1].extend([0] * len(preds))
             total = np.sum(preds, axis=0)

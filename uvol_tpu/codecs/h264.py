@@ -517,6 +517,8 @@ def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
         r.u(1)
         r.u(1)  # dec_ref_pic_marking (IDR form)
     qp = pps.pic_init_qp + r.se()
+    if not 0 <= qp <= 51:
+        raise ValueError(f"h264: slice QP {qp} out of range")
     if pps.deblocking_control_present:
         idc = r.ue()  # disable_deblocking_filter_idc
         if idc != 1:  # idc 0/2 carry alpha/beta offsets
@@ -528,6 +530,13 @@ def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
             raise NotImplementedError(
                 "h264: deblocking enabled (encode with the filter off)"
             )
+    else:
+        # no control flag ⇒ the filter is implicitly ON: refusing beats
+        # silently returning unfiltered (wrong) reconstruction
+        raise NotImplementedError(
+            "h264: PPS without deblocking control (filter implicitly on; "
+            "encode with the filter explicitly off)"
+        )
     cw = sps.coded_width or sps.width
     ch = sps.coded_height or sps.height
     sc = SliceCoder(cw, ch, qp)

@@ -10,9 +10,10 @@ Capability match for the reference's V1 texture pipeline:
 
 Two sample codecs:
   - ``codec="jpeg"`` (default): Motion-JPEG samples — compact, lossy.
-  - ``codec="h264"``: REAL H.264/AVC — I_PCM macroblocks in a conformant
-    avc1 track (codecs/h264.py), matching the reference's wire codec;
-    lossless luma (counter strip reads back exactly), raw-YUV420 rate.
+  - ``codec="h264"``: REAL compressed H.264/AVC (codecs/h264_intra.py —
+    I_4x4 intra + CAVLC at ``qp`` (default 26), with the counter strip
+    forced to lossless I_PCM macroblocks so readback stays bit-exact;
+    ``qp=None`` selects the all-I_PCM lossless/raw-rate form).
 The counter blocks are 8x8-aligned, which keeps them intact under both
 JPEG's DCT and 4:2:0 subsampling.
 """

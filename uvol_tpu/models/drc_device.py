@@ -222,28 +222,29 @@ def decode_drc_stream(
     if _FNS is None:
         _FNS = _dequant_fns()
 
-    def host_window(start: int):
-        out = []
-        for blob in blobs[start : start + window]:
-            res = native.drc_decode_native(blob, portable=True)
-            if res is None:
-                raise NotImplementedError(
-                    "stream outside the native fast path; use decode_drc"
-                )
-            out.append(res)
-        return out
+    def host_one(blob):
+        res = native.drc_decode_native(blob, portable=True)
+        if res is None:
+            raise NotImplementedError(
+                "stream outside the native fast path; use decode_drc"
+            )
+        return res
 
     starts = list(range(0, len(blobs), window))
-    with ThreadPoolExecutor(max(1, min(workers, lookahead * 2))) as pool:
-        inflight = {}
+    # `workers` threads decode individual frames, so within-window frames
+    # run concurrently AND up to `lookahead` future windows stay in flight
+    with ThreadPoolExecutor(max(1, workers)) as pool:
+        inflight: dict = {}
         next_submit = 0
         for i, start in enumerate(starts):
             while next_submit < len(starts) and next_submit <= i + lookahead:
-                inflight[next_submit] = pool.submit(
-                    host_window, starts[next_submit]
-                )
+                s = starts[next_submit]
+                inflight[next_submit] = [
+                    pool.submit(host_one, blob)
+                    for blob in blobs[s : s + window]
+                ]
                 next_submit += 1
-            frames = inflight.pop(i).result()
+            frames = [fut.result() for fut in inflight.pop(i)]
             # device dispatch is async: the upload/compute below overlaps
             # the already-running host decode of the next windows
             yield start, _build_batch(frames, as_numpy=as_numpy)

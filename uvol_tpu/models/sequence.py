@@ -406,8 +406,10 @@ class GeometrySequenceCodec:
             self._dev_in(pos_batch), self._dev_in(pmin), self._dev_in(pscale),
             self._dev_in(uv_batch), self._dev_in(umin), self._dev_in(uscale),
         )
-        if as_numpy:
-            pos, uv = self._dev_out((pos, uv))
+        # multi-process: gather regardless of as_numpy — the [:f] slice
+        # below is an eager op that jax rejects on non-fully-addressable
+        # arrays, and the replicated result stays device-resident anyway
+        pos, uv = self._dev_out((pos, uv))
         pos, uv = pos[:f], uv[:f]  # drop mesh padding
         if not any_uv:
             uv = None  # UV-less streams: honor the Optional contract
@@ -605,7 +607,7 @@ class TextureSequenceCodec:
             [unpack_etc1_payload(data[i * per : (i + 1) * per]) for i in range(l)]
         )
         words_in, _ = self._pad_layers(words)
-        out = self._decode(self._dev_in(unpack_words2(words_in)), h, w)
+        out = self._dev_out(self._decode(self._dev_in(unpack_words2(words_in)), h, w))
         if as_numpy:
-            return np.asarray(self._dev_out(out)[:l])
+            return np.asarray(out[:l])
         return jax.block_until_ready(out[:l])

@@ -661,9 +661,12 @@ extern "C" int uvt_h264_decode_slice(
   if (redundant_present) r.ue();
   if (idr) { r.u(1); r.u(1); }
   int qp = pic_init_qp + r.se();
+  if (qp < 0 || qp > 51) return -1;  // spec range; also guards table reads
   if (deblock_present) {
     uint32_t idc = r.ue();
     if (idc != 1) return -3;  // deblocking on: unsupported (Python raises)
+  } else {
+    return -3;  // no control flag => filter implicitly ON: refuse
   }
   if (!r.ok) return -1;
   Slice sc(coded_w, coded_h, qp, cqp_offset, out_y, out_cb, out_cr);

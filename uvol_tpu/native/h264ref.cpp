@@ -149,6 +149,26 @@ extern "C" long uvt_h264ref_decode(const uint8_t *data, long size,
                 flushed = true;
             }
             if (pkt->size || flushed) {
+                // on the flush pass, first deliver the parser's final
+                // packet (if any), THEN the decoder-flush NULL packet —
+                // otherwise frames buffered for reordering are dropped
+                if (flushed && pkt->size) {
+                    int rc0 = avcodec_send_packet(ctx, pkt);
+                    if (rc0 < 0 && rc0 != AVERROR_EOF) { err = -13; goto done; }
+                    while (true) {
+                        rc0 = avcodec_receive_frame(ctx, frame);
+                        if (rc0 == AVERROR(EAGAIN) || rc0 == AVERROR_EOF) break;
+                        if (rc0 < 0) { err = -14; goto done; }
+                        w = frame->width;
+                        h = frame->height;
+                        long n0 = emit_frame(frame, out + written, out_cap - written);
+                        if (n0 < 0) { err = (int)n0; goto done; }
+                        written += n0;
+                        ++nframes;
+                    }
+                    pkt->size = 0;
+                    pkt->data = NULL;
+                }
                 int rc = avcodec_send_packet(ctx, pkt->size ? pkt : NULL);
                 if (rc < 0 && rc != AVERROR_EOF) { err = -13; goto done; }
                 while (true) {
