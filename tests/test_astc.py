@@ -197,3 +197,33 @@ def test_ktx2_astc_target_end_to_end():
     if _HAS_GL:
         ref = decode_astc_blocks_gl(astc[0])
         assert np.array_equal(dec, ref)
+
+
+def test_player_dispatches_astc_target(monkeypatch):
+    """A device advertising astc capability gets real ASTC blocks from
+    the player's UASTC texture path (reference FORMAT_OPTIONS row:
+    astc-4x4 is UASTC priority 1, KTX2Loader.js:591-697)."""
+    import uvol_tpu.player.v2 as v2
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 0] = np.arange(8)[None, :] * 30
+    img[..., 3] = 255
+    blob = U.encode_uastc_ktx2(np.stack([img]))
+    monkeypatch.setattr(
+        v2, "DEVICE_TEXTURE_CAPABILITIES", ("astc", "etc2", "etc1")
+    )
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == "astc-4x4"
+    blocks = np.asarray(dec.data)
+    assert blocks.shape == (1, 4, 16)
+    rgba = decode_astc_blocks(blocks[0])
+    want = U.transcode_uastc(
+        __import__("uvol_tpu.containers.ktx2", fromlist=["read_ktx2"]).read_ktx2(blob),
+        target="rgba",
+    )
+    got = U.blocks_to_image_rgba(rgba.reshape(-1, 16, 4), 8, 8)
+    assert np.abs(got.astype(int) - want[0].astype(int)).max() <= 8
+    # default (etc-only) capabilities keep the RGBA fallback
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("etc2", "etc1"))
+    dec2 = v2.default_texture_decoder(blob)
+    assert dec2.format == "rgba"

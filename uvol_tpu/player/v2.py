@@ -127,10 +127,23 @@ def default_texture_decoder(data: bytes) -> DecodedTexture:
     from uvol_tpu.containers.ktx2 import KHR_DF_MODEL_UASTC
 
     if f.dfd_color_model() == KHR_DF_MODEL_UASTC:
-        # UASTC path (reference: KTX2Loader UASTC table) — full RGBA decode;
-        # compressed passthrough targets are ETC1S-only here
+        # UASTC path (reference: KTX2Loader UASTC column of FORMAT_OPTIONS)
+        # — astc-4x4 devices get REAL ASTC blocks (codecs/basis/astc.py
+        # transcode); other compressed targets fall back to the full RGBA
+        # decode, like the reference on an unsupported device
+        from uvol_tpu.codecs.basis.transcoder import select_transcode_target
         from uvol_tpu.codecs.basis.uastc import transcode_uastc
 
+        target = select_transcode_target(
+            DEVICE_TEXTURE_CAPABILITIES,
+            is_uastc=True,
+            width=f.header.pixel_width,
+            height=f.header.pixel_height,
+        )
+        if target == "astc-4x4":
+            return DecodedTexture(
+                "astc-4x4", transcode_uastc(f, target="astc")
+            )
         return DecodedTexture("rgba", transcode_uastc(f, target="rgba"))
     from uvol_tpu.models.sequence import TextureSequenceCodec
 
