@@ -97,5 +97,42 @@ def main() -> None:
         )
 
 
+def rate_pass() -> None:
+    """Second pass: re-encode every segment whose first-pass ratio
+    exceeded 1.0 through the rate-target ladder; records get a
+    ratio_rate_targeted / psnr_rate_targeted_db update."""
+    from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s_rate_target
+
+    recs = [json.loads(l) for l in open(OUT)]
+    by_seg = {r["segment"]: r for r in recs}
+    for seg, rec in sorted(by_seg.items()):
+        if rec.get("ratio", 0) <= 1.0 or "ratio_rate_targeted" in rec:
+            continue
+        path = os.path.join(LIAM, f"{seg:05d}.ktx2")
+        f = read_ktx2(open(path, "rb").read())
+        ref_rgba = np.asarray(transcode_ktx2_etc1s(f, "rgba"))
+        target = payload_bytes(f)
+        t0 = time.time()
+        blob = encode_ktx2_etc1s_rate_target(
+            ref_rgba, target,
+            payload_of=lambda b: payload_bytes(read_ktx2(b)),
+        )
+        ours = read_ktx2(blob)
+        got = np.asarray(transcode_ktx2_etc1s(ours, "rgba"))
+        mse = ((got.astype(np.float64) - ref_rgba) ** 2).mean()
+        rec["ratio_rate_targeted"] = round(payload_bytes(ours) / target, 4)
+        rec["psnr_rate_targeted_db"] = round(
+            float(10 * np.log10(255**2 / max(mse, 1e-12))), 2
+        )
+        rec["rate_target_s"] = round(time.time() - t0, 1)
+        with open(OUT, "w") as fh:
+            for s in sorted(by_seg):
+                fh.write(json.dumps(by_seg[s]) + "\n")
+        print(json.dumps(rec), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--rate-pass" in sys.argv:
+        rate_pass()
+    else:
+        main()

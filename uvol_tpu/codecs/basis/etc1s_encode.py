@@ -1399,3 +1399,41 @@ def encode_ktx2_etc1s(
         dfd=make_basis_dfd(srgb=srgb, has_alpha=has_alpha),
         basis_lz=g,
     )
+
+
+def encode_ktx2_etc1s_rate_target(
+    frames: np.ndarray,
+    target_bytes: int,
+    *,
+    payload_of=None,
+    **kw,
+) -> bytes:
+    """Rate-controlled ETC1S encode: walk a compression ladder (RDO
+    lambda escalation, then codebook shrink) until the output fits
+    `target_bytes`, returning the highest-quality fitting blob (or the
+    smallest achieved if none fits). This is the per-segment rate
+    adaptation basisu's RDO does implicitly — used to hold every segment
+    at <= the reference encoder's bytes (docs/etc1s_sweep.jsonl).
+
+    `payload_of(blob)` measures comparable bytes (defaults to len)."""
+    ladder = [
+        {},
+        {"rdo_lambdas": (2.5, 3.0, 3.0)},
+        {"rdo_lambdas": (4.0, 5.0, 5.0), "num_selectors": 192},
+        {"rdo_lambdas": (6.0, 7.0, 7.0),
+         "num_endpoints": 192, "num_selectors": 160},
+        {"rdo_lambdas": (9.0, 11.0, 11.0),
+         "num_endpoints": 160, "num_selectors": 128},
+        {"rdo_lambdas": (14.0, 16.0, 16.0),
+         "num_endpoints": 128, "num_selectors": 96},
+    ]
+    measure = payload_of or len
+    best = None
+    for step in ladder:
+        blob = encode_ktx2_etc1s(frames, **{**kw, **step})
+        size = measure(blob)
+        if best is None or size < best[0]:
+            best = (size, blob)
+        if size <= target_bytes:
+            return blob
+    return best[1]
