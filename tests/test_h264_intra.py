@@ -270,3 +270,66 @@ def test_native_decodes_x264_streams():
         os.environ.pop("UVT_DISABLE_NATIVE_H264", None)
     for a, b in zip(native[:3], python[:3]):
         assert np.array_equal(a, b)
+
+
+def test_p_frames_conformance_and_counter():
+    """Zero-motion P slices (P_Skip + intra refresh): conformant vs
+    libavcodec, counter strip bit-exact in every frame, and much smaller
+    than all-IDR on near-static content — the inter form the reference's
+    V1 texture MP4 actually uses."""
+    xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+    base = np.stack(
+        [(xx * 3 + yy * 2) % 256, (xx + yy) % 256, (yy * 3) % 256], -1
+    ).astype(np.uint8)
+    frames = np.stack([base.copy() for _ in range(6)])
+    for i in range(6):
+        frames[i, 8:16, 4 * i : 4 * i + 8] = 255
+        frames[i, -8:] = 0
+        frames[i, -8:, : 8 * (i + 1)] = 255
+    s = H.encode_annexb(frames, qp=28, pcm_rows=8, gop=6)
+    y, cb, cr, _ = H.decode_annexb_planes(s)
+    assert y.shape[0] == 6
+    for i in range(6):
+        ey = H.rgb_to_yuv420(frames[i])[0]
+        assert np.array_equal(y[i][-8:], ey[-8:]), i
+    if _HAS_REF:
+        ry, rcb, rcr = decode_annexb_ref(s)
+        assert np.array_equal(y, ry)
+        assert np.array_equal(cb, rcb)
+        assert np.array_equal(cr, rcr)
+
+
+def test_p_frames_static_content_rate():
+    from uvol_tpu.io.video import Mp4VideoTexture, encode_v1_texture_video
+
+    xx, yy = np.meshgrid(np.arange(128), np.arange(128))
+    base = np.stack(
+        [(xx * 2 + yy) % 256, xx % 256, (yy * 3) % 256], -1
+    ).astype(np.uint8)
+    frames = [base.copy() for _ in range(8)]
+    for i, fr in enumerate(frames):
+        fr[40:48, 40 + 2 * i : 48 + 2 * i] = 200
+    blob_idr = encode_v1_texture_video(frames, codec="h264", qp=28)
+    blob_gop = encode_v1_texture_video(frames, codec="h264", qp=28, gop=8)
+    assert len(blob_gop) < len(blob_idr) / 3
+    tex = Mp4VideoTexture(blob_gop)
+    for i in range(8):
+        tex.current_time = (i + 0.25) / 30.0
+        assert tex.read_baked_frame_number() == i
+    # backward seek re-decodes from the sync sample
+    tex.current_time = 2.25 / 30.0
+    assert tex.read_baked_frame_number() == 2
+
+
+def test_p_slice_without_reference_rejected():
+    frames = np.zeros((2, 32, 32, 3), np.uint8)
+    s = H.encode_annexb(frames, qp=30, gop=2)
+    units = H.split_nals(s)
+    # drop the IDR: stream starts with a P slice -> clean error
+    blob = b"".join(
+        H.nal(u[0] & 0x1F, H._unescape(u[1:]), ref_idc=(u[0] >> 5) & 3)
+        for u in units
+        if (u[0] & 0x1F) != 5
+    )
+    with pytest.raises(ValueError, match="reference"):
+        H.decode_annexb(blob)

@@ -186,7 +186,9 @@ def split_nals(stream: bytes) -> List[bytes]:
 # ---------------------------------------------------------------------------
 
 
-def make_sps(width: int, height: int) -> bytes:
+def make_sps(width: int, height: int, max_ref_frames: int = 1) -> bytes:
+    """`max_ref_frames=1` admits P slices (one-frame DPB, sliding
+    window) while remaining valid for all-IDR streams."""
     if width % 16 or height % 16:
         raise ValueError("h264 I_PCM writer requires multiple-of-16 dims")
     w = BitWriter()
@@ -199,7 +201,7 @@ def make_sps(width: int, height: int) -> bytes:
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4 → 4-bit frame_num
     w.ue(2)  # pic_order_cnt_type 2 (output order == decode order)
-    w.ue(0)  # max_num_ref_frames
+    w.ue(max_ref_frames)  # max_num_ref_frames
     w.u(0, 1)  # gaps_in_frame_num_value_allowed
     w.ue(width // 16 - 1)
     w.ue(height // 16 - 1)
@@ -424,17 +426,116 @@ def encode_idr_frame(
     return encode_idr_planes(y, cb, cr, idr_pic_id, qp, pcm_rows)
 
 
+def encode_p_planes(
+    y: np.ndarray,
+    cb: np.ndarray,
+    cr: np.ndarray,
+    prev: Tuple[np.ndarray, np.ndarray, np.ndarray],
+    *,
+    qp: int,
+    pcm_rows: int = 0,
+    frame_num: int = 1,
+    skip_bias: float = 1.0,
+):
+    """One P slice NAL (zero-motion profile): macroblocks whose
+    co-located reference block is within the skip distortion budget
+    become P_Skip (≈0 bits); the rest are coded intra (I_4x4, counter
+    strip I_PCM). Returns (nal_bytes, recon_planes) — the recon is the
+    next frame's reference. See h264_intra's P-slice notes."""
+    from uvol_tpu.codecs.h264_intra import SliceCoder, p_skip_threshold
+
+    h, w_ = y.shape
+    prev_y, prev_cb, prev_cr = prev
+    bw = BitWriter()
+    bw.ue(0)  # first_mb_in_slice
+    bw.ue(5)  # slice_type: P (all slices)
+    bw.ue(0)  # pic_parameter_set_id
+    bw.u(frame_num & 0xF, 4)
+    # poc_type 2 → no POC fields
+    bw.u(0, 1)  # num_ref_idx_active_override
+    bw.u(0, 1)  # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)  # adaptive_ref_pic_marking (sliding window)
+    bw.se(qp - 26)
+    bw.ue(1)  # deblocking off
+    sc = SliceCoder(w_, h, qp)
+    thresh = p_skip_threshold(qp) * skip_bias
+    pcm_from = (h - max(0, pcm_rows)) // 16 if pcm_rows else -1
+    skip_run = 0
+    for mby in range(h // 16):
+        for mbx in range(w_ // 16):
+            is_pcm = pcm_rows and mby >= pcm_from
+            x0, y0 = 16 * mbx, 16 * mby
+            cx, cy = 8 * mbx, 8 * mby
+            d = y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - prev_y[
+                y0 : y0 + 16, x0 : x0 + 16
+            ]
+            ssd = int((d * d).sum())
+            for sp, pp in ((cb, prev_cb), (cr, prev_cr)):
+                dc = sp[cy : cy + 8, cx : cx + 8].astype(np.int64) - pp[
+                    cy : cy + 8, cx : cx + 8
+                ]
+                ssd += int((dc * dc).sum())
+            # counter-strip MBs may ONLY skip when bit-exact (ssd 0 ⇒
+            # the copy IS the source); others use the distortion budget
+            if ssd <= (0 if is_pcm else thresh):
+                sc.copy_skip_mb(mbx, mby, prev_y, prev_cb, prev_cr)
+                skip_run += 1
+                continue
+            bw.ue(skip_run)
+            skip_run = 0
+            if is_pcm:
+                sc.encode_mb_pcm(bw, mbx, mby, y, cb, cr, mb_type_offset=5)
+            else:
+                sc.encode_mb_i4x4(bw, mbx, mby, y, cb, cr, mb_type_offset=5)
+    if skip_run:
+        bw.ue(skip_run)  # trailing skip run
+    bw.rbsp_trailing()
+    return nal(1, bw.getvalue()), (sc.y, sc.cb, sc.cr)
+
+
 def encode_annexb(
-    frames: np.ndarray, qp: Optional[int] = None, pcm_rows: int = 0
+    frames: np.ndarray,
+    qp: Optional[int] = None,
+    pcm_rows: int = 0,
+    gop: Optional[int] = None,
+    skip_bias: float = 1.0,
 ) -> bytes:
-    """[F, H, W, 3] uint8 RGB → Annex-B H.264 stream (SPS+PPS+F IDRs)."""
+    """[F, H, W, 3] uint8 RGB → Annex-B H.264 stream.
+
+    gop=None (default): every frame an IDR (random access everywhere).
+    gop=N with qp set: IDR every N frames, P slices between (zero-motion
+    P_Skip + intra refresh — the inter form the reference's V1 texture
+    MP4 actually uses; near-free for static texture regions)."""
     f, h, w_ = frames.shape[:3]
     out = [nal(7, make_sps(w_, h)), nal(8, make_pps())]
+    if gop is None or qp is None:
+        for i in range(f):
+            out.append(
+                encode_idr_frame(frames[i], idr_pic_id=i % 2, qp=qp,
+                                 pcm_rows=pcm_rows)
+            )
+        return b"".join(out)
+    if gop < 1:
+        raise ValueError("gop must be >= 1")
+    sps = parse_sps(make_sps(w_, h))
+    pps = parse_pps(make_pps())
+    recon = None
     for i in range(f):
-        out.append(
-            encode_idr_frame(frames[i], idr_pic_id=i % 2, qp=qp,
-                             pcm_rows=pcm_rows)
-        )
+        y, cb, cr = rgb_to_yuv420(frames[i])
+        in_gop = i % gop
+        if in_gop == 0:
+            unit = encode_idr_planes(y, cb, cr, idr_pic_id=(i // gop) % 2,
+                                     qp=qp, pcm_rows=pcm_rows)
+            # reference for the following P frames = the DECODED recon
+            recon = _decode_slice_planes(
+                _unescape(split_nals(unit)[0][1:]), sps, pps, idr=True
+            )
+        else:
+            unit, recon = encode_p_planes(
+                y, cb, cr, recon, qp=qp, pcm_rows=pcm_rows,
+                frame_num=in_gop & 0xF, skip_bias=skip_bias,
+            )
+        out.append(unit)
     return b"".join(out)
 
 
@@ -472,24 +573,29 @@ def decode_annexb_planes(stream: bytes):
             sps = parse_sps(rbsp)
         elif ntype == 8:
             pps = parse_pps(rbsp)
-        elif ntype == 5:
+        elif ntype in (1, 5):
             if sps is None:
                 raise ValueError("h264: slice before SPS")
-            y, cb, cr = _decode_slice_planes(rbsp, sps, pps, idr=True)
+            prev = (ys[-1], cbs[-1], crs[-1]) if ys else None
+            y, cb, cr = _decode_slice_planes(
+                rbsp, sps, pps, idr=(ntype == 5), prev=prev,
+                nal_ref_idc=(unit[0] >> 5) & 3,
+            )
             ys.append(y)
             cbs.append(cb)
             crs.append(cr)
-        elif ntype == 1:
-            raise NotImplementedError(
-                "h264: non-IDR slice (all-intra IDR streams only)"
-            )
     if not ys:
         raise ValueError("h264: no slices")
     return np.stack(ys), np.stack(cbs), np.stack(crs), sps
 
 
-def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
-    """One I slice → (y, cb, cr) planes at coded dimensions."""
+def _decode_slice_planes(
+    rbsp: bytes, sps: Sps, pps: Pps, idr: bool, prev=None, nal_ref_idc: int = 3
+):
+    """One I or P slice → (y, cb, cr) planes at coded dimensions.
+
+    P slices (zero-motion profile: P_Skip + intra MBs) need `prev`, the
+    previous decoded frame's planes."""
     from uvol_tpu.native.h264c import decode_slice_native
 
     res = decode_slice_native(rbsp, sps, pps, idr)
@@ -501,8 +607,13 @@ def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
     if r.ue() != 0:
         raise NotImplementedError("h264: multi-slice pictures")
     slice_type = r.ue()
-    if slice_type % 5 != 2:  # I slice
-        raise NotImplementedError("h264: non-I slice")
+    is_p = slice_type % 5 == 0
+    if not is_p and slice_type % 5 != 2:
+        raise NotImplementedError("h264: only I and P slices")
+    if is_p and idr:
+        raise ValueError("h264: P slice in an IDR NAL")
+    if is_p and prev is None:
+        raise ValueError("h264: P slice without a reference frame")
     r.ue()  # pps id
     r.u(sps.log2_max_frame_num)  # frame_num
     if idr:
@@ -513,9 +624,18 @@ def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
             r.se()
     if pps.redundant_pic_cnt_present:
         r.ue()
+    if is_p:
+        if r.u(1):  # num_ref_idx_active_override
+            if r.ue() != 0:
+                raise NotImplementedError("h264: multiple reference frames")
+        if r.u(1):  # ref_pic_list_modification_flag_l0
+            raise NotImplementedError("h264: reference list modification")
     if idr:
         r.u(1)
         r.u(1)  # dec_ref_pic_marking (IDR form)
+    elif nal_ref_idc:
+        if r.u(1):  # adaptive_ref_pic_marking_mode_flag
+            raise NotImplementedError("h264: adaptive reference marking")
     qp = pps.pic_init_qp + r.se()
     if not 0 <= qp <= 51:
         raise ValueError(f"h264: slice QP {qp} out of range")
@@ -541,9 +661,26 @@ def _decode_slice_planes(rbsp: bytes, sps: Sps, pps: Pps, idr: bool):
     ch = sps.coded_height or sps.height
     sc = SliceCoder(cw, ch, qp)
     sc.cqp_offset = pps.chroma_qp_offset
-    for mby in range(ch // 16):
-        for mbx in range(cw // 16):
-            sc.decode_mb(r, mbx, mby)
+    w_mb = cw // 16
+    total = (ch // 16) * w_mb
+    if is_p:
+        prev_y, prev_cb, prev_cr = prev
+        mb = 0
+        while mb < total:
+            skip_run = r.ue()
+            if skip_run > total - mb:
+                raise ValueError("h264: mb_skip_run past end of slice")
+            for _ in range(skip_run):
+                sc.copy_skip_mb(mb % w_mb, mb // w_mb, prev_y, prev_cb,
+                                prev_cr)
+                mb += 1
+            if mb >= total:
+                break
+            sc.decode_mb_p(r, mb % w_mb, mb // w_mb)
+            mb += 1
+    else:
+        for mb in range(total):
+            sc.decode_mb(r, mb % w_mb, mb // w_mb)
     return sc.y, sc.cb, sc.cr
 
 
@@ -575,33 +712,67 @@ def make_avcc(width: int, height: int) -> bytes:
 
 
 def encode_avc_samples(
-    frames: np.ndarray, qp: Optional[int] = None, pcm_rows: int = 0
+    frames: np.ndarray,
+    qp: Optional[int] = None,
+    pcm_rows: int = 0,
+    gop: Optional[int] = None,
+    skip_bias: float = 1.0,
 ) -> List[bytes]:
-    """Per-frame MP4 samples: 4-byte-length-prefixed IDR NAL (no SPS/PPS
-    in-band — they live in the avcC box). qp/pcm_rows as in
-    encode_idr_planes (None ⇒ all-I_PCM lossless)."""
-    out = []
-    for i in range(len(frames)):
-        unit = encode_idr_frame(
-            frames[i], idr_pic_id=i % 2, qp=qp, pcm_rows=pcm_rows
-        )[4:]  # strip the start code
-        out.append(len(unit).to_bytes(4, "big") + unit)
-    return out
+    """Per-frame MP4 samples: 4-byte-length-prefixed slice NAL (no
+    SPS/PPS in-band — they live in the avcC box). qp/pcm_rows/gop as in
+    encode_annexb (gop=None ⇒ every sample an IDR sync sample)."""
+    f, h, w_ = frames.shape[:3]
+    if gop is None or qp is None:
+        out = []
+        for i in range(f):
+            unit = encode_idr_frame(
+                frames[i], idr_pic_id=i % 2, qp=qp, pcm_rows=pcm_rows
+            )[4:]  # strip the start code
+            out.append(len(unit).to_bytes(4, "big") + unit)
+        return out
+    stream = encode_annexb(frames, qp=qp, pcm_rows=pcm_rows, gop=gop,
+                           skip_bias=skip_bias)
+    units = [u for u in split_nals(stream) if (u[0] & 0x1F) in (1, 5)]
+    assert len(units) == f
+    return [len(u).to_bytes(4, "big") + u for u in units]
 
 
-def decode_avc_sample(sample: bytes, sps: Sps) -> np.ndarray:
-    """One length-prefixed MP4 sample → RGB frame."""
+def sample_is_sync(sample: bytes) -> bool:
+    """True when the MP4 sample's slice NAL is an IDR (random access)."""
     pos = 0
-    frame = None
     while pos + 4 <= len(sample):
         n = int.from_bytes(sample[pos : pos + 4], "big")
         unit = sample[pos + 4 : pos + 4 + n]
         pos += 4 + n
-        if unit and (unit[0] & 0x1F) == 5:
-            frame = _decode_slice(_unescape(unit[1:]), sps)
-    if frame is None:
+        if unit and (unit[0] & 0x1F) in (1, 5):
+            return (unit[0] & 0x1F) == 5
+    return False
+
+
+def decode_avc_sample_planes(sample: bytes, sps: Sps, prev=None):
+    """One length-prefixed MP4 sample → (y, cb, cr) planes. P samples
+    need `prev` (the previous decoded frame's planes)."""
+    pos = 0
+    planes = None
+    while pos + 4 <= len(sample):
+        n = int.from_bytes(sample[pos : pos + 4], "big")
+        unit = sample[pos + 4 : pos + 4 + n]
+        pos += 4 + n
+        if unit and (unit[0] & 0x1F) in (1, 5):
+            planes = _decode_slice_planes(
+                _unescape(unit[1:]), sps, Pps(), idr=(unit[0] & 0x1F) == 5,
+                prev=prev, nal_ref_idc=(unit[0] >> 5) & 3,
+            )
+    if planes is None:
         raise ValueError("h264: sample holds no slice NAL")
-    return frame
+    return planes
+
+
+def decode_avc_sample(sample: bytes, sps: Sps, prev=None) -> np.ndarray:
+    """One length-prefixed MP4 sample → RGB frame (see
+    decode_avc_sample_planes for the P-sample `prev` contract)."""
+    y, cb, cr = decode_avc_sample_planes(sample, sps, prev=prev)
+    return yuv420_to_rgb(y, cb, cr)[: sps.height, : sps.width]
 
 
 def parse_avcc(avcc: bytes) -> Sps:

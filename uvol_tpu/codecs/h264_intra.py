@@ -958,11 +958,13 @@ class SliceCoder:
                 )
 
     # -- encode -------------------------------------------------------------
-    def encode_mb_pcm(self, w: BitWriter, mbx, mby, sy, scb, scr) -> None:
-        """I_PCM macroblock: lossless (the V1 counter-strip guarantee)."""
+    def encode_mb_pcm(self, w: BitWriter, mbx, mby, sy, scb, scr,
+                      mb_type_offset: int = 0) -> None:
+        """I_PCM macroblock: lossless (the V1 counter-strip guarantee).
+        `mb_type_offset=5` emits the P-slice intra numbering."""
         x0, y0 = 16 * mbx, 16 * mby
         cx, cy = 8 * mbx, 8 * mby
-        w.ue(25)
+        w.ue(25 + mb_type_offset)
         w.align()
         ly = sy[y0 : y0 + 16, x0 : x0 + 16]
         lcb = scb[cy : cy + 8, cx : cx + 8]
@@ -975,7 +977,8 @@ class SliceCoder:
         self.cr[cy : cy + 8, cx : cx + 8] = lcr
         self._mark_pcm(mbx, mby)
 
-    def encode_mb_i4x4(self, w: BitWriter, mbx, mby, sy, scb, scr) -> None:
+    def encode_mb_i4x4(self, w: BitWriter, mbx, mby, sy, scb, scr,
+                       mb_type_offset: int = 0) -> None:
         qp = self.qp
         lam = max(1, int(0.85 * 2.0 ** ((qp - 12) / 3.0)))
         modes, luma_coeffs = [], []
@@ -1088,7 +1091,7 @@ class SliceCoder:
         elif any_dc:
             cbp |= 1 << 4
         # ---- write syntax ----
-        w.ue(0)  # mb_type I_4x4
+        w.ue(0 + mb_type_offset)  # mb_type I_4x4 (P slices: +5)
         for blk in range(16):
             bx = 4 * mbx + int(BLK_X[blk])
             by = 4 * mby + int(BLK_Y[blk])
@@ -1131,3 +1134,61 @@ class SliceCoder:
                     )
                 else:
                     tc_plane[by, bx] = 0
+
+
+# ---------------------------------------------------------------------------
+# P-slice support (P_Skip + intra macroblocks, zero-motion profile)
+# ---------------------------------------------------------------------------
+# The reference's V1 texture MP4 is inter-coded video
+# (example/texture_encoder.py output); for near-static texture streams
+# P_Skip costs ~0 bits per unchanged macroblock. This profile emits ONLY
+# P_Skip (zero motion everywhere ⇒ the skip motion predictor is zero,
+# copying the co-located reference block) and intra macroblocks
+# (mb_type offset +5 in P slices) — never inter-predicted residual MBs —
+# so reconstruction needs no motion compensation machinery. Foreign
+# streams with real inter MBs are refused with a clear error.
+
+
+def _slicecoder_copy_skip_mb(self, mbx, mby, prev_y, prev_cb, prev_cr):
+    """P_Skip: copy the co-located reference macroblock; skipped MBs
+    count TotalCoeff 0 for nC and 'not I4x4' (DC) for mode prediction."""
+    x0, y0 = 16 * mbx, 16 * mby
+    cx, cy = 8 * mbx, 8 * mby
+    self.y[y0 : y0 + 16, x0 : x0 + 16] = prev_y[y0 : y0 + 16, x0 : x0 + 16]
+    self.cb[cy : cy + 8, cx : cx + 8] = prev_cb[cy : cy + 8, cx : cx + 8]
+    self.cr[cy : cy + 8, cx : cx + 8] = prev_cr[cy : cy + 8, cx : cx + 8]
+    self.tc_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
+    self.tc_cb[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    self.tc_cr[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
+    self.modes[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 2
+
+
+def _slicecoder_decode_mb_p(self, r, mbx, mby):
+    """One CODED macroblock of a P slice (intra only in this profile)."""
+    mb_type = r.ue()
+    if mb_type < 5:
+        raise NotImplementedError(
+            "h264: inter-predicted P macroblock (this profile emits only "
+            "P_Skip and intra MBs)"
+        )
+    mb_type -= 5
+    if mb_type == 25:
+        self._decode_pcm(r, mbx, mby)
+    elif mb_type == 0:
+        self._decode_i4x4(r, mbx, mby)
+    elif 1 <= mb_type <= 24:
+        self._decode_i16(r, mbx, mby, mb_type)
+    else:
+        raise ValueError(f"h264: mb_type {mb_type + 5} in P slice")
+
+
+SliceCoder.copy_skip_mb = _slicecoder_copy_skip_mb
+SliceCoder.decode_mb_p = _slicecoder_decode_mb_p
+
+
+def p_skip_threshold(qp: int) -> float:
+    """Default macroblock skip budget (luma+chroma SSD): the expected
+    intra-coding distortion at this QP (qstep²/12 per sample), so a skip
+    never costs materially more distortion than coding would."""
+    qstep = 0.625 * 2.0 ** (qp / 6.0)
+    return 384.0 * qstep * qstep / 12.0

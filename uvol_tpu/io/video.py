@@ -48,6 +48,7 @@ def encode_v1_texture_video(
     quality: int = 92,
     codec: str = "jpeg",
     qp: Optional[int] = 26,
+    gop: Optional[int] = None,
 ) -> bytes:
     """Bake per-frame counters and pack an MJPEG or H.264 MP4 (V1 texture
     stream).
@@ -89,9 +90,14 @@ def encode_v1_texture_video(
         # qp set (default): real intra compression with the counter strip
         # forced to I_PCM macroblocks (bit-exact readback); qp=None keeps
         # the round-2 all-I_PCM lossless form
+        # gop=N adds zero-motion P slices between IDRs (the reference's
+        # MP4 is inter video) — unchanged counter-strip MBs skip only
+        # when BIT-EXACT, so readback stays exact in every frame
         strip = max(encoder_window_size // 2, 1) if qp is not None else 0
         return write_mp4_video(
-            h264.encode_avc_samples(np.stack(baked), qp=qp, pcm_rows=strip),
+            h264.encode_avc_samples(
+                np.stack(baked), qp=qp, pcm_rows=strip, gop=gop
+            ),
             width=width,
             height=height,
             fps=fps,
@@ -133,6 +139,9 @@ class Mp4VideoTexture:
             )
         self._cache: dict = {}
         self._cache_frames = cache_frames
+        self._sync = None  # per-sample IDR flags (built lazily)
+        self._recon = None  # decode chain state for P samples
+        self._recon_index = -2
         self._clock = clock  # PlaybackClock: video time follows it when set
         self._time = 0.0
         self.playing = False
@@ -180,13 +189,43 @@ class Mp4VideoTexture:
             self._time = min(self._time + dt, self.track.duration)
 
     # -- pixels ---------------------------------------------------------------
+    def _decode_avc_frame(self, i: int) -> np.ndarray:
+        """Decode sample i, walking forward from the nearest sync sample
+        when the track holds P samples (recon chain cached)."""
+        from uvol_tpu.codecs import h264
+
+        if self._sync is None:
+            self._sync = [
+                h264.sample_is_sync(s) for s in self.track.samples
+            ]
+        if self._recon_index != i - 1 or self._recon is None:
+            if self._sync[i] :
+                start = i
+            else:
+                start = max(
+                    (j for j in range(i + 1) if self._sync[j]), default=0
+                )
+            self._recon = None
+            self._recon_index = start - 1
+            for j in range(start, i):
+                self._recon = h264.decode_avc_sample_planes(
+                    self.track.samples[j], self._sps, prev=self._recon
+                )
+                self._recon_index = j
+        self._recon = h264.decode_avc_sample_planes(
+            self.track.samples[i], self._sps, prev=self._recon
+        )
+        self._recon_index = i
+        y, cb, cr = self._recon
+        return h264.yuv420_to_rgb(y, cb, cr)[
+            : self._sps.height, : self._sps.width
+        ]
+
     def frame_rgb(self, i: int) -> np.ndarray:
         if i in self._cache:
             return self._cache[i]
-        if self._sps is not None:  # avc1 (I_PCM H.264)
-            from uvol_tpu.codecs import h264
-
-            img = h264.decode_avc_sample(self.track.samples[i], self._sps)
+        if self._sps is not None:  # avc1
+            img = self._decode_avc_frame(i)
         else:
             Image = _require_pil()
             img = np.asarray(

@@ -84,6 +84,9 @@ def decode_slice_native(
     lib = get_h264_lib()
     if lib is None:
         return None
+    if not idr:
+        # non-IDR headers (P slices / ref marking) are Python-side only
+        return None
     cw = sps.coded_width or sps.width
     ch = sps.coded_height or sps.height
     y = np.zeros((ch, cw), np.uint8)
