@@ -457,9 +457,18 @@ def encode_p_planes(
     bw.u(0, 1)  # adaptive_ref_pic_marking (sliding window)
     bw.se(qp - 26)
     bw.ue(1)  # deblocking off
-    sc = SliceCoder(w_, h, qp)
     thresh = p_skip_threshold(qp) * skip_bias
     pcm_from = (h - max(0, pcm_rows)) // 16 if pcm_rows else -1
+    # native whole-slice fast path (bit-identical; parity-tested)
+    from uvol_tpu.native.h264c import encode_p_slice_native
+
+    res = encode_p_slice_native(
+        y, cb, cr, (prev_y, prev_cb, prev_cr), qp, pcm_from,
+        frame_num & 0xF, thresh,
+    )
+    if res is not None:
+        return nal(1, res[0]), res[1]
+    sc = SliceCoder(w_, h, qp)
     skip_run = 0
     for mby in range(h // 16):
         for mbx in range(w_ // 16):
@@ -598,7 +607,8 @@ def _decode_slice_planes(
     previous decoded frame's planes."""
     from uvol_tpu.native.h264c import decode_slice_native
 
-    res = decode_slice_native(rbsp, sps, pps, idr)
+    res = decode_slice_native(rbsp, sps, pps, idr, prev=prev,
+                              nal_ref_idc=nal_ref_idc)
     if res is not None:
         return res
     from uvol_tpu.codecs.h264_intra import SliceCoder

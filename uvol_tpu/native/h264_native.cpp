@@ -646,11 +646,15 @@ extern "C" int uvt_h264_decode_slice(
     int coded_w, int coded_h, int log2_max_frame_num, int poc_type,
     int log2_max_poc, int pic_init_qp, int cqp_offset,
     int deblock_present, int bottom_poc_present, int redundant_present,
-    int idr, uint8_t *out_y, uint8_t *out_cb, uint8_t *out_cr) {
+    int idr, int nal_ref_idc,
+    const uint8_t *prev_y, const uint8_t *prev_cb, const uint8_t *prev_cr,
+    uint8_t *out_y, uint8_t *out_cb, uint8_t *out_cr) {
   BitReader r(rbsp, rbsp_len);
   if (r.ue() != 0) return -2;  // multi-slice
   uint32_t slice_type = r.ue();
-  if (slice_type % 5 != 2) return -2;
+  bool is_p = slice_type % 5 == 0;
+  if (!is_p && slice_type % 5 != 2) return -2;
+  if (is_p && (idr || !prev_y)) return -2;
   r.ue();
   r.u(log2_max_frame_num);
   if (idr) r.ue();
@@ -659,7 +663,16 @@ extern "C" int uvt_h264_decode_slice(
     if (bottom_poc_present) r.se();
   }
   if (redundant_present) r.ue();
+  if (is_p) {
+    if (r.u(1)) {           // num_ref_idx_active_override
+      if (r.ue() != 0) return -2;  // multi-ref: Python raises
+    }
+    if (r.u(1)) return -2;  // ref_pic_list_modification
+  }
   if (idr) { r.u(1); r.u(1); }
+  else if (nal_ref_idc) {
+    if (r.u(1)) return -2;  // adaptive ref marking
+  }
   int qp = pic_init_qp + r.se();
   if (qp < 0 || qp > 51) return -1;  // spec range; also guards table reads
   if (deblock_present) {
@@ -675,10 +688,50 @@ extern "C" int uvt_h264_decode_slice(
   std::memset(out_cr, 0, (size_t)(coded_w / 2) * (coded_h / 2));
 
   int w_mb = coded_w / 16, h_mb = coded_h / 16;
-  for (int mby = 0; mby < h_mb; ++mby)
-    for (int mbx = 0; mbx < w_mb; ++mbx) {
+  int total_mbs = w_mb * h_mb;
+  int mb_i = 0;
+  while (mb_i < total_mbs) {
+    {
+      int mbx = mb_i % w_mb, mby = mb_i / w_mb;
+      if (is_p) {
+        uint32_t skip_run = r.ue();
+        if (!r.ok || (int)skip_run > total_mbs - mb_i) return -1;
+        for (uint32_t k = 0; k < skip_run; ++k) {
+          mbx = mb_i % w_mb;
+          mby = mb_i / w_mb;
+          // P_Skip: copy the co-located reference macroblock
+          for (int j = 0; j < 16; ++j)
+            std::memcpy(out_y + (16 * mby + j) * coded_w + 16 * mbx,
+                        prev_y + (16 * mby + j) * coded_w + 16 * mbx, 16);
+          for (int j = 0; j < 8; ++j) {
+            std::memcpy(out_cb + (8 * mby + j) * (coded_w / 2) + 8 * mbx,
+                        prev_cb + (8 * mby + j) * (coded_w / 2) + 8 * mbx, 8);
+            std::memcpy(out_cr + (8 * mby + j) * (coded_w / 2) + 8 * mbx,
+                        prev_cr + (8 * mby + j) * (coded_w / 2) + 8 * mbx, 8);
+          }
+          for (int j = 0; j < 4; ++j)
+            for (int i2 = 0; i2 < 4; ++i2) {
+              sc.tc_y[(4 * mby + j) * (coded_w / 4) + 4 * mbx + i2] = 0;
+              sc.modes[(4 * mby + j) * (coded_w / 4) + 4 * mbx + i2] = 2;
+            }
+          for (int j = 0; j < 2; ++j)
+            for (int i2 = 0; i2 < 2; ++i2) {
+              sc.tc_cb[(2 * mby + j) * (coded_w / 8) + 2 * mbx + i2] = 0;
+              sc.tc_cr[(2 * mby + j) * (coded_w / 8) + 2 * mbx + i2] = 0;
+            }
+          ++mb_i;
+        }
+        if (mb_i >= total_mbs) break;
+        mbx = mb_i % w_mb;
+        mby = mb_i / w_mb;
+      }
+      ++mb_i;
       uint32_t mb_type = r.ue();
       if (!r.ok) return -1;
+      if (is_p) {
+        if (mb_type < 5) return -2;  // inter-predicted MB: Python raises
+        mb_type -= 5;
+      }
       if (mb_type == 25) {  // I_PCM
         r.align();
         const uint8_t *py = r.bytes_at(256);
@@ -883,6 +936,7 @@ extern "C" int uvt_h264_decode_slice(
         }
       }
     }
+  }
   return r.ok ? 0 : -1;
 }
 
@@ -893,15 +947,25 @@ extern "C" int uvt_h264_decode_slice(
 extern "C" long uvt_h264_encode_slice(
     const uint8_t *src_y, const uint8_t *src_cb, const uint8_t *src_cr,
     int w, int h, int qp, int pcm_from_mby, int idr_pic_id,
+    const uint8_t *prev_y, const uint8_t *prev_cb, const uint8_t *prev_cr,
+    int frame_num, double skip_thresh,
+    uint8_t *recon_y, uint8_t *recon_cb, uint8_t *recon_cr,
     uint8_t *out, long out_cap) {
+  const bool is_p = prev_y != nullptr;
   BitWriter bw;
-  bw.ue(0);
-  bw.ue(7);
-  bw.ue(0);
-  bw.u(0, 4);
-  bw.ue(idr_pic_id & 0xFFFF);
-  bw.u(0, 1);
-  bw.u(0, 1);
+  bw.ue(0);                       // first_mb_in_slice
+  bw.ue(is_p ? 5 : 7);            // slice_type (all slices)
+  bw.ue(0);                       // pps id
+  bw.u(is_p ? (frame_num & 0xF) : 0, 4);
+  if (!is_p) bw.ue(idr_pic_id & 0xFFFF);
+  if (is_p) {
+    bw.u(0, 1);  // num_ref_idx_active_override
+    bw.u(0, 1);  // ref_pic_list_modification_flag_l0
+    bw.u(0, 1);  // adaptive_ref_pic_marking (sliding window)
+  } else {
+    bw.u(0, 1);
+    bw.u(0, 1);  // dec_ref_pic_marking (IDR form)
+  }
   bw.se(qp - 26);
   bw.ue(1);  // deblocking off
 
@@ -911,13 +975,59 @@ extern "C" long uvt_h264_encode_slice(
   double lam_f = 0.85 * std::pow(2.0, (qp - 12) / 3.0);
   int64_t lam = (int64_t)lam_f;
   if (lam < 1) lam = 1;
+  const int mb_off = is_p ? 5 : 0;
 
   int qpc = kChromaQp[qp < 0 ? 0 : (qp > 51 ? 51 : qp)];
   int w_mb = w / 16, h_mb = h / 16;
+  uint32_t skip_run = 0;
   for (int mby = 0; mby < h_mb; ++mby)
     for (int mbx = 0; mbx < w_mb; ++mbx) {
-      if (pcm_from_mby >= 0 && mby >= pcm_from_mby) {  // I_PCM
-        bw.ue(25);
+      const bool is_pcm = pcm_from_mby >= 0 && mby >= pcm_from_mby;
+      if (is_p) {
+        // P_Skip decision: SSD of the co-located reference MB; counter
+        // strip MBs may only skip when BIT-EXACT (ssd == 0)
+        int64_t ssd = 0;
+        for (int j = 0; j < 16; ++j)
+          for (int i2 = 0; i2 < 16; ++i2) {
+            int64_t d = (int64_t)src_y[(16 * mby + j) * w + 16 * mbx + i2] -
+                        prev_y[(16 * mby + j) * w + 16 * mbx + i2];
+            ssd += d * d;
+          }
+        for (int j = 0; j < 8; ++j)
+          for (int i2 = 0; i2 < 8; ++i2) {
+            long o = (8 * mby + j) * (w / 2) + 8 * mbx + i2;
+            int64_t d0 = (int64_t)src_cb[o] - prev_cb[o];
+            int64_t d1 = (int64_t)src_cr[o] - prev_cr[o];
+            ssd += d0 * d0 + d1 * d1;
+          }
+        if ((double)ssd <= (is_pcm ? 0.0 : skip_thresh)) {
+          for (int j = 0; j < 16; ++j)
+            std::memcpy(ry.data() + (16 * mby + j) * w + 16 * mbx,
+                        prev_y + (16 * mby + j) * w + 16 * mbx, 16);
+          for (int j = 0; j < 8; ++j) {
+            std::memcpy(rcb.data() + (8 * mby + j) * (w / 2) + 8 * mbx,
+                        prev_cb + (8 * mby + j) * (w / 2) + 8 * mbx, 8);
+            std::memcpy(rcr.data() + (8 * mby + j) * (w / 2) + 8 * mbx,
+                        prev_cr + (8 * mby + j) * (w / 2) + 8 * mbx, 8);
+          }
+          for (int j = 0; j < 4; ++j)
+            for (int i2 = 0; i2 < 4; ++i2) {
+              sc.tc_y[(4 * mby + j) * (w / 4) + 4 * mbx + i2] = 0;
+              sc.modes[(4 * mby + j) * (w / 4) + 4 * mbx + i2] = 2;
+            }
+          for (int j = 0; j < 2; ++j)
+            for (int i2 = 0; i2 < 2; ++i2) {
+              sc.tc_cb[(2 * mby + j) * (w / 8) + 2 * mbx + i2] = 0;
+              sc.tc_cr[(2 * mby + j) * (w / 8) + 2 * mbx + i2] = 0;
+            }
+          ++skip_run;
+          continue;
+        }
+        bw.ue(skip_run);
+        skip_run = 0;
+      }
+      if (is_pcm) {  // I_PCM
+        bw.ue(25 + mb_off);
         bw.align();
         uint8_t buf[384];
         for (int j = 0; j < 16; ++j)
@@ -1093,7 +1203,7 @@ extern "C" long uvt_h264_encode_slice(
       if (any_ac) cbp |= 2 << 4;
       else if (any_dc) cbp |= 1 << 4;
       // syntax
-      bw.ue(0);
+      bw.ue(0 + mb_off);
       for (int blk = 0; blk < 16; ++blk) {
         int bx = 4 * mbx + kBlkX[blk], by = 4 * mby + kBlkY[blk];
         int pm = sc.pred_mode4(bx, by);
@@ -1134,8 +1244,14 @@ extern "C" long uvt_h264_encode_slice(
         }
       }
     }
+  if (is_p && skip_run) bw.ue(skip_run);  // trailing skip run
   bw.trailing();
   if ((long)bw.bytes.size() > out_cap) return -2;
   std::memcpy(out, bw.bytes.data(), bw.bytes.size());
+  if (recon_y) {
+    std::memcpy(recon_y, ry.data(), ry.size());
+    std::memcpy(recon_cb, rcb.data(), rcb.size());
+    std::memcpy(recon_cr, rcr.data(), rcr.size());
+  }
   return (long)bw.bytes.size();
 }

@@ -39,18 +39,29 @@ def get_h264_lib() -> Optional[ctypes.CDLL]:
         _failed = True
         return None
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    vp = ctypes.c_void_p  # nullable plane pointers (prev/recon)
     ci = ctypes.c_int
     lib.uvt_h264_decode_slice.argtypes = [
-        u8p, ctypes.c_long, ci, ci, ci, ci, ci, ci, ci, ci, ci, ci, ci,
-        u8p, u8p, u8p,
+        u8p, ctypes.c_long, ci, ci, ci, ci, ci, ci, ci, ci, ci, ci, ci, ci,
+        vp, vp, vp, u8p, u8p, u8p,
     ]
     lib.uvt_h264_decode_slice.restype = ci
     lib.uvt_h264_encode_slice.argtypes = [
-        u8p, u8p, u8p, ci, ci, ci, ci, ci, u8p, ctypes.c_long,
+        u8p, u8p, u8p, ci, ci, ci, ci, ci,
+        vp, vp, vp, ci, ctypes.c_double, vp, vp, vp,
+        u8p, ctypes.c_long,
     ]
     lib.uvt_h264_encode_slice.restype = ctypes.c_long
     _lib = lib
     return lib
+
+
+def _vp(arr):
+    import ctypes as _c
+
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(_c.c_void_p)
 
 
 def encode_slice_native(
@@ -67,6 +78,7 @@ def encode_slice_native(
     rc = lib.uvt_h264_encode_slice(
         np.ascontiguousarray(y), np.ascontiguousarray(cb),
         np.ascontiguousarray(cr), w, h, qp, pcm_from_mby, idr_pic_id,
+        None, None, None, 0, 0.0, None, None, None,
         out, cap,
     )
     if rc < 0:
@@ -74,8 +86,38 @@ def encode_slice_native(
     return bytes(out[:rc])
 
 
+def encode_p_slice_native(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+    prev,  # (prev_y, prev_cb, prev_cr) reconstructed reference planes
+    qp: int, pcm_from_mby: int, frame_num: int, skip_thresh: float,
+):
+    """Whole P slice RBSP + recon planes; None → Python fallback."""
+    lib = get_h264_lib()
+    if lib is None:
+        return None
+    h, w = y.shape
+    cap = w * h * 2 + (w * h * 3) // 2 + 4096
+    out = np.empty(cap, np.uint8)
+    prev_y = np.ascontiguousarray(prev[0])
+    prev_cb = np.ascontiguousarray(prev[1])
+    prev_cr = np.ascontiguousarray(prev[2])
+    ry = np.empty((h, w), np.uint8)
+    rcb = np.empty((h // 2, w // 2), np.uint8)
+    rcr = np.empty((h // 2, w // 2), np.uint8)
+    rc = lib.uvt_h264_encode_slice(
+        np.ascontiguousarray(y), np.ascontiguousarray(cb),
+        np.ascontiguousarray(cr), w, h, qp, pcm_from_mby, 0,
+        _vp(prev_y), _vp(prev_cb), _vp(prev_cr),
+        frame_num, float(skip_thresh), _vp(ry), _vp(rcb), _vp(rcr),
+        out, cap,
+    )
+    if rc < 0:
+        return None
+    return bytes(out[:rc]), (ry, rcb, rcr)
+
+
 def decode_slice_native(
-    rbsp: bytes, sps, pps, idr: bool
+    rbsp: bytes, sps, pps, idr: bool, prev=None, nal_ref_idc: int = 3
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """One I slice RBSP → (y, cb, cr) planes; None → Python fallback.
 
@@ -84,22 +126,26 @@ def decode_slice_native(
     lib = get_h264_lib()
     if lib is None:
         return None
-    if not idr:
-        # non-IDR headers (P slices / ref marking) are Python-side only
-        return None
+
     cw = sps.coded_width or sps.width
     ch = sps.coded_height or sps.height
     y = np.zeros((ch, cw), np.uint8)
     cb = np.zeros((ch // 2, cw // 2), np.uint8)
     cr = np.zeros((ch // 2, cw // 2), np.uint8)
     data = np.frombuffer(rbsp, np.uint8)
+    if prev is not None:
+        prev = tuple(np.ascontiguousarray(p) for p in prev)
     rc = lib.uvt_h264_decode_slice(
         data, len(data), cw, ch, sps.log2_max_frame_num, sps.poc_type,
         sps.log2_max_poc_lsb, pps.pic_init_qp, pps.chroma_qp_offset,
         1 if pps.deblocking_control_present else 0,
         1 if pps.bottom_field_poc_present else 0,
         1 if pps.redundant_pic_cnt_present else 0,
-        1 if idr else 0, y, cb, cr,
+        1 if idr else 0, nal_ref_idc,
+        _vp(prev[0]) if prev is not None else None,
+        _vp(prev[1]) if prev is not None else None,
+        _vp(prev[2]) if prev is not None else None,
+        y, cb, cr,
     )
     if rc == -3:
         raise NotImplementedError(
