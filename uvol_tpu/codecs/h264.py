@@ -1,22 +1,22 @@
-"""H.264/AVC baseline codec — I_PCM macroblocks (lossless, conformant wire).
+"""H.264/AVC baseline codec: containers, parameter sets, and the frame
+entry points over the real intra/inter coding layer.
 
 The reference's UVOL 1.0 texture track is an H.264 MP4
-(deprecated/README.md:63; played via src/V1/player.ts:120-132). No H.264
-tooling exists in this offline image, so round 1 substituted Motion-JPEG
-samples. This module closes that gap with a REAL H.264 bitstream: every
-macroblock is coded as I_PCM (mb_type 25) — raw samples carried inside a
-spec-conformant Annex-B stream. I_PCM needs no transforms, no CAVLC
-residual coding and no deblocking (the slice header disables the filter,
-so conformant decoders reproduce the samples bit-exactly); the only
-entropy layer is Exp-Golomb slice/parameter-set headers, which this
-module implements in full. The cost is rate (PCM ≈ raw YUV420), which is
-acceptable for an offline-verifiable V1 texture path; any external H.264
-decoder can play these streams.
+(deprecated/README.md:63; played via src/V1/player.ts:120-132). This
+module provides a REAL H.264 implementation for it (round-3 form):
+  - qp=None: every macroblock I_PCM (mb_type 25) — lossless raw-rate
+    wire, the conservative round-2 profile;
+  - qp set: I_4x4 intra compression (codecs/h264_intra.py /
+    native/h264_native.cpp — prediction + 4x4 integer transform + CAVLC),
+    with `pcm_rows` keeping the V1 counter strip lossless;
+  - gop=N: zero-motion P slices between IDRs (P_Skip + intra refresh).
+Conformance is cross-verified both directions against the system
+libavcodec/libx264 (native/h264ref.py): our streams reconstruct
+bit-exactly in a real decoder, and foreign all-intra CAVLC baseline
+streams (incl. I_16x16 + plane modes) reconstruct bit-exactly here.
 
 Layout notes:
   - baseline profile (66), pic_order_cnt_type=2, frame_mbs_only,
-    every frame an IDR slice (random access at every frame — exactly
-    what the V1 player's frame-seek behavior wants),
   - 4:2:0 full-range JFIF color (the same matrix io/video.py's JPEG path
     uses), chroma = 2x2 box mean,
   - emulation-prevention (0x03) applied over every NAL payload.

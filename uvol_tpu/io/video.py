@@ -13,7 +13,10 @@ Two sample codecs:
   - ``codec="h264"``: REAL compressed H.264/AVC (codecs/h264_intra.py —
     I_4x4 intra + CAVLC at ``qp`` (default 26), with the counter strip
     forced to lossless I_PCM macroblocks so readback stays bit-exact;
-    ``qp=None`` selects the all-I_PCM lossless/raw-rate form).
+    ``gop=N`` adds zero-motion P slices between IDRs (P_Skip for
+    unchanged macroblocks — near-free on static texture regions, the
+    inter form the reference's MP4 actually uses); ``qp=None`` selects
+    the all-I_PCM lossless/raw-rate form).
 The counter blocks are 8x8-aligned, which keeps them intact under both
 JPEG's DCT and 4:2:0 subsampling.
 """
