@@ -516,6 +516,12 @@ def encode_annexb(
     P_Skip + intra refresh — the inter form the reference's V1 texture
     MP4 actually uses; near-free for static texture regions)."""
     f, h, w_ = frames.shape[:3]
+    if gop is not None and gop < 1:
+        raise ValueError("gop must be >= 1")
+    if gop is not None and qp is None:
+        raise ValueError(
+            "gop requires qp (the all-I_PCM lossless form has no P slices)"
+        )
     out = [nal(7, make_sps(w_, h)), nal(8, make_pps())]
     if gop is None or qp is None:
         for i in range(f):
@@ -524,8 +530,6 @@ def encode_annexb(
                                  pcm_rows=pcm_rows)
             )
         return b"".join(out)
-    if gop < 1:
-        raise ValueError("gop must be >= 1")
     sps = parse_sps(make_sps(w_, h))
     pps = parse_pps(make_pps())
     recon = None
@@ -533,12 +537,24 @@ def encode_annexb(
         y, cb, cr = rgb_to_yuv420(frames[i])
         in_gop = i % gop
         if in_gop == 0:
-            unit = encode_idr_planes(y, cb, cr, idr_pic_id=(i // gop) % 2,
-                                     qp=qp, pcm_rows=pcm_rows)
-            # reference for the following P frames = the DECODED recon
-            recon = _decode_slice_planes(
-                _unescape(split_nals(unit)[0][1:]), sps, pps, idr=True
+            # native path hands back its own recon (the P reference);
+            # otherwise decode the emitted slice once
+            from uvol_tpu.native.h264c import encode_slice_native
+
+            pcm_from = (h - max(0, pcm_rows)) // 16 if pcm_rows else -1
+            res = encode_slice_native(
+                y, cb, cr, qp, pcm_from, (i // gop) % 2, want_recon=True
             )
+            if res is not None:
+                rbsp, recon = res
+                unit = nal(5, rbsp)
+            else:
+                unit = encode_idr_planes(y, cb, cr,
+                                         idr_pic_id=(i // gop) % 2,
+                                         qp=qp, pcm_rows=pcm_rows)
+                recon = _decode_slice_planes(
+                    _unescape(split_nals(unit)[0][1:]), sps, pps, idr=True
+                )
         else:
             unit, recon = encode_p_planes(
                 y, cb, cr, recon, qp=qp, pcm_rows=pcm_rows,
@@ -573,6 +589,7 @@ def decode_annexb_planes(stream: bytes):
     sps = None
     pps = Pps()
     ys, cbs, crs = [], [], []
+    ref_planes = None  # last REFERENCE picture (the P prediction source)
     for unit in split_nals(stream):
         ntype = unit[0] & 0x1F
         if ntype in (6, 9, 10, 11, 12):  # SEI/AUD/end/filler
@@ -585,14 +602,16 @@ def decode_annexb_planes(stream: bytes):
         elif ntype in (1, 5):
             if sps is None:
                 raise ValueError("h264: slice before SPS")
-            prev = (ys[-1], cbs[-1], crs[-1]) if ys else None
+            ref_idc = (unit[0] >> 5) & 3
             y, cb, cr = _decode_slice_planes(
-                rbsp, sps, pps, idr=(ntype == 5), prev=prev,
-                nal_ref_idc=(unit[0] >> 5) & 3,
+                rbsp, sps, pps, idr=(ntype == 5), prev=ref_planes,
+                nal_ref_idc=ref_idc,
             )
             ys.append(y)
             cbs.append(cb)
             crs.append(cr)
+            if ref_idc:  # non-reference pictures never enter the DPB
+                ref_planes = (y, cb, cr)
     if not ys:
         raise ValueError("h264: no slices")
     return np.stack(ys), np.stack(cbs), np.stack(crs), sps
@@ -743,7 +762,11 @@ def encode_avc_samples(
     stream = encode_annexb(frames, qp=qp, pcm_rows=pcm_rows, gop=gop,
                            skip_bias=skip_bias)
     units = [u for u in split_nals(stream) if (u[0] & 0x1F) in (1, 5)]
-    assert len(units) == f
+    if len(units) != f:
+        raise ValueError(
+            f"h264: {len(units)} slice NALs for {f} frames — sample "
+            "alignment would be corrupt"
+        )
     return [len(u).to_bytes(4, "big") + u for u in units]
 
 

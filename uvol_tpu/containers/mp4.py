@@ -48,6 +48,7 @@ def write_mp4_video(
     codec: bytes = b"jpeg",
     timescale: int = 90000,
     avcc: bytes = b"",
+    sync_samples: "Optional[List[int]]" = None,
 ) -> bytes:
     """Pack encoded video frames (one sample each) into a faithful MP4.
 
@@ -141,7 +142,17 @@ def write_mp4_video(
         + b"".join(_U32.pack(len(s)) for s in samples),
     )
     stco = _full_box(b"stco", 0, 0, _U32.pack(1) + _U32.pack(mdat_data_offset))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # sync-sample box: required whenever not every sample is a random
+    # access point (ISO 14496-12 8.6.2 — absence means all-sync, which
+    # would send external players seeking into P samples)
+    stss = b""
+    if sync_samples is not None and len(sync_samples) != n:
+        stss = _full_box(
+            b"stss", 0, 0,
+            _U32.pack(len(sync_samples))
+            + b"".join(_U32.pack(i + 1) for i in sorted(sync_samples)),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
 
     vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _full_box(b"dref", 0, 0, _U32.pack(1) + _full_box(b"url ", 0, 1, b""))

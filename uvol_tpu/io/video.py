@@ -97,15 +97,18 @@ def encode_v1_texture_video(
         # MP4 is inter video) — unchanged counter-strip MBs skip only
         # when BIT-EXACT, so readback stays exact in every frame
         strip = max(encoder_window_size // 2, 1) if qp is not None else 0
+        samples = h264.encode_avc_samples(
+            np.stack(baked), qp=qp, pcm_rows=strip, gop=gop
+        )
+        syncs = [i for i, s in enumerate(samples) if h264.sample_is_sync(s)]
         return write_mp4_video(
-            h264.encode_avc_samples(
-                np.stack(baked), qp=qp, pcm_rows=strip, gop=gop
-            ),
+            samples,
             width=width,
             height=height,
             fps=fps,
             codec=b"avc1",
             avcc=h264.make_avcc(width, height),
+            sync_samples=syncs,
         )
     if codec != "jpeg":
         raise ValueError(f"unknown V1 texture codec {codec!r}")
@@ -202,14 +205,21 @@ class Mp4VideoTexture:
                 h264.sample_is_sync(s) for s in self.track.samples
             ]
         if self._recon_index != i - 1 or self._recon is None:
-            if self._sync[i] :
+            if self._sync[i]:
                 start = i
             else:
                 start = max(
                     (j for j in range(i + 1) if self._sync[j]), default=0
                 )
-            self._recon = None
-            self._recon_index = start - 1
+            if (
+                self._recon is not None
+                and start <= self._recon_index < i
+            ):
+                # the cached chain already covers the prefix — continue
+                start = self._recon_index + 1
+            else:
+                self._recon = None
+                self._recon_index = start - 1
             for j in range(start, i):
                 self._recon = h264.decode_avc_sample_planes(
                     self.track.samples[j], self._sps, prev=self._recon

@@ -695,7 +695,7 @@ extern "C" int uvt_h264_decode_slice(
       int mbx = mb_i % w_mb, mby = mb_i / w_mb;
       if (is_p) {
         uint32_t skip_run = r.ue();
-        if (!r.ok || (int)skip_run > total_mbs - mb_i) return -1;
+        if (!r.ok || skip_run > (uint32_t)(total_mbs - mb_i)) return -1;
         for (uint32_t k = 0; k < skip_run; ++k) {
           mbx = mb_i % w_mb;
           mby = mb_i / w_mb;

@@ -67,22 +67,32 @@ def _vp(arr):
 def encode_slice_native(
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     qp: int, pcm_from_mby: int, idr_pic_id: int,
-) -> Optional[bytes]:
-    """Whole IDR slice RBSP (header + MBs + trailing). None → fallback."""
+    want_recon: bool = False,
+):
+    """Whole IDR slice RBSP (header + MBs + trailing). None → fallback.
+    want_recon=True returns (rbsp, (ry, rcb, rcr)) — the encoder's own
+    reconstruction, i.e. the reference for a following P slice."""
     lib = get_h264_lib()
     if lib is None:
         return None
     h, w = y.shape
     cap = w * h * 2 + (w * h * 3) // 2 + 4096
     out = np.empty(cap, np.uint8)
+    ry = rcb = rcr = None
+    if want_recon:
+        ry = np.empty((h, w), np.uint8)
+        rcb = np.empty((h // 2, w // 2), np.uint8)
+        rcr = np.empty((h // 2, w // 2), np.uint8)
     rc = lib.uvt_h264_encode_slice(
         np.ascontiguousarray(y), np.ascontiguousarray(cb),
         np.ascontiguousarray(cr), w, h, qp, pcm_from_mby, idr_pic_id,
-        None, None, None, 0, 0.0, None, None, None,
+        None, None, None, 0, 0.0, _vp(ry), _vp(rcb), _vp(rcr),
         out, cap,
     )
     if rc < 0:
         return None
+    if want_recon:
+        return bytes(out[:rc]), (ry, rcb, rcr)
     return bytes(out[:rc])
 
 
