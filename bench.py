@@ -137,6 +137,42 @@ def _liam_host_metrics():
     return liam_fps, liam_fps_pool, liam_enc_fps, frames_bin, meshes
 
 
+def _v1_video_metrics():
+    """V1 texture track (compressed H.264, gop P slices) on real liam
+    textures: (encode_fps, decode_fps, bpp) or Nones."""
+    liam = (
+        "/root/reference/example/public/liam/output/"
+        "texture_ktx2-fps30-1k_baseColor_default"
+    )
+    if not os.path.isdir(liam):
+        return None, None, None
+    from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+    from uvol_tpu.containers.ktx2 import read_ktx2
+    from uvol_tpu.io.video import Mp4VideoTexture, encode_v1_texture_video
+
+    with open(os.path.join(liam, "00000.ktx2"), "rb") as fh:
+        frames = [
+            np.ascontiguousarray(f[..., :3])
+            for f in np.asarray(
+                transcode_ktx2_etc1s(read_ktx2(fh.read()), "rgba")
+            )
+        ]
+    encode_v1_texture_video(frames[:2], codec="h264", qp=28, gop=2)  # warm
+    t0 = time.perf_counter()
+    blob = encode_v1_texture_video(frames, codec="h264", qp=28,
+                                   gop=len(frames))
+    enc_fps = len(frames) / (time.perf_counter() - t0)
+    tex = Mp4VideoTexture(blob)
+    t0 = time.perf_counter()
+    for i in range(len(frames)):
+        tex.current_time = (i + 0.25) / 30.0
+        if tex.read_baked_frame_number() != i:
+            raise AssertionError("V1 counter readback broke")
+    dec_fps = len(frames) / (time.perf_counter() - t0)
+    h, w = frames[0].shape[:2]
+    return enc_fps, dec_fps, len(blob) * 8 / (len(frames) * h * w)
+
+
 def main() -> None:
     import jax
 
@@ -212,6 +248,10 @@ def main() -> None:
         # honest host-only report: the TPU backend did not answer the
         # probe, so every device metric is absent rather than stale
         liam_fps, liam_fps_pool, liam_enc_fps, _, _ = _liam_host_metrics()
+        _e, _d, _b = _v1_video_metrics()
+        v1_enc = round(_e, 1) if _e else None
+        v1_dec = round(_d, 1) if _d else None
+        v1_bpp = round(_b, 2) if _b else None
         headline = playback_fps or liam_fps or 0.0
         metric_name = (
             "liam 250-frame full-player playback fps (real reference "
@@ -242,6 +282,9 @@ def main() -> None:
                         "liam_draco_encode_fps": (
                             round(liam_enc_fps, 1) if liam_enc_fps else None
                         ),
+                        "v1_h264_encode_fps": v1_enc,
+                        "v1_h264_decode_fps": v1_dec,
+                        "v1_h264_bpp": v1_bpp,
                         "note": (
                             "jax.devices() hung past the probe timeout "
                             "(axon tunnel outage); host metrics above are "
@@ -349,6 +392,10 @@ def main() -> None:
     liam_device_decode_pipelined_fps = None
     (liam_fps, liam_fps_pool, liam_enc_fps,
      frames_bin, meshes) = _liam_host_metrics()
+    _e, _d, _b = _v1_video_metrics()
+    v1_enc_f = round(_e, 1) if _e else None
+    v1_dec_f = round(_d, 1) if _d else None
+    v1_bpp_f = round(_b, 2) if _b else None
     if frames_bin is not None:
         from uvol_tpu.codecs.draco import constants as KD
 
@@ -700,6 +747,9 @@ def main() -> None:
                     "liam_draco_encode_fps": (
                         round(liam_enc_fps, 1) if liam_enc_fps else None
                     ),
+                    "v1_h264_encode_fps": v1_enc_f,
+                    "v1_h264_decode_fps": v1_dec_f,
+                    "v1_h264_bpp": v1_bpp_f,
                     "liam_device_decode_fps": (
                         round(liam_device_decode_fps, 1)
                         if liam_device_decode_fps else None
