@@ -1,0 +1,132 @@
+"""BC7 (BPTC) codec + UASTC→BC7 transcode tests.
+
+Oracle: Mesa llvmpipe's GL_ARB_texture_compression_bptc via
+native/astc_oracle.decode_blocks_gl — the independent decoder that also
+pinned the interpolation weight tables (aWeight4[12..13] = 51/55) and
+the mode-5 7→8 endpoint bit-replication."""
+
+import numpy as np
+import pytest
+
+from uvol_tpu.codecs.basis import uastc as U
+from uvol_tpu.codecs.basis.bc7 import (
+    decode_bc7_blocks,
+    pack_bc7_mode5,
+    pack_bc7_mode6,
+    transcode_uastc_to_bc7,
+)
+from uvol_tpu.native.astc_oracle import (
+    GL_COMPRESSED_RGBA_BPTC_UNORM,
+    decode_blocks_gl,
+)
+
+_probe = decode_blocks_gl(
+    np.frombuffer(pack_bc7_mode6([0] * 4, [255] * 4, [0] * 16), np.uint8)[
+        None
+    ],
+    GL_COMPRESSED_RGBA_BPTC_UNORM,
+    16,
+)
+_HAS_GL = _probe is not None
+
+
+@pytest.mark.skipif(not _HAS_GL, reason="no GL BPTC oracle")
+def test_modes_5_6_bit_exact_vs_gl():
+    r = np.random.default_rng(0)
+    batch = []
+    for _ in range(60):
+        batch.append(
+            np.frombuffer(
+                pack_bc7_mode6(
+                    r.integers(0, 256, 4), r.integers(0, 256, 4),
+                    r.integers(0, 16, 16),
+                ),
+                np.uint8,
+            )
+        )
+    for _ in range(60):
+        batch.append(
+            np.frombuffer(
+                pack_bc7_mode5(
+                    int(r.integers(0, 4)), r.integers(0, 256, 3),
+                    r.integers(0, 256, 3), int(r.integers(0, 256)),
+                    int(r.integers(0, 256)), r.integers(0, 4, 16),
+                    r.integers(0, 4, 16),
+                ),
+                np.uint8,
+            )
+        )
+    blks = np.stack(batch)
+    assert np.array_equal(
+        decode_bc7_blocks(blks),
+        decode_blocks_gl(blks, GL_COMPRESSED_RGBA_BPTC_UNORM, 16),
+    )
+
+
+#: modes the transcode carries structurally (near-lossless: requantized
+#: endpoints/weights only); the rest are decode-and-refit
+_STRUCTURAL = {0, 1, 2, 5, 10, 11, 12, 13, 14, 15, 17, 18}
+
+
+@pytest.mark.parametrize("mode_id", sorted(U.MODES))
+def test_transcode_mode(mode_id):
+    r = np.random.default_rng(200 + mode_id)
+    m = U.MODES[mode_id]
+    B = 4
+    nc = U._ncomp(m)
+    if m.subsets > 1:
+        q0 = r.integers(0, 1 << m.ep_bits, (B, m.subsets, nc))
+        q1 = r.integers(0, 1 << m.ep_bits, (B, m.subsets, nc))
+        seed = r.integers(0, 1024, B)
+    else:
+        q0 = r.integers(0, 1 << m.ep_bits, (B, nc))
+        q1 = r.integers(0, 1 << m.ep_bits, (B, nc))
+        seed = None
+    wmain = r.integers(0, m.weight_levels, (B, 16))
+    walpha = r.integers(0, m.weight_levels, (B, 16)) if m.dual_plane else None
+    ub = U._pack_mode_blocks(mode_id, q0, q1, wmain, walpha, seed)
+    want = U.decode_uastc_blocks(ub).reshape(B, 16, 4).astype(int)
+    bc7 = transcode_uastc_to_bc7(ub)
+    got = decode_bc7_blocks(bc7).reshape(B, 16, 4).astype(int)
+    maxdiff = np.abs(got - want).max()
+    if mode_id in _STRUCTURAL:
+        assert maxdiff <= 8, maxdiff  # requantization only
+    if _HAS_GL:
+        ref = decode_blocks_gl(bc7, GL_COMPRESSED_RGBA_BPTC_UNORM, 16)
+        assert np.array_equal(got, ref.reshape(B, 16, 4).astype(int))
+
+
+def test_ktx2_bc7_target_end_to_end():
+    r = np.random.default_rng(5)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[..., :3] = (
+        np.linspace(0, 255, 16)[None, :, None]
+        + np.linspace(0, 60, 16)[:, None, None]
+    ).astype(np.uint8)
+    img[..., 3] = 255
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    blob = U.encode_uastc_ktx2(np.stack([img]))
+    f = read_ktx2(blob)
+    rgba = U.transcode_uastc(f, target="rgba")
+    bc7 = U.transcode_uastc(f, target="bc7")
+    assert bc7.shape == (1, 16, 16)
+    dec = decode_bc7_blocks(bc7[0])
+    got = U.blocks_to_image_rgba(dec.reshape(-1, 16, 4), 16, 16)
+    assert np.abs(got.astype(int) - rgba[0].astype(int)).max() <= 12
+    if _HAS_GL:
+        assert np.array_equal(dec, decode_blocks_gl(
+            bc7[0], GL_COMPRESSED_RGBA_BPTC_UNORM, 16))
+
+
+def test_player_dispatches_bc7_target(monkeypatch):
+    import uvol_tpu.player.v2 as v2
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., 1] = np.arange(8)[:, None] * 30
+    img[..., 3] = 255
+    blob = U.encode_uastc_ktx2(np.stack([img]))
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("bptc", "etc2"))
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == "bc7"
+    assert np.asarray(dec.data).shape == (1, 4, 16)

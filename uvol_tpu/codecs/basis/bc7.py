@@ -1,0 +1,313 @@
+"""BC7 (BPTC) block codec: modes 5 and 6 — the UASTC→BC7 device target.
+
+The reference's KTX2Loader transcodes UASTC to BC7 on desktop GPUs
+(FORMAT_OPTIONS priority 2, /root/reference/src/lib/KTX2Loader.js:591-697).
+This module implements the two BC7 modes that cover the transcode:
+
+  mode 6 — one subset, RGBA 7.7.7.7 + per-endpoint P bit, 4-bit indices:
+           the high-quality single-plane carrier.
+  mode 5 — one subset, RGB 7.7.7 + alpha 8.8 with SEPARATE 2-bit alpha
+           indices (+ channel rotation): the dual-plane/alpha carrier.
+
+`transcode_uastc_to_bc7` maps UASTC-profile blocks (codecs/basis/uastc.py)
+onto these: single-subset modes requantize endpoints/weights directly;
+multi-subset and dual-plane blocks are refit from their decoded pixels
+(the same decode-and-refit fallback basisu's transcoder uses for configs
+BC7 cannot carry structurally). Output is real BPTC wire — validated
+bit-exactly against Mesa llvmpipe's GL_ARB_texture_compression_bptc
+decoder (native/astc_oracle.decode_blocks_gl) in tests/test_bc7.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+#: BC7 interpolation weight tables (per index precision)
+AWEIGHT2 = np.array([0, 21, 43, 64])
+AWEIGHT3 = np.array([0, 9, 18, 27, 37, 46, 55, 64])
+# oracle-verified (llvmpipe BPTC): note 51/55, not the often-misquoted 52/56
+AWEIGHT4 = np.array([0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55,
+                     60, 64])
+
+
+class _Bits:
+    def __init__(self, value: int = 0):
+        self.v = value
+        self.pos = 0
+
+    def put(self, value: int, width: int) -> None:
+        self.v |= (int(value) & ((1 << width) - 1)) << self.pos
+        self.pos += width
+
+    def get(self, width: int) -> int:
+        out = (self.v >> self.pos) & ((1 << width) - 1)
+        self.pos += width
+        return out
+
+    def bytes16(self) -> bytes:
+        return self.v.to_bytes(16, "little")
+
+
+def _interp(e0: np.ndarray, e1: np.ndarray, w: int) -> np.ndarray:
+    return (e0.astype(np.int64) * (64 - w) + e1.astype(np.int64) * w + 32) >> 6
+
+
+# ---------------------------------------------------------------------------
+# Pack
+# ---------------------------------------------------------------------------
+
+
+def pack_bc7_mode6(
+    e0: Sequence[int], e1: Sequence[int], weights: Sequence[int]
+) -> bytes:
+    """e0/e1: RGBA8 endpoints; weights: 16 indices 0..15 (AWEIGHT4).
+
+    Handles the anchor constraint (index 0 MSB must be 0) by swapping
+    endpoints + inverting indices when needed; P bits from the endpoint
+    LSBs (per-endpoint, shared across channels — chosen by majority)."""
+    e0 = np.asarray(e0, np.int64)
+    e1 = np.asarray(e1, np.int64)
+    weights = list(weights)
+    if weights[0] >= 8:
+        e0, e1 = e1, e0
+        weights = [15 - w for w in weights]
+    b = _Bits()
+    b.put(1 << 6, 7)  # mode 6
+    p0 = int(round(float(np.mean(e0 & 1))))
+    p1 = int(round(float(np.mean(e1 & 1))))
+
+    def q7(v, p):
+        return int(np.clip((int(v) - p) >> 1, 0, 127))
+
+    for c in range(4):
+        b.put(q7(e0[c], p0), 7)
+        b.put(q7(e1[c], p1), 7)
+    b.put(p0, 1)
+    b.put(p1, 1)
+    b.put(weights[0], 3)  # anchor: MSB implied 0
+    for w in weights[1:]:
+        b.put(w, 4)
+    assert b.pos == 128
+    return b.bytes16()
+
+
+def pack_bc7_mode5(
+    rot: int,
+    e0_rgb: Sequence[int], e1_rgb: Sequence[int],
+    a0: int, a1: int,
+    color_idx: Sequence[int], alpha_idx: Sequence[int],
+) -> bytes:
+    """rot: channel rotation (0 none; 1/2/3 swap A with R/G/B).
+    Color endpoints RGB8 (quantized to 7 bits), alpha endpoints 8-bit
+    exact, 2-bit index planes with their anchor constraints."""
+    e0 = np.asarray(e0_rgb, np.int64)
+    e1 = np.asarray(e1_rgb, np.int64)
+    color_idx = list(color_idx)
+    alpha_idx = list(alpha_idx)
+    if color_idx[0] >= 2:
+        e0, e1 = e1, e0
+        color_idx = [3 - w for w in color_idx]
+    if alpha_idx[0] >= 2:
+        a0, a1 = a1, a0
+        alpha_idx = [3 - w for w in alpha_idx]
+    b = _Bits()
+    b.put(1 << 5, 6)  # mode 5
+    b.put(rot, 2)
+    for c in range(3):
+        b.put(int(e0[c]) >> 1, 7)
+        b.put(int(e1[c]) >> 1, 7)
+    b.put(int(a0), 8)
+    b.put(int(a1), 8)
+    b.put(color_idx[0], 1)
+    for w in color_idx[1:]:
+        b.put(w, 2)
+    b.put(alpha_idx[0], 1)
+    for w in alpha_idx[1:]:
+        b.put(w, 2)
+    assert b.pos == 128
+    return b.bytes16()
+
+
+# ---------------------------------------------------------------------------
+# Decode (modes 5/6 — what this packer emits)
+# ---------------------------------------------------------------------------
+
+
+def decode_bc7_block(block: bytes) -> np.ndarray:
+    """16-byte BC7 block → [4,4,4] RGBA8 (modes 5/6; other modes raise —
+    this decoder covers what transcode_uastc_to_bc7 emits; the GL oracle
+    provides full-format coverage in tests)."""
+    v = int.from_bytes(block, "little")
+    mode = 0
+    while mode < 8 and not (v >> mode) & 1:
+        mode += 1
+    b = _Bits(v)
+    out = np.zeros((4, 4, 4), np.uint8)
+    if mode == 6:
+        b.get(7)
+        q = [[0, 0] for _ in range(4)]
+        for c in range(4):
+            q[c][0] = b.get(7)
+            q[c][1] = b.get(7)
+        p0 = b.get(1)
+        p1 = b.get(1)
+        e0 = np.array([(q[c][0] << 1 | p0) for c in range(4)], np.int64)
+        e1 = np.array([(q[c][1] << 1 | p1) for c in range(4)], np.int64)
+        idx = [b.get(3)]
+        for _ in range(15):
+            idx.append(b.get(4))
+        for t in range(16):
+            out[t // 4, t % 4] = _interp(e0, e1, int(AWEIGHT4[idx[t]]))
+        return out
+    if mode == 5:
+        b.get(6)
+        rot = b.get(2)
+        e = [[0, 0] for _ in range(3)]
+        for c in range(3):
+            q0 = b.get(7)
+            q1 = b.get(7)
+            # no P bit in mode 5 color: expand 7→8 by bit replication
+            e[c][0] = (q0 << 1) | (q0 >> 6)
+            e[c][1] = (q1 << 1) | (q1 >> 6)
+        a0 = b.get(8)
+        a1 = b.get(8)
+        cidx = [b.get(1)]
+        for _ in range(15):
+            cidx.append(b.get(2))
+        aidx = [b.get(1)]
+        for _ in range(15):
+            aidx.append(b.get(2))
+        e0 = np.array([e[0][0], e[1][0], e[2][0]], np.int64)
+        e1 = np.array([e[0][1], e[1][1], e[2][1]], np.int64)
+        for t in range(16):
+            rgb = _interp(e0, e1, int(AWEIGHT2[cidx[t]]))
+            a = _interp(np.array([a0]), np.array([a1]),
+                        int(AWEIGHT2[aidx[t]]))[0]
+            px = np.array([rgb[0], rgb[1], rgb[2], a], np.int64)
+            if rot:  # undo channel rotation: A was swapped with rot-1
+                px[rot - 1], px[3] = px[3], px[rot - 1]
+            out[t // 4, t % 4] = px
+        return out
+    raise NotImplementedError(f"bc7 mode {mode} (transcode emits 5/6)")
+
+
+def decode_bc7_blocks(blocks: np.ndarray) -> np.ndarray:
+    blocks = np.asarray(blocks, np.uint8).reshape(-1, 16)
+    return np.stack([decode_bc7_block(b.tobytes()) for b in blocks])
+
+
+# ---------------------------------------------------------------------------
+# UASTC -> BC7 transcode
+# ---------------------------------------------------------------------------
+
+
+def _fit_mode6(px: np.ndarray) -> bytes:
+    """Refit a decoded 4x4 RGBA block as one BC7 mode-6 block (min/max
+    diagonal fit + nearest AWEIGHT4 index — the decode-and-refit fallback
+    for configs mode 6 cannot carry structurally)."""
+    px = px.reshape(16, 4).astype(np.float64)
+    e0 = px.min(axis=0)
+    e1 = px.max(axis=0)
+    d = e1 - e0
+    denom = float((d * d).sum())
+    if denom <= 0:
+        t = np.zeros(16)
+    else:
+        t = np.clip(((px - e0) @ d) / denom, 0.0, 1.0)
+    w64 = t * 64.0
+    idx = np.abs(w64[:, None] - AWEIGHT4[None, :]).argmin(axis=1)
+    return pack_bc7_mode6(
+        e0.round().astype(np.int64), e1.round().astype(np.int64), idx
+    )
+
+
+def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
+    """[B,16] UASTC-profile blocks → [B,16] BC7 blocks.
+
+    Single-subset single-plane modes carry endpoints/weights through with
+    requantization (8-bit → 7.7.7.7+P, weight level → nearest AWEIGHT4);
+    alpha dual-plane blocks map onto mode 5 (separate alpha indices);
+    everything else (multi-subset, RGB dual-plane) decodes and refits —
+    matching the structural limits basisu's own BC7 transcoder works
+    within."""
+    from uvol_tpu.codecs.basis.uastc import (
+        MODE_SOLID,
+        MODES,
+        WEIGHT_TABLES,
+        _bits_of,
+        _expand_endpoint,
+        _get_bise,
+        _get_field,
+        _ncomp,
+        decode_uastc_blocks,
+    )
+
+    blocks = np.ascontiguousarray(blocks, np.uint8).reshape(-1, 16)
+    bits = _bits_of(blocks)
+    modes = _get_field(bits, 0, 5)
+    decoded = decode_uastc_blocks(blocks)  # [B,4,4,4] (refit fallback)
+    out = np.zeros_like(blocks)
+    for i in range(len(blocks)):
+        mode_id = int(modes[i])
+        if mode_id == MODE_SOLID:
+            rgba = [int(_get_field(bits[i : i + 1], 5 + 8 * c, 8)[0])
+                    for c in range(4)]
+            out[i] = np.frombuffer(
+                pack_bc7_mode6(rgba, rgba, [0] * 16), np.uint8
+            )
+            continue
+        m = MODES.get(mode_id)
+        if m is None:
+            raise ValueError(f"uastc mode {mode_id} unknown")
+        row = bits[i : i + 1]
+        if m.subsets > 1 or (m.dual_plane and m.cem == 8):
+            out[i] = np.frombuffer(_fit_mode6(decoded[i]), np.uint8)
+            continue
+        nc = _ncomp(m)
+        pos = 5
+        comp = 3
+        if m.dual_plane:
+            comp = int(_get_field(row, pos, 2)[0])
+            pos += 2
+        q0 = np.zeros(nc, np.int64)
+        q1 = np.zeros(nc, np.int64)
+        for c in range(nc):
+            q0[c] = _get_field(row, pos, m.ep_bits)[0]
+            pos += m.ep_bits
+            q1[c] = _get_field(row, pos, m.ep_bits)[0]
+            pos += m.ep_bits
+        wq, pos = _get_bise(row, pos, 16, m.weight_levels)
+        wq = wq[0]
+        wq2 = None
+        if m.dual_plane:
+            wq2, pos = _get_bise(row, pos, 16, m.weight_levels)
+            wq2 = wq2[0]
+        e0 = _expand_endpoint(q0, m.ep_bits)
+        e1 = _expand_endpoint(q1, m.ep_bits)
+        w64 = WEIGHT_TABLES[m.weight_levels][wq]  # [16] 0..64
+        if m.dual_plane and comp == 3:
+            # alpha dual-plane → mode 5 (2-bit planes; requantize both)
+            w64a = WEIGHT_TABLES[m.weight_levels][wq2]
+            cidx = np.abs(w64[:, None] - AWEIGHT2[None, :]).argmin(1)
+            aidx = np.abs(w64a[:, None] - AWEIGHT2[None, :]).argmin(1)
+            out[i] = np.frombuffer(
+                pack_bc7_mode5(
+                    0, e0[:3], e1[:3], int(e0[3]), int(e1[3]), cidx, aidx
+                ),
+                np.uint8,
+            )
+            continue
+        # single-plane → mode 6
+        if m.cem == 4:  # LA: replicate L, alpha from 2nd pair
+            f0 = np.array([e0[0], e0[0], e0[0], e0[1]], np.int64)
+            f1 = np.array([e1[0], e1[0], e1[0], e1[1]], np.int64)
+        elif nc == 3:
+            f0 = np.array([*e0, 255], np.int64)
+            f1 = np.array([*e1, 255], np.int64)
+        else:
+            f0, f1 = e0, e1
+        idx = np.abs(w64[:, None] - AWEIGHT4[None, :]).argmin(1)
+        out[i] = np.frombuffer(pack_bc7_mode6(f0, f1, idx), np.uint8)
+    return out

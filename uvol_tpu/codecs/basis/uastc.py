@@ -1003,10 +1003,11 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
     target="astc": [layers, nblocks, 16] uint8 REAL ASTC-LDR 4x4 blocks
     (codecs/basis/astc.py transcode — the KTX2Loader `astc-4x4` device
     target, /root/reference/src/lib/KTX2Loader.js:591-697; wire validated
-    against Mesa's independent ASTC decoder). BC7 passthrough is not
-    implemented — callers fall back to the RGBA decode, like the
-    reference on a device without the capability."""
-    if target not in ("rgba", "astc"):
+    against Mesa's independent ASTC decoder).
+    target="bc7": [layers, nblocks, 16] uint8 REAL BC7/BPTC blocks
+    (codecs/basis/bc7.py — the KTX2Loader `bc7` desktop target; wire
+    validated against Mesa's independent BPTC decoder)."""
+    if target not in ("rgba", "astc", "bc7"):
         raise NotImplementedError(f"UASTC transcode target {target!r}")
     marker = ktx2_file.key_value.get(UASTC_PROFILE_KEY)
     if marker is None or marker.rstrip(b"\x00") != UASTC_PROFILE_VALUE:
@@ -1037,6 +1038,10 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
             from uvol_tpu.codecs.basis.astc import transcode_uastc_to_astc
 
             frames.append(transcode_uastc_to_astc(blocks))
+        elif target == "bc7":
+            from uvol_tpu.codecs.basis.bc7 import transcode_uastc_to_bc7
+
+            frames.append(transcode_uastc_to_bc7(blocks))
         else:
             frames.append(
                 blocks_to_image_rgba(decode_uastc_blocks(blocks), h, w)

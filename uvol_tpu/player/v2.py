@@ -144,6 +144,8 @@ def default_texture_decoder(data: bytes) -> DecodedTexture:
             return DecodedTexture(
                 "astc-4x4", transcode_uastc(f, target="astc")
             )
+        if target == "bc7":
+            return DecodedTexture("bc7", transcode_uastc(f, target="bc7"))
         return DecodedTexture("rgba", transcode_uastc(f, target="rgba"))
     from uvol_tpu.models.sequence import TextureSequenceCodec
 
