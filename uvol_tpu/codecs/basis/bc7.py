@@ -131,6 +131,135 @@ def pack_bc7_mode5(
 
 
 # ---------------------------------------------------------------------------
+# Mode 1 (2 subsets) — partition/anchor tables extracted empirically from
+# the Mesa BPTC decoder (native/astc_oracle.py probe blocks), matching the
+# canonical BC7 tables
+# ---------------------------------------------------------------------------
+
+#: [64][16] texel -> subset for 2-subset partitions
+BC7_PARTITIONS2 = np.array([
+    [0,0,1,1,0,0,1,1,0,0,1,1,0,0,1,1],
+    [0,0,0,1,0,0,0,1,0,0,0,1,0,0,0,1],
+    [0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1],
+    [0,0,0,1,0,0,1,1,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,1,0,0,0,1,0,0,1,1],
+    [0,0,1,1,0,1,1,1,0,1,1,1,1,1,1,1],
+    [0,0,0,1,0,0,1,1,0,1,1,1,1,1,1,1],
+    [0,0,0,0,0,0,0,1,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,0,0,0,0,1,0,0,1,1],
+    [0,0,1,1,0,1,1,1,1,1,1,1,1,1,1,1],
+    [0,0,0,0,0,0,0,1,0,1,1,1,1,1,1,1],
+    [0,0,0,0,0,0,0,0,0,0,0,1,0,1,1,1],
+    [0,0,0,1,0,1,1,1,1,1,1,1,1,1,1,1],
+    [0,0,0,0,0,0,0,0,1,1,1,1,1,1,1,1],
+    [0,0,0,0,1,1,1,1,1,1,1,1,1,1,1,1],
+    [0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1],
+    [0,0,0,0,1,0,0,0,1,1,1,0,1,1,1,1],
+    [0,1,1,1,0,0,0,1,0,0,0,0,0,0,0,0],
+    [0,0,0,0,0,0,0,0,1,0,0,0,1,1,1,0],
+    [0,1,1,1,0,0,1,1,0,0,0,1,0,0,0,0],
+    [0,0,1,1,0,0,0,1,0,0,0,0,0,0,0,0],
+    [0,0,0,0,1,0,0,0,1,1,0,0,1,1,1,0],
+    [0,0,0,0,0,0,0,0,1,0,0,0,1,1,0,0],
+    [0,1,1,1,0,0,1,1,0,0,1,1,0,0,0,1],
+    [0,0,1,1,0,0,0,1,0,0,0,1,0,0,0,0],
+    [0,0,0,0,1,0,0,0,1,0,0,0,1,1,0,0],
+    [0,1,1,0,0,1,1,0,0,1,1,0,0,1,1,0],
+    [0,0,1,1,0,1,1,0,0,1,1,0,1,1,0,0],
+    [0,0,0,1,0,1,1,1,1,1,1,0,1,0,0,0],
+    [0,0,0,0,1,1,1,1,1,1,1,1,0,0,0,0],
+    [0,1,1,1,0,0,0,1,1,0,0,0,1,1,1,0],
+    [0,0,1,1,1,0,0,1,1,0,0,1,1,1,0,0],
+    [0,1,0,1,0,1,0,1,0,1,0,1,0,1,0,1],
+    [0,0,0,0,1,1,1,1,0,0,0,0,1,1,1,1],
+    [0,1,0,1,1,0,1,0,0,1,0,1,1,0,1,0],
+    [0,0,1,1,0,0,1,1,1,1,0,0,1,1,0,0],
+    [0,0,1,1,1,1,0,0,0,0,1,1,1,1,0,0],
+    [0,1,0,1,0,1,0,1,1,0,1,0,1,0,1,0],
+    [0,1,1,0,1,0,0,1,0,1,1,0,1,0,0,1],
+    [0,1,0,1,1,0,1,0,1,0,1,0,0,1,0,1],
+    [0,1,1,1,0,0,1,1,1,1,0,0,1,1,1,0],
+    [0,0,0,1,0,0,1,1,1,1,0,0,1,0,0,0],
+    [0,0,1,1,0,0,1,0,0,1,0,0,1,1,0,0],
+    [0,0,1,1,1,0,1,1,1,1,0,1,1,1,0,0],
+    [0,1,1,0,1,0,0,1,1,0,0,1,0,1,1,0],
+    [0,0,1,1,1,1,0,0,1,1,0,0,0,0,1,1],
+    [0,1,1,0,0,1,1,0,1,0,0,1,1,0,0,1],
+    [0,0,0,0,0,1,1,0,0,1,1,0,0,0,0,0],
+    [0,1,0,0,1,1,1,0,0,1,0,0,0,0,0,0],
+    [0,0,1,0,0,1,1,1,0,0,1,0,0,0,0,0],
+    [0,0,0,0,0,0,1,0,0,1,1,1,0,0,1,0],
+    [0,0,0,0,0,1,0,0,1,1,1,0,0,1,0,0],
+    [0,1,1,0,1,1,0,0,1,0,0,1,0,0,1,1],
+    [0,0,1,1,0,1,1,0,1,1,0,0,1,0,0,1],
+    [0,1,1,0,0,0,1,1,1,0,0,1,1,1,0,0],
+    [0,0,1,1,1,0,0,1,1,1,0,0,0,1,1,0],
+    [0,1,1,0,1,1,0,0,1,1,0,0,1,0,0,1],
+    [0,1,1,0,0,0,1,1,0,0,1,1,1,0,0,1],
+    [0,1,1,1,1,1,1,0,1,0,0,0,0,0,0,1],
+    [0,0,0,1,1,0,0,0,1,1,1,0,0,1,1,1],
+    [0,0,0,0,1,1,1,1,0,0,1,1,0,0,1,1],
+    [0,0,1,1,0,0,1,1,1,1,1,1,0,0,0,0],
+    [0,0,1,0,0,0,1,0,1,1,1,0,1,1,1,0],
+    [0,1,0,0,0,1,0,0,0,1,1,1,0,1,1,1]
+], np.int64)
+
+#: [64] subset-1 anchor texel per partition (subset 0 anchors at texel 0)
+BC7_ANCHORS2 = np.array([15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 2, 8, 2, 2, 8, 8, 15, 2, 8, 2, 2, 8, 8, 2, 2, 15, 15, 6, 8, 2, 8, 15, 15, 2, 8, 2, 2, 2, 15, 15, 6, 6, 2, 6, 8, 15, 15, 2, 2, 15, 15, 15, 15, 15, 2, 2, 15], np.int64)
+
+
+def _e8_mode1(q6: int, p: int) -> int:
+    full7 = (q6 << 1) | p
+    return (full7 << 1) | (full7 >> 6)
+
+
+def pack_bc7_mode1(
+    part: int,
+    e0s0: Sequence[int], e1s0: Sequence[int],
+    e0s1: Sequence[int], e1s1: Sequence[int],
+    indices: Sequence[int],
+) -> bytes:
+    """RGB8 endpoint pairs per subset + 16 3-bit indices (AWEIGHT3).
+
+    Quantizes endpoints to 6 bits + one shared P bit per subset and
+    enforces both anchor constraints (index MSB 0 at texel 0 and at
+    BC7_ANCHORS2[part]) by per-subset endpoint swap + index inversion."""
+    sub = BC7_PARTITIONS2[part]
+    idx = list(int(i) for i in indices)
+    eps = [
+        [np.asarray(e0s0, np.int64), np.asarray(e1s0, np.int64)],
+        [np.asarray(e0s1, np.int64), np.asarray(e1s1, np.int64)],
+    ]
+    for s, anchor in ((0, 0), (1, int(BC7_ANCHORS2[part]))):
+        if idx[anchor] >= 4:
+            eps[s] = [eps[s][1], eps[s][0]]
+            for t in range(16):
+                if sub[t] == s:
+                    idx[t] = 7 - idx[t]
+    b = _Bits()
+    b.put(0b10, 2)
+    b.put(part, 6)
+    ps = []
+    for s in range(2):
+        ps.append(int(round(float(np.mean(
+            np.concatenate([eps[s][0], eps[s][1]]) >> 1 & 1)))))
+    qs = [[np.clip(((e.astype(np.int64)) - (p << 1)) >> 2, 0, 63)
+           for e in eps[s]] for s, p in zip(range(2), ps)]
+    for c in range(3):
+        b.put(int(qs[0][0][c]), 6)
+        b.put(int(qs[0][1][c]), 6)
+        b.put(int(qs[1][0][c]), 6)
+        b.put(int(qs[1][1][c]), 6)
+    b.put(ps[0], 1)
+    b.put(ps[1], 1)
+    anchor1 = int(BC7_ANCHORS2[part])
+    for t in range(16):
+        b.put(idx[t], 2 if t in (0, anchor1) else 3)
+    assert b.pos == 128
+    return b.bytes16()
+
+
+# ---------------------------------------------------------------------------
 # Decode (modes 5/6 — what this packer emits)
 # ---------------------------------------------------------------------------
 
@@ -190,7 +319,32 @@ def decode_bc7_block(block: bytes) -> np.ndarray:
                 px[rot - 1], px[3] = px[3], px[rot - 1]
             out[t // 4, t % 4] = px
         return out
-    raise NotImplementedError(f"bc7 mode {mode} (transcode emits 5/6)")
+    if mode == 1:
+        b.get(2)
+        part = b.get(6)
+        q = [[[0, 0], [0, 0]] for _ in range(3)]  # [chan][subset][ep]
+        for c in range(3):
+            q[c][0][0] = b.get(6)
+            q[c][0][1] = b.get(6)
+            q[c][1][0] = b.get(6)
+            q[c][1][1] = b.get(6)
+        p0 = b.get(1)
+        p1 = b.get(1)
+        anchor1 = int(BC7_ANCHORS2[part])
+        idx = []
+        for t in range(16):
+            idx.append(b.get(2 if t in (0, anchor1) else 3))
+        sub = BC7_PARTITIONS2[part]
+        for t in range(16):
+            s = int(sub[t])
+            p = p0 if s == 0 else p1
+            e0 = np.array([_e8_mode1(q[c][s][0], p) for c in range(3)]
+                          + [255], np.int64)
+            e1 = np.array([_e8_mode1(q[c][s][1], p) for c in range(3)]
+                          + [255], np.int64)
+            out[t // 4, t % 4] = _interp(e0, e1, int(AWEIGHT3[idx[t]]))
+        return out
+    raise NotImplementedError(f"bc7 mode {mode} (transcode emits 1/5/6)")
 
 
 def decode_bc7_blocks(blocks: np.ndarray) -> np.ndarray:
@@ -223,13 +377,38 @@ def _fit_mode6(px: np.ndarray) -> bytes:
     )
 
 
+_PART2_CACHE: dict = {}
+
+
+def _best_partition2(seed: int) -> Tuple[int, bool]:
+    """Best-agreement BC7 2-subset partition for an ASTC hash52 seed's
+    pattern (cached); returns (partition, swap) where swap means the
+    ASTC subsets map to BC7 subsets reversed."""
+    hit = _PART2_CACHE.get(seed)
+    if hit is not None:
+        return hit
+    from uvol_tpu.codecs.basis.uastc import astc_partition_4x4
+
+    pat = np.asarray(astc_partition_4x4(seed, 2), np.int64)  # [16]
+    agree = (BC7_PARTITIONS2 == pat[None, :]).sum(axis=1)    # [64]
+    agree_sw = (BC7_PARTITIONS2 == (1 - pat)[None, :]).sum(axis=1)
+    if int(agree.max()) >= int(agree_sw.max()):
+        res = (int(agree.argmax()), False)
+    else:
+        res = (int(agree_sw.argmax()), True)
+    _PART2_CACHE[seed] = res
+    return res
+
+
 def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
     """[B,16] UASTC-profile blocks → [B,16] BC7 blocks.
 
     Single-subset single-plane modes carry endpoints/weights through with
     requantization (8-bit → 7.7.7.7+P, weight level → nearest AWEIGHT4);
     alpha dual-plane blocks map onto mode 5 (separate alpha indices);
-    everything else (multi-subset, RGB dual-plane) decodes and refits —
+    RGB 2-subset modes map onto mode 1 via the best-matching BC7
+    partition; the rest (3-subset, RGBA/LA 2-subset, RGB dual-plane)
+    decodes and refits —
     matching the structural limits basisu's own BC7 transcoder works
     within."""
     from uvol_tpu.codecs.basis.uastc import (
@@ -262,6 +441,68 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
         if m is None:
             raise ValueError(f"uastc mode {mode_id} unknown")
         row = bits[i : i + 1]
+        if m.subsets == 2 and m.cem == 8:
+            # RGB 2-subset → BC7 mode 1: best-matching BC7 partition,
+            # requantized subset endpoints, per-texel nearest interpolant
+            # of the INTENDED color (handles pattern-mismatch texels too)
+            seed = int(_get_field(row, 7, 10)[0])
+            part, swap = _best_partition2(seed)
+            pos2 = 5 + 10
+            nc2 = 3
+            qq = np.zeros((2, 2, nc2), np.int64)
+            for s in range(2):
+                for c in range(nc2):
+                    qq[s, 0, c] = _get_field(row, pos2, m.ep_bits)[0]
+                    pos2 += m.ep_bits
+                    qq[s, 1, c] = _get_field(row, pos2, m.ep_bits)[0]
+                    pos2 += m.ep_bits
+            eps8 = _expand_endpoint(qq, m.ep_bits)  # [2,2,3]
+            if swap:
+                eps8 = eps8[::-1]
+            want = decoded[i].reshape(16, 4)[:, :3].astype(np.int64)
+            sub = BC7_PARTITIONS2[part]
+            # decoder-visible endpoints after mode-1 requantization
+            ps = []
+            qs6 = np.zeros((2, 2, 3), np.int64)
+            for s in range(2):
+                p = int(round(float(np.mean((eps8[s] >> 1) & 1))))
+                ps.append(p)
+                qs6[s] = np.clip((eps8[s] - (p << 1)) >> 2, 0, 63)
+            interp = np.zeros((2, 8, 3), np.int64)
+            for s in range(2):
+                e0 = np.array(
+                    [_e8_mode1(int(qs6[s, 0, c]), ps[s]) for c in range(3)],
+                    np.int64,
+                )
+                e1 = np.array(
+                    [_e8_mode1(int(qs6[s, 1, c]), ps[s]) for c in range(3)],
+                    np.int64,
+                )
+                for k in range(8):
+                    interp[s, k] = _interp(e0, e1, int(AWEIGHT3[k]))
+            idx = np.zeros(16, np.int64)
+            err1 = 0
+            for t in range(16):
+                s = int(sub[t])
+                d = interp[s] - want[t][None, :]
+                e = (d * d).sum(axis=1)
+                idx[t] = int(e.argmin())
+                err1 += int(e[idx[t]])
+            cand1 = pack_bc7_mode1(
+                part, eps8[0, 0], eps8[0, 1], eps8[1, 0], eps8[1, 1], idx
+            )
+            # hybrid: when the ASTC pattern has no close BC7 partition
+            # (mismatched texels land in the wrong subset), a whole-block
+            # mode-6 refit can reconstruct better — pick the lower error
+            cand6 = _fit_mode6(decoded[i])
+            got6 = decode_bc7_block(cand6).reshape(16, 4)[:, :3].astype(
+                np.int64
+            )
+            err6 = int(((got6 - want) ** 2).sum())
+            out[i] = np.frombuffer(
+                cand1 if err1 <= err6 else cand6, np.uint8
+            )
+            continue
         if m.subsets > 1 or (m.dual_plane and m.cem == 8):
             out[i] = np.frombuffer(_fit_mode6(decoded[i]), np.uint8)
             continue
