@@ -178,6 +178,9 @@ class Mp4VideoTrack:
     sample_deltas: List[int]  # per-sample durations (timescale units)
     samples: List[bytes]
     avcc: bytes = b""  # AVCDecoderConfigurationRecord (avc1 tracks)
+    #: 0-based sync-sample indices from stss; None = no stss box, i.e.
+    #: EVERY sample is a random-access point (ISO 14496-12 8.6.2)
+    sync_samples: "Optional[List[int]]" = None
 
     @property
     def num_frames(self) -> int:
@@ -294,6 +297,16 @@ def read_mp4_video(data: bytes) -> Mp4VideoTrack:
                 struct.unpack_from(f">{n}I", data, stsz[0] + 12)
             )
 
+        # stss (optional): explicit sync samples
+        sync_samples = None
+        stss = _find(data, *stbl, b"stss")
+        if stss is not None:
+            cnt_s = _U32.unpack_from(data, stss[0] + 4)[0]
+            sync_samples = [
+                _U32.unpack_from(data, stss[0] + 8 + 4 * k)[0] - 1
+                for k in range(cnt_s)
+            ]
+
         # stco / co64
         stco = _find(data, *stbl, b"stco")
         if stco is not None:
@@ -337,5 +350,6 @@ def read_mp4_video(data: bytes) -> Mp4VideoTrack:
             sample_deltas=deltas,
             samples=samples,
             avcc=avcc,
+            sync_samples=sync_samples,
         )
     raise ValueError("no video track")

@@ -201,9 +201,15 @@ class Mp4VideoTexture:
         from uvol_tpu.codecs import h264
 
         if self._sync is None:
-            self._sync = [
-                h264.sample_is_sync(s) for s in self.track.samples
-            ]
+            if self.track.sync_samples is not None:
+                syncset = set(self.track.sync_samples)
+                self._sync = [
+                    i in syncset for i in range(len(self.track.samples))
+                ]
+            else:  # no stss box: inspect the NAL types directly
+                self._sync = [
+                    h264.sample_is_sync(s) for s in self.track.samples
+                ]
         if self._recon_index != i - 1 or self._recon is None:
             if self._sync[i]:
                 start = i
