@@ -101,10 +101,15 @@ def main() -> int:
                 )
             )
         frames_rgb.append(img)
-    mp4 = encode_v1_texture_video(frames_rgb, fps=30, quality=88)
+    # real compressed H.264 with zero-motion P slices (gop 30) — the
+    # wire form the reference's own V1 MP4 uses; counter strip stays
+    # bit-exact (I_PCM / exact-skip only)
+    mp4 = encode_v1_texture_video(
+        frames_rgb, fps=30, codec="h264", qp=28, gop=30
+    )
     open(os.path.join(args.workdir, "liam_v1.mp4"), "wb").write(mp4)
     print(
-        f"texture: {n} frames ktx2->mjpeg-mp4 in "
+        f"texture: {n} frames ktx2->h264(gop30)-mp4 in "
         f"{time.perf_counter() - t0:.1f}s ({len(mp4) // 1024}KB)"
     )
 
