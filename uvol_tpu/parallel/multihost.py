@@ -66,6 +66,15 @@ def run_codecs(mesh, n_frames: int):
     geo = GeometrySequenceCodec(use_pallas=False, mesh=mesh)
     blobs = geo.encode(GeometryFrameSet(positions, uvs, counts, faces))
     dec = geo.decode(blobs)
+    # device-resident output mode must also work multi-process (the
+    # gather boundary applies regardless of as_numpy — review r3): the
+    # replicated result is addressable, so readback must agree
+    dev = geo.decode(blobs, as_numpy=False)
+    if not np.array_equal(
+        np.ascontiguousarray(np.asarray(dev.positions).transpose(0, 2, 1)),
+        np.asarray(dec.positions),
+    ):
+        raise AssertionError("device-resident decode diverged")
     texc = TextureSequenceCodec(sequence_size=n_frames, use_pallas=False, mesh=mesh)
     tex_blob = texc.encode_segment(textures)
     tdec = texc.decode_segment(read_ktx2(tex_blob))
