@@ -130,3 +130,40 @@ def test_player_dispatches_bc7_target(monkeypatch):
     dec = v2.default_texture_decoder(blob)
     assert dec.format == "bc7"
     assert np.asarray(dec.data).shape == (1, 4, 16)
+
+
+@pytest.mark.skipif(not _HAS_GL, reason="no GL BPTC oracle")
+def test_modes_1_2_bit_exact_vs_gl():
+    """Multi-subset modes with GL-extracted partition/anchor tables."""
+    from uvol_tpu.codecs.basis.bc7 import pack_bc7_mode1, pack_bc7_mode2
+
+    r = np.random.default_rng(7)
+    batch = []
+    for _ in range(80):
+        batch.append(
+            np.frombuffer(
+                pack_bc7_mode1(
+                    int(r.integers(0, 64)),
+                    r.integers(0, 256, 3), r.integers(0, 256, 3),
+                    r.integers(0, 256, 3), r.integers(0, 256, 3),
+                    r.integers(0, 8, 16),
+                ),
+                np.uint8,
+            )
+        )
+    for _ in range(80):
+        eps = [[r.integers(0, 256, 3), r.integers(0, 256, 3)]
+               for _ in range(3)]
+        batch.append(
+            np.frombuffer(
+                pack_bc7_mode2(
+                    int(r.integers(0, 64)), eps, r.integers(0, 4, 16)
+                ),
+                np.uint8,
+            )
+        )
+    blks = np.stack(batch)
+    assert np.array_equal(
+        decode_bc7_blocks(blks),
+        decode_blocks_gl(blks, GL_COMPRESSED_RGBA_BPTC_UNORM, 16),
+    )

@@ -259,6 +259,120 @@ def pack_bc7_mode1(
     return b.bytes16()
 
 
+#: [64][16] texel -> subset for 3-subset partitions (GL-extracted)
+BC7_PARTITIONS3 = np.array([
+    [0,0,1,1,0,0,1,1,0,2,2,1,2,2,2,2],
+    [0,0,0,1,0,0,1,1,2,2,1,1,2,2,2,1],
+    [0,0,0,0,2,0,0,1,2,2,1,1,2,2,1,1],
+    [0,2,2,2,0,0,2,2,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,0,1,1,2,2,1,1,2,2],
+    [0,0,1,1,0,0,1,1,0,0,2,2,0,0,2,2],
+    [0,0,2,2,0,0,2,2,1,1,1,1,1,1,1,1],
+    [0,0,1,1,0,0,1,1,2,2,1,1,2,2,1,1],
+    [0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2],
+    [0,0,0,0,1,1,1,1,1,1,1,1,2,2,2,2],
+    [0,0,0,0,1,1,1,1,2,2,2,2,2,2,2,2],
+    [0,0,1,2,0,0,1,2,0,0,1,2,0,0,1,2],
+    [0,1,1,2,0,1,1,2,0,1,1,2,0,1,1,2],
+    [0,1,2,2,0,1,2,2,0,1,2,2,0,1,2,2],
+    [0,0,1,1,0,1,1,2,1,1,2,2,1,2,2,2],
+    [0,0,1,1,2,0,0,1,2,2,0,0,2,2,2,0],
+    [0,0,0,1,0,0,1,1,0,1,1,2,1,1,2,2],
+    [0,1,1,1,0,0,1,1,2,0,0,1,2,2,0,0],
+    [0,0,0,0,1,1,2,2,1,1,2,2,1,1,2,2],
+    [0,0,2,2,0,0,2,2,0,0,2,2,1,1,1,1],
+    [0,1,1,1,0,1,1,1,0,2,2,2,0,2,2,2],
+    [0,0,0,1,0,0,0,1,2,2,2,1,2,2,2,1],
+    [0,0,0,0,0,0,1,1,0,1,2,2,0,1,2,2],
+    [0,0,0,0,1,1,0,0,2,2,1,0,2,2,1,0],
+    [0,1,2,2,0,1,2,2,0,0,1,1,0,0,0,0],
+    [0,0,1,2,0,0,1,2,1,1,2,2,2,2,2,2],
+    [0,1,1,0,1,2,2,1,1,2,2,1,0,1,1,0],
+    [0,0,0,0,0,1,1,0,1,2,2,1,1,2,2,1],
+    [0,0,2,2,1,1,0,2,1,1,0,2,0,0,2,2],
+    [0,1,1,0,0,1,1,0,2,0,0,2,2,2,2,2],
+    [0,0,1,1,0,1,2,2,0,1,2,2,0,0,1,1],
+    [0,0,0,0,2,0,0,0,2,2,1,1,2,2,2,1],
+    [0,0,0,0,0,0,0,2,1,1,2,2,1,2,2,2],
+    [0,2,2,2,0,0,2,2,0,0,1,2,0,0,1,1],
+    [0,0,1,1,0,0,1,2,0,0,2,2,0,2,2,2],
+    [0,1,2,0,0,1,2,0,0,1,2,0,0,1,2,0],
+    [0,0,0,0,1,1,1,1,2,2,2,2,0,0,0,0],
+    [0,1,2,0,1,2,0,1,2,0,1,2,0,1,2,0],
+    [0,1,2,0,2,0,1,2,1,2,0,1,0,1,2,0],
+    [0,0,1,1,2,2,0,0,1,1,2,2,0,0,1,1],
+    [0,0,1,1,1,1,2,2,2,2,0,0,0,0,1,1],
+    [0,1,0,1,0,1,0,1,2,2,2,2,2,2,2,2],
+    [0,0,0,0,0,0,0,0,2,1,2,1,2,1,2,1],
+    [0,0,2,2,1,1,2,2,0,0,2,2,1,1,2,2],
+    [0,0,2,2,0,0,1,1,0,0,2,2,0,0,1,1],
+    [0,2,2,0,1,2,2,1,0,2,2,0,1,2,2,1],
+    [0,1,0,1,2,2,2,2,2,2,2,2,0,1,0,1],
+    [0,0,0,0,2,1,2,1,2,1,2,1,2,1,2,1],
+    [0,1,0,1,0,1,0,1,0,1,0,1,2,2,2,2],
+    [0,2,2,2,0,1,1,1,0,2,2,2,0,1,1,1],
+    [0,0,0,2,1,1,1,2,0,0,0,2,1,1,1,2],
+    [0,0,0,0,2,1,1,2,2,1,1,2,2,1,1,2],
+    [0,2,2,2,0,1,1,1,0,1,1,1,0,2,2,2],
+    [0,0,0,2,1,1,1,2,1,1,1,2,0,0,0,2],
+    [0,1,1,0,0,1,1,0,0,1,1,0,2,2,2,2],
+    [0,0,0,0,0,0,0,0,2,1,1,2,2,1,1,2],
+    [0,1,1,0,0,1,1,0,2,2,2,2,2,2,2,2],
+    [0,0,2,2,0,0,1,1,0,0,1,1,0,0,2,2],
+    [0,0,2,2,1,1,2,2,1,1,2,2,0,0,2,2],
+    [0,0,0,0,0,0,0,0,0,0,0,0,2,1,1,2],
+    [0,0,0,2,0,0,0,1,0,0,0,2,0,0,0,1],
+    [0,2,2,2,1,2,2,2,0,2,2,2,1,2,2,2],
+    [0,1,0,1,2,2,2,2,2,2,2,2,2,2,2,2],
+    [0,1,1,1,2,0,1,1,2,2,0,1,2,2,2,0]
+], np.int64)
+
+#: [64] anchor texels for subsets 1 and 2 (subset 0 anchors at texel 0);
+#: partitions 59/60 disambiguated by brute-force against the oracle
+#: (tiny subsets make the minority-value extraction ambiguous)
+BC7_ANCHORS3_A = np.array([3, 3, 15, 15, 8, 3, 15, 15, 8, 8, 6, 6, 6, 5, 3, 3, 3, 3, 8, 15, 3, 3, 6, 10, 5, 8, 8, 6, 8, 5, 15, 15, 8, 15, 3, 5, 6, 10, 8, 15, 15, 3, 15, 5, 15, 15, 15, 15, 3, 15, 5, 5, 5, 8, 5, 10, 5, 10, 8, 13, 15, 12, 3, 3], np.int64)
+BC7_ANCHORS3_B = np.array([15, 8, 8, 3, 15, 15, 3, 8, 15, 15, 15, 15, 15, 15, 15, 8, 15, 8, 15, 3, 15, 8, 15, 8, 3, 15, 6, 10, 15, 15, 10, 8, 15, 3, 15, 10, 10, 8, 9, 10, 6, 15, 8, 15, 3, 6, 6, 8, 15, 3, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 3, 15, 15, 8], np.int64)
+
+
+def _e8_mode2(q5: int) -> int:
+    return (q5 << 3) | (q5 >> 2)
+
+
+def pack_bc7_mode2(
+    part: int,
+    eps: Sequence[Sequence[Sequence[int]]],  # [3 subsets][2][RGB8]
+    indices: Sequence[int],
+) -> bytes:
+    """RGB8 endpoint pairs for three subsets + 16 2-bit indices
+    (AWEIGHT2). Endpoints quantize to 5 bits (bit-replicated back);
+    all three anchor constraints enforced by per-subset swap+invert."""
+    sub = BC7_PARTITIONS3[part]
+    idx = [int(i) for i in indices]
+    eps = [
+        [np.asarray(eps[s][0], np.int64), np.asarray(eps[s][1], np.int64)]
+        for s in range(3)
+    ]
+    anchor_of = (0, int(BC7_ANCHORS3_A[part]), int(BC7_ANCHORS3_B[part]))
+    for s in range(3):
+        if idx[anchor_of[s]] >= 2:
+            eps[s] = [eps[s][1], eps[s][0]]
+            for t in range(16):
+                if sub[t] == s:
+                    idx[t] = 3 - idx[t]
+    b = _Bits()
+    b.put(0b100, 3)
+    b.put(part, 6)
+    for c in range(3):
+        for s in range(3):
+            b.put(int(eps[s][0][c]) >> 3, 5)
+            b.put(int(eps[s][1][c]) >> 3, 5)
+    anchors = set(anchor_of)
+    for t in range(16):
+        b.put(idx[t], 1 if t in anchors else 2)
+    assert b.pos == 128
+    return b.bytes16()
+
+
 # ---------------------------------------------------------------------------
 # Decode (modes 5/6 — what this packer emits)
 # ---------------------------------------------------------------------------
@@ -344,7 +458,28 @@ def decode_bc7_block(block: bytes) -> np.ndarray:
                           + [255], np.int64)
             out[t // 4, t % 4] = _interp(e0, e1, int(AWEIGHT3[idx[t]]))
         return out
-    raise NotImplementedError(f"bc7 mode {mode} (transcode emits 1/5/6)")
+    if mode == 2:
+        b.get(3)
+        part = b.get(6)
+        q = [[[0, 0] for _ in range(3)] for _ in range(3)]  # [chan][sub][ep]
+        for c in range(3):
+            for s in range(3):
+                q[c][s][0] = b.get(5)
+                q[c][s][1] = b.get(5)
+        anchors = {0, int(BC7_ANCHORS3_A[part]), int(BC7_ANCHORS3_B[part])}
+        idx = []
+        for t in range(16):
+            idx.append(b.get(1 if t in anchors else 2))
+        sub = BC7_PARTITIONS3[part]
+        for t in range(16):
+            s = int(sub[t])
+            e0 = np.array([_e8_mode2(q[c][s][0]) for c in range(3)] + [255],
+                          np.int64)
+            e1 = np.array([_e8_mode2(q[c][s][1]) for c in range(3)] + [255],
+                          np.int64)
+            out[t // 4, t % 4] = _interp(e0, e1, int(AWEIGHT2[idx[t]]))
+        return out
+    raise NotImplementedError(f"bc7 mode {mode} (transcode emits 1/2/5/6)")
 
 
 def decode_bc7_blocks(blocks: np.ndarray) -> np.ndarray:
@@ -397,6 +532,33 @@ def _best_partition2(seed: int) -> Tuple[int, bool]:
     else:
         res = (int(agree_sw.argmax()), True)
     _PART2_CACHE[seed] = res
+    return res
+
+
+_PART3_CACHE: dict = {}
+
+
+def _best_partition3(seed: int) -> Tuple[int, Tuple[int, int, int]]:
+    """Best-agreement BC7 3-subset partition for an ASTC hash52 seed's
+    3-subset pattern; returns (partition, perm) where perm maps ASTC
+    subset id -> BC7 subset id."""
+    hit = _PART3_CACHE.get(seed)
+    if hit is not None:
+        return hit
+    import itertools
+
+    from uvol_tpu.codecs.basis.uastc import astc_partition_4x4
+
+    pat = np.asarray(astc_partition_4x4(seed, 3), np.int64)
+    best = (-1, 0, (0, 1, 2))
+    for perm in itertools.permutations(range(3)):
+        mapped = np.asarray(perm, np.int64)[pat]
+        agree = (BC7_PARTITIONS3 == mapped[None, :]).sum(axis=1)
+        k = int(agree.argmax())
+        if int(agree[k]) > best[0]:
+            best = (int(agree[k]), k, perm)
+    res = (best[1], best[2])
+    _PART3_CACHE[seed] = res
     return res
 
 
@@ -501,6 +663,56 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
             err6 = int(((got6 - want) ** 2).sum())
             out[i] = np.frombuffer(
                 cand1 if err1 <= err6 else cand6, np.uint8
+            )
+            continue
+        if m.subsets == 3 and m.cem == 8:
+            # RGB 3-subset → BC7 mode 2 (hybrid with the mode-6 refit)
+            seed = int(_get_field(row, 7, 10)[0])
+            part, perm = _best_partition3(seed)
+            pos3 = 5 + 10
+            qq = np.zeros((3, 2, 3), np.int64)
+            for s in range(3):
+                for c in range(3):
+                    qq[s, 0, c] = _get_field(row, pos3, m.ep_bits)[0]
+                    pos3 += m.ep_bits
+                    qq[s, 1, c] = _get_field(row, pos3, m.ep_bits)[0]
+                    pos3 += m.ep_bits
+            eps8 = _expand_endpoint(qq, m.ep_bits)  # [3,2,3] (ASTC order)
+            bc_eps = np.zeros_like(eps8)
+            for s in range(3):
+                bc_eps[perm[s]] = eps8[s]
+            want = decoded[i].reshape(16, 4)[:, :3].astype(np.int64)
+            sub = BC7_PARTITIONS3[part]
+            interp = np.zeros((3, 4, 3), np.int64)
+            for s in range(3):
+                e0 = np.array(
+                    [_e8_mode2(int(bc_eps[s, 0, c]) >> 3) for c in range(3)],
+                    np.int64,
+                )
+                e1 = np.array(
+                    [_e8_mode2(int(bc_eps[s, 1, c]) >> 3) for c in range(3)],
+                    np.int64,
+                )
+                for k in range(4):
+                    interp[s, k] = _interp(e0, e1, int(AWEIGHT2[k]))
+            idx = np.zeros(16, np.int64)
+            err2 = 0
+            for t in range(16):
+                s = int(sub[t])
+                d = interp[s] - want[t][None, :]
+                e = (d * d).sum(axis=1)
+                idx[t] = int(e.argmin())
+                err2 += int(e[idx[t]])
+            cand2 = pack_bc7_mode2(
+                part, [(bc_eps[s, 0], bc_eps[s, 1]) for s in range(3)], idx
+            )
+            cand6 = _fit_mode6(decoded[i])
+            got6 = decode_bc7_block(cand6).reshape(16, 4)[:, :3].astype(
+                np.int64
+            )
+            err6 = int(((got6 - want) ** 2).sum())
+            out[i] = np.frombuffer(
+                cand2 if err2 <= err6 else cand6, np.uint8
             )
             continue
         if m.subsets > 1 or (m.dual_plane and m.cem == 8):
