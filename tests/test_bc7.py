@@ -167,3 +167,57 @@ def test_modes_1_2_bit_exact_vs_gl():
         decode_bc7_blocks(blks),
         decode_blocks_gl(blks, GL_COMPRESSED_RGBA_BPTC_UNORM, 16),
     )
+
+
+@pytest.mark.skipif(not _HAS_GL, reason="no GL BPTC oracle")
+def test_mode_7_bit_exact_vs_gl():
+    """RGBA 2-subset mode (the UASTC mode 9/16 carrier)."""
+    from uvol_tpu.codecs.basis.bc7 import pack_bc7_mode7
+
+    r = np.random.default_rng(9)
+    batch = []
+    for _ in range(120):
+        eps = [[r.integers(0, 256, 4), r.integers(0, 256, 4)]
+               for _ in range(2)]
+        batch.append(
+            np.frombuffer(
+                pack_bc7_mode7(
+                    int(r.integers(0, 64)), eps, r.integers(0, 4, 16)
+                ),
+                np.uint8,
+            )
+        )
+    blks = np.stack(batch)
+    assert np.array_equal(
+        decode_bc7_blocks(blks),
+        decode_blocks_gl(blks, GL_COMPRESSED_RGBA_BPTC_UNORM, 16),
+    )
+
+
+def test_multi_subset_structural_carry_beats_refit():
+    """On 2-region content the structural mode-1/2/7 carriers must win
+    over the whole-block mode-6 refit for a meaningful share of blocks
+    (regression guard for the partition-seed bit position: read at the
+    wrong offset every block silently degrades to mode 6)."""
+    r = np.random.default_rng(11)
+    base = np.zeros((48, 4, 4, 4), np.uint8)
+    for i in range(48):
+        c0, c1 = r.integers(0, 256, 4), r.integers(0, 256, 4)
+        mask = r.integers(0, 2, (4, 4), bool)
+        base[i][mask] = c0
+        base[i][~mask] = c1
+
+    def bc7_mode(block16):
+        v = int(block16[0])
+        for k in range(8):
+            if v & (1 << k):
+                return k
+        return -1
+
+    for uastc_mode, carrier in ((3, 1), (4, 2), (9, 7)):
+        blocks = U.encode_uastc_blocks(base, modes=[uastc_mode], device=False)
+        bc7 = transcode_uastc_to_bc7(blocks)
+        n_carrier = sum(1 for b in bc7 if bc7_mode(b) == carrier)
+        # the hybrid legitimately prefers the mode-6 refit for many
+        # blocks; with the seed bug the carrier share collapses to ~0
+        assert n_carrier >= len(bc7) // 8, (uastc_mode, carrier, n_carrier)

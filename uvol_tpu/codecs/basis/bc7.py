@@ -373,6 +373,56 @@ def pack_bc7_mode2(
     return b.bytes16()
 
 
+def _e8_mode7(q5: int, p: int) -> int:
+    full6 = (q5 << 1) | p
+    return (full6 << 2) | (full6 >> 4)
+
+
+def pack_bc7_mode7(
+    part: int,
+    eps: Sequence[Sequence[Sequence[int]]],  # [2 subsets][2][RGBA8]
+    indices: Sequence[int],
+) -> bytes:
+    """RGBA8 endpoint pairs for two subsets + 16 2-bit indices
+    (AWEIGHT2). 5-bit channels + per-endpoint P bit; same partition and
+    anchor tables as mode 1."""
+    sub = BC7_PARTITIONS2[part]
+    idx = [int(i) for i in indices]
+    eps = [
+        [np.asarray(eps[s][0], np.int64), np.asarray(eps[s][1], np.int64)]
+        for s in range(2)
+    ]
+    for s, anchor in ((0, 0), (1, int(BC7_ANCHORS2[part]))):
+        if idx[anchor] >= 2:
+            eps[s] = [eps[s][1], eps[s][0]]
+            for t in range(16):
+                if sub[t] == s:
+                    idx[t] = 3 - idx[t]
+    b = _Bits()
+    b.put(1 << 7, 8)  # mode 7
+    b.put(part, 6)
+    pbits = []
+    qs = []
+    for s in range(2):
+        row = []
+        for e in range(2):
+            p = int(round(float(np.mean((eps[s][e] >> 2) & 1))))
+            pbits.append(p)
+            row.append(np.clip((eps[s][e] - (p << 2)) >> 3, 0, 31))
+        qs.append(row)
+    for c in range(4):
+        for s in range(2):
+            b.put(int(qs[s][0][c]), 5)
+            b.put(int(qs[s][1][c]), 5)
+    for p in pbits:
+        b.put(p, 1)
+    anchor1 = int(BC7_ANCHORS2[part])
+    for t in range(16):
+        b.put(idx[t], 1 if t in (0, anchor1) else 2)
+    assert b.pos == 128
+    return b.bytes16()
+
+
 # ---------------------------------------------------------------------------
 # Decode (modes 5/6 — what this packer emits)
 # ---------------------------------------------------------------------------
@@ -479,7 +529,35 @@ def decode_bc7_block(block: bytes) -> np.ndarray:
                           np.int64)
             out[t // 4, t % 4] = _interp(e0, e1, int(AWEIGHT2[idx[t]]))
         return out
-    raise NotImplementedError(f"bc7 mode {mode} (transcode emits 1/2/5/6)")
+    if mode == 7:
+        b.get(8)
+        part = b.get(6)
+        q = [[[0, 0] for _ in range(2)] for _ in range(4)]  # [chan][sub][ep]
+        for c in range(4):
+            for s in range(2):
+                q[c][s][0] = b.get(5)
+                q[c][s][1] = b.get(5)
+        pb = [b.get(1) for _ in range(4)]  # s0e0, s0e1, s1e0, s1e1
+        anchor1 = int(BC7_ANCHORS2[part])
+        idx = []
+        for t in range(16):
+            idx.append(b.get(1 if t in (0, anchor1) else 2))
+        sub = BC7_PARTITIONS2[part]
+        for t in range(16):
+            s = int(sub[t])
+            e0 = np.array(
+                [_e8_mode7(q[c][s][0], pb[2 * s]) for c in range(4)],
+                np.int64,
+            )
+            e1 = np.array(
+                [_e8_mode7(q[c][s][1], pb[2 * s + 1]) for c in range(4)],
+                np.int64,
+            )
+            out[t // 4, t % 4] = _interp(e0, e1, int(AWEIGHT2[idx[t]]))
+        return out
+    raise NotImplementedError(
+        f"bc7 mode {mode} (transcode emits 1/2/5/6/7)"
+    )
 
 
 def decode_bc7_blocks(blocks: np.ndarray) -> np.ndarray:
@@ -568,9 +646,10 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
     Single-subset single-plane modes carry endpoints/weights through with
     requantization (8-bit → 7.7.7.7+P, weight level → nearest AWEIGHT4);
     alpha dual-plane blocks map onto mode 5 (separate alpha indices);
-    RGB 2-subset modes map onto mode 1 via the best-matching BC7
-    partition; the rest (3-subset, RGBA/LA 2-subset, RGB dual-plane)
-    decodes and refits —
+    RGB 2-subset modes map onto mode 1, RGB 3-subset onto mode 2, and
+    RGBA/LA 2-subset onto mode 7 — each via the best-matching BC7
+    partition with a mode-6 whole-block refit as the hybrid fallback;
+    the rest (RGB dual-plane) decodes and refits —
     matching the structural limits basisu's own BC7 transcoder works
     within."""
     from uvol_tpu.codecs.basis.uastc import (
@@ -607,7 +686,7 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
             # RGB 2-subset → BC7 mode 1: best-matching BC7 partition,
             # requantized subset endpoints, per-texel nearest interpolant
             # of the INTENDED color (handles pattern-mismatch texels too)
-            seed = int(_get_field(row, 7, 10)[0])
+            seed = int(_get_field(row, 5, 10)[0])
             part, swap = _best_partition2(seed)
             pos2 = 5 + 10
             nc2 = 3
@@ -667,7 +746,7 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
             continue
         if m.subsets == 3 and m.cem == 8:
             # RGB 3-subset → BC7 mode 2 (hybrid with the mode-6 refit)
-            seed = int(_get_field(row, 7, 10)[0])
+            seed = int(_get_field(row, 5, 10)[0])
             part, perm = _best_partition3(seed)
             pos3 = 5 + 10
             qq = np.zeros((3, 2, 3), np.int64)
@@ -713,6 +792,60 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
             err6 = int(((got6 - want) ** 2).sum())
             out[i] = np.frombuffer(
                 cand2 if err2 <= err6 else cand6, np.uint8
+            )
+            continue
+        if m.subsets == 2 and m.cem in (4, 12):
+            # RGBA/LA 2-subset → BC7 mode 7 (the only 2-subset BC7 mode
+            # with alpha endpoints); hybrid with the mode-6 refit like
+            # the mode-1 path
+            seed = int(_get_field(row, 5, 10)[0])
+            part, swap = _best_partition2(seed)
+            pos2 = 5 + 10
+            nc2 = _ncomp(m)
+            qq = np.zeros((2, 2, nc2), np.int64)
+            for s in range(2):
+                for c in range(nc2):
+                    qq[s, 0, c] = _get_field(row, pos2, m.ep_bits)[0]
+                    pos2 += m.ep_bits
+                    qq[s, 1, c] = _get_field(row, pos2, m.ep_bits)[0]
+                    pos2 += m.ep_bits
+            e = _expand_endpoint(qq, m.ep_bits)  # [2,2,nc2]
+            if m.cem == 4:  # LA → RGBA
+                eps8 = np.concatenate(
+                    [np.repeat(e[:, :, :1], 3, axis=2), e[:, :, 1:2]], 2
+                )
+            else:
+                eps8 = e
+            if swap:
+                eps8 = eps8[::-1]
+            want = decoded[i].reshape(16, 4).astype(np.int64)
+            sub = BC7_PARTITIONS2[part]
+            # decoder-visible endpoints after mode-7 requantization
+            interp = np.zeros((2, 4, 4), np.int64)
+            for s in range(2):
+                dv = np.zeros((2, 4), np.int64)
+                for ei in range(2):
+                    p = int(round(float(np.mean((eps8[s, ei] >> 2) & 1))))
+                    q5 = np.clip((eps8[s, ei] - (p << 2)) >> 3, 0, 31)
+                    dv[ei] = [_e8_mode7(int(q5[c]), p) for c in range(4)]
+                for k in range(4):
+                    interp[s, k] = _interp(dv[0], dv[1], int(AWEIGHT2[k]))
+            idx = np.zeros(16, np.int64)
+            err7 = 0
+            for t in range(16):
+                s = int(sub[t])
+                d = interp[s] - want[t][None, :]
+                er = (d * d).sum(axis=1)
+                idx[t] = int(er.argmin())
+                err7 += int(er[idx[t]])
+            cand7 = pack_bc7_mode7(
+                part, [(eps8[s, 0], eps8[s, 1]) for s in range(2)], idx
+            )
+            cand6 = _fit_mode6(decoded[i])
+            got6 = decode_bc7_block(cand6).reshape(16, 4).astype(np.int64)
+            err6 = int(((got6 - want) ** 2).sum())
+            out[i] = np.frombuffer(
+                cand7 if err7 <= err6 else cand6, np.uint8
             )
             continue
         if m.subsets > 1 or (m.dual_plane and m.cem == 8):
