@@ -65,7 +65,7 @@ def test_modes_5_6_bit_exact_vs_gl():
 
 #: modes the transcode carries structurally (near-lossless: requantized
 #: endpoints/weights only); the rest are decode-and-refit
-_STRUCTURAL = {0, 1, 2, 5, 10, 11, 12, 13, 14, 15, 17, 18}
+_STRUCTURAL = {0, 1, 2, 5, 6, 10, 11, 12, 13, 14, 15, 17, 18}
 
 
 @pytest.mark.parametrize("mode_id", sorted(U.MODES))

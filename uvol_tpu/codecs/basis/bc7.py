@@ -645,13 +645,13 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
 
     Single-subset single-plane modes carry endpoints/weights through with
     requantization (8-bit → 7.7.7.7+P, weight level → nearest AWEIGHT4);
-    alpha dual-plane blocks map onto mode 5 (separate alpha indices);
+    alpha dual-plane blocks map onto mode 5 (separate alpha indices)
+    and RGB channel dual-plane onto mode 5 with channel rotation;
     RGB 2-subset modes map onto mode 1, RGB 3-subset onto mode 2, and
-    RGBA/LA 2-subset onto mode 7 — each via the best-matching BC7
-    partition with a mode-6 whole-block refit as the hybrid fallback;
-    the rest (RGB dual-plane) decodes and refits —
-    matching the structural limits basisu's own BC7 transcoder works
-    within."""
+    RGBA/LA 2-subset onto mode 7 — the multi-subset carriers via the
+    best-matching BC7 partition with a mode-6 whole-block refit as the
+    hybrid fallback — matching the structural limits basisu's own BC7
+    transcoder works within."""
     from uvol_tpu.codecs.basis.uastc import (
         MODE_SOLID,
         MODES,
@@ -848,7 +848,7 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
                 cand7 if err7 <= err6 else cand6, np.uint8
             )
             continue
-        if m.subsets > 1 or (m.dual_plane and m.cem == 8):
+        if m.subsets > 1:
             out[i] = np.frombuffer(_fit_mode6(decoded[i]), np.uint8)
             continue
         nc = _ncomp(m)
@@ -873,17 +873,41 @@ def transcode_uastc_to_bc7(blocks: np.ndarray) -> np.ndarray:
         e0 = _expand_endpoint(q0, m.ep_bits)
         e1 = _expand_endpoint(q1, m.ep_bits)
         w64 = WEIGHT_TABLES[m.weight_levels][wq]  # [16] 0..64
-        if m.dual_plane and comp == 3:
-            # alpha dual-plane → mode 5 (2-bit planes; requantize both)
+        if m.dual_plane:
             w64a = WEIGHT_TABLES[m.weight_levels][wq2]
             cidx = np.abs(w64[:, None] - AWEIGHT2[None, :]).argmin(1)
             aidx = np.abs(w64a[:, None] - AWEIGHT2[None, :]).argmin(1)
-            out[i] = np.frombuffer(
-                pack_bc7_mode5(
-                    0, e0[:3], e1[:3], int(e0[3]), int(e1[3]), cidx, aidx
-                ),
-                np.uint8,
-            )
+            if comp == 3:
+                # alpha dual-plane → mode 5 (2-bit planes; requantize
+                # both index planes)
+                out[i] = np.frombuffer(
+                    pack_bc7_mode5(
+                        0, e0[:3], e1[:3], int(e0[3]), int(e1[3]),
+                        cidx, aidx,
+                    ),
+                    np.uint8,
+                )
+                continue
+            if m.cem == 8:
+                # RGB channel dual-plane (shared endpoints, ASTC rule)
+                # → mode 5 with rotation comp+1: post-interpolation the
+                # rotation swaps A with that channel, so the separate
+                # "alpha" plane drives it and the rotated-out color
+                # slot pins the final alpha to 255 (7-bit 127 expands
+                # back to exactly 255)
+                c0 = e0[:3].copy()
+                c1 = e1[:3].copy()
+                c0[comp] = 255
+                c1[comp] = 255
+                out[i] = np.frombuffer(
+                    pack_bc7_mode5(
+                        comp + 1, c0, c1, int(e0[comp]), int(e1[comp]),
+                        cidx, aidx,
+                    ),
+                    np.uint8,
+                )
+                continue
+            out[i] = np.frombuffer(_fit_mode6(decoded[i]), np.uint8)
             continue
         # single-plane → mode 6
         if m.cem == 4:  # LA: replicate L, alpha from 2nd pair
