@@ -216,3 +216,55 @@ def test_alpha_slices_roundtrip():
 
     frames_out = default_texture_decoder(blob)
     assert frames_out.shape[-1] == 4
+
+
+def test_quad_share_endpoints_gated():
+    """The tau gate keeps per-block choices on incompatible quads and
+    unifies compatible ones; distortion increase is bounded by tau per
+    quad by construction."""
+    import copy
+
+    from uvol_tpu.codecs.basis.etc1s_encode import (
+        build_palettes,
+        quad_share_endpoints,
+    )
+    from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
+
+    r = np.random.default_rng(17)
+    H = W = 32
+    img = np.zeros((1, H, W, 3), np.uint8)
+    img[0, :, : W // 2] = 30 + r.integers(0, 4, (H, W // 2, 3))
+    img[0, :, W // 2 :] = 200 + r.integers(0, 4, (H, W // 2, 3))
+    pal = build_palettes(img, 16, 16, 4, rdo=False)
+    nby, nbx = H // 4, W // 4
+    blocks = np.ascontiguousarray(
+        img.reshape(1, nby, 4, nbx, 4, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(1, nby * nbx, 16, 3)
+    )
+
+    def total_err(p):
+        c5 = p.color5.astype(np.int64)
+        base = (c5 << 3) | (c5 >> 2)
+        mods = np.array(INTEN_TABLES)[p.inten]
+        ep = p.block_endpoint.reshape(-1)
+        sel = p.block_selector.reshape(-1)
+        codes = p.selectors[sel]
+        px = np.clip(
+            base[ep][:, None, :]
+            + np.take_along_axis(mods[ep], codes, axis=1)[:, :, None],
+            0,
+            255,
+        )
+        return ((px - blocks[0].astype(np.int64)) ** 2).sum()
+
+    e_before = total_err(pal)
+    p2 = copy.deepcopy(pal)
+    quad_share_endpoints(blocks, p2, nby, nbx, tau=512.0)
+    e_after = total_err(p2)
+    n_quads = (nby // 2) * (nbx // 2)
+    assert e_after <= e_before + 512.0 * n_quads
+    g = p2.block_endpoint.reshape(nby, nbx)
+    q = g.reshape(nby // 2, 2, nbx // 2, 2)
+    unified = ((q == q[:, :1, :, :1]).all(axis=(1, 3))).mean()
+    assert unified > 0.3  # two flat halves: most quads must unify

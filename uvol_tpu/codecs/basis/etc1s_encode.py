@@ -923,6 +923,156 @@ def _rdo_frame_body(nby: int, nbx: int):
     return refine
 
 
+_QUAD_JIT_CACHE: Dict[Tuple, object] = {}
+
+
+def _quad_share_fn(nby: int, nbx: int):
+    """Jitted per-frame 2x2 endpoint-quad unifier (see
+    quad_share_endpoints)."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
+
+    inten_tab = jnp.asarray(INTEN_TABLES, jnp.float32)  # [8, 4]
+
+    def run(blocks, color5, inten, sel_onehot, eps, sels, tau):
+        # blocks [NB,16,3] f32 · color5 [E,3] u8 · inten [E] i32 ·
+        # sel_onehot [S,64] f32 (one-hot of each selector codeword per
+        # pixel) · eps/sels [NB] i32
+        nb = nby * nbx
+        base = (
+            (color5.astype(jnp.int32) << 3) | (color5.astype(jnp.int32) >> 2)
+        ).astype(jnp.float32)  # [E, 3]
+        ep_lut = jnp.concatenate([base, inten_tab[inten]], axis=1)  # [E,7]
+
+        # the 4 candidate endpoints per 2x2 quad, broadcast to each block
+        g = eps.reshape(nby, nbx)
+        q = g.reshape(nby // 2, 2, nbx // 2, 2).transpose(0, 2, 1, 3)
+        cand = q.reshape(nby // 2, nbx // 2, 4)  # [QY, QX, 4]
+        cand_b = jnp.repeat(
+            jnp.repeat(cand, 2, axis=0), 2, axis=1
+        ).reshape(nb, 4)  # per block, the quad's 4 candidates
+
+        def best_sel_err(ep_idx):
+            """For each block coded with endpoint ep_idx[b]: the best
+            codebook selector and its exact squared error — including
+            the decoder's 0..255 clamp, which dominates on saturated
+            content (unclamped argmin measured ~15 dB off on liam)."""
+            look = _onehot_rows(ep_idx, ep_lut)  # [NB, 7]
+            b3 = look[:, :3]
+            m = look[:, 3:]  # [NB, 4] intensity modifiers
+            clipped = jnp.clip(
+                b3[:, None, :] + m[:, :, None], 0.0, 255.0
+            )  # [NB, 4, 3] — the 4 decodable colors of this endpoint
+            # cost[b,px,j] = |p - clipped_j|^2, expanded into exact-f32
+            # matmul terms (every product < 2^24: pixels and clipped
+            # values are <= 255, channel sums <= 3*255^2)
+            p2 = jnp.sum(blocks * blocks, axis=2)  # [NB, 16]
+            dot = jnp.einsum(
+                "npc,njc->npj", blocks, clipped,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [NB, 16, 4]
+            cc = jnp.sum(clipped * clipped, axis=2)  # [NB, 4]
+            cost = (
+                p2[:, :, None] - 2.0 * dot + cc[:, None, :]
+            ).reshape(nb, 64)
+            tot = jnp.dot(
+                cost, sel_onehot.T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [NB, S]
+            sel = jnp.argmin(tot, axis=1).astype(jnp.int32)
+            return sel, jnp.min(tot, axis=1)
+
+        errs = []
+        sels_c = []
+        for c in range(4):
+            s, e = best_sel_err(cand_b[:, c])
+            errs.append(e)
+            sels_c.append(s)
+        errs = jnp.stack(errs, axis=1)  # [NB, 4]
+        # quad total error per candidate
+        eg = errs.reshape(nby // 2, 2, nbx // 2, 2, 4)
+        quad_err = eg.sum(axis=(1, 3))  # [QY, QX, 4]
+        win = jnp.argmin(quad_err, axis=2)  # [QY, QX]
+        # distortion of keeping each block's own assignment: its own
+        # endpoint sits at its quadrant position in the candidate list
+        yy = jnp.arange(nby)[:, None]
+        xx = jnp.arange(nbx)[None, :]
+        own_pos = ((yy % 2) * 2 + (xx % 2)).reshape(nb)
+        e_own = jnp.take_along_axis(errs, own_pos[:, None], axis=1)[:, 0]
+        quad_base = e_own.reshape(nby // 2, 2, nbx // 2, 2).sum(axis=(1, 3))
+        # rate-distortion gate: unify only where the added distortion is
+        # within tau (boundary quads with incompatible members keep
+        # their per-block choices)
+        share = (
+            jnp.min(quad_err, axis=2) <= quad_base + tau
+        )  # [QY, QX]
+        share_b = jnp.repeat(
+            jnp.repeat(share, 2, axis=0), 2, axis=1
+        ).reshape(nb)
+        win_b = jnp.repeat(
+            jnp.repeat(win, 2, axis=0), 2, axis=1
+        ).reshape(nb)
+        new_ep = jnp.take_along_axis(
+            cand_b, win_b[:, None], axis=1
+        )[:, 0]
+        sels_c = jnp.stack(sels_c, axis=1)  # [NB, 4]
+        new_sel = jnp.take_along_axis(
+            sels_c, win_b[:, None], axis=1
+        )[:, 0]
+        new_ep = jnp.where(share_b, new_ep, eps)
+        new_sel = jnp.where(share_b, new_sel, sels)
+        return new_ep, new_sel
+
+    return jax.jit(run, static_argnames=())
+
+
+def quad_share_endpoints(
+    blocks: np.ndarray, pal: "Palettes", nby: int, nbx: int,
+    tau: float = 2048.0,
+) -> None:
+    """Unify each 2x2 block quad onto one endpoint index, in place.
+
+    The slice format prices endpoints per block (a delta symbol each) but
+    predicts them per 2x2 quad, so an assignment field that is constant
+    over quads pays ONE delta per quad plus a single repeated pred
+    symbol — the granularity basisu's frontend optimizes at. Candidates
+    are the quad's own four assigned endpoints; the winner minimizes the
+    exact quad error with per-block best selectors re-picked for it
+    (selectors stay per-block, so detail sharper than 8x8 survives).
+    Quality cost is bounded: the winning candidate's error is within the
+    four blocks' own fits. Static regions keep bitwise-stable quads, so
+    emission-time CR still fires frame-to-frame."""
+    import jax.numpy as jnp
+
+    f = pal.block_endpoint.shape[0]
+    nb = nby * nbx
+    key = (nby, nbx)
+    fn = _QUAD_JIT_CACHE.get(key)
+    if fn is None:
+        fn = _quad_share_fn(nby, nbx)
+        _QUAD_JIT_CACHE[key] = fn
+    S = len(pal.selectors)
+    sel_onehot = np.zeros((S, 16, 4), np.float32)
+    sidx = np.arange(S)[:, None]
+    sel_onehot[sidx, np.arange(16)[None, :], pal.selectors] = 1.0
+    sel_onehot = jnp.asarray(sel_onehot.reshape(S, 64))
+    color5 = jnp.asarray(pal.color5)
+    inten = jnp.asarray(pal.inten, jnp.int32)
+    blocks = np.asarray(blocks).reshape(f, nb, 16, 3)
+    for i in range(f):
+        ep, sel = fn(
+            jnp.asarray(blocks[i], jnp.float32), color5, inten, sel_onehot,
+            jnp.asarray(pal.block_endpoint[i], jnp.int32),
+            jnp.asarray(pal.block_selector[i], jnp.int32),
+            jnp.float32(tau),
+        )
+        pal.block_endpoint[i] = np.asarray(ep, np.int32)
+        pal.block_selector[i] = np.asarray(sel, np.int32)
+
+
 def rdo_refine_assignments(
     blocks: np.ndarray,
     pal: "Palettes",
@@ -1259,6 +1409,33 @@ def encode_etc1s_slice_bits(
 # ---------------------------------------------------------------------------
 
 
+def sort_endpoint_palette(pal: Palettes) -> None:
+    """Reorder the endpoint codebook along its color axis, in place.
+
+    The slice format delta-codes explicit endpoint indices in raster
+    order ((ep - prev_ep) mod E, Huffman over the delta alphabet), so
+    byte cost tracks the index distance between blocks that are spatial
+    neighbors in the image. k-means emits clusters in arbitrary order —
+    measured ~7.5-bit delta entropy on the liam corpus, near the 8-bit
+    maximum — while a codebook sorted along the dominant color axis maps
+    smooth image gradients onto adjacent indices (basisu ships the same
+    optimization: its backend remaps endpoint indices before coding, and
+    its files show ~3-bit P-slice delta entropy). Sorting also shrinks
+    the endpoint codebook section itself, whose color5 components are
+    delta-coded in index order (encode_endpoints)."""
+    ext = (pal.color5.astype(np.int64) << 3) | (pal.color5.astype(np.int64) >> 2)
+    luma = ext @ np.array([299, 587, 114], np.int64)
+    # stable sort, intensity as the minor key so equal-color entries
+    # with different contrast stay adjacent
+    key = luma * 8 + pal.inten.astype(np.int64)
+    perm = np.argsort(key, kind="stable")
+    inv = np.empty(len(perm), np.int32)
+    inv[perm] = np.arange(len(perm), dtype=np.int32)
+    pal.color5 = pal.color5[perm]
+    pal.inten = pal.inten[perm]
+    pal.block_endpoint = inv[pal.block_endpoint]
+
+
 def encode_ktx2_etc1s(
     frames: np.ndarray,
     *,
@@ -1269,6 +1446,7 @@ def encode_ktx2_etc1s(
     srgb: bool = True,
     rdo: bool = True,
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
+    endpoint_quads: bool = False,
     mesh: Optional["object"] = None,
 ) -> bytes:
     """[F, H, W, 3|4] uint8 → BasisLZ-supercompressed KTX2 (video layers).
@@ -1299,6 +1477,13 @@ def encode_ktx2_etc1s(
         rdo_chain_breaks=(f,) if has_alpha else (),
         mesh=mesh,
     )
+    if endpoint_quads:
+        quad_blocks = np.ascontiguousarray(
+            pal_input.reshape(n_slices, nby, 4, nbx, 4, 3)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n_slices, nby * nbx, 16, 3)
+        )
+        quad_share_endpoints(quad_blocks, pal, nby, nbx)
     num_endpoints = len(pal.color5)
     num_selectors = len(pal.selectors)
 
