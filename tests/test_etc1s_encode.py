@@ -268,3 +268,13 @@ def test_quad_share_endpoints_gated():
     q = g.reshape(nby // 2, 2, nbx // 2, 2)
     unified = ((q == q[:, :1, :, :1]).all(axis=(1, 3))).mean()
     assert unified > 0.3  # two flat halves: most quads must unify
+
+
+def test_quad_share_odd_grid_rejected():
+    from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+
+    img = np.zeros((1, 20, 20, 3), np.uint8)
+    with pytest.raises(ValueError, match="even block grid"):
+        encode_ktx2_etc1s(
+            img, endpoint_quads=True, num_endpoints=8, num_selectors=8
+        )

@@ -1048,6 +1048,12 @@ def quad_share_endpoints(
     import jax.numpy as jnp
 
     f = pal.block_endpoint.shape[0]
+    if nby % 2 or nbx % 2:
+        raise ValueError(
+            f"endpoint quads need an even block grid, got {nby}x{nbx} "
+            "(pad the input to a multiple of 8 pixels or encode without "
+            "endpoint_quads)"
+        )
     nb = nby * nbx
     key = (nby, nbx)
     fn = _QUAD_JIT_CACHE.get(key)
