@@ -130,3 +130,23 @@ def test_bc1_transcode_target(liam_output):
     # BC1 re-quantizes ETC1S output (565 endpoints, thirds vs symmetric
     # modifiers): expect a faithful but slightly lossy mapping
     assert psnr > 32, psnr
+
+
+def test_player_dispatches_etc2_eac_for_alpha(monkeypatch):
+    import uvol_tpu.player.v2 as v2
+    from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+
+    img = np.zeros((1, 16, 16, 4), np.uint8)
+    img[..., 1] = 80
+    img[..., 3] = 128  # non-opaque -> alpha slice
+    blob = encode_ktx2_etc1s(img)
+    monkeypatch.setattr(
+        v2, "DEVICE_TEXTURE_CAPABILITIES", ("etc2", "etc1")
+    )
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == "etc2-eac"
+    assert np.asarray(dec.data).shape == (1, 16, 4)
+    # etc1-only devices cannot take EAC alpha: full decode fallback
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("etc1",))
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == "rgba"

@@ -5,6 +5,7 @@ Skips when no EGL context is available (ASTC/BC7 have their own suites)."""
 import numpy as np
 import pytest
 
+import uvol_tpu.codecs.basis.transcoder as T
 from uvol_tpu.native.astc_oracle import (
     GL_COMPRESSED_RGB8_ETC2,
     GL_COMPRESSED_RGB_S3TC_DXT1,
@@ -83,3 +84,56 @@ def test_bc1_transcode_decodes_in_gl():
     )
     diff = np.abs(ref[..., :3].astype(int) - ours.astype(int))
     assert diff.mean() < 2.0 and np.percentile(diff, 99) <= 16
+
+
+@pytest.mark.skipif(not _HAS_GL, reason="no GL oracle")
+def test_etc2_eac_alpha_target_vs_gl():
+    """The etc2-eac target's 16-byte blocks decode in Mesa's independent
+    RGBA8_ETC2_EAC decoder to the same colors as the full RGBA decode
+    (color half bit-exact, alpha within one EAC quantization step)."""
+    from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.zeros((2, 32, 32, 4), np.uint8)
+    img[..., 0] = xx * 8
+    img[..., 1] = yy * 8
+    img[..., 2] = 128
+    img[..., 3] = np.where((xx // 8 + yy // 8) % 2 == 0, 255, 96)
+    f = read_ktx2(encode_ktx2_etc1s(img))
+    ref = T.transcode_ktx2_etc1s(f, "rgba")
+    words = T.transcode_ktx2_etc1s(f, "etc2-eac")
+    assert words.shape == (2, 64, 4)
+    for layer in range(2):
+        wire = np.frombuffer(
+            words[layer].astype(">u4").tobytes(), np.uint8
+        ).reshape(-1, 16)
+        dec = decode_blocks_gl(wire, 0x9278, 16)
+        out = np.zeros((32, 32, 4), np.uint8)
+        for b in range(len(wire)):
+            by, bx = divmod(b, 8)
+            out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = dec[b]
+        assert np.array_equal(out[..., :3], ref[layer][..., :3])
+        assert (
+            np.abs(out[..., 3].astype(int) - ref[layer][..., 3].astype(int))
+            .max()
+            <= 2
+        )
+
+
+@pytest.mark.skipif(not _HAS_GL, reason="no GL oracle")
+def test_etc2_eac_opaque_constant_alpha():
+    """Opaque files on the etc2-eac target carry an exact constant-255
+    alpha block (base 255, table-13 index 4 whose modifier is 0)."""
+    from uvol_tpu.codecs.basis.etc1s_encode import encode_ktx2_etc1s
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    img = np.zeros((1, 16, 16, 3), np.uint8)
+    img[..., 1] = np.arange(16)[:, None] * 15
+    f = read_ktx2(encode_ktx2_etc1s(img))
+    words = T.transcode_ktx2_etc1s(f, "etc2-eac")
+    wire = np.frombuffer(
+        words[0].astype(">u4").tobytes(), np.uint8
+    ).reshape(-1, 16)
+    dec = decode_blocks_gl(wire, 0x9278, 16)
+    assert (dec[..., 3] == 255).all()

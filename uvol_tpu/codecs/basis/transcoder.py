@@ -694,6 +694,114 @@ def alpha_blocks_to_bc4_words(
     return np.stack([w0.astype(np.uint32), w1.astype(np.uint32)], axis=1)
 
 
+#: ETC2 EAC alpha modifier tables (Khronos spec; extracted + verified
+#: against Mesa llvmpipe's GL_COMPRESSED_RGBA8_ETC2_EAC decoder)
+EAC_MODIFIERS = np.array([
+    (-3, -6, -9, -15, 2, 5, 8, 14),
+    (-3, -7, -10, -13, 2, 6, 9, 12),
+    (-2, -5, -8, -13, 1, 4, 7, 12),
+    (-2, -4, -6, -13, 1, 3, 5, 12),
+    (-3, -6, -8, -12, 2, 5, 7, 11),
+    (-3, -7, -9, -11, 2, 6, 8, 10),
+    (-4, -7, -8, -11, 3, 6, 7, 10),
+    (-3, -5, -8, -11, 2, 4, 7, 10),
+    (-2, -6, -8, -10, 1, 5, 7, 9),
+    (-2, -5, -8, -10, 1, 4, 7, 9),
+    (-2, -4, -8, -10, 1, 3, 7, 9),
+    (-2, -5, -7, -10, 1, 4, 6, 9),
+    (-3, -4, -7, -10, 2, 3, 6, 9),
+    (-1, -2, -3, -10, 0, 1, 2, 9),
+    (-4, -6, -8, -9, 3, 5, 7, 8),
+    (-3, -5, -7, -9, 2, 4, 6, 8),
+], np.int64)  # [16 tables, 8 indices]
+
+
+def eac_entry_tables(endpoints):
+    """Per-endpoint-entry EAC alpha parameters for the ETC1S gray alpha
+    slice: (byte0 [E] base, byte1 [E] mult<<4|table, code_map [E,4]).
+
+    An ETC1S alpha block holds at most the entry's 4 intensity levels
+    (alpha rides the green channel), so the best (base, multiplier,
+    table) fit depends only on the endpoint entry — searched over all
+    16 tables with a small multiplier/base neighborhood, scored by the
+    squared distance of each level to its nearest decodable value
+    (clamped like the hardware decoder)."""
+    color5, inten5 = _endpoint_arrays(endpoints)
+    g5 = color5[:, 1].astype(np.int64)
+    base8 = (g5 << 3) | (g5 >> 2)  # [E]
+    levels = np.clip(
+        base8[:, None] + INTEN_TABLES[inten5.astype(np.int64)], 0, 255
+    )  # [E,4] ascending
+    E = len(levels)
+    lmin, lmax = levels[:, 0], levels[:, 3]
+    mod_min = EAC_MODIFIERS.min(axis=1)  # [16]
+    mod_max = EAC_MODIFIERS.max(axis=1)
+    span = (mod_max - mod_min).astype(np.float64)  # [16]
+    mult0 = np.clip(
+        np.round((lmax - lmin)[:, None] / span[None, :]), 1, 15
+    )  # [E,16]
+    # candidate grid: per table, multiplier in {m0-1,m0,m0+1} x base in
+    # {b0-1,b0,b0+1}
+    mults = np.clip(
+        mult0[:, :, None] + np.array([-1.0, 0.0, 1.0]), 1, 15
+    )  # [E,16,3]
+    center = (lmin + lmax)[:, None, None] / 2.0
+    b0 = np.round(
+        center - mults * (mod_min + mod_max)[None, :, None] / 2.0
+    )
+    bases = np.clip(
+        b0[..., None] + np.array([-1.0, 0.0, 1.0]), 0, 255
+    )  # [E,16,3,3]
+    # decodable values: [E,16,3mult,3base,8idx]
+    vals = np.clip(
+        bases[..., None]
+        + mults[..., None, None] * EAC_MODIFIERS[None, :, None, None, :],
+        0,
+        255,
+    )
+    # error of each level against its nearest decodable value
+    d = np.abs(
+        vals[:, :, :, :, None, :] - levels[:, None, None, None, :, None]
+    )  # [E,16,3,3,4lev,8idx]
+    best_idx = d.argmin(axis=-1)  # [E,16,3,3,4]
+    err = (d.min(axis=-1) ** 2).sum(axis=-1)  # [E,16,3,3]
+    flat = err.reshape(E, -1).argmin(axis=1)
+    ti, mi, bi = np.unravel_index(flat, (16, 3, 3))
+    e_idx = np.arange(E)
+    byte0 = bases[e_idx, ti, mi, bi].astype(np.uint8)  # base codeword
+    mult = mults[e_idx, ti, mi].astype(np.uint8)
+    byte1 = ((mult << 4) | ti.astype(np.uint8)).astype(np.uint8)
+    code_map = best_idx[e_idx, ti, mi, bi]  # [E,4] level -> 3-bit index
+    return byte0, byte1, code_map.astype(np.int64)
+
+
+def alpha_blocks_to_eac_words(
+    blocks: np.ndarray, endpoints, selectors: np.ndarray
+) -> np.ndarray:
+    """ETC1S gray *alpha* slice blocks → EAC alpha words [N, 2] uint32
+    (big-endian halves, pack with `pack_etc1_payload` semantics: the
+    alpha half of a GL_COMPRESSED_RGBA8_ETC2_EAC block).
+
+    Wire: byte0 = base codeword, byte1 = multiplier<<4 | table, then a
+    48-bit index field, 3 bits per texel MSB-first in ETC column-major
+    order (texel k = x*4 + y)."""
+    byte0, byte1, code_map = eac_entry_tables(endpoints)
+    ep = blocks[..., 0].reshape(-1)
+    sel = blocks[..., 1].reshape(-1)
+    j16 = np.arange(16)
+    y, x = j16 % 4, j16 // 4  # k = x*4+y column-major
+    sel_codes = selectors[:, y, x]  # [S,16] level indices
+    codes = code_map[ep[:, None], sel_codes[sel]].astype(np.uint64)  # [N,16]
+    field = (codes << (3 * (15 - j16))[None, :].astype(np.uint64)).sum(1)
+    w0 = (
+        (byte0[ep].astype(np.uint64) << 24)
+        | (byte1[ep].astype(np.uint64) << 16)
+        | (field >> 32)
+    )
+    w1 = field & 0xFFFFFFFF
+    return np.stack([w0.astype(np.uint32), w1.astype(np.uint32)], axis=1)
+
+
 #: transcode-target selection table — priorities and constraints per device
 #: capability, mirroring the reference's FORMAT_OPTIONS
 #: (src/lib/KTX2Loader.js:591-697): lower priority number wins among
@@ -744,6 +852,9 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
     target="rgba": [layers, H, W, 3] uint8 pixels (full decode).
     target="etc1": [layers, nblocks, 2] uint32 ETC1 words (fast passthrough
     for ETC-capable devices — no pixel math, palette lookups only).
+    target="etc2-eac": [layers, nblocks, 4] uint32 — EAC alpha block words
+    followed by the ETC1 color words (GL_COMPRESSED_RGBA8_ETC2_EAC
+    layout); carries alpha files on ETC2-capable devices.
     """
     g = ktx2_file.basis_lz
     if g is None:
@@ -758,16 +869,19 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
     models = decode_slice_models(g.tables_data)
     level = ktx2_file.levels[0].data
     has_alpha = any(d.alpha_slice_byte_length for d in g.image_descs)
-    if has_alpha and target not in ("rgba", "bc1-bc3"):
-        # ETC2 EAC alpha blocks are a separate format; callers fall back to
-        # the full decode like the reference on devices with no matching
-        # alpha format (bc1-bc3 upgrades to BC3 = BC1 color + BC4 alpha)
+    if has_alpha and target not in ("rgba", "bc1-bc3", "etc2-eac"):
+        # callers fall back to the full decode like the reference on
+        # devices with no matching alpha format (bc1-bc3 upgrades to
+        # BC3 = BC1 color + BC4 alpha; etc2-eac pairs an EAC alpha
+        # block with the ETC1 color block)
         raise NotImplementedError(f"alpha slices: no {target!r} target")
     frames = []
     prev_blocks = None
     prev_alpha_blocks = None
     etc1_tabs = (
-        etc1_word_tables(endpoints, selectors) if target == "etc1" else None
+        etc1_word_tables(endpoints, selectors)
+        if target in ("etc1", "etc2-eac")
+        else None
     )
     for d in g.image_descs:
         sl = level[
@@ -792,17 +906,33 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
             prev_alpha_blocks = ab
             return ab
 
-        if target == "etc1":
+        if target in ("etc1", "etc2-eac"):
             word1_of, word2_of = etc1_tabs
-            frames.append(
-                np.stack(
-                    [
-                        word1_of[blocks[..., 0].reshape(-1)],
-                        word2_of[blocks[..., 1].reshape(-1)],
-                    ],
-                    axis=1,
-                )
+            color = np.stack(
+                [
+                    word1_of[blocks[..., 0].reshape(-1)],
+                    word2_of[blocks[..., 1].reshape(-1)],
+                ],
+                axis=1,
             )
+            if target == "etc2-eac":
+                # GL_COMPRESSED_RGBA8_ETC2_EAC: 8-byte EAC alpha block
+                # then the 8-byte color block
+                if has_alpha:
+                    alpha = alpha_blocks_to_eac_words(
+                        _alpha_blocks(), endpoints, selectors
+                    )
+                else:
+                    # constant opaque alpha: base 255, multiplier 1,
+                    # table 13 whose index 4 modifier is 0 -> exact 255
+                    alpha = np.empty_like(color)
+                    alpha[:, 0] = np.uint32(
+                        (255 << 24) | (0x1D << 16) | 0x9249
+                    )
+                    alpha[:, 1] = np.uint32(0x24924924)
+                frames.append(np.concatenate([alpha, color], axis=1))
+            else:
+                frames.append(color)
         elif target == "bc1-bc3":
             color = blocks_to_bc1_words(blocks, endpoints, selectors)
             if has_alpha:

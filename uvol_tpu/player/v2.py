@@ -71,6 +71,7 @@ class DecodedTexture:
 
       - ``"rgba"``: `data` is [F, H, W, 3|4] uint8 pixels,
       - ``"etc1"`` / ``"etc2"``: [F, nblocks, 2] uint32 block words
+      - ``"etc2-eac"``: [F, nblocks, 4] uint32 (EAC alpha + color words)
         (compressed passthrough, upload-ready),
       - ``"bc1"`` / ``"bc3"``: packed block words per transcoder docs.
 
@@ -122,7 +123,18 @@ def default_texture_decoder(data: bytes) -> DecodedTexture:
         if f.basis_lz is not None and any(
             d.alpha_slice_byte_length for d in f.basis_lz.image_descs
         ):
-            target = "rgba"  # compressed alpha targets not implemented
+            # alpha files upgrade to the paired-alpha-block formats where
+            # the device supports them (BC3, ETC2+EAC); otherwise full
+            # decode, like the reference's fallback column
+            if target == "bc1-bc3":
+                pass
+            elif (
+                target == "etc1"
+                and "etc2" in DEVICE_TEXTURE_CAPABILITIES
+            ):
+                target = "etc2-eac"
+            else:
+                target = "rgba"
         return DecodedTexture(target, transcode_ktx2_etc1s(f, target=target))
     from uvol_tpu.containers.ktx2 import KHR_DF_MODEL_UASTC
 
