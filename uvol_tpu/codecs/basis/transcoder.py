@@ -855,6 +855,9 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
     target="etc2-eac": [layers, nblocks, 4] uint32 — EAC alpha block words
     followed by the ETC1 color words (GL_COMPRESSED_RGBA8_ETC2_EAC
     layout); carries alpha files on ETC2-capable devices.
+    target="pvrtc1": [layers, nblocks, 2] uint32 PVRTC1 4bpp block words
+    (modulation, color) in Morton order — power-of-two textures only
+    (the format-selection table enforces this).
     """
     g = ktx2_file.basis_lz
     if g is None:
@@ -943,6 +946,14 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
                 frames.append(np.concatenate([alpha, color], axis=1))
             else:
                 frames.append(color)
+        elif target == "pvrtc1":
+            from uvol_tpu.codecs.basis.pvrtc import (
+                transcode_blocks_to_pvrtc1,
+            )
+
+            frames.append(
+                transcode_blocks_to_pvrtc1(blocks, endpoints, selectors, w, h)
+            )
         else:
             rgb = blocks_to_rgb(blocks, endpoints, selectors)[:h, :w]
             if has_alpha:

@@ -72,6 +72,7 @@ class DecodedTexture:
       - ``"rgba"``: `data` is [F, H, W, 3|4] uint8 pixels,
       - ``"etc1"`` / ``"etc2"``: [F, nblocks, 2] uint32 block words
       - ``"etc2-eac"``: [F, nblocks, 4] uint32 (EAC alpha + color words)
+      - ``"pvrtc1"``: [F, nblocks, 2] uint32 Morton-order PVRTC1 blocks
         (compressed passthrough, upload-ready),
       - ``"bc1"`` / ``"bc3"``: packed block words per transcoder docs.
 
