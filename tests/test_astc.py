@@ -223,7 +223,12 @@ def test_player_dispatches_astc_target(monkeypatch):
     )
     got = U.blocks_to_image_rgba(rgba.reshape(-1, 16, 4), 8, 8)
     assert np.abs(got.astype(int) - want[0].astype(int)).max() <= 8
-    # default (etc-only) capabilities keep the RGBA fallback
+    # etc-class capabilities now take the decode-and-refit ETC2+EAC
+    # words (round-3 blockfit targets); no-capability devices keep the
+    # RGBA fallback
     monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("etc2", "etc1"))
     dec2 = v2.default_texture_decoder(blob)
-    assert dec2.format == "rgba"
+    assert dec2.format == "etc2-eac"
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ())
+    dec3 = v2.default_texture_decoder(blob)
+    assert dec3.format == "rgba"

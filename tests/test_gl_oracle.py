@@ -137,3 +137,66 @@ def test_etc2_eac_opaque_constant_alpha():
     ).reshape(-1, 16)
     dec = decode_blocks_gl(wire, 0x9278, 16)
     assert (dec[..., 3] == 255).all()
+
+
+@pytest.mark.skipif(not _HAS_GL, reason="no GL oracle")
+@pytest.mark.parametrize(
+    "caps,fmt,gl_fmt,bpb",
+    [
+        (("etc2", "etc1"), "etc2-eac", 0x9278, 16),
+        (("dxt",), "bc1-bc3", 0x83F3, 16),
+    ],
+)
+def test_uastc_refit_targets_vs_gl(monkeypatch, caps, fmt, gl_fmt, bpb):
+    """UASTC's decode-and-refit rows of the reference format table emit
+    wire an independent decoder reconstructs close to the UASTC decode
+    (alpha exact on representable levels)."""
+    import uvol_tpu.player.v2 as v2
+    from uvol_tpu.codecs.basis import uastc as U
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.zeros((1, 32, 32, 4), np.uint8)
+    img[..., 0] = xx * 8
+    img[..., 1] = yy * 8
+    img[..., 2] = 100
+    img[..., 3] = np.where((xx // 8 + yy // 8) % 2 == 0, 255, 120)
+    blob = U.encode_uastc_ktx2(img)
+    ref = U.transcode_uastc(read_ktx2(blob), "rgba")[0]
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", caps)
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == fmt
+    words = np.asarray(dec.data)[0]
+    order = ">u4" if fmt == "etc2-eac" else "<u4"
+    wire = np.frombuffer(words.astype(order).tobytes(), np.uint8).reshape(
+        -1, bpb
+    )
+    d = decode_blocks_gl(wire, gl_fmt, bpb)
+    out = np.zeros((32, 32, 4), np.uint8)
+    for b in range(len(wire)):
+        by, bx = divmod(b, 8)
+        out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = d[b]
+    err = np.abs(out.astype(int) - ref.astype(int))
+    assert err[..., :3].max() <= 24
+    assert err[..., 3].max() <= 4
+
+
+def test_uastc_pvrtc1_refit(monkeypatch):
+    import uvol_tpu.player.v2 as v2
+    from uvol_tpu.codecs.basis import uastc as U
+    from uvol_tpu.codecs.basis.pvrtc import decode_pvrtc1_4bpp
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.zeros((1, 32, 32, 4), np.uint8)
+    img[..., 0] = xx * 8
+    img[..., 1] = yy * 8
+    img[..., 3] = 255
+    blob = U.encode_uastc_ktx2(img)
+    ref = U.transcode_uastc(read_ktx2(blob), "rgba")[0]
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("pvrtc",))
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == "pvrtc1"
+    out = decode_pvrtc1_4bpp(np.asarray(dec.data)[0], 32, 32)
+    mse = ((out[..., :3].astype(float) - ref[..., :3].astype(float)) ** 2).mean()
+    assert 10 * np.log10(255**2 / mse) > 22.0

@@ -133,11 +133,23 @@ def test_player_dispatches_uastc():
     UASTC transcoder (reference: KTX2Loader format dispatch)."""
     from uvol_tpu.player.v2 import default_texture_decoder
 
+    import uvol_tpu.player.v2 as v2
+
     imgs = _smooth()[None]
     blob = U.encode_uastc_ktx2(imgs, zstd=False)
+    # etc-class default capabilities: decode-and-refit ETC2+EAC words
     out = default_texture_decoder(blob)
+    assert out.format == "etc2-eac"
+    assert np.asarray(out.data).shape == (1, 256, 4)
+    # with no compressed-format capability: full RGBA decode
+    saved = v2.DEVICE_TEXTURE_CAPABILITIES
+    try:
+        v2.DEVICE_TEXTURE_CAPABILITIES = ()
+        out = default_texture_decoder(blob)
+    finally:
+        v2.DEVICE_TEXTURE_CAPABILITIES = saved
     assert out.shape == (1, 64, 64, 4)
-    mse = ((out.astype(float) - imgs.astype(float)) ** 2).mean()
+    mse = ((np.asarray(out.data).astype(float) - imgs.astype(float)) ** 2).mean()
     assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 38
 
 

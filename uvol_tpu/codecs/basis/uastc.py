@@ -1006,8 +1006,17 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
     against Mesa's independent ASTC decoder).
     target="bc7": [layers, nblocks, 16] uint8 REAL BC7/BPTC blocks
     (codecs/basis/bc7.py — the KTX2Loader `bc7` desktop target; wire
-    validated against Mesa's independent BPTC decoder)."""
-    if target not in ("rgba", "astc", "bc7"):
+    validated against Mesa's independent BPTC decoder).
+    target="etc1" / "etc2-eac" / "bc1-bc3" / "pvrtc1": decode-and-refit
+    (UASTC configurations have no structural mapping onto these formats,
+    matching basisu's own transcoder): per-block ETC1 fit
+    (etc.encode_etc1_blocks), + EAC alpha fit for etc2-eac
+    ([layers, nblocks, 4] uint32), BC1 / BC4+BC1 words
+    ([layers, nblocks, 2|4] uint32), Morton-order PVRTC1 words
+    ([layers, nblocks, 2] uint32, power-of-two only)."""
+    if target not in (
+        "rgba", "astc", "bc7", "etc1", "etc2-eac", "bc1-bc3", "pvrtc1"
+    ):
         raise NotImplementedError(f"UASTC transcode target {target!r}")
     marker = ktx2_file.key_value.get(UASTC_PROFILE_KEY)
     if marker is None or marker.rstrip(b"\x00") != UASTC_PROFILE_VALUE:
@@ -1042,6 +1051,50 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
             from uvol_tpu.codecs.basis.bc7 import transcode_uastc_to_bc7
 
             frames.append(transcode_uastc_to_bc7(blocks))
+        elif target in ("etc1", "etc2-eac", "bc1-bc3", "pvrtc1"):
+            # decode-and-refit rows of the reference's format table
+            import jax.numpy as jnp
+
+            from uvol_tpu.codecs.basis import etc as _etc
+            from uvol_tpu.codecs.basis.blockfit import (
+                fit_bc1_blocks,
+                fit_bc4_blocks,
+                fit_eac_blocks,
+                fit_pvrtc1_from_rgba,
+            )
+
+            px = decode_uastc_blocks(blocks)  # [B,4,4,4]
+            if target == "pvrtc1":
+                img = blocks_to_image_rgba(px, h, w)
+                frames.append(fit_pvrtc1_from_rgba(img))
+                continue
+            a16 = px[..., 3].reshape(-1, 16)
+            has_alpha = (a16 != 255).any()
+            if target == "bc1-bc3":
+                color = fit_bc1_blocks(px[..., :3].reshape(-1, 16, 3))
+                if has_alpha:
+                    alpha = fit_bc4_blocks(a16)
+                    frames.append(np.concatenate([alpha, color], axis=1))
+                else:
+                    frames.append(color)
+                continue
+            color = np.asarray(
+                _etc.encode_etc1_blocks(jnp.asarray(px[..., :3]))
+            )
+            if target == "etc2-eac":
+                alpha = (
+                    fit_eac_blocks(a16)
+                    if has_alpha
+                    else np.broadcast_to(
+                        np.array(
+                            [0xFF1D9249, 0x24924924], np.uint32
+                        )[None, :],
+                        color.shape,
+                    ).copy()
+                )
+                frames.append(np.concatenate([alpha, color], axis=1))
+            else:
+                frames.append(color)
         else:
             frames.append(
                 blocks_to_image_rgba(decode_uastc_blocks(blocks), h, w)

@@ -141,9 +141,9 @@ def default_texture_decoder(data: bytes) -> DecodedTexture:
 
     if f.dfd_color_model() == KHR_DF_MODEL_UASTC:
         # UASTC path (reference: KTX2Loader UASTC column of FORMAT_OPTIONS)
-        # — astc-4x4 devices get REAL ASTC blocks (codecs/basis/astc.py
-        # transcode); other compressed targets fall back to the full RGBA
-        # decode, like the reference on an unsupported device
+        # — astc-4x4 devices get REAL ASTC blocks and bptc devices real
+        # BC7 (structural transcodes); ETC/DXT/PVRTC-class devices get
+        # decode-and-refit block words, matching basisu's transcoder
         from uvol_tpu.codecs.basis.transcoder import select_transcode_target
         from uvol_tpu.codecs.basis.uastc import transcode_uastc
 
@@ -159,6 +159,14 @@ def default_texture_decoder(data: bytes) -> DecodedTexture:
             )
         if target == "bc7":
             return DecodedTexture("bc7", transcode_uastc(f, target="bc7"))
+        if target == "etc1" and "etc2" in DEVICE_TEXTURE_CAPABILITIES:
+            # ETC2-capable devices take the EAC-paired form so alpha
+            # content survives; plain etc1 devices get the color words
+            return DecodedTexture(
+                "etc2-eac", transcode_uastc(f, target="etc2-eac")
+            )
+        if target in ("etc1", "bc1-bc3", "pvrtc1"):
+            return DecodedTexture(target, transcode_uastc(f, target=target))
         return DecodedTexture("rgba", transcode_uastc(f, target="rgba"))
     from uvol_tpu.models.sequence import TextureSequenceCodec
 
