@@ -88,3 +88,30 @@ def test_alpha_files_refuse_pvrtc1():
     f = read_ktx2(encode_ktx2_etc1s(img))
     with pytest.raises(NotImplementedError):
         T.transcode_ktx2_etc1s(f, "pvrtc1")
+
+
+def test_nonsquare_grid_roundtrip():
+    """Non-square power-of-two grids use the TwiddleUV order (smaller
+    dimension interleaved, larger dimension's high bits linear); the
+    pair must roundtrip with full index coverage."""
+    yy, xx = np.mgrid[0:16, 0:64]
+    img = np.zeros((16, 64, 3), np.uint8)
+    img[..., 0] = xx * 4
+    img[..., 1] = yy * 16
+    from uvol_tpu.codecs.basis.blockfit import fit_pvrtc1_from_rgba
+
+    words = fit_pvrtc1_from_rgba(img)
+    assert words.shape == (64, 2)
+    dec = decode_pvrtc1_4bpp(words, 64, 16)
+    mse = ((dec[..., :3].astype(float) - img.astype(float)) ** 2).mean()
+    # gradients wrap at the texture border (PVRTC filter wraps), so the
+    # bar is lower than the square-texture test; a broken block order
+    # lands near 10 dB
+    assert 10 * np.log10(255**2 / mse) > 20
+
+
+def test_twiddle_order_bijective():
+    for nbx, nby in ((8, 2), (2, 8), (4, 4), (16, 4)):
+        gy, gx = np.mgrid[0:nby, 0:nbx]
+        m = _morton_interleave(gx.ravel(), gy.ravel(), nbx, nby)
+        assert sorted(m.tolist()) == list(range(nbx * nby)), (nbx, nby)

@@ -215,7 +215,7 @@ def fit_pvrtc1_from_rgba(img: np.ndarray) -> np.ndarray:
     code = err.argmin(-1).astype(np.uint64)
     modw = (code << (2 * t)[None, :].astype(np.uint64)).sum(1)
     gy, gx = np.mgrid[0:by, 0:bx]
-    morton = _morton_interleave(gx.ravel(), gy.ravel())
+    morton = _morton_interleave(gx.ravel(), gy.ravel(), bx, by)
     out = np.zeros((by * bx, 2), np.uint32)
     out[morton, 0] = modw.astype(np.uint32)
     out[morton, 1] = colw.reshape(-1).astype(np.uint32)

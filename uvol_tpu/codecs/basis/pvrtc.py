@@ -34,13 +34,27 @@ import numpy as np
 _MOD_WEIGHTS8 = np.array([0, 3, 5, 8], np.int64)
 
 
-def _morton_interleave(bx: np.ndarray, by: np.ndarray) -> np.ndarray:
-    """Standard PVRTC block order: Morton/Z-order with y in the even bit
-    positions (TwiddleUV), valid for power-of-two block grids."""
+def _morton_interleave(
+    bx: np.ndarray, by: np.ndarray, nbx: int = 0, nby: int = 0
+) -> np.ndarray:
+    """PVRTC block order (PowerVR TwiddleUV): Morton/Z-order with y in
+    the even bit positions. For non-square power-of-two grids the
+    smaller dimension's bits interleave and the larger dimension's
+    remaining high bits append linearly above them (hardware rule; a
+    plain Morton would leave index gaps). Square grids (nbx == nby, or
+    the sizes omitted) reduce to standard Morton."""
     out = np.zeros_like(bx)
-    for bit in range(16):
+    if nbx <= 0 or nby <= 0 or nbx == nby:
+        for bit in range(16):
+            out |= ((by >> bit) & 1) << (2 * bit)
+            out |= ((bx >> bit) & 1) << (2 * bit + 1)
+        return out
+    min_bits = min(nbx, nby).bit_length() - 1
+    for bit in range(min_bits):
         out |= ((by >> bit) & 1) << (2 * bit)
         out |= ((bx >> bit) & 1) << (2 * bit + 1)
+    longer = bx if nbx > nby else by
+    out |= (longer >> min_bits) << (2 * min_bits)
     return out
 
 
@@ -111,7 +125,7 @@ def decode_pvrtc1_4bpp(words: np.ndarray, width: int, height: int) -> np.ndarray
     words = np.asarray(words, np.uint64).reshape(by * bx, 2)
     # de-morton into raster block grids
     gy, gx = np.mgrid[0:by, 0:bx]
-    morton = _morton_interleave(gx.ravel(), gy.ravel())
+    morton = _morton_interleave(gx.ravel(), gy.ravel(), bx, by)
     modw = np.zeros(by * bx, np.uint64)
     colw = np.zeros(by * bx, np.uint64)
     modw[np.arange(by * bx)] = words[morton, 0]
@@ -211,7 +225,7 @@ def transcode_blocks_to_pvrtc1(
 
     # morton-order the output
     gy, gx = np.mgrid[0:by, 0:bx]
-    morton = _morton_interleave(gx.ravel(), gy.ravel())
+    morton = _morton_interleave(gx.ravel(), gy.ravel(), bx, by)
     out = np.zeros((by * bx, 2), np.uint32)
     out[morton, 0] = modw.astype(np.uint32)
     out[morton, 1] = colw.reshape(-1).astype(np.uint32)
