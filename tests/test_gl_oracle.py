@@ -200,3 +200,23 @@ def test_uastc_pvrtc1_refit(monkeypatch):
     out = decode_pvrtc1_4bpp(np.asarray(dec.data)[0], 32, 32)
     mse = ((out[..., :3].astype(float) - ref[..., :3].astype(float)) ** 2).mean()
     assert 10 * np.log10(255**2 / mse) > 22.0
+
+
+def test_uastc_refit_mixed_alpha_layers(monkeypatch):
+    """A multi-layer file where only one layer has alpha must emit a
+    uniform word layout (file-level alpha decision, not per-layer)."""
+    import uvol_tpu.player.v2 as v2
+    from uvol_tpu.codecs.basis import uastc as U
+
+    img = np.zeros((2, 16, 16, 4), np.uint8)
+    img[..., 1] = 90
+    img[..., 3] = 255
+    img[1, :8, :8, 3] = 100  # alpha only in layer 1
+    blob = U.encode_uastc_ktx2(img)
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("dxt",))
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == "bc1-bc3"
+    assert np.asarray(dec.data).shape == (2, 16, 4)  # BC3 on BOTH layers
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("etc2", "etc1"))
+    dec = v2.default_texture_decoder(blob)
+    assert np.asarray(dec.data).shape == (2, 16, 4)

@@ -1039,6 +1039,22 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
     # non-multiple-of-4 textures; blocks_to_image_rgba crops to [h, w])
     per = (-(-h // 4)) * (-(-w // 4)) * 16
     frames = []
+    file_has_alpha = None
+    if target in ("etc2-eac", "bc1-bc3"):
+        # alpha layout must be uniform across layers (a per-layer
+        # decision would produce ragged word shapes): any non-opaque
+        # texel anywhere makes the whole file carry alpha blocks
+        file_has_alpha = any(
+            (
+                decode_uastc_blocks(
+                    np.frombuffer(
+                        data[i * per : (i + 1) * per], np.uint8
+                    ).reshape(-1, 16)
+                )[..., 3]
+                != 255
+            ).any()
+            for i in range(layers)
+        )
     for i in range(layers):
         blocks = np.frombuffer(
             data[i * per : (i + 1) * per], np.uint8
@@ -1069,7 +1085,7 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
                 frames.append(fit_pvrtc1_from_rgba(img))
                 continue
             a16 = px[..., 3].reshape(-1, 16)
-            has_alpha = (a16 != 255).any()
+            has_alpha = file_has_alpha
             if target == "bc1-bc3":
                 color = fit_bc1_blocks(px[..., :3].reshape(-1, 16, 3))
                 if has_alpha:
