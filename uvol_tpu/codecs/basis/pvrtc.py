@@ -112,7 +112,9 @@ def _upscale_bilinear_wrap(low: np.ndarray) -> np.ndarray:
     x0 %= bx
     y1 = (y0 + 1) % by
     x1 = (x0 + 1) % bx
-    lowf = low.astype(np.float64)
+    lowf = low.astype(np.float32)
+    fy = fy.astype(np.float32)
+    fx = fx.astype(np.float32)
     top = lowf[y0][:, x0] * (1 - fx) + lowf[y0][:, x1] * fx
     bot = lowf[y1][:, x0] * (1 - fx) + lowf[y1][:, x1] * fx
     return top * (1 - fy) + bot * fy
@@ -213,13 +215,15 @@ def transcode_blocks_to_pvrtc1(
     )  # [N,16,3]
     yy = (np.repeat(np.arange(by), bx) * 4)[:, None] + ly[None, :]
     xx = (np.tile(np.arange(bx), by) * 4)[:, None] + lx[None, :]
-    at = a_up[yy, xx]  # [N,16,3]
-    bt = b_up[yy, xx]
-    cand = (
-        at[:, :, None, :]
-        + (bt - at)[:, :, None, :] * (_MOD_WEIGHTS8 / 8.0)[None, None, :, None]
-    )  # [N,16,4,3]
-    err = ((cand - want[:, :, None, :]) ** 2).sum(-1)  # [N,16,4]
+    at = a_up[yy, xx]  # [N,16,3] float32
+    diff = b_up[yy, xx] - at
+    wantf = want.astype(np.float32)
+    # per-weight error without materializing the [N,16,4,3] candidate
+    # tensor (float64 version profiled at ~650 ms/frame at 1024^2)
+    err = np.empty(at.shape[:2] + (4,), np.float32)
+    for k in range(4):
+        v = at + np.float32(_MOD_WEIGHTS8[k] / 8.0) * diff - wantf
+        err[:, :, k] = (v * v).sum(-1)
     code = err.argmin(-1).astype(np.uint64)  # [N,16]
     modw = (code << (2 * t)[None, :].astype(np.uint64)).sum(1)  # [N]
 
