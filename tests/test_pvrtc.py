@@ -115,3 +115,30 @@ def test_twiddle_order_bijective():
         gy, gx = np.mgrid[0:nby, 0:nbx]
         m = _morton_interleave(gx.ravel(), gy.ravel(), nbx, nby)
         assert sorted(m.tolist()) == list(range(nbx * nby)), (nbx, nby)
+
+
+def test_punch_through_mode_decode():
+    """Blocks selecting the alternate modulation mode blend codes 1/2 at
+    4/8 and make code 2 transparent (decoder-side only: the transcoder
+    never emits mode 1)."""
+    # one-block texture: A = black (554), B = white, all four codes used
+    a14 = 0  # black
+    b15 = 0x7FFF  # white
+    colw = (b15 << 16) | (1 << 31) | (a14 << 1) | (1 << 15) | 1  # mode=1
+    codes = [0, 1, 2, 3] * 4
+    modw = 0
+    for t, c in enumerate(codes):
+        modw |= c << (2 * t)
+    words = np.array([[modw, colw]], np.uint32)
+    dec = decode_pvrtc1_4bpp(words, 4, 4)
+    flat_codes = np.array(codes).reshape(4, 4)
+    # code 2 texels transparent, everything else opaque
+    assert (dec[..., 3][flat_codes == 2] == 0).all()
+    assert (dec[..., 3][flat_codes != 2] == 255).all()
+    # single-block texture: interpolation field is constant, so code 0
+    # reconstructs A, code 3 reconstructs B, codes 1/2 the 4/8 midpoint
+    rgb = dec[..., :3].astype(int)
+    assert (rgb[flat_codes == 0] == 0).all()
+    assert (rgb[flat_codes == 3] == 255).all()
+    mid = rgb[(flat_codes == 1) | (flat_codes == 2)]
+    assert np.abs(mid - 128).max() <= 1
