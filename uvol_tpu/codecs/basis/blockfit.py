@@ -62,25 +62,58 @@ def fit_bc1_blocks(px: np.ndarray) -> np.ndarray:
     proj = np.einsum("npc,nc->np", cov_d, v)  # [N,16]
     ilo = proj.argmin(axis=1)
     ihi = proj.argmax(axis=1)
-    e0 = px[np.arange(N), ihi]  # color0 = high end
-    e1 = px[np.arange(N), ilo]
-    c0 = _quant565(e0)
-    c1 = _quant565(e1)
-    # force opaque mode (c0 > c1); equal endpoints: all codes 0
-    swap = c0 < c1
-    c0s = np.where(swap, c1, c0)
-    c1s = np.where(swap, c0, c1)
-    p0 = _expand565(c0s).astype(np.int64)
-    p1 = _expand565(c1s).astype(np.int64)
-    pal = np.stack(
-        [p0, p1, (2 * p0 + p1 + 1) // 3, (p0 + 2 * p1 + 1) // 3], axis=1
-    )  # [N,4,3]
-    err = ((px[:, :, None, :] - pal[:, None, :, :]) ** 2).sum(-1)  # [N,16,4]
-    codes = err.argmin(-1).astype(np.uint64)  # [N,16]
-    codes = np.where((c0s == c1s)[:, None], 0, codes)
-    w1 = (codes << (2 * np.arange(16))[None, :].astype(np.uint64)).sum(1)
-    w0 = c0s.astype(np.uint64) | (c1s.astype(np.uint64) << 16)
-    return np.stack([w0.astype(np.uint32), w1.astype(np.uint32)], axis=1)
+    e0 = px[np.arange(N), ihi].astype(np.float64)  # color0 = high end
+    e1 = px[np.arange(N), ilo].astype(np.float64)
+
+    def finish(e0f, e1f):
+        """Quantize endpoints, pick codes, return (words, error)."""
+        c0 = _quant565(np.clip(np.rint(e0f), 0, 255).astype(np.int64))
+        c1 = _quant565(np.clip(np.rint(e1f), 0, 255).astype(np.int64))
+        # force opaque mode (c0 > c1); equal endpoints: all codes 0
+        swap = c0 < c1
+        c0s = np.where(swap, c1, c0)
+        c1s = np.where(swap, c0, c1)
+        p0 = _expand565(c0s).astype(np.int64)
+        p1 = _expand565(c1s).astype(np.int64)
+        pal = np.stack(
+            [p0, p1, (2 * p0 + p1 + 1) // 3, (p0 + 2 * p1 + 1) // 3], axis=1
+        )  # [N,4,3]
+        err = ((px[:, :, None, :] - pal[:, None, :, :]) ** 2).sum(-1)
+        codes = err.argmin(-1)  # [N,16]
+        codes = np.where((c0s == c1s)[:, None], 0, codes)
+        tot = np.take_along_axis(err, codes[:, :, None], axis=2)[..., 0].sum(1)
+        w1 = (
+            codes.astype(np.uint64)
+            << (2 * np.arange(16))[None, :].astype(np.uint64)
+        ).sum(1)
+        w0 = c0s.astype(np.uint64) | (c1s.astype(np.uint64) << 16)
+        words = np.stack(
+            [w0.astype(np.uint32), w1.astype(np.uint32)], axis=1
+        )
+        return words, tot, codes
+
+    words0, err0, codes0 = finish(e0, e1)
+    # one least-squares endpoint refinement against the chosen codes
+    # (stb_dxt-style): minimize sum |p - (a*w + b*(1-w))|^2 over (a, b)
+    # per channel with w in {1, 0, 2/3, 1/3}; keep only if it improves
+    wtab = np.array([1.0, 0.0, 2.0 / 3.0, 1.0 / 3.0])
+    w = wtab[codes0]  # [N,16] weight of endpoint 0
+    sw2 = (w * w).sum(1)
+    swu = (w * (1 - w)).sum(1)
+    su2 = ((1 - w) ** 2).sum(1)
+    det = sw2 * su2 - swu * swu
+    rhs0 = np.einsum("np,npc->nc", w, px.astype(np.float64))
+    rhs1 = np.einsum("np,npc->nc", 1 - w, px.astype(np.float64))
+    ok = np.abs(det) > 1e-9
+    detS = np.where(ok, det, 1.0)
+    a = (su2[:, None] * rhs0 - swu[:, None] * rhs1) / detS[:, None]
+    bq = (sw2[:, None] * rhs1 - swu[:, None] * rhs0) / detS[:, None]
+    a = np.where(ok[:, None], a, e0)
+    bq = np.where(ok[:, None], bq, e1)
+    words1, err1, _ = finish(a, bq)
+    take = err1 < err0
+    words = np.where(take[:, None], words1, words0)
+    return words
 
 
 def fit_bc4_blocks(a: np.ndarray) -> np.ndarray:
