@@ -142,3 +142,19 @@ def test_punch_through_mode_decode():
     assert (rgb[flat_codes == 3] == 255).all()
     mid = rgb[(flat_codes == 1) | (flat_codes == 2)]
     assert np.abs(mid - 128).max() <= 1
+
+
+def test_uastc_alpha_refuses_pvrtc1(monkeypatch):
+    import uvol_tpu.player.v2 as v2
+    from uvol_tpu.codecs.basis import uastc as U
+
+    img = np.zeros((1, 16, 16, 4), np.uint8)
+    img[..., 1] = 60
+    img[..., 3] = 120
+    blob = U.encode_uastc_ktx2(img)
+    with pytest.raises(NotImplementedError):
+        U.transcode_uastc(read_ktx2(blob), "pvrtc1")
+    # the player falls back to the full decode instead of flattening
+    monkeypatch.setattr(v2, "DEVICE_TEXTURE_CAPABILITIES", ("pvrtc",))
+    dec = v2.default_texture_decoder(blob)
+    assert dec.format == "rgba"

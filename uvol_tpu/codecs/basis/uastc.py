@@ -1040,7 +1040,7 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
     per = (-(-h // 4)) * (-(-w // 4)) * 16
     frames = []
     file_has_alpha = None
-    if target in ("etc2-eac", "bc1-bc3"):
+    if target in ("etc2-eac", "bc1-bc3", "pvrtc1"):
         # alpha layout must be uniform across layers (a per-layer
         # decision would produce ragged word shapes): any non-opaque
         # texel anywhere makes the whole file carry alpha blocks
@@ -1081,6 +1081,12 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
 
             px = decode_uastc_blocks(blocks)  # [B,4,4,4]
             if target == "pvrtc1":
+                if file_has_alpha:
+                    # PVRTC1 punch-through alpha is not implemented;
+                    # refusing beats silently flattening the channel
+                    raise NotImplementedError(
+                        "pvrtc1 target: file carries alpha"
+                    )
                 img = blocks_to_image_rgba(px, h, w)
                 frames.append(fit_pvrtc1_from_rgba(img))
                 continue

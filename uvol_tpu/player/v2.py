@@ -166,7 +166,14 @@ def default_texture_decoder(data: bytes) -> DecodedTexture:
                 "etc2-eac", transcode_uastc(f, target="etc2-eac")
             )
         if target in ("etc1", "bc1-bc3", "pvrtc1"):
-            return DecodedTexture(target, transcode_uastc(f, target=target))
+            try:
+                return DecodedTexture(
+                    target, transcode_uastc(f, target=target)
+                )
+            except NotImplementedError:
+                # e.g. alpha content on the pvrtc1 target: full decode,
+                # like the reference's unsupported-combination fallback
+                pass
         return DecodedTexture("rgba", transcode_uastc(f, target="rgba"))
     from uvol_tpu.models.sequence import TextureSequenceCodec
 
