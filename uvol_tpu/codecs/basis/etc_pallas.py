@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from uvol_tpu.codecs.basis.etc import _MODS, MODIFIER_TABLE
+from uvol_tpu.codecs.basis.etc import MODIFIER_TABLE
 
 TILE_L = 1024  # blocks (lanes) per kernel instance
 
@@ -70,20 +70,25 @@ def _encode_subblock(sub, base_ch):
     basef = [b.astype(jnp.float32) for b in base_ch]
 
     # ---- pass 1: linear table ranking ------------------------------------
+    # the reference form is q = k_lin - 2m·g = sb2 + 2m·(sb-g) + 3m² per
+    # signed mod m ∈ {±s, ±l}; the best sign is -sign(sb-g), so the min
+    # over the 4 mods is sb2 + min_{m'∈{s,l}}(3m'² - 2m'·|sb-g|) — and the
+    # per-lane constant sb2 shifts every table's total equally, so it
+    # drops out of the ranking. All quantities are integers < 2^24, exact
+    # in f32: the regrouped op chain ranks identically to the reference
+    # (5 vector ops per table instead of 12).
     g = P[0] + P[1] + P[2]  # [8,T]
     sb = basef[0] + basef[1] + basef[2]  # [1,T]
-    sb2 = (
-        basef[0] * basef[0] + basef[1] * basef[1] + basef[2] * basef[2]
-    )
+    au = jnp.abs(sb - g)  # [8,T]
     tab_tots = []
     for tab in range(8):
-        tab_min = None
-        for m in _MODS[tab]:
-            mf = float(m)
-            k_lin = sb2 + (2.0 * mf) * sb + (3.0 * mf * mf)  # [1,T]
-            q = k_lin - (2.0 * mf) * g  # [8,T]
-            tab_min = q if tab_min is None else jnp.minimum(tab_min, q)
-        tab_tots.append(jnp.sum(tab_min, axis=0, keepdims=True))  # [1,T]
+        s_m = float(MODIFIER_TABLE[tab][0])
+        l_m = float(MODIFIER_TABLE[tab][1])
+        qs = (3.0 * s_m * s_m) - (2.0 * s_m) * au  # [8,T]
+        ql = (3.0 * l_m * l_m) - (2.0 * l_m) * au
+        tab_tots.append(
+            jnp.sum(jnp.minimum(qs, ql), axis=0, keepdims=True)
+        )  # [1,T]
     first_tot, first_tab = tab_tots[0], jnp.zeros(sb.shape, jnp.int32)
     for tab in range(1, 8):
         better = tab_tots[tab] < first_tot  # strict: lowest index wins
