@@ -569,30 +569,45 @@ def main() -> None:
     _force(res)
 
     # ---- jax.profiler trace capture (SURVEY §5 tracing; VERDICT r2 #9) -------
-    # UVT_BENCH_TRACE=1 (or UVT_BENCH_TRACE_DIR=path) wraps one full
-    # device-chain dispatch in jax.profiler.trace so kernel-level device
-    # attribution comes from real XLA traces instead of tunnel-timing
-    # heuristics. View with TensorBoard or xprof (docs/PERF.md).
+    # Default ON whenever a device is present (VERDICT r3 item 5): one
+    # full device-chain dispatch is wrapped in jax.profiler.trace so
+    # kernel-level device attribution comes from real XLA traces instead
+    # of tunnel-timing heuristics. UVT_BENCH_TRACE=0 disables;
+    # UVT_BENCH_TRACE_DIR overrides the output path. View with
+    # TensorBoard or xprof (docs/PERF.md §7).
     trace_dir = None
-    if os.environ.get("UVT_BENCH_TRACE") == "1" or os.environ.get(
-        "UVT_BENCH_TRACE_DIR"
-    ):
+    if os.environ.get("UVT_BENCH_TRACE", "1") != "0":
         trace_dir = os.environ.get("UVT_BENCH_TRACE_DIR") or os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "traces",
             time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
         )
-        os.makedirs(trace_dir, exist_ok=True)
-        with jax.profiler.trace(trace_dir):
-            res = device_chain()
-            _force(res)
+        try:
+            os.makedirs(trace_dir, exist_ok=True)
+            with jax.profiler.trace(trace_dir):
+                res = device_chain()
+                _force(res)
+        except Exception:
+            trace_dir = None  # tracing must never sink the bench run
 
-    dev_reps = 3
-    t0 = time.perf_counter()
-    for _ in range(dev_reps):
-        res = device_chain()
-    _force(res)
-    device_fps = dev_reps * F / (time.perf_counter() - t0)
+    # 6 queued dispatches per timed region (amortizes the final forced
+    # fetch's ~10-40 ms tunnel roundtrip), and every device metric is the
+    # MEDIAN of 3 timed regions: tunnel hiccups only ever ADD time, and a
+    # single-region sample has historically swung these numbers ±30%
+    # (r3's 8.52x streams8 record vs 11.2x measured the next morning)
+    dev_reps = 6
+
+    def _median_device_fps(fn, units):
+        vals = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(dev_reps):
+                res = fn()
+            _force(res)
+            vals.append(dev_reps * units / (time.perf_counter() - t0))
+        return float(np.median(vals))
+
+    device_fps = _median_device_fps(device_chain, F)
 
     # strip-resident texture chain: a production TPU pipeline keeps
     # textures in the strip-planar device layout end-to-end (one MXU
@@ -619,11 +634,7 @@ def main() -> None:
 
     res_s = device_chain_strips()
     _force(res_s)
-    t0 = time.perf_counter()
-    for _ in range(dev_reps):
-        res_s = device_chain_strips()
-    _force(res_s)
-    device_strip_fps = dev_reps * F / (time.perf_counter() - t0)
+    device_strip_fps = _median_device_fps(device_chain_strips, F)
 
     # ---- device-only 8-stream metric (VERDICT r1 item 5) ---------------------
     # 8 concurrent liam-scale streams × 4 frames as ONE device batch
@@ -652,12 +663,7 @@ def main() -> None:
 
     sres = stream_chain()
     _force(sres)
-    t0 = time.perf_counter()
-    for _ in range(dev_reps):
-        sres = stream_chain()
-    _force(sres)
-    dt_s = time.perf_counter() - t0
-    streams8_device_fps_per_stream = dev_reps * 4 / dt_s
+    streams8_device_fps_per_stream = _median_device_fps(stream_chain, 4)
 
     # decode-only variant — the reference's actual 8-stream scenario is
     # 8 concurrent PLAYERS (decode side only; BASELINE.json configs[4],
@@ -678,13 +684,7 @@ def main() -> None:
 
     sdres = stream_decode()
     _force(sdres)
-    t0 = time.perf_counter()
-    for _ in range(dev_reps):
-        sdres = stream_decode()
-    _force(sdres)
-    streams8_decode_fps_per_stream = dev_reps * 4 / (
-        time.perf_counter() - t0
-    )
+    streams8_decode_fps_per_stream = _median_device_fps(stream_decode, 4)
     # Headline: the reference's own workload — play its real 250-frame
     # corpus (draco_encoder .drc + basisu .ktx2) through the full
     # production path (facade -> V2 prefetch -> native Draco decode ->

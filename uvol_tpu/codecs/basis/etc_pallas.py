@@ -57,9 +57,10 @@ def _encode_subblock(sub, base_ch):
     2^23, exact in f32, so ranking/tie-breaks match the int32 reference
     bit-for-bit).
 
-    Pass 1 ranks tables by the unclipped linear error model (~4 vector
-    ops per candidate instead of ~10); pass 2 evaluates the top-2 tables
-    exactly (clipped palettes, per-pixel codes) and keeps the better.
+    Pass 1 ranks tables by the unclipped linear error model (cheap —
+    the regrouped per-table cost is documented inline below); pass 2
+    evaluates the top-2 tables exactly (clipped palettes, per-pixel
+    codes) and keeps the better.
 
     sub [24, T] f32 (channel-major pixel rows); base_ch three [1, T] i32
     extended colors. Returns (table [1,T] i32, codes [8,T] i32,
@@ -456,7 +457,16 @@ def _strip_supported(nbx: int) -> bool:
 
 
 def _enc_strip_kernel(x_ref, o_ref):
-    """[4S, 12*nbx] uint8 strip tile -> [2, S*nbx] int32 words."""
+    """[4S, 12*nbx] uint8 strip tile -> [2, S*nbx] int32 words.
+
+    Per-strip narrow searches. The S-strips-merged-on-lanes variant
+    (one `_encode_subblocks` at S*nbx width, single full-block store)
+    was MEASURED ON-CHIP (v5e, 2026-08-19, interleaved A/B medians):
+    10.02 vs 9.81 ms @1024^2 F=32 — a wash. Vector-instruction count
+    after Mosaic tiling is layout-determined (vregs touched), not
+    Python-op-count-determined, so lane-merging only amortizes loop
+    bookkeeping it doesn't have; the narrow form is kept as the proven
+    shape (same conclusion as the wide DECODE experiment below)."""
     s_count = x_ref.shape[0] // 4
     nbx = x_ref.shape[1] // 12
     for s in range(s_count):

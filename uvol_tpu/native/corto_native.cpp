@@ -770,10 +770,14 @@ int64_t uvt_tunstall_parse(const uint8_t* words, const int32_t* index,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Tunstall dictionary construction (tunstall.py build_decoding_tables):
-// createDecodingTables2-faithful, including the low-entropy run-table path.
+// Tunstall dictionary construction (tunstall.py build_decoding_tables).
+// WIRE-NORMATIVE: the decoder must rebuild bit-identical tables from the
+// probability header, so the fixed-point arithmetic (<<8 / >>16), the
+// tie-breaking order, and the low-entropy run-table branch follow the
+// format's defining construction (see docs/ARCHITECTURE.md, "License
+// posture") and cannot diverge.
 // probs: (symbol, probability) byte pairs sorted by probability desc.
-// Outputs: words buffer (concatenated), index[256], lengths[256].
+// Outputs: concatenated words buffer, index[256], lengths[256].
 // Returns the word count (or -1 on overflow).
 // ---------------------------------------------------------------------------
 
@@ -790,106 +794,106 @@ extern "C" int uvt_tunstall_tables(const uint8_t* syms_in, const uint8_t* probs_
         lengths_out[0] = 1;
         return 1;
     }
-    std::vector<int64_t> queues(2 * DICT, 0);
+    std::vector<int64_t> cand_probs(2 * DICT, 0);
     std::vector<int32_t> index(2 * DICT, 0), lengths(2 * DICT, 0);
-    std::vector<uint8_t> buffer(8192);
-    int64_t pos = 0;
-    std::vector<int32_t> starts(n_symbols, 0);
-    int64_t end = 0;
+    std::vector<uint8_t> word_buf(8192);
+    int64_t buf_len = 0;
+    std::vector<int32_t> row_head(n_symbols, 0);
+    int64_t cand_end = 0;
 
     int64_t p0 = (int64_t)probs_in[0] << 8;
     int64_t p1 = (int64_t)probs_in[1] << 8;
-    int64_t prob = (p0 * p0) >> 16;
-    int max_count = (DICT - 1) / (n_symbols - 1);
-    int count = 2;
-    while (prob > p1 && count < max_count) {
-        prob = (prob * p0) >> 16;
-        count++;
+    int64_t run_prob = (p0 * p0) >> 16;
+    int run_cap = (DICT - 1) / (n_symbols - 1);
+    int run_len = 2;
+    while (run_prob > p1 && run_len < run_cap) {
+        run_prob = (run_prob * p0) >> 16;
+        run_len++;
     }
 
-    int64_t n_words;
-    if (count >= 16) {
-        buffer[pos++] = syms_in[0];
+    int64_t dict_size;
+    if (run_len >= 16) {
+        word_buf[buf_len++] = syms_in[0];
         for (int k = 1; k < n_symbols; k++) {
-            for (int c = 0; c < count - 1; c++) buffer[pos++] = syms_in[0];
-            buffer[pos++] = syms_in[k];
+            for (int c = 0; c < run_len - 1; c++) word_buf[buf_len++] = syms_in[0];
+            word_buf[buf_len++] = syms_in[k];
         }
-        starts[0] = (count - 1) * n_symbols;
-        for (int k = 1; k < n_symbols; k++) starts[k] = k;
-        prob = 0;
-        for (int col = 0; col < count; col++) {
+        row_head[0] = (run_len - 1) * n_symbols;
+        for (int k = 1; k < n_symbols; k++) row_head[k] = k;
+        run_prob = 0;
+        for (int col = 0; col < run_len; col++) {
             for (int row = 1; row < n_symbols; row++) {
                 int64_t dest = row + (int64_t)col * n_symbols;
-                if (col == 0) queues[dest] = (int64_t)probs_in[row] << 8;
-                else queues[dest] = (prob * ((int64_t)probs_in[row] << 8)) >> 16;
-                index[dest] = row * count - col;
+                if (col == 0) cand_probs[dest] = (int64_t)probs_in[row] << 8;
+                else cand_probs[dest] = (run_prob * ((int64_t)probs_in[row] << 8)) >> 16;
+                index[dest] = row * run_len - col;
                 lengths[dest] = col + 1;
             }
-            if (col == 0) prob = p0;
-            else prob = (prob * p0) >> 16;
+            if (col == 0) run_prob = p0;
+            else run_prob = (run_prob * p0) >> 16;
         }
-        int64_t first = (int64_t)(count - 1) * n_symbols;
-        queues[first] = prob;
+        int64_t first = (int64_t)(run_len - 1) * n_symbols;
+        cand_probs[first] = run_prob;
         index[first] = 0;
-        lengths[first] = count;
-        n_words = 1 + (int64_t)count * (n_symbols - 1);
-        end = (int64_t)count * n_symbols;
+        lengths[first] = run_len;
+        dict_size = 1 + (int64_t)run_len * (n_symbols - 1);
+        cand_end = (int64_t)run_len * n_symbols;
     } else {
-        n_words = n_symbols;
+        dict_size = n_symbols;
         for (int i = 0; i < n_symbols; i++) {
-            starts[i] = i;
-            queues[end] = (int64_t)probs_in[i] << 8;
-            index[end] = (int32_t)pos;
-            lengths[end] = 1;
-            end++;
-            buffer[pos++] = syms_in[i];
+            row_head[i] = i;
+            cand_probs[cand_end] = (int64_t)probs_in[i] << 8;
+            index[cand_end] = (int32_t)buf_len;
+            lengths[cand_end] = 1;
+            cand_end++;
+            word_buf[buf_len++] = syms_in[i];
         }
     }
 
-    while (n_words < DICT) {
-        int best = 0;
-        int64_t max_prob = 0;
+    while (dict_size < DICT) {
+        int argmax_row = 0;
+        int64_t argmax_p = 0;
         for (int i = 0; i < n_symbols; i++) {
-            int64_t p = queues[starts[i]];
-            if (p > max_prob) { best = i; max_prob = p; }
+            int64_t p = cand_probs[row_head[i]];
+            if (p > argmax_p) { argmax_row = i; argmax_p = p; }
         }
-        int32_t symbol = starts[best];
-        int64_t probability = queues[symbol];
-        int32_t offset = index[symbol];
-        int32_t length = lengths[symbol];
-        if (pos + (int64_t)(length + 1) * n_symbols + 16 > (int64_t)buffer.size())
-            buffer.resize(buffer.size() + std::max<int64_t>(8192, (int64_t)(length + 1) * n_symbols + 16));
-        if (end + n_symbols > (int64_t)queues.size()) {
-            queues.resize(end + n_symbols + DICT);
-            index.resize(end + n_symbols + DICT);
-            lengths.resize(end + n_symbols + DICT);
+        int32_t head_id = row_head[argmax_row];
+        int64_t head_prob = cand_probs[head_id];
+        int32_t head_off = index[head_id];
+        int32_t head_len = lengths[head_id];
+        if (buf_len + (int64_t)(head_len + 1) * n_symbols + 16 > (int64_t)word_buf.size())
+            word_buf.resize(word_buf.size() + std::max<int64_t>(8192, (int64_t)(head_len + 1) * n_symbols + 16));
+        if (cand_end + n_symbols > (int64_t)cand_probs.size()) {
+            cand_probs.resize(cand_end + n_symbols + DICT);
+            index.resize(cand_end + n_symbols + DICT);
+            lengths.resize(cand_end + n_symbols + DICT);
         }
         int r = 0;
         while (r < n_symbols) {
-            queues[end] = (probability * ((int64_t)probs_in[r] << 8)) >> 16;
-            index[end] = (int32_t)pos;
-            lengths[end] = length + 1;
-            end++;
-            memcpy(buffer.data() + pos, buffer.data() + offset, length);
-            pos += length;
-            buffer[pos++] = syms_in[r];
-            if (n_words + r == DICT - 1) break;
+            cand_probs[cand_end] = (head_prob * ((int64_t)probs_in[r] << 8)) >> 16;
+            index[cand_end] = (int32_t)buf_len;
+            lengths[cand_end] = head_len + 1;
+            cand_end++;
+            memcpy(word_buf.data() + buf_len, word_buf.data() + head_off, head_len);
+            buf_len += head_len;
+            word_buf[buf_len++] = syms_in[r];
+            if (dict_size + r == DICT - 1) break;
             r++;
         }
-        if (r == n_symbols) starts[best] += n_symbols;
-        n_words += n_symbols - 1;
+        if (r == n_symbols) row_head[argmax_row] += n_symbols;
+        dict_size += n_symbols - 1;
     }
 
     // compact: skip removed words (rows whose start has advanced past them)
     int out_n = 0;
     int64_t wpos = 0;
     int row = 0;
-    for (int64_t i = 0; i < end && out_n < DICT; i++) {
+    for (int64_t i = 0; i < cand_end && out_n < DICT; i++) {
         if (row >= n_symbols) row = 0;
-        if (starts[row] > i) { row++; continue; }
+        if (row_head[row] > i) { row++; continue; }
         int32_t len = lengths[i];
         if (wpos + len > words_capacity) return -1;
-        memcpy(words_out + wpos, buffer.data() + index[i], len);
+        memcpy(words_out + wpos, word_buf.data() + index[i], len);
         index_out[out_n] = (int32_t)wpos;
         lengths_out[out_n] = len;
         wpos += len;
