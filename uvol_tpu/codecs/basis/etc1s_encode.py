@@ -64,22 +64,70 @@ class Palettes:
 _PALETTE_JIT_CACHE: Dict[Tuple, object] = {}
 
 
+_ONEHOT_ELEM_BUDGET = 1 << 27  # peak one-hot tile <= 512 MB f32
+
+
 def _onehot_rows(idx, table):
     """`table[idx]` as an exact one-hot MXU matmul.
 
     [N]-index row gathers measured 3.7-52 ms per call on TPU inside the
     palette/RDO cores; the one-hot product is exact for integer-valued
     tables (0/1 weights, HIGHEST precision, one nonzero term per row).
-    Shared by _palette_core_fn and _rdo_frame_body (trace-time only)."""
+    Shared by _palette_core_fn and _rdo_frame_body (trace-time only).
+    Index counts that would materialize a >512 MB one-hot (the adaptive
+    palettes reach E=2048 over ~330k blocks) run N-chunked."""
     import jax
     import jax.numpy as jnp
 
-    oh = jax.nn.one_hot(idx, table.shape[0], dtype=jnp.float32)
-    return jnp.dot(
-        oh, table.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
+    k = table.shape[0]
+    tf = table.astype(jnp.float32)
+
+    def one(ix):
+        oh = jax.nn.one_hot(ix, k, dtype=jnp.float32)
+        return jnp.dot(
+            oh, tf,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    n = idx.shape[0]
+    if n * k <= _ONEHOT_ELEM_BUDGET:
+        return one(idx)
+    chunk = max(128, (_ONEHOT_ELEM_BUDGET // k) // 128 * 128)
+    pad = (-n) % chunk
+    ixp = jnp.pad(idx, (0, pad))
+    out = jax.lax.map(one, ixp.reshape(-1, chunk))
+    return out.reshape(-1, table.shape[1])[:n]
+
+
+def _seg_reduce(idx, k, x):
+    """`sum_b one_hot(idx_b, k).T @ x_b` ([k, D]) with bounded memory.
+
+    The direct [N, k] one-hot reaches 2+ GB at the adaptive palette
+    sizes; chunking over N keeps the transient under the same budget as
+    `_onehot_rows` (zero-padded rows map to segment 0 with zero values,
+    so they contribute nothing)."""
+    import jax
+    import jax.numpy as jnp
+
+    xf = x.astype(jnp.float32)
+
+    def one(args):
+        ix, xc = args
+        oh = jax.nn.one_hot(ix, k, dtype=jnp.float32)
+        return jnp.dot(oh.T, xc, preferred_element_type=jnp.float32)
+
+    n = idx.shape[0]
+    if n * k <= _ONEHOT_ELEM_BUDGET:
+        return one((idx, xf))
+    chunk = max(128, (_ONEHOT_ELEM_BUDGET // k) // 128 * 128)
+    pad = (-n) % chunk
+    ixp = jnp.pad(idx, (0, pad))
+    xp = jnp.pad(xf, ((0, pad),) + ((0, 0),) * (xf.ndim - 1))
+    parts = jax.lax.map(
+        one, (ixp.reshape(-1, chunk), xp.reshape((-1, chunk) + xf.shape[1:]))
     )
+    return jnp.sum(parts, axis=0)
 
 
 def _palette_core_fn(
@@ -187,10 +235,7 @@ def _palette_core_fn(
         )  # [N, 9]
 
         def seg_stats(assign_h, k):
-            oh = jax.nn.one_hot(assign_h, k, dtype=jnp.float32)
-            red = gsum(
-                jnp.dot(oh.T, aug, preferred_element_type=jnp.float32)
-            )  # [k, 9]
+            red = gsum(_seg_reduce(assign_h, k, aug))  # [k, 9]
             return red[:, :4], red[:, 4:8], red[:, 8]
 
         table_rows = _onehot_rows
@@ -303,8 +348,9 @@ def _palette_core_fn(
                 err_bt = jnp.stack(err_cols, axis=1).astype(
                     jnp.float32
                 )  # [N, 8]
-            onehot_e = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
-            cluster_err = gsum(jnp.dot(onehot_e.T, err_bt))  # [E, 8] — MXU
+            cluster_err = gsum(
+                _seg_reduce(assign, num_endpoints, err_bt)
+            )  # [E, 8] — MXU
             return jnp.argmin(cluster_err, axis=1).astype(jnp.int32)
 
         inten = cluster_inten(assign, base.astype(jnp.float32))
@@ -429,16 +475,20 @@ def _palette_core_fn(
                 for j in range(4)
             )  # [N, 16, 3]
             resid = dev_blocks - me_px
-            onehot = jax.nn.one_hot(assign, num_endpoints, dtype=jnp.float32)
-            sums = gsum(
-                jnp.einsum(
-                    "ne,nc->ec",
-                    onehot,
-                    jnp.mean(resid, axis=1),
-                    preferred_element_type=jnp.float32,
+            red = gsum(
+                _seg_reduce(
+                    assign,
+                    num_endpoints,
+                    jnp.concatenate(
+                        [
+                            jnp.mean(resid, axis=1),
+                            jnp.ones((n, 1), jnp.float32),
+                        ],
+                        axis=1,
+                    ),
                 )
-            )
-            counts = gsum(jnp.sum(onehot, axis=0))
+            )  # [E, 4]: per-cluster residual-mean sums ++ counts
+            sums, counts = red[:, :3], red[:, 3]
             new_mean = jnp.where(
                 counts[:, None] > 0,
                 sums / jnp.maximum(counts, 1.0)[:, None],
@@ -462,21 +512,30 @@ def _palette_core_fn(
         #   update:     cb[k, p] = argmin_j Σ_{b∈k} ce[b, p, j]
         def sel_exact_assign(sel_cb):
             oh_cb = jax.nn.one_hot(sel_cb, 4, dtype=jnp.float32)  # [S, 16, 4]
-            err_ks = jnp.einsum(
-                "bpj,kpj->bk", ce, oh_cb, preferred_element_type=jnp.float32
+            cbT = oh_cb.reshape(num_selectors, 64).T  # [64, S]
+            ce64 = ce.reshape(n, 64)
+
+            def one(ce_c):
+                err_ks = jnp.dot(
+                    ce_c, cbT, preferred_element_type=jnp.float32
+                )
+                return jnp.argmin(err_ks, axis=1).astype(jnp.int32)
+
+            if n * num_selectors <= _ONEHOT_ELEM_BUDGET:
+                return one(ce64)  # [N]
+            chunk = max(
+                128, (_ONEHOT_ELEM_BUDGET // num_selectors) // 128 * 128
             )
-            return jnp.argmin(err_ks, axis=1).astype(jnp.int32)  # [N]
+            pad = (-n) % chunk
+            cep = jnp.pad(ce64, ((0, pad), (0, 0)))
+            return jax.lax.map(
+                one, cep.reshape(-1, chunk, 64)
+            ).reshape(-1)[:n]
 
         def sel_update(sel_assign):
-            onehot_s = jax.nn.one_hot(
-                sel_assign, num_selectors, dtype=jnp.float32
-            )  # [N, S]
             c_kpj = gsum(
-                jnp.einsum(
-                    "bk,bpj->kpj", onehot_s, ce,
-                    preferred_element_type=jnp.float32,
-                )
-            )  # [S, 16, 4]
+                _seg_reduce(sel_assign, num_selectors, ce.reshape(n, 64))
+            ).reshape(num_selectors, 16, 4)
             return jnp.argmin(c_kpj, axis=-1).astype(jnp.int32)  # [S, 16]
 
         # selector codebook init: same hierarchical bisection, over the
@@ -493,10 +552,7 @@ def _palette_core_fn(
             )  # [N, 33]
 
             def seg_statsS(assign_h, k):
-                oh = jax.nn.one_hot(assign_h, k, dtype=jnp.float32)
-                red = gsum(
-                    jnp.dot(oh.T, augS, preferred_element_type=jnp.float32)
-                )  # [k, 33]
+                red = gsum(_seg_reduce(assign_h, k, augS))  # [k, 33]
                 return red[:, :16], red[:, 16:32], red[:, 32]
 
             assign_h = jnp.zeros(n, jnp.int32)
@@ -622,6 +678,8 @@ def build_palettes(
     rdo: bool = True,
     rdo_chain_breaks: Sequence[int] = (),
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
+    delta_window: int = 0,
+    delta_lambda: float = 60.0,
     mesh: Optional["object"] = None,
 ) -> Palettes:
     """Global palettes + per-block assignments, one jitted MXU program.
@@ -710,6 +768,11 @@ def build_palettes(
     dev_blocks = jnp.asarray(blocks)
     base5, inten, sel_cb, assign, sel_assign = core(dev_blocks)
 
+    # delta-aware path: only meaningful with the larger adaptive
+    # palettes, where the chain relabel below exposes real successor
+    # structure (PERF.md §8: at E=256 near-optimal entries are scattered)
+    use_delta_bias = delta_window > 0 and num_endpoints >= 512
+
     if rdo:
         # the refine below overwrites both assignment grids from the
         # device-resident copies — placeholders here skip two dead
@@ -742,44 +805,110 @@ def build_palettes(
                 np.asarray(sel_assign, np.int32).reshape(f, nb)
             ),
         )
-    # relabel the endpoint palette by the actual scan-order bigram
-    # statistics: entries that follow each other in the emitted stream get
-    # nearby indices, shrinking the slice delta stream (the ordering
-    # optimization behind basisu's small endpoint deltas)
+    # relabel the endpoint palette along the directed scan-successor
+    # chains: the dominant transitions become +1 deltas (the ordering
+    # structure basisu's own files exhibit)
     reorder_endpoint_palette(pal)
+    if use_delta_bias:
+        # endpoint-major flips (uniform-selector + fine-endpoint coding,
+        # the structure basisu's files show on hard content) ...
+        delta_bias_assignments(
+            pal, h // 4, w // 4,
+            dev_blocks=dev_blocks,
+            lam_bits=delta_lambda,
+            lam_cr=rdo_lambdas[2],
+            chain_breaks=rdo_chain_breaks,
+        )
+        # ... then alternate chain relabels with full-palette
+        # rate-distortion endpoint argmins (delta bits priced in chain
+        # space), concentrating the delta stream on {LEFT, +1}
+        for _ in range(2):
+            reorder_endpoint_palette(pal)
+            rate_sweep_assignments(
+                pal, h // 4, w // 4,
+                dev_blocks=dev_blocks,
+                lam_bits=delta_lambda,
+                lam_cr=rdo_lambdas[2],
+                chain_breaks=rdo_chain_breaks,
+            )
+        reorder_endpoint_palette(pal)
     return pal
 
 
+def _delta_entropy_proxy(block_endpoint: np.ndarray, e_n: int) -> float:
+    """Mean bits/explicit-block of the scan-order endpoint delta stream
+    (empirical entropy of (ep - prev) mod E over blocks that differ from
+    their left neighbor) — the quantity the slice Huffman table prices."""
+    a = block_endpoint[:, 1:].reshape(-1)
+    l = block_endpoint[:, :-1].reshape(-1)
+    m = a != l
+    if not m.any():
+        return 0.0
+    d = (a[m].astype(np.int64) - l[m]) % e_n
+    cnt = np.bincount(d, minlength=e_n).astype(np.float64)
+    p = cnt[cnt > 0] / cnt.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
 def reorder_endpoint_palette(pal: "Palettes") -> None:
-    """In-place palette relabel minimizing scan-order index deltas."""
+    """In-place palette relabel concentrating scan-order deltas on +1.
+
+    The slice format codes an explicit endpoint as a Huffman delta
+    against the previous block's index, so the permutation that matters
+    is the one that maps each entry's most frequent scan SUCCESSOR to
+    index+1. basisu's files show exactly this structure (seg 5: 54% of
+    transition mass on the per-source top successor, and 56% of its
+    emitted deltas are literally +1 — whole scan rows walk consecutive
+    palette indices). This is the maximum-weight Hamiltonian-path
+    greedy on the DIRECTED transition multigraph: take edges by weight,
+    each node gets at most one successor and one predecessor, reject
+    cycles (union-find), then label along the resulting chains. The
+    earlier tail-extension greedy on the SYMMETRIZED graph captured
+    almost none of this (PERF.md §8's negative reorder results — the
+    direction and the edge-global greedy are both load-bearing)."""
     e = len(pal.color5)
     if e <= 2:
         return
     ep = pal.block_endpoint
-    # bigram weights over consecutive scan positions (per frame row-major)
-    a = ep[:, :-1].reshape(-1)
-    b = ep[:, 1:].reshape(-1)
+    a = ep[:, :-1].reshape(-1).astype(np.int64)
+    b = ep[:, 1:].reshape(-1).astype(np.int64)
     m = a != b
-    w = np.zeros((e, e), np.float64)
-    np.add.at(w, (a[m], b[m]), 1.0)
-    w += w.T
-    # greedy chain: start at the heaviest node, append the strongest
-    # remaining partner of the current tail (fall back to global max)
-    used = np.zeros(e, bool)
+    pair, wgt = np.unique(a[m] * e + b[m], return_counts=True)
+    src = (pair // e).astype(np.int64)
+    dst = (pair % e).astype(np.int64)
+    order_w = np.argsort(-wgt, kind="stable")
+    nxt = np.full(e, -1, np.int64)
+    has_pred = np.zeros(e, bool)
+    parent = np.arange(e, dtype=np.int64)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for k in order_w:
+        s, t = src[k], dst[k]
+        if s == t or nxt[s] >= 0 or has_pred[t]:
+            continue
+        rs, rt = find(s), find(t)
+        if rs == rt:
+            continue  # would close a cycle
+        nxt[s] = t
+        has_pred[t] = True
+        parent[rs] = rt
+    # label along chains, heads first (nodes with no predecessor)
     order = np.empty(e, np.int64)
-    cur = int(w.sum(1).argmax())
-    for i in range(e):
-        order[i] = cur
-        used[cur] = True
-        if i + 1 == e:
-            break
-        row = np.where(used, -1.0, w[cur])
-        nxt = int(row.argmax())
-        if row[nxt] <= 0:
-            # no edges left from the tail: jump to the heaviest unused
-            tot = np.where(used, -1.0, w.sum(1))
-            nxt = int(tot.argmax())
-        cur = nxt
+    pos = 0
+    for h in range(e):
+        if has_pred[h]:
+            continue
+        c = h
+        while c >= 0:
+            order[pos] = c
+            pos += 1
+            c = nxt[c]
+    assert pos == e
     inv = np.empty(e, np.int32)
     inv[order] = np.arange(e, dtype=np.int32)
     pal.color5 = pal.color5[order]
@@ -921,6 +1050,403 @@ def _rdo_frame_body(nby: int, nbx: int):
         return ep, sel
 
     return refine
+
+
+_DELTA_BIAS_JIT_CACHE: Dict[Tuple, object] = {}
+
+
+def _endpoint_major_fn(nby: int, nbx: int, num_endpoints: int,
+                       num_selectors: int, s0_index: int, s0_code: int):
+    """Endpoint-major refine: uniform-selector + fine-endpoint coding.
+
+    Structure read directly out of basisu's own files (seg 5 of the
+    liam corpus): 85% of its blocks use ONE all-`code` uniform selector
+    — every such block decodes to a single flat color — while the
+    block's information lives in a fine-grained endpoint palette whose
+    indices count upward along scan runs (56% of its explicit deltas
+    are literally +1). Our selector-major assignment (rich per-block
+    selectors over a coarse palette) priced every stream ~2x basisu's.
+
+    This pass offers every block the endpoint-major coding and takes it
+    when the rate-distortion gate favors it:
+
+      err0(b) = min_e  Σ_px |p_px − clip(base_e + m_e[s0_code])|²
+
+    which is a single [NB,3]x[3,E] MXU matmul per frame (the uniform
+    selector turns the candidate into one flat color per endpoint).
+    Flipped blocks join the uniform-selector RLE runs (sel stream
+    ~free) and their fine-endpoint indices chain into +1 deltas after
+    reorder_endpoint_palette. A conditional-replenishment snap runs
+    last so the temporal chain survives."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
+
+    inten_tab = jnp.asarray(INTEN_TABLES, jnp.float32)
+    nb = nby * nbx
+
+    def frame_body(blocks, ep_lut, sel_cb, ep, sel,
+                   prev_ep, prev_sel, has_prev, lam_bits, lam_cr):
+        rows = _onehot_rows
+        slack = 16.0 * 4.0
+
+        def err_with_codes(look, codes):
+            b3 = look[:, :3]
+            m = look[:, 3:]
+            mod = sum(
+                jnp.where(codes == j, m[:, j : j + 1], 0.0) for j in range(4)
+            )
+            cand = jnp.clip(b3[:, None, :] + mod[:, :, None], 0.0, 255.0)
+            d = blocks - cand
+            return jnp.sum(d * d, axis=(1, 2))  # [nb]
+
+        # flat-color palette: every endpoint under the uniform selector
+        col = jnp.clip(
+            ep_lut[:, :3] + ep_lut[:, 3 + s0_code : 4 + s0_code], 0.0, 255.0
+        )  # [E, 3]
+        p_sq = jnp.sum(blocks * blocks, axis=(1, 2))  # [nb]
+        p_sum = jnp.sum(blocks, axis=1)  # [nb, 3]
+        err_e = (
+            p_sq[:, None]
+            - 2.0
+            * jnp.dot(
+                p_sum, col.T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + 16.0 * jnp.sum(col * col, axis=1)[None, :]
+        )  # [nb, E]
+        ep0 = jnp.argmin(err_e, axis=1).astype(jnp.int32)
+        err0 = jnp.min(err_e, axis=1)
+
+        codes_cur = rows(sel, sel_cb)
+        e_cur = err_with_codes(rows(ep, ep_lut), codes_cur)
+        # bits saved by joining the uniform-selector run + chained
+        # endpoint deltas: ~6 (sel symbol) + ~3 (delta concentration)
+        flip = err0 <= e_cur + lam_bits * 9.0
+        ep = jnp.where(flip, ep0, ep)
+        sel = jnp.where(flip, jnp.int32(s0_index), sel)
+
+        # conditional replenishment against the previous slice
+        codes_new = rows(sel, sel_cb)
+        e_new = err_with_codes(rows(ep, ep_lut), codes_new)
+        codes_prev = rows(prev_sel, sel_cb)
+        e_prev = err_with_codes(rows(prev_ep, ep_lut), codes_prev)
+        cr = has_prev & (e_prev <= lam_cr * e_new + slack)
+        ep = jnp.where(cr, prev_ep, ep)
+        sel = jnp.where(cr, prev_sel, sel)
+        return ep, sel
+
+    def run(blocks_u8, color5, inten, sel_cb, assigns, sel_assigns,
+            is_break, lam_bits, lam_cr):
+        base = (
+            (color5.astype(jnp.int32) << 3) | (color5.astype(jnp.int32) >> 2)
+        ).astype(jnp.float32)
+        ep_lut = jnp.concatenate([base, inten_tab[inten]], axis=1)  # [E,7]
+
+        def step(carry, xs):
+            prev_ep, prev_sel, has_prev = carry
+            blocks_i, assign_i, sel_i, brk = xs
+            ep, sel = frame_body(
+                blocks_i.astype(jnp.float32), ep_lut, sel_cb,
+                assign_i, sel_i, prev_ep, prev_sel,
+                jnp.broadcast_to(has_prev & ~brk, (nb,)),
+                lam_bits, lam_cr,
+            )
+            return (ep, sel, jnp.bool_(True)), (ep, sel)
+
+        init = (
+            jnp.zeros(nb, jnp.int32),
+            jnp.zeros(nb, jnp.int32),
+            jnp.bool_(False),
+        )
+        _, (eps, sels) = jax.lax.scan(
+            step, init, (blocks_u8, assigns, sel_assigns, is_break)
+        )
+        return eps, sels
+
+    return jax.jit(run)
+
+
+def _rate_sweep_fn(nby: int, nbx: int, num_endpoints: int,
+                   num_selectors: int, s0_index: int, s0_code: int):
+    """Rate-distortion endpoint argmin for uniform-selector blocks.
+
+    With the chain labeling in place (reorder_endpoint_palette), the
+    wire price of entry e given the left neighbor's entry L is a pure
+    function of (e − L) mod E: 0 → LEFT prediction, +1 → the chain
+    successor's short Huffman code, everything else a log-shaped
+    explicit delta. This pass re-picks every uniform-selector block's
+    endpoint as argmin_e [err_flat(b,e) + λ·bits[(e−L) mod E]] — the
+    FULL palette, not a window — via one [nb,E] flat-color error matmul
+    plus a one-hot row lookup into the precomputed [E,E] bits table.
+    Patterned (non-uniform-selector) blocks keep their pair; a CR snap
+    preserves the temporal chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
+
+    inten_tab = jnp.asarray(INTEN_TABLES, jnp.float32)
+    nb = nby * nbx
+    e_n = num_endpoints
+
+    def frame_body(blocks, ep_lut, sel_cb, ep, sel,
+                   prev_ep, prev_sel, has_prev, lam_bits, lam_cr):
+        rows = _onehot_rows
+        slack = 16.0 * 4.0
+
+        def err_with_codes(look, codes):
+            b3 = look[:, :3]
+            m = look[:, 3:]
+            mod = sum(
+                jnp.where(codes == j, m[:, j : j + 1], 0.0) for j in range(4)
+            )
+            cand = jnp.clip(b3[:, None, :] + mod[:, :, None], 0.0, 255.0)
+            d = blocks - cand
+            return jnp.sum(d * d, axis=(1, 2))
+
+        col = jnp.clip(
+            ep_lut[:, :3] + ep_lut[:, 3 + s0_code : 4 + s0_code], 0.0, 255.0
+        )
+        p_sq = jnp.sum(blocks * blocks, axis=(1, 2))
+        p_sum = jnp.sum(blocks, axis=1)
+        err_e = (
+            p_sq[:, None]
+            - 2.0 * jnp.dot(
+                p_sum, col.T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            + 16.0 * jnp.sum(col * col, axis=1)[None, :]
+        )  # [nb, E]
+
+        codes_prev = rows(prev_sel, sel_cb)
+        e_prev = err_with_codes(rows(prev_ep, ep_lut), codes_prev)
+        is_flat = sel == s0_index
+
+        # ---- Gauss-Seidel over COLUMNS ----------------------------------
+        # Every block's delta is priced against its LEFT neighbor, so a
+        # Jacobi sweep (all blocks at once) prices against STALE
+        # neighbors and breaks the very runs it is trying to build
+        # (measured: !=left rose 0.81 -> 0.85). Scanning column-by-
+        # column makes each column decide against the FINAL previous
+        # column — exact for the left dependency — while the nby rows
+        # stay data-parallel.
+        iota_e = jnp.arange(e_n, dtype=jnp.int32)[None, :]  # [1, E]
+
+        def col_step(carry, xs):
+            left_idx = carry  # [nby] final choices of column c-1
+            err_c, eprev_c, pe_c, _ps_c, ep_c, flat_c, hp_c = xs
+            dm = (iota_e - left_idx[:, None]) % e_n  # [nby, E]
+            dsig = jnp.minimum(dm, e_n - dm).astype(jnp.float32)
+            bits = jnp.where(
+                dm == 0,
+                1.2,
+                jnp.where(
+                    dm == 1,
+                    2.0,
+                    5.0
+                    + 1.5 * jnp.log2(1.0 + dsig)
+                    + 0.5 * (dm > e_n // 2),
+                ),
+            )
+            cost = err_c + lam_bits * bits
+            ep_rd = jnp.argmin(cost, axis=1).astype(jnp.int32)
+            cost_rd = jnp.min(cost, axis=1)
+            # CR competes inside the same objective (~0.5 bits): breaking
+            # a surviving temporal pair for a slightly better spatial
+            # delta regressed hard (slice 3 of liam seg 5 is 73% CR)
+            cost_cr = jnp.where(
+                hp_c, eprev_c + lam_bits * 0.5, jnp.float32(3.0e38)
+            )
+            use_cr = cost_cr <= cost_rd
+            new_ep = jnp.where(
+                flat_c, jnp.where(use_cr, pe_c, ep_rd), ep_c
+            )
+            new_sel_is_prev = flat_c & use_cr
+            return new_ep, (new_ep, new_sel_is_prev)
+
+        def cols(x, tail_shape=()):
+            return x.reshape((nby, nbx) + tail_shape).transpose(
+                (1, 0) + tuple(range(2, 2 + len(tail_shape)))
+            )
+
+        xs = (
+            cols(err_e, (e_n,)),
+            cols(e_prev),
+            cols(prev_ep),
+            cols(prev_sel),
+            cols(ep),
+            cols(is_flat),
+            has_prev.reshape(nby, nbx).transpose(1, 0),
+        )
+        init = cols(ep)[0]  # column 0 prices against itself (first
+        # block of each row keeps its natural delta; negligible)
+        _, (ep_cols, selprev_cols) = jax.lax.scan(col_step, init, xs)
+        ep = ep_cols.transpose(1, 0).reshape(-1)
+        sel_is_prev = selprev_cols.transpose(1, 0).reshape(-1)
+        sel = jnp.where(sel_is_prev, prev_sel, sel)
+
+        # patterned blocks: plain CR snap (unchanged semantics)
+        codes_new = rows(sel, sel_cb)
+        e_new = err_with_codes(rows(ep, ep_lut), codes_new)
+        cr = (~is_flat) & has_prev & (e_prev <= lam_cr * e_new + slack)
+        ep = jnp.where(cr, prev_ep, ep)
+        sel = jnp.where(cr, prev_sel, sel)
+        return ep, sel
+
+    def run(blocks_u8, color5, inten, sel_cb, assigns, sel_assigns,
+            is_break, lam_bits, lam_cr):
+        base = (
+            (color5.astype(jnp.int32) << 3) | (color5.astype(jnp.int32) >> 2)
+        ).astype(jnp.float32)
+        ep_lut = jnp.concatenate([base, inten_tab[inten]], axis=1)
+
+        def step(carry, xs):
+            prev_ep, prev_sel, has_prev = carry
+            blocks_i, assign_i, sel_i, brk = xs
+            ep, sel = frame_body(
+                blocks_i.astype(jnp.float32), ep_lut, sel_cb,
+                assign_i, sel_i, prev_ep, prev_sel,
+                jnp.broadcast_to(has_prev & ~brk, (nb,)),
+                lam_bits, lam_cr,
+            )
+            return (ep, sel, jnp.bool_(True)), (ep, sel)
+
+        init = (
+            jnp.zeros(nb, jnp.int32),
+            jnp.zeros(nb, jnp.int32),
+            jnp.bool_(False),
+        )
+        _, (eps, sels) = jax.lax.scan(
+            step, init, (blocks_u8, assigns, sel_assigns, is_break)
+        )
+        return eps, sels
+
+    return jax.jit(run)
+
+
+def _ensure_uniform_selector(pal: "Palettes") -> Tuple[int, int]:
+    """Index and code of a uniform selector row, creating one if absent.
+
+    basisu's codebooks always carry uniform rows (entry 0 of every liam
+    segment is all-zero); ours come from k-means over ideal patterns and
+    may lack one on detailed content — in that case the least-used row
+    is overwritten (wire-legal: the codebook is ours to define)."""
+    sels = pal.selectors
+    uni = np.nonzero((sels == sels[:, :1]).all(axis=1))[0]
+    if len(uni):
+        counts = np.bincount(
+            pal.block_selector.reshape(-1), minlength=len(sels)
+        )
+        best = uni[np.argmax(counts[uni])]
+        return int(best), int(sels[best][0])
+    counts = np.bincount(
+        pal.block_selector.reshape(-1), minlength=len(sels)
+    )
+    victim = int(np.argmin(counts))
+    pal.selectors = sels.copy()
+    pal.selectors[victim] = 2  # +small modifier; base absorbs the rest
+    return victim, 2
+
+
+def delta_bias_assignments(
+    pal: "Palettes",
+    nby: int,
+    nbx: int,
+    *,
+    dev_blocks,
+    lam_bits: float = 60.0,
+    lam_cr: float = 1.5,
+    chain_breaks: Sequence[int] = (),
+    **_legacy,
+) -> None:
+    """In-place endpoint-major refine over a whole segment (device).
+
+    See _endpoint_major_fn. `dev_blocks`: the segment's device-resident
+    [F*nb, 16, 3] uint8 blocks (shared with the palette build's
+    upload)."""
+    import jax.numpy as jnp
+
+    f = pal.block_endpoint.shape[0]
+    nb = nby * nbx
+    s0_index, s0_code = _ensure_uniform_selector(pal)
+    key = (nby, nbx, f, len(pal.color5), len(pal.selectors),
+           s0_index, s0_code)
+    fn = _DELTA_BIAS_JIT_CACHE.get(key)
+    if fn is None:
+        fn = _endpoint_major_fn(
+            nby, nbx, len(pal.color5), len(pal.selectors),
+            s0_index, s0_code,
+        )
+        _DELTA_BIAS_JIT_CACHE[key] = fn
+    is_break = np.zeros(f, bool)
+    for i in chain_breaks:
+        if 0 <= i < f:
+            is_break[i] = True
+    eps, sels = fn(
+        dev_blocks.reshape(f, nb, 16, 3),
+        jnp.asarray(pal.color5),
+        jnp.asarray(pal.inten, jnp.int32),
+        jnp.asarray(pal.selectors, jnp.int32),
+        jnp.asarray(pal.block_endpoint.reshape(f, nb), jnp.int32),
+        jnp.asarray(pal.block_selector.reshape(f, nb), jnp.int32),
+        jnp.asarray(is_break),
+        float(lam_bits), float(lam_cr),
+    )
+    pal.block_endpoint = np.asarray(eps, np.int32).reshape(f, nb)
+    pal.block_selector = np.asarray(sels, np.int32).reshape(f, nb)
+
+
+_RATE_SWEEP_JIT_CACHE: Dict[Tuple, object] = {}
+
+
+def rate_sweep_assignments(
+    pal: "Palettes",
+    nby: int,
+    nbx: int,
+    *,
+    dev_blocks,
+    lam_bits: float = 60.0,
+    lam_cr: float = 1.5,
+    chain_breaks: Sequence[int] = (),
+) -> None:
+    """In-place rate-distortion endpoint re-pick (see _rate_sweep_fn).
+
+    Call with the palette in chain labeling (reorder_endpoint_palette)
+    — the bits table prices index deltas in that space."""
+    import jax.numpy as jnp
+
+    f = pal.block_endpoint.shape[0]
+    nb = nby * nbx
+    s0_index, s0_code = _ensure_uniform_selector(pal)
+    key = (nby, nbx, f, len(pal.color5), len(pal.selectors),
+           s0_index, s0_code)
+    fn = _RATE_SWEEP_JIT_CACHE.get(key)
+    if fn is None:
+        fn = _rate_sweep_fn(
+            nby, nbx, len(pal.color5), len(pal.selectors),
+            s0_index, s0_code,
+        )
+        _RATE_SWEEP_JIT_CACHE[key] = fn
+    is_break = np.zeros(f, bool)
+    for i in chain_breaks:
+        if 0 <= i < f:
+            is_break[i] = True
+    eps, sels = fn(
+        dev_blocks.reshape(f, nb, 16, 3),
+        jnp.asarray(pal.color5),
+        jnp.asarray(pal.inten, jnp.int32),
+        jnp.asarray(pal.selectors, jnp.int32),
+        jnp.asarray(pal.block_endpoint.reshape(f, nb), jnp.int32),
+        jnp.asarray(pal.block_selector.reshape(f, nb), jnp.int32),
+        jnp.asarray(is_break),
+        float(lam_bits), float(lam_cr),
+    )
+    pal.block_endpoint = np.asarray(eps, np.int32).reshape(f, nb)
+    pal.block_selector = np.asarray(sels, np.int32).reshape(f, nb)
 
 
 _QUAD_JIT_CACHE: Dict[Tuple, object] = {}
@@ -1442,20 +1968,59 @@ def sort_endpoint_palette(pal: Palettes) -> None:
     pal.block_endpoint = inv[pal.block_endpoint]
 
 
+def choose_codebook_sizes(frames: np.ndarray) -> Tuple[int, int]:
+    """Content-adaptive (num_endpoints, num_selectors) for a segment.
+
+    basisu grows its codebooks on hard content (the liam corpus shows
+    1501 endpoints / 738 selectors on its busiest segments vs the fixed
+    256/256 this encoder used through round 3 — PERF.md §8). Hardness
+    probe: mean within-4x4-block luma standard deviation (block
+    "activity") plus the mean luma gradient BETWEEN neighboring blocks
+    (palette diversity) — cheap host statistics that track how many
+    distinct (base color, contrast) pairs the content needs."""
+    rgb = frames[..., :3].astype(np.float32)
+    luma = rgb @ np.array([0.299, 0.587, 0.114], np.float32)
+    f, h, w = luma.shape
+    b = luma.reshape(f, h // 4, 4, w // 4, 4).transpose(0, 1, 3, 2, 4)
+    b = b.reshape(f, h // 4, w // 4, 16)
+    act = float(np.mean(b.std(axis=-1)))
+    means = b.mean(axis=-1)
+    grad = float(
+        np.mean(np.abs(np.diff(means, axis=2)))
+        + np.mean(np.abs(np.diff(means, axis=1)))
+    ) / 2.0
+    hardness = act + 0.5 * grad
+    if hardness < 6.0:
+        return 256, 256
+    if hardness < 12.0:
+        return 512, 384
+    if hardness < 20.0:
+        return 1024, 512
+    return 1536, 768
+
+
 def encode_ktx2_etc1s(
     frames: np.ndarray,
     *,
-    num_endpoints: int = 256,
-    num_selectors: int = 256,
+    num_endpoints=256,
+    num_selectors=256,
     history_size: int = 64,
     kmeans_iters: int = 6,
     srgb: bool = True,
     rdo: bool = True,
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
+    delta_window: int = 16,
+    delta_lambda: float = 60.0,
     endpoint_quads: bool = False,
     mesh: Optional["object"] = None,
 ) -> bytes:
     """[F, H, W, 3|4] uint8 → BasisLZ-supercompressed KTX2 (video layers).
+
+    `num_endpoints` / `num_selectors` accept "auto": per-segment
+    content-adaptive sizing (choose_codebook_sizes) — basisu's behavior
+    on hard content. Palettes >= 512 additionally run the delta-aware
+    assignment stage (delta_bias_assignments) so the bigger index space
+    stays cheap to code.
 
     `mesh` shards the palette build's block axis over a `frames` device
     mesh (see build_palettes).
@@ -1468,6 +2033,12 @@ def encode_ktx2_etc1s(
     green channel back as alpha. Pass 3-channel input for RGB-only."""
     f, h, w, nch = frames.shape
     nbx, nby = w // 4, h // 4
+    if num_endpoints == "auto" or num_selectors == "auto":
+        auto_e, auto_s = choose_codebook_sizes(frames)
+        if num_endpoints == "auto":
+            num_endpoints = auto_e
+        if num_selectors == "auto":
+            num_selectors = auto_s
     has_alpha = nch == 4
     rgb = frames[..., :3]
     if has_alpha:
@@ -1479,6 +2050,7 @@ def encode_ktx2_etc1s(
     pal = build_palettes(
         pal_input, num_endpoints, num_selectors, kmeans_iters,
         rdo=rdo, rdo_lambdas=rdo_lambdas,
+        delta_window=delta_window, delta_lambda=delta_lambda,
         # the alpha chain starts a fresh I-slice at index f
         rdo_chain_breaks=(f,) if has_alpha else (),
         mesh=mesh,

@@ -133,18 +133,25 @@ def endpoint_const_rows(basef, me_e, q_ej, num_endpoints: int):
 @functools.partial(jax.jit, static_argnums=(2,))
 def assign_endpoints_pallas(pixels_u8, const20, interpret: bool = False):
     """pixels_u8 [N*16, 3] uint8 (block-major rows), const20 [20, Epad]
-    from `endpoint_const_rows` -> assign [N] int32."""
+    from `endpoint_const_rows` -> assign [N] int32.
+
+    The per-step block count scales down with the codebook width so the
+    two [TB*16, Epad] candidate tiles stay inside scoped VMEM at the
+    adaptive palette sizes (E up to 2048): TB*Epad is held at the
+    measured-safe 128*256 budget."""
+    epad = const20.shape[1]
+    tile_b = max(8, (TILE_B * 256 // epad) // 8 * 8)
     r = pixels_u8.shape[0]
     n = r // 16
-    npad = -(-n // TILE_B) * TILE_B
+    npad = -(-n // tile_b) * tile_b
     if npad != n:
         pixels_u8 = jnp.pad(pixels_u8, ((0, (npad - n) * 16), (0, 0)))
     out = pl.pallas_call(
         _assign_kernel,
-        grid=(npad // TILE_B,),
+        grid=(npad // tile_b,),
         in_specs=[
             pl.BlockSpec(
-                (TILE_B * 16, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tile_b * 16, 3), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (20, const20.shape[1]),
@@ -153,7 +160,7 @@ def assign_endpoints_pallas(pixels_u8, const20, interpret: bool = False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (TILE_B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((npad, 1), jnp.int32),
         interpret=interpret,
