@@ -78,7 +78,8 @@ def main() -> None:
             src = np.ascontiguousarray(ref_rgba[..., :3])
         t0 = time.time()
         blob = encode_ktx2_etc1s(
-            src, num_endpoints="auto", num_selectors="auto"
+            src, num_endpoints="auto", num_selectors="auto",
+            delta_lambda=150.0,
         )
         enc_s = time.time() - t0
         ours = read_ktx2(blob)

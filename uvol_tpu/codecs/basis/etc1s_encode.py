@@ -815,14 +815,18 @@ def build_palettes(
         delta_bias_assignments(
             pal, h // 4, w // 4,
             dev_blocks=dev_blocks,
-            lam_bits=delta_lambda,
+            # flips trade ~9 bits (sel symbol + delta concentration) per
+            # block, sweeps ~1-3: the flip gate runs hotter (seg-5
+            # matrix: flip 2.5x/sweep 1x was the best operating point)
+            lam_bits=2.5 * delta_lambda,
             lam_cr=rdo_lambdas[2],
             chain_breaks=rdo_chain_breaks,
         )
         # ... then alternate chain relabels with full-palette
         # rate-distortion endpoint argmins (delta bits priced in chain
         # space), concentrating the delta stream on {LEFT, +1}
-        for _ in range(2):
+        # (monotone through 3 Gauss-Seidel rounds on the seg-5 study)
+        for _ in range(3):
             reorder_endpoint_palette(pal)
             rate_sweep_assignments(
                 pal, h // 4, w // 4,
@@ -1968,6 +1972,33 @@ def sort_endpoint_palette(pal: Palettes) -> None:
     pal.block_endpoint = inv[pal.block_endpoint]
 
 
+def _palette_psnr(frames_rgb: np.ndarray, pal: Palettes,
+                  nby: int, nbx: int) -> float:
+    """PSNR of the palette reconstruction against the source frames
+    (host math over the assignment grids; the encoder's quality-floor
+    self-measure)."""
+    from uvol_tpu.codecs.basis.transcoder import INTEN_TABLES
+
+    f = pal.block_endpoint.shape[0]
+    nb = nby * nbx
+    blocks = (
+        frames_rgb.reshape(f, nby, 4, nbx, 4, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(f, nb, 16, 3)
+    )
+    base = (pal.color5.astype(np.int64) << 3) | (
+        pal.color5.astype(np.int64) >> 2
+    )
+    mods = np.asarray(INTEN_TABLES)[pal.inten]
+    codes = pal.selectors[pal.block_selector]
+    bmod = np.take_along_axis(mods[pal.block_endpoint], codes, axis=2)
+    recon = np.clip(
+        base[pal.block_endpoint][:, :, None, :] + bmod[..., None], 0, 255
+    )
+    mse = ((recon.astype(np.float64) - blocks) ** 2).mean()
+    return float(10 * np.log10(255**2 / max(mse, 1e-12)))
+
+
 def choose_codebook_sizes(frames: np.ndarray) -> Tuple[int, int]:
     """Content-adaptive (num_endpoints, num_selectors) for a segment.
 
@@ -2011,6 +2042,7 @@ def encode_ktx2_etc1s(
     rdo_lambdas: Tuple[float, float, float] = (1.25, 1.5, 1.5),
     delta_window: int = 16,
     delta_lambda: float = 60.0,
+    min_psnr_db: float = 35.0,
     endpoint_quads: bool = False,
     mesh: Optional["object"] = None,
 ) -> bytes:
@@ -2047,14 +2079,29 @@ def encode_ktx2_etc1s(
     else:
         pal_input = rgb
     n_slices = 2 * f if has_alpha else f
-    pal = build_palettes(
-        pal_input, num_endpoints, num_selectors, kmeans_iters,
-        rdo=rdo, rdo_lambdas=rdo_lambdas,
-        delta_window=delta_window, delta_lambda=delta_lambda,
-        # the alpha chain starts a fresh I-slice at index f
-        rdo_chain_breaks=(f,) if has_alpha else (),
-        mesh=mesh,
-    )
+    # quality floor: the delta-aware refinement trades distortion for
+    # rate under a global lambda — content where the flips come too
+    # cheap can overshoot (liam segs 22/26 measured ~-5 dB at the
+    # corpus-tuned lambda with bytes far below budget). Self-measure
+    # and retry the build at gentler lambdas until the floor holds.
+    lam_ladder = [delta_lambda]
+    if delta_window > 0:
+        lam_ladder += [delta_lambda / 3.0, delta_lambda / 10.0, 0.0]
+    pal = None
+    for lam_try in lam_ladder:
+        pal = build_palettes(
+            pal_input, num_endpoints, num_selectors, kmeans_iters,
+            rdo=rdo, rdo_lambdas=rdo_lambdas,
+            delta_window=delta_window if lam_try > 0 else 0,
+            delta_lambda=lam_try,
+            # the alpha chain starts a fresh I-slice at index f
+            rdo_chain_breaks=(f,) if has_alpha else (),
+            mesh=mesh,
+        )
+        if len(lam_ladder) == 1 or _palette_psnr(
+            pal_input, pal, nby, nbx
+        ) >= min_psnr_db:
+            break
     if endpoint_quads:
         quad_blocks = np.ascontiguousarray(
             pal_input.reshape(n_slices, nby, 4, nbx, 4, 3)
@@ -2181,6 +2228,12 @@ def encode_ktx2_etc1s_rate_target(
     `payload_of(blob)` measures comparable bytes (defaults to len)."""
     ladder = [
         {},
+        # delta-aware escalation first (the adaptive-palette era's rate
+        # knob: stronger flips/sweeps trade the PSNR headroom the big
+        # palettes create; min_psnr_db floors the damage)
+        {"delta_lambda": 300.0, "min_psnr_db": 33.0},
+        {"delta_lambda": 600.0, "min_psnr_db": 31.0,
+         "rdo_lambdas": (2.5, 3.0, 3.0)},
         {"rdo_lambdas": (2.5, 3.0, 3.0)},
         {"rdo_lambdas": (4.0, 5.0, 5.0), "num_selectors": 192},
         {"rdo_lambdas": (6.0, 7.0, 7.0),

@@ -426,6 +426,49 @@ def encode_idr_frame(
     return encode_idr_planes(y, cb, cr, idr_pic_id, qp, pcm_rows)
 
 
+def _coarse_sad_maps(y: np.ndarray, prev_y: np.ndarray, offsets):
+    """SAD of every macroblock against `prev_y` shifted by each integer
+    offset (edge-clamped), vectorized over the whole picture.
+    Returns [len(offsets), MBy, MBx] int64."""
+    h, w_ = y.shape
+    pad = 16 + 3
+    ref = np.pad(prev_y.astype(np.int64), pad, mode="edge")
+    src = y.astype(np.int64)
+    maps = np.empty((len(offsets), h // 16, w_ // 16), np.int64)
+    for k, (dx, dy) in enumerate(offsets):
+        win = ref[pad + dy : pad + dy + h, pad + dx : pad + dx + w_]
+        ad = np.abs(src - win)
+        maps[k] = (
+            ad.reshape(h // 16, 16, w_ // 16, 16).sum(axis=(1, 3))
+        )
+    return maps
+
+
+def _motion_search_mb(y, ref_pad, pad, x0, y0, base_mv, lam, bits_of):
+    """Deterministic +-3 full-pel refinement around `base_mv` (integer
+    pel) for the 16x16 at (x0, y0): returns (mv_qpel, sad)."""
+    src = y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    # the padded reference covers +-16 (+3 refine): clamp the base so
+    # every probed window stays inside (MV predictions can point beyond)
+    base_mv = (
+        max(-16, min(16, base_mv[0])),
+        max(-16, min(16, base_mv[1])),
+    )
+    best = None
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            mx, my = base_mv[0] + dx, base_mv[1] + dy
+            win = ref_pad[
+                pad + y0 + my : pad + y0 + my + 16,
+                pad + x0 + mx : pad + x0 + mx + 16,
+            ]
+            sad = int(np.abs(src - win).sum())
+            cost = sad + lam * bits_of(mx, my)
+            if best is None or cost < best[0]:
+                best = (cost, (4 * mx, 4 * my), sad)
+    return best[1], best[2]
+
+
 def encode_p_planes(
     y: np.ndarray,
     cb: np.ndarray,
@@ -436,13 +479,22 @@ def encode_p_planes(
     pcm_rows: int = 0,
     frame_num: int = 1,
     skip_bias: float = 1.0,
+    motion: bool = True,
 ):
-    """One P slice NAL (zero-motion profile): macroblocks whose
-    co-located reference block is within the skip distortion budget
-    become P_Skip (≈0 bits); the rest are coded intra (I_4x4, counter
-    strip I_PCM). Returns (nal_bytes, recon_planes) — the recon is the
-    next frame's reference. See h264_intra's P-slice notes."""
-    from uvol_tpu.codecs.h264_intra import SliceCoder, p_skip_threshold
+    """One P slice NAL. With `motion` (default): real motion-compensated
+    inter coding — integer-pel search (coarse +-16 grid, +-3 refine),
+    P_L0_16x16 macroblocks with spec MV prediction and CAVLC mvd,
+    P_Skip with the derived skip vector, intra fallback on uncovered
+    content, counter-strip I_PCM kept lossless. With `motion=False`:
+    round 3's zero-motion profile (P_Skip + intra refresh; native fast
+    path). Returns (nal_bytes, recon_planes)."""
+    from uvol_tpu.codecs.h264_intra import (
+        SliceCoder,
+        _mc_chroma,
+        _mc_luma,
+        p_skip_threshold,
+        se_bits,
+    )
 
     h, w_ = y.shape
     prev_y, prev_cb, prev_cr = prev
@@ -459,25 +511,102 @@ def encode_p_planes(
     bw.ue(1)  # deblocking off
     thresh = p_skip_threshold(qp) * skip_bias
     pcm_from = (h - max(0, pcm_rows)) // 16 if pcm_rows else -1
-    # native whole-slice fast path (bit-identical; parity-tested)
-    from uvol_tpu.native.h264c import encode_p_slice_native
+    if not motion:
+        # native whole-slice fast path (bit-identical; parity-tested)
+        from uvol_tpu.native.h264c import encode_p_slice_native
 
-    res = encode_p_slice_native(
-        y, cb, cr, (prev_y, prev_cb, prev_cr), qp, pcm_from,
-        frame_num & 0xF, thresh,
-    )
-    if res is not None:
-        return nal(1, res[0]), res[1]
+        res = encode_p_slice_native(
+            y, cb, cr, (prev_y, prev_cb, prev_cr), qp, pcm_from,
+            frame_num & 0xF, thresh,
+        )
+        if res is not None:
+            return nal(1, res[0]), res[1]
     sc = SliceCoder(w_, h, qp)
     skip_run = 0
+    lam = max(1, int(0.85 * 2.0 ** ((qp - 12) / 3.0)))
+    coarse_best = None
+    ref_pad = None
+    pad = 16 + 3
+    if motion:
+        # native whole-slice motion path (bit-identical; parity-tested)
+        from uvol_tpu.native.h264c import encode_p_slice_motion_native
+
+        res = encode_p_slice_motion_native(
+            y, cb, cr, (prev_y, prev_cb, prev_cr), qp, pcm_from,
+            frame_num & 0xF, thresh,
+        )
+        if res is not None:
+            return nal(1, res[0]), res[1]
+        offsets = [
+            (dx, dy)
+            for dy in range(-16, 17, 4)
+            for dx in range(-16, 17, 4)
+        ]
+        maps = _coarse_sad_maps(y, prev_y, offsets)
+        coarse_best = np.argmin(maps, axis=0)  # [MBy, MBx]
+        ref_pad = np.pad(prev_y.astype(np.int64), pad, mode="edge")
+    # intra fallback bar: prediction residual beyond what inter coding
+    # handles gracefully at this qp (scaled from the skip budget)
+    intra_sad_bar = 16.0 * 256.0 + 24.0 * lam
     for mby in range(h // 16):
         for mbx in range(w_ // 16):
             is_pcm = pcm_rows and mby >= pcm_from
             x0, y0 = 16 * mbx, 16 * mby
             cx, cy = 8 * mbx, 8 * mby
-            d = y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - prev_y[
-                y0 : y0 + 16, x0 : x0 + 16
-            ]
+            src_y = y[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+            if motion and not is_pcm:
+                skip_mv = sc._skip_mv(mbx, mby)
+                sp_y = _mc_luma(prev_y, x0, y0, 16, 16, *skip_mv)
+                ssd = int(((src_y - sp_y) ** 2).sum())
+                if ssd <= thresh:
+                    sp_cb = _mc_chroma(prev_cb, cx, cy, 8, 8, *skip_mv)
+                    sp_cr = _mc_chroma(prev_cr, cx, cy, 8, 8, *skip_mv)
+                    for spp, srcp in ((sp_cb, cb), (sp_cr, cr)):
+                        dch = (
+                            srcp[cy : cy + 8, cx : cx + 8].astype(np.int64)
+                            - spp
+                        )
+                        ssd += int((dch * dch).sum())
+                if ssd <= thresh:
+                    sc.copy_skip_mb(mbx, mby, prev_y, prev_cb, prev_cr)
+                    skip_run += 1
+                    continue
+                pmx, pmy = sc._predict_mv(4 * mbx, 4 * mby, 4, 4)
+
+                def mvd_bits(mx, my, _px=pmx, _py=pmy):
+                    return se_bits(4 * mx - _px) + se_bits(4 * my - _py)
+
+                base = offsets[int(coarse_best[mby, mbx])]
+                # refine around the coarse winner AND the MV prediction
+                mv1, sad1 = _motion_search_mb(
+                    y, ref_pad, pad, x0, y0, base, lam, mvd_bits
+                )
+                mv2, sad2 = _motion_search_mb(
+                    y, ref_pad, pad, x0, y0,
+                    (int(round(pmx / 4.0)), int(round(pmy / 4.0))),
+                    lam, mvd_bits,
+                )
+                mv, sad = (
+                    (mv1, sad1)
+                    if sad1 + lam * mvd_bits(mv1[0] // 4, mv1[1] // 4)
+                    <= sad2 + lam * mvd_bits(mv2[0] // 4, mv2[1] // 4)
+                    else (mv2, sad2)
+                )
+                if sad < intra_sad_bar:
+                    bw.ue(skip_run)
+                    skip_run = 0
+                    sc.encode_mb_inter16(
+                        bw, mbx, mby, y, cb, cr, mv,
+                        (prev_y, prev_cb, prev_cr),
+                    )
+                    continue
+                bw.ue(skip_run)
+                skip_run = 0
+                sc.encode_mb_i4x4(bw, mbx, mby, y, cb, cr, mb_type_offset=5)
+                sc.mark_intra_mv(mbx, mby)
+                continue
+            # zero-motion profile (and the PCM counter strip)
+            d = src_y - prev_y[y0 : y0 + 16, x0 : x0 + 16]
             ssd = int((d * d).sum())
             for sp, pp in ((cb, prev_cb), (cr, prev_cr)):
                 dc = sp[cy : cy + 8, cx : cx + 8].astype(np.int64) - pp[
@@ -485,8 +614,14 @@ def encode_p_planes(
                 ]
                 ssd += int((dc * dc).sum())
             # counter-strip MBs may ONLY skip when bit-exact (ssd 0 ⇒
-            # the copy IS the source); others use the distortion budget
-            if ssd <= (0 if is_pcm else thresh):
+            # the copy IS the source); others use the distortion budget.
+            # A PCM-strip skip must also carry a ZERO skip vector — with
+            # motion on, neighbors can push the derived vector nonzero,
+            # so require it zero before skipping.
+            can_skip = ssd <= (0 if is_pcm else thresh)
+            if motion and can_skip and sc._skip_mv(mbx, mby) != (0, 0):
+                can_skip = False
+            if can_skip:
                 sc.copy_skip_mb(mbx, mby, prev_y, prev_cb, prev_cr)
                 skip_run += 1
                 continue
@@ -496,6 +631,7 @@ def encode_p_planes(
                 sc.encode_mb_pcm(bw, mbx, mby, y, cb, cr, mb_type_offset=5)
             else:
                 sc.encode_mb_i4x4(bw, mbx, mby, y, cb, cr, mb_type_offset=5)
+            sc.mark_intra_mv(mbx, mby)
     if skip_run:
         bw.ue(skip_run)  # trailing skip run
     bw.rbsp_trailing()
@@ -705,7 +841,7 @@ def _decode_slice_planes(
                 mb += 1
             if mb >= total:
                 break
-            sc.decode_mb_p(r, mb % w_mb, mb // w_mb)
+            sc.decode_mb_p(r, mb % w_mb, mb // w_mb, prev=prev)
             mb += 1
     else:
         for mb in range(total):

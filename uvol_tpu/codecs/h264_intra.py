@@ -738,6 +738,12 @@ class SliceCoder:
         self.tc_cr = np.zeros((ch // 8, cw // 8), np.int32)
         self.modes = np.full((ch // 4, cw // 4), -1, np.int32)
         self.cqp_offset = 0  # PPS chroma_qp_index_offset
+        # P-slice motion state (per 4x4 block): quarter-pel MVs, the
+        # reference index (-1 = intra / not yet decoded), and a decoded
+        # mask for spec neighbor availability (8.4.1.3)
+        self.mv = np.zeros((ch // 4, cw // 4, 2), np.int32)
+        self.mvref = np.full((ch // 4, cw // 4), -1, np.int32)
+        self.decoded4 = np.zeros((ch // 4, cw // 4), bool)
 
     # -- neighbor context ---------------------------------------------------
     def _nc(self, plane: np.ndarray, bx: int, by: int) -> int:
@@ -1137,40 +1143,249 @@ class SliceCoder:
 
 
 # ---------------------------------------------------------------------------
-# P-slice support (P_Skip + intra macroblocks, zero-motion profile)
+# P-slice support (P_Skip, motion-compensated inter, intra macroblocks)
 # ---------------------------------------------------------------------------
 # The reference's V1 texture MP4 is inter-coded video
-# (example/texture_encoder.py output); for near-static texture streams
-# P_Skip costs ~0 bits per unchanged macroblock. This profile emits ONLY
-# P_Skip (zero motion everywhere ⇒ the skip motion predictor is zero,
-# copying the co-located reference block) and intra macroblocks
-# (mb_type offset +5 in P slices) — never inter-predicted residual MBs —
-# so reconstruction needs no motion compensation machinery. Foreign
-# streams with real inter MBs are refused with a clear error.
+# (example/texture_encoder.py output). Round 3 shipped the zero-motion
+# profile (P_Skip + intra refresh only); round 4 adds REAL motion
+# compensation: P_L0_16x16 / 16x8 / 8x16 macroblocks with spec MV
+# prediction (8.4.1.3), quarter-pel luma (6-tap, 8.4.2.2.1) and
+# eighth-pel bilinear chroma interpolation (8.4.2.2.2), P_Skip with the
+# derived skip motion vector (8.4.1.1), and the inter coded_block_
+# pattern mapping. P_8x8 sub-partitions are refused with a clear error
+# (our encoder never emits them; constrain foreign encoders with
+# partitions=none).
+
+#: Table 9-4, inter column: codeNum -> coded_block_pattern
+#: (cross-validated against libavcodec reconstruction in
+#: tests/test_h264_inter.py).
+_CBP_INTER_FROM_CODE = np.array(
+    [
+        0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+        14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+        17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+    ],
+    np.int64,
+)
+_CBP_INTER_TO_CODE = np.zeros(48, np.int64)
+_CBP_INTER_TO_CODE[_CBP_INTER_FROM_CODE] = np.arange(48)
+
+
+def _mc_luma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+             mvx: int, mvy: int) -> np.ndarray:
+    """Quarter-pel luma motion compensation (8.4.2.2.1) for a w*h block
+    at (x0, y0) with quarter-pel MV (mvx, mvy). Reference samples
+    outside the picture are edge-clamped (the normative extension)."""
+    ih, iw = ref.shape
+    fx, fy = mvx & 3, mvy & 3
+    ix, iy = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    # padded integer window: 2 left/top, 3 right/bottom (6-tap support),
+    # +1 for the quarter-pel neighbor average
+    pad_l, pad_r = 2, 3 + 1
+    xs = np.clip(np.arange(ix - pad_l, ix + w + pad_r), 0, iw - 1)
+    ys = np.clip(np.arange(iy - pad_l, iy + h + pad_r), 0, ih - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)  # [h+6+, w+6+]
+
+    def tap6(a, axis):
+        s = [a.take(range(k, k + (a.shape[axis] - 5)), axis=axis)
+             for k in range(6)]
+        return s[0] - 5 * s[1] + 20 * s[2] + 20 * s[3] - 5 * s[4] + s[5]
+
+    if fx == 0 and fy == 0:
+        return win[pad_l : pad_l + h, pad_l : pad_l + w].astype(np.uint8)
+    # full-pel grid G, half-pel b (horizontal), h (vertical), j (center)
+    G = win[pad_l : pad_l + h + 1, pad_l : pad_l + w + 1]
+    b_raw = tap6(win, 1)  # [h+6+, w+1+]
+    b = np.clip((b_raw[pad_l : pad_l + h + 1, : w + 1] + 16) >> 5, 0, 255)
+    h_raw = tap6(win, 0)  # [h+1+, w+6+]
+    h_half = np.clip(
+        (h_raw[: h + 1, pad_l : pad_l + w + 1] + 16) >> 5, 0, 255
+    )
+    j = None
+    if fx and fy:
+        # j: 6-tap vertically over the raw b intermediates, >> 10
+        j_raw = tap6(b_raw, 0)  # [h+1+, w+1+]
+        j = np.clip((j_raw[: h + 1, : w + 1] + 512) >> 10, 0, 255)
+
+    def at(a, dx, dy):
+        return a[dy : dy + h, dx : dx + w]
+
+    if fy == 0:  # a, b, c
+        if fx == 1:
+            out = (at(G, 0, 0) + at(b, 0, 0) + 1) >> 1
+        elif fx == 2:
+            out = at(b, 0, 0)
+        else:
+            out = (at(G, 1, 0) + at(b, 0, 0) + 1) >> 1
+    elif fx == 0:  # d, h, n
+        if fy == 1:
+            out = (at(G, 0, 0) + at(h_half, 0, 0) + 1) >> 1
+        elif fy == 2:
+            out = at(h_half, 0, 0)
+        else:
+            out = (at(G, 0, 1) + at(h_half, 0, 0) + 1) >> 1
+    elif fx == 2:  # f, j, q: vertical neighbors of j use b row pairs
+        if fy == 1:
+            out = (at(b, 0, 0) + at(j, 0, 0) + 1) >> 1
+        elif fy == 2:
+            out = at(j, 0, 0)
+        else:
+            out = (at(b, 0, 1) + at(j, 0, 0) + 1) >> 1
+    elif fy == 2:  # i, j, k: horizontal neighbors of j use h columns
+        if fx == 1:
+            out = (at(h_half, 0, 0) + at(j, 0, 0) + 1) >> 1
+        else:
+            out = (at(h_half, 1, 0) + at(j, 0, 0) + 1) >> 1
+    else:  # e, g, p, r: diagonal average of the nearest b and h
+        bdy = 0 if fy == 1 else 1
+        hdx = 0 if fx == 1 else 1
+        out = (at(b, 0, bdy) + at(h_half, hdx, 0) + 1) >> 1
+    return out.astype(np.uint8)
+
+
+def _mc_chroma(ref: np.ndarray, x0: int, y0: int, w: int, h: int,
+               mvx: int, mvy: int) -> np.ndarray:
+    """Eighth-pel bilinear chroma MC (8.4.2.2.2): the luma quarter-pel
+    vector addresses eighth-pel chroma positions."""
+    ih, iw = ref.shape
+    fx, fy = mvx & 7, mvy & 7
+    ix, iy = x0 + (mvx >> 3), y0 + (mvy >> 3)
+    xs = np.clip(np.arange(ix, ix + w + 1), 0, iw - 1)
+    ys = np.clip(np.arange(iy, iy + h + 1), 0, ih - 1)
+    win = ref[np.ix_(ys, xs)].astype(np.int64)
+    a = win[:h, :w]
+    b = win[:h, 1 : w + 1]
+    c = win[1 : h + 1, :w]
+    d = win[1 : h + 1, 1 : w + 1]
+    out = (
+        (8 - fx) * (8 - fy) * a
+        + fx * (8 - fy) * b
+        + (8 - fx) * fy * c
+        + fx * fy * d
+        + 32
+    ) >> 6
+    return out.astype(np.uint8)
+
+
+def _slicecoder_mv_neighbors(self, bx: int, by: int, wb: int):
+    """(A, B, C) neighbor MVs + availability for a partition whose
+    top-left 4x4 block is (bx, by) and width wb 4x4 units. Returns
+    [(avail, refok, mv)] per 8.4.1.3 (C falls back to D above-left)."""
+    def probe(px, py):
+        if px < 0 or py < 0 or px >= self.mv.shape[1] or py >= self.mv.shape[0]:
+            return (False, False, (0, 0))
+        if not self.decoded4[py, px]:
+            return (False, False, (0, 0))
+        ok = int(self.mvref[py, px]) == 0
+        # intra neighbors are available with mvLXN = 0, refIdxLXN = -1
+        mv = (
+            (int(self.mv[py, px, 0]), int(self.mv[py, px, 1]))
+            if ok
+            else (0, 0)
+        )
+        return (True, ok, mv)
+
+    a = probe(bx - 1, by)
+    b = probe(bx, by - 1)
+    c = probe(bx + wb, by - 1)
+    if not c[0]:
+        c = probe(bx - 1, by - 1)  # D
+    return a, b, c
+
+
+def _slicecoder_predict_mv(self, bx: int, by: int, wb: int, hb: int,
+                           part: int = 0) -> Tuple[int, int]:
+    """Median MV prediction (8.4.1.3) for the partition at 4x4 block
+    (bx, by), size (wb, hb) in 4x4 units. `part`: 0 = whole/first,
+    1 = second partition of a 16x8/8x16 macroblock."""
+    a, b, c = self._mv_neighbors(bx, by, wb)
+    # directional rules for the two-partition shapes
+    if wb == 4 and hb == 2:  # 16x8: top -> B, bottom -> A (when ref ok)
+        if part == 0 and b[1]:
+            return b[2]
+        if part == 1 and a[1]:
+            return a[2]
+    elif wb == 2 and hb == 4:  # 8x16: left -> A, right -> C
+        if part == 0 and a[1]:
+            return a[2]
+        if part == 1 and c[1]:
+            return c[2]
+    refok = [n[1] for n in (a, b, c)]
+    if sum(refok) == 1:
+        return (a, b, c)[refok.index(True)][2]
+    if not b[0] and not c[0] and a[0]:
+        return a[2]
+    mvs = [n[2] for n in (a, b, c)]
+    return (
+        int(np.median([m[0] for m in mvs])),
+        int(np.median([m[1] for m in mvs])),
+    )
+
+
+def _slicecoder_skip_mv(self, mbx: int, mby: int) -> Tuple[int, int]:
+    """P_Skip motion vector (8.4.1.1): the 16x16 prediction, forced to
+    zero when the left/top neighbor is unavailable or is a zero-MV
+    ref-0 block."""
+    bx, by = 4 * mbx, 4 * mby
+    a, b, _ = self._mv_neighbors(bx, by, 4)
+    if not a[0] or not b[0]:
+        return (0, 0)
+    if a[1] and a[2] == (0, 0):
+        return (0, 0)
+    if b[1] and b[2] == (0, 0):
+        return (0, 0)
+    return self._predict_mv(bx, by, 4, 4)
+
+
+def _slicecoder_mc_into(self, mbx, mby, x0, y0, w, h, mv, prev):
+    """Motion-compensate a luma-coords region (x0,y0,w,h) from `prev`
+    into the recon planes; records the MV grid. Returns the luma pred
+    (for residual addition by the caller when coding, or direct store
+    for skip)."""
+    prev_y, prev_cb, prev_cr = prev
+    mvx, mvy = mv
+    pred_y = _mc_luma(prev_y, x0, y0, w, h, mvx, mvy)
+    pred_cb = _mc_chroma(prev_cb, x0 // 2, y0 // 2, w // 2, h // 2, mvx, mvy)
+    pred_cr = _mc_chroma(prev_cr, x0 // 2, y0 // 2, w // 2, h // 2, mvx, mvy)
+    bx, by = x0 // 4, y0 // 4
+    self.mv[by : by + h // 4, bx : bx + w // 4] = (mvx, mvy)
+    self.mvref[by : by + h // 4, bx : bx + w // 4] = 0
+    self.decoded4[by : by + h // 4, bx : bx + w // 4] = True
+    return pred_y, pred_cb, pred_cr
 
 
 def _slicecoder_copy_skip_mb(self, mbx, mby, prev_y, prev_cb, prev_cr):
-    """P_Skip: copy the co-located reference macroblock; skipped MBs
-    count TotalCoeff 0 for nC and 'not I4x4' (DC) for mode prediction."""
+    """P_Skip: motion-compensate with the derived skip MV (zero-motion
+    streams reduce to the plain co-located copy); skipped MBs count
+    TotalCoeff 0 for nC and 'not I4x4' (DC) for mode prediction."""
     x0, y0 = 16 * mbx, 16 * mby
     cx, cy = 8 * mbx, 8 * mby
-    self.y[y0 : y0 + 16, x0 : x0 + 16] = prev_y[y0 : y0 + 16, x0 : x0 + 16]
-    self.cb[cy : cy + 8, cx : cx + 8] = prev_cb[cy : cy + 8, cx : cx + 8]
-    self.cr[cy : cy + 8, cx : cx + 8] = prev_cr[cy : cy + 8, cx : cx + 8]
+    mv = self._skip_mv(mbx, mby)
+    py, pcb, pcr = self._mc_into(
+        mbx, mby, x0, y0, 16, 16, mv, (prev_y, prev_cb, prev_cr)
+    )
+    self.y[y0 : y0 + 16, x0 : x0 + 16] = py
+    self.cb[cy : cy + 8, cx : cx + 8] = pcb
+    self.cr[cy : cy + 8, cx : cx + 8] = pcr
     self.tc_y[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 0
     self.tc_cb[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
     self.tc_cr[2 * mby : 2 * mby + 2, 2 * mbx : 2 * mbx + 2] = 0
     self.modes[4 * mby : 4 * mby + 4, 4 * mbx : 4 * mbx + 4] = 2
 
 
-def _slicecoder_decode_mb_p(self, r, mbx, mby):
-    """One CODED macroblock of a P slice (intra only in this profile)."""
+def _slicecoder_decode_mb_p(self, r, mbx, mby, prev=None):
+    """One CODED macroblock of a P slice."""
     mb_type = r.ue()
     if mb_type < 5:
-        raise NotImplementedError(
-            "h264: inter-predicted P macroblock (this profile emits only "
-            "P_Skip and intra MBs)"
-        )
+        if prev is None:
+            raise ValueError("h264: inter macroblock without a reference")
+        if mb_type in (3, 4):
+            raise NotImplementedError(
+                "h264: P_8x8 sub-macroblock partitions (encode with "
+                "partitions=none)"
+            )
+        self._decode_inter(r, mbx, mby, mb_type, prev)
+        return
     mb_type -= 5
     if mb_type == 25:
         self._decode_pcm(r, mbx, mby)
@@ -1180,10 +1395,215 @@ def _slicecoder_decode_mb_p(self, r, mbx, mby):
         self._decode_i16(r, mbx, mby, mb_type)
     else:
         raise ValueError(f"h264: mb_type {mb_type + 5} in P slice")
+    self.mark_intra_mv(mbx, mby)
+
+
+def _slicecoder_decode_inter(self, r, mbx, mby, mb_type, prev):
+    """P_L0_16x16 (0) / P_L0_L0_16x8 (1) / P_L0_L0_8x16 (2)."""
+    x0, y0 = 16 * mbx, 16 * mby
+    bx, by = 4 * mbx, 4 * mby
+    if mb_type == 0:
+        parts = [(bx, by, 4, 4)]
+    elif mb_type == 1:
+        parts = [(bx, by, 4, 2), (bx, by + 2, 4, 2)]
+    else:
+        parts = [(bx, by, 2, 4), (bx + 2, by, 2, 4)]
+    preds = []
+    for pi, (pbx, pby, wb, hb) in enumerate(parts):
+        mvdx, mvdy = r.se(), r.se()
+        px, py = self._predict_mv(pbx, pby, wb, hb, part=pi)
+        mv = (px + mvdx, py + mvdy)
+        preds.append(
+            (pbx, pby, wb, hb,
+             self._mc_into(mbx, mby, 4 * pbx, 4 * pby, 4 * wb, 4 * hb,
+                           mv, prev))
+        )
+    # assemble the full-MB prediction planes
+    pred_y = np.zeros((16, 16), np.uint8)
+    pred_cb = np.zeros((8, 8), np.uint8)
+    pred_cr = np.zeros((8, 8), np.uint8)
+    for pbx, pby, wb, hb, (py_, pcb, pcr) in preds:
+        ly, lx = 4 * (pby - by), 4 * (pbx - bx)
+        pred_y[ly : ly + 4 * hb, lx : lx + 4 * wb] = py_
+        pred_cb[ly // 2 : ly // 2 + 2 * hb, lx // 2 : lx // 2 + 2 * wb] = pcb
+        pred_cr[ly // 2 : ly // 2 + 2 * hb, lx // 2 : lx // 2 + 2 * wb] = pcr
+    code = r.ue()
+    if code >= 48:
+        raise ValueError("h264: coded_block_pattern code out of range")
+    cbp = int(_CBP_INTER_FROM_CODE[code])
+    if cbp:
+        self.qp = (self.qp + r.se() + 52) % 52
+    luma, cdc, cac = self._parse_residual(r, mbx, mby, cbp, i16=False)
+    for blk in range(16):
+        bxx = int(BLK_X[blk])
+        byy = int(BLK_Y[blk])
+        d = self.dequant_luma_block(luma[blk], self.qp)
+        self.add_residual(
+            self.y, x0 + 4 * bxx, y0 + 4 * byy,
+            pred_y[4 * byy : 4 * byy + 4, 4 * bxx : 4 * bxx + 4], d,
+        )
+    self._recon_chroma_inter(mbx, mby, pred_cb, pred_cr, cdc, cac)
+    self.modes[by : by + 4, bx : bx + 4] = 2
+
+
+def _slicecoder_recon_chroma_inter(self, mbx, mby, pred_cb, pred_cr,
+                                   cdc, cac) -> None:
+    """Chroma reconstruction from an INTER prediction (same residual
+    math as _recon_chroma, prediction supplied instead of intra)."""
+    qpc = chroma_qp(self.qp + self.cqp_offset)
+    cx, cy = 8 * mbx, 8 * mby
+    for c, (plane, pred) in enumerate(
+        ((self.cb, pred_cb), (self.cr, pred_cr))
+    ):
+        dc2 = cdc[c].reshape(2, 2)
+        h2 = np.array([[1, 1], [1, -1]], np.int64)
+        f = h2 @ dc2 @ h2
+        ls = 16 * int(_DEQUANT_V[qpc % 6][0])
+        dc = ((f * ls) << (qpc // 6)) >> 5
+        for blk in range(4):
+            bxx, byy = blk % 2, blk // 2
+            d = self.dequant_luma_block(cac[c][blk], qpc)
+            d[0, 0] = dc[byy, bxx]
+            px, py = cx + 4 * bxx, cy + 4 * byy
+            self.add_residual(
+                plane, px, py,
+                pred[4 * byy : 4 * byy + 4, 4 * bxx : 4 * bxx + 4], d,
+            )
+
+
+def se_bits(v: int) -> int:
+    """Exp-Golomb se(v) code length in bits."""
+    code_num = 2 * v - 1 if v > 0 else -2 * v
+    return 2 * (code_num + 1).bit_length() - 1
+
+
+def _slicecoder_encode_mb_inter16(self, w, mbx, mby, sy, scb, scr,
+                                  mv, prev) -> None:
+    """P_L0_16x16 with quarter-pel MV `mv`: mvd against the spec MV
+    prediction, motion-compensated prediction, coded residual (inter
+    CBP mapping), reconstruction + full state update."""
+    qp = self.qp
+    x0, y0 = 16 * mbx, 16 * mby
+    cx, cy = 8 * mbx, 8 * mby
+    bx, by = 4 * mbx, 4 * mby
+    prev_y, prev_cb, prev_cr = prev
+    pmx, pmy = self._predict_mv(bx, by, 4, 4)
+    mvx, mvy = mv
+    pred_y = _mc_luma(prev_y, x0, y0, 16, 16, mvx, mvy)
+    pred_cb = _mc_chroma(prev_cb, cx, cy, 8, 8, mvx, mvy)
+    pred_cr = _mc_chroma(prev_cr, cx, cy, 8, 8, mvx, mvy)
+
+    luma_coeffs = []
+    for blk in range(16):
+        lx, ly = 4 * int(BLK_X[blk]), 4 * int(BLK_Y[blk])
+        src = sy[y0 + ly : y0 + ly + 4, x0 + lx : x0 + lx + 4].astype(
+            np.int64
+        )
+        res = src - pred_y[ly : ly + 4, lx : lx + 4]
+        q = quant_4x4(forward_4x4(res), qp)
+        luma_coeffs.append(q.reshape(-1)[ZIGZAG_4x4])
+    qpc = chroma_qp(qp + self.cqp_offset)
+    cdc_q, cac_q = [], []
+    for srcp, pred in ((scb, pred_cb), (scr, pred_cr)):
+        res = srcp[cy : cy + 8, cx : cx + 8].astype(np.int64) - pred
+        ws = [
+            forward_4x4(res[4 * (b // 2) : 4 * (b // 2) + 4,
+                            4 * (b % 2) : 4 * (b % 2) + 4])
+            for b in range(4)
+        ]
+        h2 = np.array([[1, 1], [1, -1]], np.int64)
+        dcs = np.array(
+            [[ws[0][0, 0], ws[1][0, 0]], [ws[2][0, 0], ws[3][0, 0]]],
+            np.int64,
+        )
+        fdc = h2 @ dcs @ h2
+        mf = int(_QUANT_MF[qpc % 6][0])
+        qbits = 15 + qpc // 6
+        fdz = 2 * ((1 << qbits) // 3)
+        qdc = np.sign(fdc) * ((np.abs(fdc) * mf + fdz) >> (qbits + 1))
+        cdc_q.append(qdc.reshape(-1))
+        cac_q.append(
+            [quant_4x4(ws[b], qpc, skip_dc=True).reshape(-1)[ZIGZAG_4x4]
+             for b in range(4)]
+        )
+    cbp = 0
+    for i8 in range(4):
+        if any(luma_coeffs[4 * i8 + i4].any() for i4 in range(4)):
+            cbp |= 1 << i8
+    any_ac = any(a.any() for acs in cac_q for a in acs)
+    any_dc = any(d.any() for d in cdc_q)
+    if any_ac:
+        cbp |= 2 << 4
+    elif any_dc:
+        cbp |= 1 << 4
+
+    # ---- write syntax ----
+    w.ue(0)  # mb_type P_L0_16x16
+    w.se(mvx - pmx)
+    w.se(mvy - pmy)
+    w.ue(int(_CBP_INTER_TO_CODE[cbp]))
+    if cbp:
+        w.se(0)  # mb_qp_delta
+    for i8 in range(4):
+        for i4 in range(4):
+            blk = 4 * i8 + i4
+            bxx = bx + int(BLK_X[blk])
+            byy = by + int(BLK_Y[blk])
+            if cbp & (1 << i8):
+                self.tc_y[byy, bxx] = write_residual_block(
+                    w, luma_coeffs[blk], self.nc_luma(bxx, byy)
+                )
+            else:
+                self.tc_y[byy, bxx] = 0
+    if cbp >> 4:
+        for c in range(2):
+            write_residual_block(w, cdc_q[c], -1)
+    for c, tc_plane in enumerate((self.tc_cb, self.tc_cr)):
+        for blk in range(4):
+            cbx = 2 * mbx + blk % 2
+            cby = 2 * mby + blk // 2
+            if (cbp >> 4) == 2:
+                tc_plane[cby, cbx] = write_residual_block(
+                    w, cac_q[c][blk][1:], self._nc(tc_plane, cbx, cby)
+                )
+            else:
+                tc_plane[cby, cbx] = 0
+
+    # ---- reconstruct (must match _decode_inter bit-for-bit) ----
+    for blk in range(16):
+        lx, ly = 4 * int(BLK_X[blk]), 4 * int(BLK_Y[blk])
+        d = self.dequant_luma_block(luma_coeffs[blk], qp)
+        self.add_residual(
+            self.y, x0 + lx, y0 + ly,
+            pred_y[ly : ly + 4, lx : lx + 4], d,
+        )
+    # encoder chroma-AC scans are 16-long with a zero DC slot — exactly
+    # the layout _recon_chroma_inter consumes
+    self._recon_chroma_inter(mbx, mby, pred_cb, pred_cr, cdc_q, cac_q)
+    self.mv[by : by + 4, bx : bx + 4] = (mvx, mvy)
+    self.mvref[by : by + 4, bx : bx + 4] = 0
+    self.decoded4[by : by + 4, bx : bx + 4] = True
+    self.modes[by : by + 4, bx : bx + 4] = 2
+
+
+def _slicecoder_mark_intra_mv(self, mbx: int, mby: int) -> None:
+    """Record a P-slice intra macroblock in the motion state: decoded,
+    refIdx -1 (its MVs read as zero for neighbor prediction)."""
+    by, bx = 4 * mby, 4 * mbx
+    self.mvref[by : by + 4, bx : bx + 4] = -1
+    self.decoded4[by : by + 4, bx : bx + 4] = True
 
 
 SliceCoder.copy_skip_mb = _slicecoder_copy_skip_mb
 SliceCoder.decode_mb_p = _slicecoder_decode_mb_p
+SliceCoder._decode_inter = _slicecoder_decode_inter
+SliceCoder._recon_chroma_inter = _slicecoder_recon_chroma_inter
+SliceCoder._mv_neighbors = _slicecoder_mv_neighbors
+SliceCoder._predict_mv = _slicecoder_predict_mv
+SliceCoder._skip_mv = _slicecoder_skip_mv
+SliceCoder._mc_into = _slicecoder_mc_into
+SliceCoder.mark_intra_mv = _slicecoder_mark_intra_mv
+SliceCoder.encode_mb_inter16 = _slicecoder_encode_mb_inter16
 
 
 def p_skip_threshold(qp: int) -> float:

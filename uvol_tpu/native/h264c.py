@@ -126,6 +126,17 @@ def encode_p_slice_native(
     return bytes(out[:rc]), (ry, rcb, rcr)
 
 
+def encode_p_slice_motion_native(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+    prev, qp: int, pcm_from_mby: int, frame_num: int, skip_thresh: float,
+):
+    """Whole MOTION-COMPENSATED P slice; None → Python fallback.
+
+    Placeholder until the native mirror of the round-4 inter coder
+    lands — the Python path in codecs/h264.py is the reference."""
+    return None
+
+
 def decode_slice_native(
     rbsp: bytes, sps, pps, idr: bool, prev=None, nal_ref_idc: int = 3
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

@@ -50,6 +50,11 @@ def get_h264ref_lib() -> Optional[ctypes.CDLL]:
         u8p, ctypes.c_long,
     ]
     lib.uvt_h264ref_encode_x264.restype = ctypes.c_long
+    lib.uvt_h264ref_encode_x264_gop.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, u8p, ctypes.c_long,
+    ]
+    lib.uvt_h264ref_encode_x264_gop.restype = ctypes.c_long
     _lib = lib
     return lib
 
@@ -81,6 +86,37 @@ def encode_x264_ref(
         return None
     if rc < 0:
         raise ValueError(f"libx264 encode failed (rc={rc})")
+    return bytes(out[:rc])
+
+
+def encode_x264_gop_ref(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, qp: int,
+    gop: int, subme: int = 0,
+) -> Optional[bytes]:
+    """Inter-coded foreign streams from libx264 (gop P chains, 16x16
+    partitions only, subme 0 = full-pel / 2 = quarter-pel MVs, CAVLC,
+    deblocking off) — the round-4 motion-conformance generator."""
+    lib = get_h264ref_lib()
+    if lib is None:
+        return None
+    f, h, w = y.shape
+    yuv = np.concatenate(
+        [
+            np.concatenate(
+                [y[i].reshape(-1), cb[i].reshape(-1), cr[i].reshape(-1)]
+            )
+            for i in range(f)
+        ]
+    ).astype(np.uint8)
+    cap = max(len(yuv) * 2, 1 << 20)
+    out = np.empty(cap, np.uint8)
+    rc = lib.uvt_h264ref_encode_x264_gop(
+        np.ascontiguousarray(yuv), w, h, f, qp, gop, subme, out, cap
+    )
+    if rc == -10:
+        return None
+    if rc < 0:
+        raise ValueError(f"libx264 gop encode failed (rc={rc})")
     return bytes(out[:rc])
 
 
