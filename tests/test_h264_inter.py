@@ -52,7 +52,7 @@ def _moving_frames(n=4, h=80, w=112, seed=0):
 
 def test_motion_roundtrip_self():
     frames = _moving_frames()
-    s = H.encode_annexb(frames, qp=18, gop=len(frames))
+    s = H.encode_annexb(frames, qp=18, gop=len(frames), motion=True)
     dec = H.decode_annexb(s)
     mse = ((dec.astype(np.float64) - frames) ** 2).mean()
     # the sawtooth texture aliases hard under 4:2:0 chroma subsampling:
@@ -75,7 +75,7 @@ def test_motion_roundtrip_self():
 
     HH.encode_p_planes = zero_motion
     try:
-        s0 = H.encode_annexb(frames, qp=18, gop=len(frames))
+        s0 = H.encode_annexb(frames, qp=18, gop=len(frames), motion=True)
     finally:
         HH.encode_p_planes = orig
     assert len(s) < 0.8 * len(s0), (len(s), len(s0))
@@ -85,7 +85,7 @@ def test_pcm_strip_survives_motion():
     # the I_PCM guarantee is exactness of the CODED (YUV) samples —
     # compare planes, not the chroma-subsampled RGB roundtrip
     frames = _moving_frames(n=3, h=96, w=96)
-    s = H.encode_annexb(frames, qp=30, gop=3, pcm_rows=8)
+    s = H.encode_annexb(frames, qp=30, gop=3, pcm_rows=8, motion=True)
     oy, ocb, ocr, _ = H.decode_annexb_planes(s)
     for i, f in enumerate(frames):
         yy, ycb, ycr = H.rgb_to_yuv420(f)
@@ -98,7 +98,7 @@ def test_pcm_strip_survives_motion():
 @pytest.mark.parametrize("qp", [22, 30])
 def test_motion_encoder_conformance_vs_libavcodec(qp):
     frames = _moving_frames()
-    s = H.encode_annexb(frames, qp=qp, gop=len(frames))
+    s = H.encode_annexb(frames, qp=qp, gop=len(frames), motion=True)
     ref = decode_annexb_ref(s)
     assert ref is not None
     oy, ocb, ocr, _ = H.decode_annexb_planes(s)
@@ -126,7 +126,7 @@ def test_inter_refuses_p8x8():
     # craft a P slice advertising a P_8x8 macroblock: decoder must
     # refuse with a clear error, not misparse
     frames = _moving_frames(n=2)
-    s = H.encode_annexb(frames, qp=26, gop=2)
+    s = H.encode_annexb(frames, qp=26, gop=2, motion=True)
     units = H.split_nals(s)
     # decode normally first (sanity)
     H.decode_annexb(s)

@@ -1471,6 +1471,173 @@ def _slicecoder_recon_chroma_inter(self, mbx, mby, pred_cb, pred_cr,
             )
 
 
+def _slicecoder_encode_mb_i16(self, w, mbx, mby, sy, scb, scr,
+                              mb_type_offset: int = 0) -> None:
+    """I_16x16 macroblock: single whole-MB prediction (V/H/DC/plane by
+    SAD), luma DC through the forward 4x4 Hadamard, AC blocks with the
+    DC slot skipped — the cheap intra form for smooth content (x264
+    codes ~75% of this corpus's intra MBs as I16; round 3 only ever
+    emitted I_4x4). Reconstruction mirrors _decode_i16 bit-for-bit."""
+    qp = self.qp
+    x0, y0 = 16 * mbx, 16 * mby
+    bx0, by0 = 4 * mbx, 4 * mby
+    src = sy[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+    left_avail, top_avail = mbx > 0, mby > 0
+    best = None
+    for pm in range(4):
+        if pm == 0 and not top_avail:
+            continue
+        if pm == 1 and not left_avail:
+            continue
+        if pm == 3 and not (top_avail and left_avail):
+            continue
+        pred = predict_16x16(pm, self.y, x0, y0, left_avail, top_avail)
+        sad = int(np.abs(src - pred).sum())
+        if best is None or sad < best[0]:
+            best = (sad, pm, pred)
+    _, pred_mode, pred = best
+    res = src - pred.astype(np.int64)
+    ws = [
+        forward_4x4(
+            res[4 * int(BLK_Y[b]) : 4 * int(BLK_Y[b]) + 4,
+                4 * int(BLK_X[b]) : 4 * int(BLK_X[b]) + 4]
+        )
+        for b in range(16)
+    ]
+    # luma DC: forward Hadamard over the 16 block DCs (raster layout),
+    # quantized at qbits+1 with the doubled intra deadzone (the chroma-DC
+    # pattern); AC blocks quantize with the DC slot skipped
+    dcs = np.zeros((4, 4), np.int64)
+    for b in range(16):
+        dcs[int(BLK_Y[b]), int(BLK_X[b])] = ws[b][0, 0]
+    # forward Hadamard halved (JM's DC chain): numerically minimizes the
+    # roundtrip error against the decoder's 8.5.10 scaling (measured:
+    # //2 -> 2.3 mean sq err vs 19.5 at //4 and 62 at //1, qp 28)
+    fdc = (_HADAMARD4 @ dcs @ _HADAMARD4) // 2
+    mf = int(_QUANT_MF[qp % 6][0])
+    qbits = 15 + qp // 6
+    fdz = 2 * ((1 << qbits) // 3)
+    qdc = np.sign(fdc) * ((np.abs(fdc) * mf + fdz) >> (qbits + 1))
+    dc_scan = qdc.reshape(-1)[ZIGZAG_4x4]
+    acs = [
+        quant_4x4(ws[b], qp, skip_dc=True).reshape(-1)[ZIGZAG_4x4]
+        for b in range(16)
+    ]
+    cbp_luma = 15 if any(a[1:].any() for a in acs) else 0
+
+    # chroma: identical machinery to encode_mb_i4x4's chroma section
+    cx, cy = 8 * mbx, 8 * mby
+    best_c = None
+    for cmode in (0, 1, 2):
+        if cmode == 1 and mbx == 0:
+            continue
+        if cmode == 2 and mby == 0:
+            continue
+        sad = 0
+        preds = []
+        for plane, srcp in ((self.cb, scb), (self.cr, scr)):
+            cpred = predict_chroma(cmode, plane, cx, cy, mbx > 0, mby > 0)
+            sad += int(
+                np.abs(
+                    srcp[cy : cy + 8, cx : cx + 8].astype(np.int64) - cpred
+                ).sum()
+            )
+            preds.append(cpred)
+        if best_c is None or sad < best_c[0]:
+            best_c = (sad, cmode, preds)
+    _, chroma_mode, cpreds = best_c
+    qpc = chroma_qp(qp + self.cqp_offset)
+    cdc_q, cac_q = [], []
+    for c, (plane, srcp, cpred) in enumerate(
+        ((self.cb, scb, cpreds[0]), (self.cr, scr, cpreds[1]))
+    ):
+        cres = srcp[cy : cy + 8, cx : cx + 8].astype(np.int64) - cpred
+        cws = [
+            forward_4x4(cres[4 * (b // 2) : 4 * (b // 2) + 4,
+                             4 * (b % 2) : 4 * (b % 2) + 4])
+            for b in range(4)
+        ]
+        h2 = np.array([[1, 1], [1, -1]], np.int64)
+        cdcs = np.array(
+            [[cws[0][0, 0], cws[1][0, 0]], [cws[2][0, 0], cws[3][0, 0]]],
+            np.int64,
+        )
+        cfdc = h2 @ cdcs @ h2
+        cmf = int(_QUANT_MF[qpc % 6][0])
+        cqbits = 15 + qpc // 6
+        cfdz = 2 * ((1 << cqbits) // 3)
+        cqdc = np.sign(cfdc) * ((np.abs(cfdc) * cmf + cfdz) >> (cqbits + 1))
+        cdc_q.append(cqdc.reshape(-1))
+        cac_q.append(
+            [quant_4x4(cws[b], qpc, skip_dc=True).reshape(-1)[ZIGZAG_4x4]
+             for b in range(4)]
+        )
+    any_ac = any(a.any() for a2 in cac_q for a in a2)
+    any_dc = any(d.any() for d in cdc_q)
+    cbp_chroma = 2 if any_ac else (1 if any_dc else 0)
+
+    # ---- write syntax ----
+    mb_type = 1 + pred_mode + 4 * cbp_chroma + (12 if cbp_luma else 0)
+    w.ue(mb_type + mb_type_offset)
+    w.ue(chroma_mode)
+    w.se(0)  # mb_qp_delta (always present for I16)
+    # DC block first (nC from blk0 neighbors)
+    write_residual_block(w, dc_scan, self.nc_luma(bx0, by0))
+    cbp = cbp_luma | (cbp_chroma << 4)
+    for i8 in range(4):
+        for i4 in range(4):
+            blk = 4 * i8 + i4
+            bxx = bx0 + int(BLK_X[blk])
+            byy = by0 + int(BLK_Y[blk])
+            if cbp & (1 << i8):
+                self.tc_y[byy, bxx] = write_residual_block(
+                    w, acs[blk][1:], self.nc_luma(bxx, byy)
+                )
+            else:
+                self.tc_y[byy, bxx] = 0
+    if cbp >> 4:
+        for c in range(2):
+            write_residual_block(w, cdc_q[c], -1)
+    for c, tc_plane in enumerate((self.tc_cb, self.tc_cr)):
+        for blk in range(4):
+            cbx = 2 * mbx + blk % 2
+            cby = 2 * mby + blk // 2
+            if (cbp >> 4) == 2:
+                tc_plane[cby, cbx] = write_residual_block(
+                    w, cac_q[c][blk][1:], self._nc(tc_plane, cbx, cby)
+                )
+            else:
+                tc_plane[cby, cbx] = 0
+
+    # ---- reconstruct (mirror _decode_i16 exactly) ----
+    c16 = np.zeros(16, np.int64)
+    c16[ZIGZAG_4x4] = dc_scan
+    fr = _HADAMARD4 @ c16.reshape(4, 4) @ _HADAMARD4
+    ls = 16 * int(_DEQUANT_V[qp % 6][0])
+    if qp >= 36:
+        dc = (fr * ls) << (qp // 6 - 6)
+    else:
+        dc = (fr * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+    for blk in range(16):
+        bxx, byy = int(BLK_X[blk]), int(BLK_Y[blk])
+        scan_full = acs[blk].copy()
+        scan_full[0] = 0
+        d = self.dequant_luma_block(
+            scan_full if cbp_luma else np.zeros(16, np.int64), qp
+        )
+        d[0, 0] = dc[byy, bxx]
+        px, py = x0 + 4 * bxx, y0 + 4 * byy
+        self.add_residual(
+            self.y, px, py,
+            pred[4 * byy : 4 * byy + 4, 4 * bxx : 4 * bxx + 4], d,
+        )
+    self.modes[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    self._recon_chroma(
+        mbx, mby, chroma_mode, cdc_q,
+        cac_q if cbp_chroma == 2 else [[np.zeros(16, np.int64)] * 4] * 2,
+    )
+
+
 def se_bits(v: int) -> int:
     """Exp-Golomb se(v) code length in bits."""
     code_num = 2 * v - 1 if v > 0 else -2 * v
@@ -1604,6 +1771,7 @@ SliceCoder._skip_mv = _slicecoder_skip_mv
 SliceCoder._mc_into = _slicecoder_mc_into
 SliceCoder.mark_intra_mv = _slicecoder_mark_intra_mv
 SliceCoder.encode_mb_inter16 = _slicecoder_encode_mb_inter16
+SliceCoder.encode_mb_i16 = _slicecoder_encode_mb_i16
 
 
 def p_skip_threshold(qp: int) -> float:

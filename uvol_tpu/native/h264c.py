@@ -126,6 +126,13 @@ def encode_p_slice_native(
     return bytes(out[:rc]), (ry, rcb, rcr)
 
 
+def native_motion_available() -> bool:
+    """True when the native motion-compensated P coder is built —
+    encode_annexb(motion=None) auto-selects on this (the Python
+    reference coder runs ~40 s/frame at 1024^2)."""
+    return False
+
+
 def encode_p_slice_motion_native(
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     prev, qp: int, pcm_from_mby: int, frame_num: int, skip_thresh: float,
