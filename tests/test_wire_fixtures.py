@@ -100,6 +100,11 @@ def test_fixtures_still_decode():
     assert len(c.faces) == 112
     t = transcode_ktx2_etc1s(read_ktx2((FIXTURES / "video.ktx2").read_bytes()))
     assert t.shape == (3, 32, 32, 3)
+    # pre-adaptive-codebook wire (round-3 encoder) must keep decoding
+    t3 = transcode_ktx2_etc1s(
+        read_ktx2((FIXTURES / "video_legacy_r3.ktx2").read_bytes())
+    )
+    assert t3.shape == (3, 32, 32, 3)
     from uvol_tpu.codecs.basis.uastc import transcode_uastc
 
     u = transcode_uastc(read_ktx2((FIXTURES / "video_uastc.ktx2").read_bytes()))
