@@ -114,13 +114,64 @@ def decode_drc_batch(
     return _build_batch(frames, as_numpy=as_numpy)
 
 
-def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
-    """Native-decoded frame tuples → padded device batches (shared by
-    decode_drc_batch and the pipelined decode_drc_stream)."""
+_FUSED_CACHE: Dict = {}
+
+
+def _fused_batch_fn(key):
+    """One jitted program converting the PACKED upload buffer into every
+    attribute's device tensor: a single host->device transfer + a single
+    dispatch per window. The earlier per-attribute uploads (ints, mins,
+    scales x 3 attribute types = ~9 small transfers) each paid this
+    tunnel's ~20-30 ms roundtrip — the pipelined wire->device path spent
+    more time issuing uploads than decoding (BENCH_r03 9.2 fps)."""
     import jax
     import jax.numpy as jnp
 
-    dequantize, oct_to_unit = _FNS
+    specs = key[0]  # tuple of (att_type, kind, f, nmax, nc, off, mlen, moff)
+
+    @jax.jit
+    def run(packed, meta):
+        outs = []
+        for _t, kind, f, nmax, nc, off, _ml, moff in specs:
+            ints = packed[off : off + f * nmax * nc].reshape(f, nmax, nc)
+            if kind == 1:
+                mins = meta[moff : moff + f * nc].reshape(f, nc)
+                scale = meta[moff + f * nc : moff + f * nc + f]
+                outs.append(
+                    mins[:, None, :]
+                    + ints.astype(jnp.float32) * scale[:, None, None]
+                )
+            else:  # octahedral normals
+                maxv = meta[moff : moff + f]
+                u = ints[..., 0].astype(jnp.float32) / maxv[:, None] * 2.0 - 1.0
+                v = ints[..., 1].astype(jnp.float32) / maxv[:, None] * 2.0 - 1.0
+                z = 1.0 - jnp.abs(u) - jnp.abs(v)
+                neg = z < 0
+                su = jnp.where(u >= 0, 1.0, -1.0)
+                sv = jnp.where(v >= 0, 1.0, -1.0)
+                u2 = jnp.where(neg, (1.0 - jnp.abs(v)) * su, u)
+                v2 = jnp.where(neg, (1.0 - jnp.abs(u)) * sv, v)
+                nrm = jnp.sqrt(u2 * u2 + v2 * v2 + z * z)
+                dn = jnp.maximum(nrm, 1e-30)
+                out = jnp.stack([u2 / dn, v2 / dn, z / dn], axis=-1)
+                outs.append(
+                    jnp.where(
+                        (nrm == 0)[..., None],
+                        jnp.asarray([0.0, 0.0, 1.0]),
+                        out,
+                    )
+                )
+        return tuple(outs)
+
+    return run
+
+
+def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
+    """Native-decoded frame tuples → padded device batches (shared by
+    decode_drc_batch and the pipelined decode_drc_stream). All device
+    attributes ride ONE packed upload + ONE fused dispatch."""
+    import jax
+    import jax.numpy as jnp
 
     f = len(frames)
     by_type: Dict[int, List] = {}
@@ -134,7 +185,12 @@ def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
 
     counts: Dict[int, np.ndarray] = {}
     values: Dict[int, Any] = {}
-    for att_type, entries in by_type.items():
+    specs = []  # (att_type, kind, f, nmax, nc, off, mlen, moff)
+    chunks: List[np.ndarray] = []
+    metas: List[np.ndarray] = []
+    off = moff = 0
+    use_i32 = False
+    for att_type, entries in sorted(by_type.items()):
         if len(entries) != f:
             raise ValueError(
                 f"attribute type {att_type} appears in {len(entries)} of "
@@ -145,8 +201,6 @@ def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
         if kind == 1:  # quantized → dequantize on device
             nc = entries[0][5].shape[1]
             nmax = max(e[5].shape[0] for e in entries)
-            # int16 upload when values fit (11/10-bit quantization −
-            # halves host->device bytes; the tunnel dominates this path)
             ints = np.zeros((f, nmax, nc), np.int32)
             mins = np.zeros((f, nc), np.float32)
             scale = np.zeros(f, np.float32)
@@ -158,38 +212,57 @@ def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
                 _k, bits, _mq, rng, mn = e[7]
                 mins[i] = mn[:nc]
                 scale[i] = rng / ((1 << bits) - 1)
-            up = ints.astype(np.int16) if ints.max(initial=0) < 2**15 else ints
-            out = dequantize(
-                jnp.asarray(up), jnp.asarray(mins), jnp.asarray(scale)
+            meta = np.concatenate([mins.reshape(-1), scale]).astype(
+                np.float32
             )
         elif kind == 2:  # octahedral normals
+            nc = 2
             nmax = max(e[5].shape[0] for e in entries)
-            st = np.zeros((f, nmax, 2), np.int32)
+            ints = np.zeros((f, nmax, 2), np.int32)
             maxv = np.zeros(f, np.float32)
             cnt = np.zeros(f, np.int64)
             for i, e in enumerate(entries):
                 vals = e[5]
                 cnt[i] = len(vals)
-                st[i, : len(vals)] = vals
+                ints[i, : len(vals)] = vals
                 mq = e[7][2]
                 q = 0
                 while (1 << q) <= mq:
                     q += 1
                 maxv[i] = float((1 << q) - 2)
-            up = st.astype(np.int16) if st.max(initial=0) < 2**15 else st
-            out = oct_to_unit(jnp.asarray(up), jnp.asarray(maxv))
+            meta = maxv
         else:  # integer attrs: already final, keep host ints
             counts[att_type] = np.asarray(
                 [len(e[5]) for e in entries], np.int64
             )
             values[att_type] = [e[5] for e in entries]
             continue
+        if ints.max(initial=0) >= 2**15 or ints.min(initial=0) < -(2**15):
+            use_i32 = True
         counts[att_type] = cnt
-        values[att_type] = np.asarray(out) if as_numpy else out
-    if not as_numpy:
-        dev = [v for v in values.values() if not isinstance(v, list)]
-        if dev:
-            jax.block_until_ready(dev)
+        specs.append(
+            (att_type, kind, f, nmax, nc, off, len(meta), moff)
+        )
+        chunks.append(ints.reshape(-1))
+        metas.append(meta)
+        off += ints.size
+        moff += len(meta)
+
+    if specs:
+        packed = np.concatenate(chunks)
+        if not use_i32:
+            packed = packed.astype(np.int16)
+        meta_all = np.concatenate(metas) if metas else np.zeros(1, np.float32)
+        key = (tuple(specs), use_i32)
+        fn = _FUSED_CACHE.get(key)
+        if fn is None:
+            fn = _fused_batch_fn(key)
+            _FUSED_CACHE[key] = fn
+        outs = fn(jnp.asarray(packed), jnp.asarray(meta_all))
+        for (att_type, *_rest), out in zip(specs, outs):
+            values[att_type] = np.asarray(out) if as_numpy else out
+        if not as_numpy:
+            jax.block_until_ready(outs)
     return DeviceFrameBatch(
         counts=counts, values=values, faces=faces, num_points=num_points
     )
