@@ -42,6 +42,10 @@ class DeviceFrameBatch:
     values: Dict[int, Any]  # att_type -> [F, Nmax, C] device float32
     faces: List[np.ndarray]  # per-frame [M, 3] int32 (host)
     num_points: List[int]
+    # 1-element output of the same fused executable as `values`: fetching
+    # it (np.asarray) proves the whole dispatch completed with ONE tiny
+    # transport roundtrip instead of one ~25 ms fetch per attribute.
+    token: Any = None
 
 
 def _dequant_fns():
@@ -116,24 +120,102 @@ def decode_drc_batch(
 
 _FUSED_CACHE: Dict = {}
 
+# upload packing modes: bits -> bytes per GROUP of values. On this
+# transport the host->device copy is CPU-bound in the client (it cannot
+# overlap the GIL-free wire decode on a 1-core host), so upload BYTES
+# sit directly on the critical path: 11/10/8-bit quantized values ride
+# at 1.5/1.25/1.0 bytes instead of int16's 2.0 (~43% fewer bytes on the
+# liam corpus).
+_MODE_GROUP = {8: (1, 1), 10: (4, 5), 12: (2, 3), 16: (1, 2), 32: (1, 4)}
+
+
+def _pick_mode(max_bits: int, has_neg: bool) -> int:
+    if has_neg:
+        return 16 if max_bits <= 15 else 32
+    for m in (8, 10, 12, 16):
+        if max_bits <= m:
+            return m
+    return 32
+
+
+def _pack_host(vals: np.ndarray, mode: int) -> np.ndarray:
+    """Flat non-negative int array -> uint8 wire for the chosen mode."""
+    v = vals.astype(np.int64)
+    if mode == 8:
+        return v.astype(np.uint8)
+    if mode == 16:
+        return np.ascontiguousarray(v.astype(np.int16)).view(np.uint8)
+    if mode == 32:
+        return np.ascontiguousarray(v.astype(np.int32)).view(np.uint8)
+    gv, gb = _MODE_GROUP[mode]
+    pad = (-len(v)) % gv
+    if pad:
+        v = np.concatenate([v, np.zeros(pad, np.int64)])
+    g = v.reshape(-1, gv)
+    out = np.empty((len(g), gb), np.uint8)
+    if mode == 12:  # 2 values -> 3 bytes
+        out[:, 0] = g[:, 0] & 0xFF
+        out[:, 1] = ((g[:, 0] >> 8) & 0xF) | ((g[:, 1] & 0xF) << 4)
+        out[:, 2] = (g[:, 1] >> 4) & 0xFF
+    else:  # mode == 10: 4 values -> 5 bytes
+        out[:, 0] = g[:, 0] & 0xFF
+        out[:, 1] = ((g[:, 0] >> 8) & 0x3) | ((g[:, 1] & 0x3F) << 2)
+        out[:, 2] = ((g[:, 1] >> 6) & 0xF) | ((g[:, 2] & 0xF) << 4)
+        out[:, 3] = ((g[:, 2] >> 4) & 0x3F) | ((g[:, 3] & 0x3) << 6)
+        out[:, 4] = (g[:, 3] >> 2) & 0xFF
+    return out.reshape(-1)
+
+
+def _packed_nbytes(n: int, mode: int) -> int:
+    gv, gb = _MODE_GROUP[mode]
+    return ((n + gv - 1) // gv) * gb
+
 
 def _fused_batch_fn(key):
-    """One jitted program converting the PACKED upload buffer into every
-    attribute's device tensor: a single host->device transfer + a single
-    dispatch per window. The earlier per-attribute uploads (ints, mins,
-    scales x 3 attribute types = ~9 small transfers) each paid this
+    """One jitted program converting the PACKED uint8 upload buffer into
+    every attribute's device tensor: a single host->device transfer + a
+    single dispatch per window. The earlier per-attribute uploads (ints,
+    mins, scales x 3 attribute types = ~9 small transfers) each paid this
     tunnel's ~20-30 ms roundtrip — the pipelined wire->device path spent
     more time issuing uploads than decoding (BENCH_r03 9.2 fps)."""
     import jax
     import jax.numpy as jnp
 
-    specs = key[0]  # tuple of (att_type, kind, f, nmax, nc, off, mlen, moff)
+    # tuple of (att_type, kind, mode, f, nmax, nc, off, mlen, moff)
+    specs = key[0]
+
+    def unpack(by, mode, n):
+        b = by.astype(jnp.int32)
+        if mode == 8:
+            return b[:n]
+        if mode == 16:
+            g = b.reshape(-1, 2)
+            v = g[:, 0] | (g[:, 1] << 8)
+            return (v - ((v & 0x8000) << 1))[:n]  # sign-extend
+        if mode == 32:
+            g = b.reshape(-1, 4)
+            return (
+                g[:, 0] | (g[:, 1] << 8) | (g[:, 2] << 16) | (g[:, 3] << 24)
+            )[:n]
+        if mode == 12:
+            g = b.reshape(-1, 3)
+            v0 = g[:, 0] | ((g[:, 1] & 0xF) << 8)
+            v1 = (g[:, 1] >> 4) | (g[:, 2] << 4)
+            return jnp.stack([v0, v1], -1).reshape(-1)[:n]
+        g = b.reshape(-1, 5)  # mode == 10
+        v0 = g[:, 0] | ((g[:, 1] & 0x3) << 8)
+        v1 = (g[:, 1] >> 2) | ((g[:, 2] & 0xF) << 6)
+        v2 = (g[:, 2] >> 4) | ((g[:, 3] & 0x3F) << 4)
+        v3 = (g[:, 3] >> 6) | (g[:, 4] << 2)
+        return jnp.stack([v0, v1, v2, v3], -1).reshape(-1)[:n]
 
     @jax.jit
     def run(packed, meta):
-        outs = []
-        for _t, kind, f, nmax, nc, off, _ml, moff in specs:
-            ints = packed[off : off + f * nmax * nc].reshape(f, nmax, nc)
+        outs = [packed[:1]]  # completion token (see DeviceFrameBatch)
+        for _t, kind, mode, f, nmax, nc, off, _ml, moff in specs:
+            n = f * nmax * nc
+            by = packed[off : off + _packed_nbytes(n, mode)]
+            ints = unpack(by, mode, n).reshape(f, nmax, nc)
             if kind == 1:
                 mins = meta[moff : moff + f * nc].reshape(f, nc)
                 scale = meta[moff + f * nc : moff + f * nc + f]
@@ -166,10 +248,16 @@ def _fused_batch_fn(key):
     return run
 
 
-def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
+def _build_batch(
+    frames, *, as_numpy: bool = False, sync: bool = True
+) -> "DeviceFrameBatch":
     """Native-decoded frame tuples → padded device batches (shared by
     decode_drc_batch and the pipelined decode_drc_stream). All device
-    attributes ride ONE packed upload + ONE fused dispatch."""
+    attributes ride ONE packed upload + ONE fused dispatch.
+
+    sync=False leaves the device dispatch in flight (the stream path
+    pipelines windows; a per-window block_until_ready would serialize
+    the whole pipeline on this transport)."""
     import jax
     import jax.numpy as jnp
 
@@ -185,11 +273,10 @@ def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
 
     counts: Dict[int, np.ndarray] = {}
     values: Dict[int, Any] = {}
-    specs = []  # (att_type, kind, f, nmax, nc, off, mlen, moff)
+    specs = []  # (att_type, kind, mode, f, nmax, nc, off, mlen, moff)
     chunks: List[np.ndarray] = []
     metas: List[np.ndarray] = []
     off = moff = 0
-    use_i32 = False
     for att_type, entries in sorted(by_type.items()):
         if len(entries) != f:
             raise ValueError(
@@ -237,34 +324,41 @@ def _build_batch(frames, *, as_numpy: bool = False) -> "DeviceFrameBatch":
             )
             values[att_type] = [e[5] for e in entries]
             continue
-        if ints.max(initial=0) >= 2**15 or ints.min(initial=0) < -(2**15):
-            use_i32 = True
+        vmax = int(ints.max(initial=0))
+        vmin = int(ints.min(initial=0))
+        mode = _pick_mode(max(vmax, 1).bit_length(), vmin < 0)
+        if vmin < -(2**15) or vmax >= 2**15:
+            mode = 32
         counts[att_type] = cnt
         specs.append(
-            (att_type, kind, f, nmax, nc, off, len(meta), moff)
+            (att_type, kind, mode, f, nmax, nc, off, len(meta), moff)
         )
-        chunks.append(ints.reshape(-1))
+        chunks.append(_pack_host(ints.reshape(-1), mode))
         metas.append(meta)
-        off += ints.size
+        off += len(chunks[-1])
         moff += len(meta)
 
     if specs:
         packed = np.concatenate(chunks)
-        if not use_i32:
-            packed = packed.astype(np.int16)
         meta_all = np.concatenate(metas) if metas else np.zeros(1, np.float32)
-        key = (tuple(specs), use_i32)
+        key = (tuple(specs),)
         fn = _FUSED_CACHE.get(key)
         if fn is None:
             fn = _fused_batch_fn(key)
             _FUSED_CACHE[key] = fn
-        outs = fn(jnp.asarray(packed), jnp.asarray(meta_all))
+        tok, *outs = fn(jnp.asarray(packed), jnp.asarray(meta_all))
         for (att_type, *_rest), out in zip(specs, outs):
             values[att_type] = np.asarray(out) if as_numpy else out
-        if not as_numpy:
-            jax.block_until_ready(outs)
+        if sync and not as_numpy:
+            np.asarray(tok)  # one tiny fetch == dispatch completed
+    else:
+        tok = None
     return DeviceFrameBatch(
-        counts=counts, values=values, faces=faces, num_points=num_points
+        counts=counts,
+        values=values,
+        faces=faces,
+        num_points=num_points,
+        token=tok,
     )
 
 
@@ -278,14 +372,20 @@ def decode_drc_stream(
 ):
     """Pipelined wire→device decode (VERDICT r2 item 3's streaming form).
 
-    The host C wire stages of window k+1..k+lookahead run on worker
-    threads (GIL-free native loops) WHILE window k's tensors upload and
-    dequantize on device — so on a multi-core host the sequential wire
-    recurrences and the batched device math overlap instead of
-    alternating, and device dispatch stays async (jit). Yields
-    (start_index, DeviceFrameBatch) in order; per-window results are
-    byte-identical to decode_drc_batch on the same slice
-    (tests/test_drc_device.py).
+    Three pipeline stages, no per-window sync point:
+
+      1. per-frame C wire decode on `workers` threads (GIL-free native
+         loops) with up to `lookahead` future windows in flight;
+      2. a dedicated uploader thread packs each completed window and
+         issues the single fused upload+dispatch (async under jit) —
+         window k+1's wire decode keeps running while window k's bytes
+         ride the transport;
+      3. the generator yields (start_index, DeviceFrameBatch) in order
+         WITHOUT blocking on device completion — consumers that need
+         host values force the arrays (jax materializes them on read).
+
+    Per-window results are byte-identical to decode_drc_batch on the
+    same slice (tests/test_drc_device.py).
     """
     global _FNS
     from concurrent.futures import ThreadPoolExecutor
@@ -304,20 +404,26 @@ def decode_drc_stream(
         return res
 
     starts = list(range(0, len(blobs), window))
-    # `workers` threads decode individual frames, so within-window frames
-    # run concurrently AND up to `lookahead` future windows stay in flight
-    with ThreadPoolExecutor(max(1, workers)) as pool:
-        inflight: dict = {}
+    with ThreadPoolExecutor(max(1, workers)) as pool, ThreadPoolExecutor(
+        1
+    ) as uploader:
+        decode_futs: dict = {}
+        batch_futs: dict = {}
         next_submit = 0
+
+        def build(idx):
+            frames = [fut.result() for fut in decode_futs.pop(idx)]
+            return _build_batch(frames, as_numpy=as_numpy, sync=False)
+
         for i, start in enumerate(starts):
             while next_submit < len(starts) and next_submit <= i + lookahead:
                 s = starts[next_submit]
-                inflight[next_submit] = [
+                decode_futs[next_submit] = [
                     pool.submit(host_one, blob)
                     for blob in blobs[s : s + window]
                 ]
+                # the uploader runs windows strictly in order, so device
+                # transfers stay serialized and ordered on the transport
+                batch_futs[next_submit] = uploader.submit(build, next_submit)
                 next_submit += 1
-            frames = [fut.result() for fut in inflight.pop(i)]
-            # device dispatch is async: the upload/compute below overlaps
-            # the already-running host decode of the next windows
-            yield start, _build_batch(frames, as_numpy=as_numpy)
+            yield start, batch_futs.pop(i).result()
