@@ -182,27 +182,37 @@ def test_device_encode_matches_host():
         np.testing.assert_array_equal(b_host, b_dev)
 
 
-def test_profile_marker_written_and_checked():
-    """Files carry the UVTUASTCProfile key/value marker; transcoding a
-    file WITHOUT it (i.e. foreign/basisu UASTC whose bit layout this
-    self-profile decoder does not understand) warns (round-1 advisor)."""
+def test_profile_marker_tags_legacy_wire_only():
+    """wire="legacy" files carry the UVTUASTCProfile key/value marker and
+    decode through this module's round-2/3 layout; default (spec-wire)
+    files carry NO marker and dispatch to codecs/basis/uastc_spec.py.
+    Round 4 replaced the round-1 foreign-file warning with real spec
+    dispatch (tests/test_uastc_spec.py covers the spec side)."""
     import warnings
 
     from uvol_tpu.containers.ktx2 import read_ktx2
 
     imgs = _smooth()[None]
-    blob = U.encode_uastc_ktx2(imgs, zstd=False)
+    blob = U.encode_uastc_ktx2(imgs, zstd=False, wire="legacy")
     f = read_ktx2(blob)
     assert (
         f.key_value[U.UASTC_PROFILE_KEY].rstrip(b"\x00")
         == U.UASTC_PROFILE_VALUE
     )
     with warnings.catch_warnings():
-        warnings.simplefilter("error")  # marked file: no warning
-        U.transcode_uastc(f)
-    f.key_value.pop(U.UASTC_PROFILE_KEY)
-    with pytest.warns(RuntimeWarning, match="self-profile"):
-        U.transcode_uastc(f)
+        warnings.simplefilter("error")  # legacy-marked file: no warning
+        legacy_rgba = U.transcode_uastc(f)
+    # spec-wire default: no marker, decodes through the spec layout to
+    # comparable quality on the same image
+    fs = read_ktx2(U.encode_uastc_ktx2(imgs, zstd=False))
+    assert U.UASTC_PROFILE_KEY not in fs.key_value
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        spec_rgba = U.transcode_uastc(fs)
+    ref = imgs[0].astype(float)
+    for out in (legacy_rgba, spec_rgba):
+        mse = ((out[0].astype(float) - ref) ** 2).mean()
+        assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 30
 
 
 def test_non_multiple_of_4_roundtrip():

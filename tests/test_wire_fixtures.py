@@ -109,3 +109,8 @@ def test_fixtures_still_decode():
 
     u = transcode_uastc(read_ktx2((FIXTURES / "video_uastc.ktx2").read_bytes()))
     assert u.shape == (3, 32, 32, 4)
+    # pre-spec-wire (round-3 UVTUASTCProfile marker) files keep decoding
+    ul = transcode_uastc(
+        read_ktx2((FIXTURES / "video_uastc_legacy.ktx2").read_bytes())
+    )
+    assert ul.shape == (3, 32, 32, 4)

@@ -4,6 +4,14 @@ transcoder to RGBA, wired through the KTX2 container (DFD color model
 capability (src/lib/KTX2Loader.js:469-580 transcode; `basisu -uastc`
 encode invoked by scripts/Encoder.py:33-39).
 
+STATUS (round 4): the wire this encoder EMITS by default is the
+spec-structured layout in codecs/basis/uastc_spec.py (variable-length
+mode codes, ASTC endpoint ranges + BISE, ASTC-range plain weights; no
+profile marker). The layout below — the round-2/3 ``UVTUASTCProfile``
+— is retained as a LEGACY wire: files carrying its KTX2 marker still
+decode through this module, and `encode_uastc_ktx2(wire="legacy")`
+still writes it. transcode_uastc dispatches on the marker.
+
 HONESTY / SCOPE (read before relying on interop):
 
 This environment has zero egress and ships no UASTC spec text, no
@@ -388,10 +396,13 @@ def _get_bise(bits: np.ndarray, pos: int, n_values: int, base: int):
 def _fit_endpoints_weights(
     px: np.ndarray, levels: int,
     endpoints: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    table: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """px: [B,16,C] float. Min/max-diagonal fit: endpoints e0/e1 [B,C] and
     per-texel weight level indices [B,16]. Pass `endpoints` to project
-    onto a FIXED pair (shared-endpoint dual-plane modes)."""
+    onto a FIXED pair (shared-endpoint dual-plane modes); `table`
+    overrides WEIGHT_TABLES[levels] (the spec wire's ASTC weight
+    unquantization differs from the uniform tables at 4/5 bits)."""
     if endpoints is not None:
         e0, e1 = endpoints
     else:
@@ -405,9 +416,11 @@ def _fit_endpoints_weights(
         / np.maximum(denom[:, None], 1e-9),
         0.5,
     )  # [B,16] in [0,1]
-    table = WEIGHT_TABLES[levels].astype(np.float64)  # 0..64
+    tbl = (WEIGHT_TABLES[levels] if table is None else table).astype(
+        np.float64
+    )  # 0..64
     w64 = np.clip(t, 0.0, 1.0) * 64.0
-    idx = np.abs(w64[..., None] - table[None, None, :]).argmin(-1)
+    idx = np.abs(w64[..., None] - tbl[None, None, :]).argmin(-1)
     return e0, e1, idx
 
 
@@ -471,9 +484,11 @@ def _mode_pixels(px_f: np.ndarray, m: UastcMode) -> np.ndarray:
     return px_f[..., : _ncomp(m)]
 
 
-def _fit_subsets(pxf: np.ndarray, part: np.ndarray, levels: int, subsets: int):
+def _fit_subsets(pxf: np.ndarray, part: np.ndarray, levels: int, subsets: int,
+                 table: Optional[np.ndarray] = None):
     """Per-subset diagonal fit. pxf [B,16,C], part [B,16] subset index →
-    (e0 [B,P,C], e1 [B,P,C], widx [B,16])."""
+    (e0 [B,P,C], e1 [B,P,C], widx [B,16]). `table` overrides
+    WEIGHT_TABLES[levels] (see _fit_endpoints_weights)."""
     big = 1e30
     e0s, e1s = [], []
     for p in range(subsets):
@@ -494,9 +509,11 @@ def _fit_subsets(pxf: np.ndarray, part: np.ndarray, levels: int, subsets: int):
         ((pxf - e0_t) * d_t).sum(-1) / np.maximum(denom, 1e-9),
         0.5,
     )
-    table = WEIGHT_TABLES[levels].astype(np.float64)
+    tbl = (WEIGHT_TABLES[levels] if table is None else table).astype(
+        np.float64
+    )
     w64 = np.clip(t, 0.0, 1.0) * 64.0
-    widx = np.abs(w64[..., None] - table[None, None, :]).argmin(-1)
+    widx = np.abs(w64[..., None] - tbl[None, None, :]).argmin(-1)
     return e0, e1, widx
 
 
@@ -926,16 +943,23 @@ def encode_uastc_ktx2(
     zstd_level: int = 6,
     device: object = False,
     quality: int = 0,
+    wire: str = "spec",
 ) -> bytes:
     """[layers, H, W, 3|4] uint8 -> UASTC .ktx2 bytes (array texture),
     Zstd-supercompressed by default like `basisu -uastc -ktx2`.
 
+    `wire="spec"` (default) emits the spec-structured UASTC layout
+    (codecs/basis/uastc_spec.py: variable-length mode codes, ASTC
+    endpoint ranges + BISE, plain ASTC-range weights) with NO profile
+    marker; "legacy" emits the round-2/3 ``UVTUASTCProfile`` layout with
+    its marker (kept for old consumers; transcode_uastc reads both).
     `quality` (0-2) widens the candidate-mode set per block
-    (UASTC_QUALITY_MODES), like basisu's quality levels.
+    (UASTC_QUALITY_MODES / SPEC_QUALITY_MODES), like basisu's quality
+    levels.
     `device=False` (default) pins the float64 host fit so wire bytes are
     deterministic across environments; pass True/"auto" for the jitted
-    device fit, whose f32 round/argmin ties can pick different (equally
-    valid) winning modes (round-1 advisor note)."""
+    device fit (legacy wire only), whose f32 round/argmin ties can pick
+    different (equally valid) winning modes (round-1 advisor note)."""
     from uvol_tpu.containers.ktx2 import (
         KHR_DF_MODEL_UASTC,
         KTX2Header,
@@ -955,7 +979,17 @@ def encode_uastc_ktx2(
         images = np.concatenate(
             [images, np.full(images.shape[:-1] + (1,), 255, np.uint8)], -1
         )
-    rgb_set, rgba_set = UASTC_QUALITY_MODES[min(max(int(quality), 0), 2)]
+    if wire not in ("spec", "legacy"):
+        raise ValueError(f"unknown UASTC wire {wire!r}")
+    if wire == "spec":
+        from uvol_tpu.codecs.basis.uastc_spec import (
+            SPEC_QUALITY_MODES,
+            encode_spec_blocks,
+        )
+
+        rgb_set, rgba_set = SPEC_QUALITY_MODES[min(max(int(quality), 0), 2)]
+    else:
+        rgb_set, rgba_set = UASTC_QUALITY_MODES[min(max(int(quality), 0), 2)]
 
     def _encode_layer(i: int) -> bytes:
         blocks_px = image_to_blocks_rgba(images[i])
@@ -963,6 +997,8 @@ def encode_uastc_ktx2(
         if quality > 0:
             has_a = (blocks_px[..., 3] != 255).any()
             modes = list(rgba_set if has_a else rgb_set)
+        if wire == "spec":
+            return encode_spec_blocks(blocks_px, modes=modes).tobytes()
         return encode_uastc_blocks(
             blocks_px, modes=modes, device=device
         ).tobytes()
@@ -984,15 +1020,20 @@ def encode_uastc_ktx2(
         level_count=1,
         supercompression_scheme=scheme,
     )
+    # machine-detectable marker on LEGACY files only: that wire is this
+    # module's documented profile, not spec UASTC (round-1 advisor).
+    # Spec-wire files intentionally carry no marker — they claim the
+    # standard layout (uastc_spec.py documents the reconstruction risk).
+    kv = (
+        {UASTC_PROFILE_KEY: UASTC_PROFILE_VALUE + b"\x00"}
+        if wire == "legacy"
+        else None
+    )
     return write_ktx2(
         header,
         [KTX2Level(data=payload, uncompressed_byte_length=uncompressed)],
         dfd=make_basis_dfd(color_model=KHR_DF_MODEL_UASTC, has_alpha=True),
-        # machine-detectable marker that the block bit layout is THIS
-        # module's documented profile, not verified-spec UASTC (round-1
-        # advisor: without it a conformant consumer would decode garbage
-        # with no way to tell the file apart from real basisu output)
-        key_value={UASTC_PROFILE_KEY: UASTC_PROFILE_VALUE + b"\x00"},
+        key_value=kv,
     )
 
 
@@ -1018,19 +1059,20 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
         "rgba", "astc", "bc7", "etc1", "etc2-eac", "bc1-bc3", "pvrtc1"
     ):
         raise NotImplementedError(f"UASTC transcode target {target!r}")
+    # wire dispatch: files carrying the legacy UVTUASTCProfile marker
+    # decode through this module's round-2/3 profile layout; marker-less
+    # files (including foreign ones) go through the spec-structured
+    # layout (codecs/basis/uastc_spec.py — reconstruction caveat there)
     marker = ktx2_file.key_value.get(UASTC_PROFILE_KEY)
-    if marker is None or marker.rstrip(b"\x00") != UASTC_PROFILE_VALUE:
-        import warnings
+    is_legacy = (
+        marker is not None and marker.rstrip(b"\x00") == UASTC_PROFILE_VALUE
+    )
+    if is_legacy:
+        decode_blocks_fn = decode_uastc_blocks
+    else:
+        from uvol_tpu.codecs.basis.uastc_spec import decode_spec_blocks
 
-        warnings.warn(
-            "KTX2 file lacks the "
-            f"{UASTC_PROFILE_KEY.decode()}={UASTC_PROFILE_VALUE.decode()} "
-            "marker: it was not written by this encoder, and this module's "
-            "block bit layout is a documented self-profile, not verified "
-            "spec UASTC — decode output for foreign (e.g. basisu) files is "
-            "undefined (see module docstring)",
-            RuntimeWarning,
-        )
+        decode_blocks_fn = decode_spec_blocks
     h = ktx2_file.header.pixel_height
     w = ktx2_file.header.pixel_width
     layers = max(1, ktx2_file.header.layer_count)
@@ -1046,7 +1088,7 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
         # texel anywhere makes the whole file carry alpha blocks
         file_has_alpha = any(
             (
-                decode_uastc_blocks(
+                decode_blocks_fn(
                     np.frombuffer(
                         data[i * per : (i + 1) * per], np.uint8
                     ).reshape(-1, 16)
@@ -1060,13 +1102,33 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
             data[i * per : (i + 1) * per], np.uint8
         ).reshape(-1, 16)
         if target == "astc":
-            from uvol_tpu.codecs.basis.astc import transcode_uastc_to_astc
+            if is_legacy:
+                from uvol_tpu.codecs.basis.astc import (
+                    transcode_uastc_to_astc,
+                )
 
-            frames.append(transcode_uastc_to_astc(blocks))
+                frames.append(transcode_uastc_to_astc(blocks))
+            else:
+                from uvol_tpu.codecs.basis.uastc_spec import spec_to_astc
+
+                # verbatim field shuffle — value-exact for EVERY mode
+                frames.append(spec_to_astc(blocks))
         elif target == "bc7":
-            from uvol_tpu.codecs.basis.bc7 import transcode_uastc_to_bc7
+            if is_legacy:
+                from uvol_tpu.codecs.basis.bc7 import transcode_uastc_to_bc7
 
-            frames.append(transcode_uastc_to_bc7(blocks))
+                frames.append(transcode_uastc_to_bc7(blocks))
+            else:
+                # spec wire: whole-block BC7 mode-6 refit on the decoded
+                # texels (real BPTC wire; the structural per-mode carry
+                # of the legacy path is not yet ported to spec parsing)
+                from uvol_tpu.codecs.basis.bc7 import _fit_mode6
+
+                px = decode_blocks_fn(blocks).reshape(-1, 4, 4, 4)
+                out16 = np.zeros((len(px), 16), np.uint8)
+                for bi in range(len(px)):
+                    out16[bi] = np.frombuffer(_fit_mode6(px[bi]), np.uint8)
+                frames.append(out16)
         elif target in ("etc1", "etc2-eac", "bc1-bc3", "pvrtc1"):
             # decode-and-refit rows of the reference's format table
             import jax.numpy as jnp
@@ -1079,7 +1141,7 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
                 fit_pvrtc1_from_rgba,
             )
 
-            px = decode_uastc_blocks(blocks)  # [B,4,4,4]
+            px = decode_blocks_fn(blocks)  # [B,4,4,4]
             if target == "pvrtc1":
                 if file_has_alpha:
                     # PVRTC1 punch-through alpha is not implemented;
@@ -1119,6 +1181,6 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
                 frames.append(color)
         else:
             frames.append(
-                blocks_to_image_rgba(decode_uastc_blocks(blocks), h, w)
+                blocks_to_image_rgba(decode_blocks_fn(blocks), h, w)
             )
     return np.stack(frames)
