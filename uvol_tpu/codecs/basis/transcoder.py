@@ -911,13 +911,17 @@ def transcode_ktx2_etc1s(ktx2_file, target: str = "rgba") -> np.ndarray:
 
         if target in ("etc1", "etc2-eac"):
             word1_of, word2_of = etc1_tabs
-            color = np.stack(
-                [
-                    word1_of[blocks[..., 0].reshape(-1)],
-                    word2_of[blocks[..., 1].reshape(-1)],
-                ],
-                axis=1,
-            )
+            from uvol_tpu import native as uvt_native
+
+            color = uvt_native.etc1s_words_native(blocks, word1_of, word2_of)
+            if color is None:
+                color = np.stack(
+                    [
+                        word1_of[blocks[..., 0].reshape(-1)],
+                        word2_of[blocks[..., 1].reshape(-1)],
+                    ],
+                    axis=1,
+                )
             if target == "etc2-eac":
                 # GL_COMPRESSED_RGBA8_ETC2_EAC: 8-byte EAC alpha block
                 # then the 8-byte color block

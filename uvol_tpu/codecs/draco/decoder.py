@@ -154,7 +154,7 @@ def _decode_drc_native(data: bytes) -> Optional[DracoMesh]:
                 values=values, corner_to_value=corner_map,
             )
         )
-    faces = point_of_corner.reshape(-1, 3).astype(np.int32)
+    faces = point_of_corner.reshape(-1, 3).astype(np.int32, copy=False)
     mesh = DracoMesh(
         faces=faces, attributes=attributes, num_points=num_points
     )
@@ -426,7 +426,7 @@ def _decode_drc(data: bytes) -> DracoMesh:
         point_of_corner = rank[point_of_corner]
         num_points = len(uniq)
 
-    faces = point_of_corner.reshape(-1, 3).astype(np.int32)
+    faces = point_of_corner.reshape(-1, 3).astype(np.int32, copy=False)
     mesh = DracoMesh(faces=faces, attributes=all_attributes, num_points=num_points)
     mesh._point_of_corner = point_of_corner
     if buf.remaining() != 0:

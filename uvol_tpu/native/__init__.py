@@ -33,6 +33,35 @@ _draco_lib: Optional[ctypes.CDLL] = None
 _draco_failed = False
 
 
+def _tune_malloc() -> None:
+    """Keep multi-100KB per-frame scratch on the heap instead of
+    fresh mmap/munmap pairs.
+
+    The frame decoders allocate ~10-20 MB of short-lived buffers per
+    frame (corner tables, traversal scratch, attribute values). glibc's
+    default M_MMAP_THRESHOLD (128 KB, dynamically adjusted) sends most
+    of them to mmap, so every frame pays thousands of page faults +
+    munmap TLB shootdowns. Raising the mmap and trim thresholds to
+    64 MB makes frame N+1 reuse frame N's pages: measured 32 -> 20
+    ms/frame on the liam corpus (interleaved in-process A/B, 35%).
+    Process-wide policy, so it is documented here and gated by
+    UVT_MALLOC_TUNE=0; the cost is the process holding up to ~64 MB of
+    freed heap, which every consumer of this framework can afford.
+    """
+    if os.environ.get("UVT_MALLOC_TUNE") == "0":
+        return
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        libc.mallopt(M_MMAP_THRESHOLD, 64 << 20)
+        libc.mallopt(M_TRIM_THRESHOLD, 64 << 20)
+    except OSError:  # non-glibc platform: keep defaults
+        pass
+
+
+_tune_malloc()
+
+
 def _compile(src, so: str, libs=()) -> bool:
     srcs = [src] if isinstance(src, str) else list(src)
     try:
@@ -1301,6 +1330,31 @@ def etc1s_slice_decode_native(
         out,
     )
     if rc < 0:
+        return None
+    return out
+
+
+def etc1s_words_native(blocks, word1_of, word2_of):
+    """One-pass [n,2] palette-index -> ETC1-word mapping (C). Returns
+    [n,2] uint32 or None when the library is unavailable."""
+    lib = get_etc1s_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_uvt_ew_bound"):
+        c = ctypes
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.uvt_etc1s_words.argtypes = [
+            i32p, c.c_int64, u32p, c.c_int64, u32p, c.c_int64, u32p,
+        ]
+        lib.uvt_etc1s_words.restype = c.c_int
+        lib._uvt_ew_bound = True
+    b = np.ascontiguousarray(blocks.reshape(-1, 2), np.int32)
+    w1 = np.ascontiguousarray(word1_of, np.uint32)
+    w2 = np.ascontiguousarray(word2_of, np.uint32)
+    out = np.empty((len(b), 2), np.uint32)
+    rc = lib.uvt_etc1s_words(b, len(b), w1, len(w1), w2, len(w2), out)
+    if rc != 0:
         return None
     return out
 

@@ -51,6 +51,13 @@ int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
                           int32_t* corner_to_vertex, int32_t* vertex_to_corner,
                           uint8_t* fan_open_out,
                           int64_t* out_num_attr_vertices);
+int uvt_attr_corner_tables_multi(
+    const int32_t* opposite, const int32_t* vertex,
+    const int32_t* vertex_corner, int64_t num_vertices, int64_t num_corners,
+    int n_attrs, const uint8_t* const* seam_masks,
+    const uint8_t* const* vertex_on_seam,
+    int32_t* const* corner_to_vertex, int32_t* const* vertex_to_corner,
+    uint8_t* const* fan_open_out, int64_t* out_num_attr_vertices);
 int uvt_traverse_depth_first(const int32_t* opposite,
                              const int32_t* view_vertex,
                              const uint8_t* seam_mask, int64_t num_faces,
@@ -490,51 +497,84 @@ int decode_frame(const uint8_t* data, int64_t len, Frame& out) {
   std::vector<int32_t> shared_v2d, shared_d2c;
   int64_t shared_num_values = -1;
 
-  for (int d = 0; d < num_decoders; ++d) {
-    DecHeader& dh = decs[d];
+  // pre-pass: every corner-attribute decoder's seam-split corner table,
+  // built in ONE ring sweep (uvt_attr_corner_tables_multi) — typical
+  // draco_encoder output has two such decoders (UV + normals) and the
+  // per-decoder walks repeated the same dependent-load ring orbits.
+  struct AttrTables {
+    std::vector<uint8_t> seam_mask;  // is_edge_on_seam (u8)
     // uninitialized POD scratch: the table kernel fills c2v itself and
     // only the first n_attr_vertices entries of v2c/fan_open are read
     // (std::vector resize would memset ~3 x n_corners per decoder)
-    std::unique_ptr<int32_t[]> att_corner_to_vertex, att_vertex_to_corner;
-    std::unique_ptr<uint8_t[]> att_fan_open;
+    std::unique_ptr<int32_t[]> c2v, v2c;
+    std::unique_ptr<uint8_t[]> fan_open;
+    int64_t n_attr_vertices = 0;
+  };
+  std::vector<AttrTables> att_tables(num_decoders);
+  {
+    std::vector<int> ids;
+    for (int d = 0; d < num_decoders; ++d)
+      if (decs[d].decoder_type == MESH_CORNER_ATTRIBUTE) ids.push_back(d);
+    if (!ids.empty()) {
+      const size_t na = ids.size();
+      std::vector<std::vector<uint8_t>> von(na);
+      std::vector<const uint8_t*> sm(na), vs(na);
+      std::vector<int32_t*> c2v(na), v2c(na);
+      std::vector<uint8_t*> fo(na);
+      for (size_t k = 0; k < na; ++k) {
+        DecHeader& dh = decs[ids[k]];
+        if (dh.att_data_id < 0 || dh.att_data_id >= num_attribute_data)
+          return FB_MALFORMED;
+        AttrTables& t = att_tables[ids[k]];
+        const std::vector<int32_t>& seams = seam_corners[dh.att_data_id];
+        t.seam_mask.assign(n_corners, 0);
+        von[k].assign(max_vertices, 0);
+        for (int32_t c : seams) {
+          t.seam_mask[c] = 1;
+          int32_t o = opposite[c];
+          if (o != INVALID) t.seam_mask[o] = 1;
+        }
+        for (int64_t c = 0; c < n_corners; ++c) {
+          if (!t.seam_mask[c]) continue;
+          von[k][vertex[next_c((int32_t)c)]] = 1;
+          von[k][vertex[prev_c((int32_t)c)]] = 1;
+        }
+        t.c2v.reset(new int32_t[n_corners]);
+        t.v2c.reset(new int32_t[n_corners]);
+        t.fan_open.reset(new uint8_t[n_corners]);
+        sm[k] = t.seam_mask.data();
+        vs[k] = von[k].data();
+        c2v[k] = t.c2v.get();
+        v2c[k] = t.v2c.get();
+        fo[k] = t.fan_open.get();
+      }
+      std::vector<int64_t> counts(na);
+      int rc = uvt_attr_corner_tables_multi(
+          opposite, vertex, vertex_corner, num_ct_vertices, n_corners,
+          (int)na, sm.data(), vs.data(), c2v.data(), v2c.data(), fo.data(),
+          counts.data());
+      if (rc != 0) return FB_MALFORMED;
+      for (size_t k = 0; k < na; ++k)
+        att_tables[ids[k]].n_attr_vertices = counts[k];
+      timer.mark("tables");
+    }
+  }
+
+  for (int d = 0; d < num_decoders; ++d) {
+    DecHeader& dh = decs[d];
     const uint8_t* fan_open_ptr = nullptr;
-    std::vector<uint8_t> seam_mask;  // is_edge_on_seam (u8)
     const int32_t* corner_vertex = vertex;
     const int32_t* view_vertex = vertex;
     const uint8_t* seam_ptr = nullptr;
     int64_t num_view_vertices = num_ct_vertices;
 
     if (dh.decoder_type == MESH_CORNER_ATTRIBUTE) {
-      if (dh.att_data_id < 0 || dh.att_data_id >= num_attribute_data)
-        return FB_MALFORMED;
-      const std::vector<int32_t>& seams = seam_corners[dh.att_data_id];
-      seam_mask.assign(n_corners, 0);
-      std::vector<uint8_t> vertex_on_seam(max_vertices, 0);
-      for (int32_t c : seams) {
-        seam_mask[c] = 1;
-        int32_t o = opposite[c];
-        if (o != INVALID) seam_mask[o] = 1;
-      }
-      for (int64_t c = 0; c < n_corners; ++c) {
-        if (!seam_mask[c]) continue;
-        vertex_on_seam[vertex[next_c((int32_t)c)]] = 1;
-        vertex_on_seam[vertex[prev_c((int32_t)c)]] = 1;
-      }
-      att_corner_to_vertex.reset(new int32_t[n_corners]);
-      att_vertex_to_corner.reset(new int32_t[n_corners]);
-      att_fan_open.reset(new uint8_t[n_corners]);
-      int64_t n_attr_vertices = 0;
-      int rc = uvt_attr_corner_table(
-          opposite, vertex, vertex_corner,
-          num_ct_vertices, n_corners, seam_mask.data(), vertex_on_seam.data(),
-          att_corner_to_vertex.get(), att_vertex_to_corner.get(),
-          att_fan_open.get(), &n_attr_vertices);
-      if (rc != 0) return FB_MALFORMED;
-      fan_open_ptr = att_fan_open.get();
-      corner_vertex = att_corner_to_vertex.get();
-      view_vertex = att_corner_to_vertex.get();
-      seam_ptr = seam_mask.data();
-      num_view_vertices = n_attr_vertices;
+      AttrTables& t = att_tables[d];
+      fan_open_ptr = t.fan_open.get();
+      corner_vertex = t.c2v.get();
+      view_vertex = t.c2v.get();
+      seam_ptr = t.seam_mask.data();
+      num_view_vertices = t.n_attr_vertices;
     }
 
     // depth-first traversal (shared across vertex decoders: identical input)

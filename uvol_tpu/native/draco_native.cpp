@@ -466,6 +466,135 @@ int uvt_attr_corner_table(const int32_t* opposite, const int32_t* vertex,
 }
 
 // ---------------------------------------------------------------------------
+// Multi-attribute MeshAttributeCornerTable recompute: one ring sweep.
+//
+// uvt_attr_corner_table walks every vertex's corner ring once PER
+// ATTRIBUTE; with two corner-attribute decoders per frame (UV + normals
+// on typical draco_encoder output) that repeats ~n_corners dependent
+// loads. The ring structure (swing_right orbit of the POSITION corner
+// table) is attribute-independent — only the seam gating differs — so
+// this builder collects each ring once into a scratch buffer and then
+// assigns every attribute's fans with L1-hot scans. Outputs are
+// value-identical to per-attribute uvt_attr_corner_table calls
+// (parity-locked by the liam golden tests + test_native_draco).
+//
+// Divergence from the single-attribute walker, hostile input only: the
+// seam-gated left walk is bounded by the ring length (the original can
+// spin on a closed ring whose vertex_on_seam bit has no matching gate,
+// which valid streams cannot produce — boundary corners are always
+// seam corners and seam masks are symmetric).
+// ---------------------------------------------------------------------------
+int uvt_attr_corner_tables_multi(
+    const int32_t* opposite, const int32_t* vertex,
+    const int32_t* vertex_corner, int64_t num_vertices, int64_t num_corners,
+    int n_attrs, const uint8_t* const* seam_masks,
+    const uint8_t* const* vertex_on_seam,
+    int32_t* const* corner_to_vertex,  // [a][num_corners]
+    int32_t* const* vertex_to_corner,  // [a][num_corners] cap
+    uint8_t* const* fan_open_out,      // [a][num_corners] cap, nullable
+    int64_t* out_num_attr_vertices) {  // [a]
+  (void)vertex;
+  if (n_attrs <= 0 || n_attrs > 64) return -1;
+  for (int a = 0; a < n_attrs; ++a) {
+    for (int64_t i = 0; i < num_corners; ++i)
+      corner_to_vertex[a][i] = INVALID;
+    out_num_attr_vertices[a] = 0;
+  }
+  std::vector<int32_t> ring;
+  ring.reserve(64);
+  std::vector<int32_t> left;
+  left.reserve(8);
+  for (int64_t vert = 0; vert < num_vertices; ++vert) {
+    const int32_t base_c = vertex_corner[vert];
+    if (base_c == INVALID) continue;
+    // ---- collect the ring: right orbit from base_c -----------------------
+    ring.clear();
+    ring.push_back(base_c);
+    bool closed = false;
+    {
+      int32_t c = base_c;
+      while (true) {
+        int32_t o = opposite[prev_corner(c)];
+        if (o == INVALID) break;
+        c = prev_corner(o);
+        if (c == base_c) {
+          closed = true;
+          break;
+        }
+        ring.push_back(c);
+        if ((int64_t)ring.size() > num_corners) return -3;  // bad orbit
+      }
+    }
+    // left extension: only reachable when vertex_corner[vert] is not the
+    // leftmost corner of an open ring (our connectivity builder keeps the
+    // leftmost invariant, so this stays empty on valid frames)
+    left.clear();
+    if (!closed) {
+      int32_t c = base_c;
+      while (true) {
+        int32_t o = opposite[next_corner(c)];
+        if (o == INVALID) break;
+        c = next_corner(o);
+        if (c == base_c) break;
+        left.push_back(c);
+        if ((int64_t)(left.size() + ring.size()) > num_corners) return -3;
+      }
+    }
+    const int64_t nL = (int64_t)left.size();
+    const int64_t len = nL + (int64_t)ring.size();
+    auto at = [&](int64_t i) -> int32_t {
+      return i < nL ? left[nL - 1 - i] : ring[i - nL];
+    };
+    const int64_t base_idx = nL;
+    // ---- per-attribute fan assignment over the cached ring ---------------
+    for (int a = 0; a < n_attrs; ++a) {
+      const uint8_t* seam = seam_masks[a];
+      int64_t& n_attr = out_num_attr_vertices[a];
+      int64_t fi = base_idx;
+      if (vertex_on_seam[a][vert]) {
+        // swing_left_seam emulation: step left until a seam gates the
+        // edge (seam[next(cur)]) or the boundary end of an open ring
+        for (int64_t steps = 0; steps < len; ++steps) {
+          if (seam[next_corner(at(fi))]) break;
+          if (fi == 0) {
+            if (!closed) break;  // swing_left hits the boundary
+            fi = len - 1;
+          } else {
+            --fi;
+          }
+        }
+      }
+      const int64_t first_fan = n_attr;
+      int64_t fan_vertex = n_attr;
+      vertex_to_corner[a][n_attr++] = at(fi);
+      corner_to_vertex[a][at(fi)] = (int32_t)fan_vertex;
+      for (int64_t i = fi;;) {
+        if (i == len - 1) {
+          if (!closed) break;
+          i = 0;
+        } else {
+          ++i;
+        }
+        if (i == fi) break;  // wrapped
+        const int32_t cc = at(i);
+        if (seam[next_corner(cc)]) {
+          fan_vertex = n_attr;
+          vertex_to_corner[a][n_attr++] = cc;
+        }
+        corner_to_vertex[a][cc] = (int32_t)fan_vertex;
+      }
+      if (fan_open_out[a]) {
+        fan_open_out[a][first_fan] =
+            (vertex_on_seam[a][vert] || !closed) ? 1 : 0;
+        for (int64_t fv = first_fan + 1; fv < n_attr; ++fv)
+          fan_open_out[a][fv] = 1;
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Depth-first traversal (traverser.py traverse_depth_first)
 // view_vertex: corner -> (attribute) vertex; seam_mask nullable.
 // ---------------------------------------------------------------------------
