@@ -404,7 +404,14 @@ def main() -> None:
         # (models/drc_device.py; VERDICT r1 item 4)
         from uvol_tpu.models.drc_device import decode_drc_batch
 
-        decode_drc_batch(frames_bin)  # warm compile (same shapes)
+        # warm compile — and FORCE it: dispatches are async on this
+        # backend, so an unforced warm call leaves the compile + execute
+        # in flight and the timed region below absorbs them (BENCH r4
+        # early run recorded 0.2 fps that was entirely queued compile)
+        _force([
+            v for v in decode_drc_batch(frames_bin).values.values()
+            if not isinstance(v, list)
+        ])
         t0 = time.perf_counter()
         dbatch = decode_drc_batch(frames_bin)
         _force(
@@ -421,8 +428,12 @@ def main() -> None:
         from uvol_tpu.models.drc_device import decode_drc_stream
 
         big = frames_bin * 2  # 16 frames, 4-frame windows
-        for _s, _b in decode_drc_stream(big[:4], window=4):
-            pass  # warm
+        # warm every window shape (nmax buckets can differ) and force
+        # the in-flight dispatches out of the timed region
+        for _s, _b in decode_drc_stream(big, window=4):
+            _force([
+                v for v in _b.values.values() if not isinstance(v, list)
+            ])
         t0 = time.perf_counter()
         last = None
         for _s, batch in decode_drc_stream(big, window=4):

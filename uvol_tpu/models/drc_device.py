@@ -120,6 +120,14 @@ def decode_drc_batch(
 
 _FUSED_CACHE: Dict = {}
 
+#: vertex-count bucket for the fused upload program's padded shapes —
+#: every stream window whose nmax lands in the same bucket reuses one
+#: compiled program (see the bucketing note in _build_batch). 4096 keeps
+#: the whole liam corpus in 2-3 programs; the padding costs < 40 KB of
+#: upload per window (~0.5 ms at this tunnel's bandwidth) vs minutes for
+#: each extra remote compile.
+_NMAX_BUCKET = 4096
+
 # upload packing modes: bits -> bytes per GROUP of values. On this
 # transport the host->device copy is CPU-bound in the client (it cannot
 # overlap the GIL-free wire decode on a 1-core host), so upload BYTES
@@ -277,6 +285,16 @@ def _build_batch(
     chunks: List[np.ndarray] = []
     metas: List[np.ndarray] = []
     off = moff = 0
+
+    # shape bucketing: nmax rounds up to _NMAX_BUCKET and the packing
+    # mode derives from the DECLARED quantization bits, not this
+    # window's value range — otherwise every stream window with a new
+    # vertex count (or a max value crossing a bit boundary) traces a
+    # fresh fused program, and a compile on this remote backend costs
+    # minutes, not the padded values' ~10 KB of upload
+    def _bucket(n: int) -> int:
+        return -(-max(n, 1) // _NMAX_BUCKET) * _NMAX_BUCKET
+
     for att_type, entries in sorted(by_type.items()):
         if len(entries) != f:
             raise ValueError(
@@ -285,9 +303,11 @@ def _build_batch(
                 "set — decode mixed sequences per-frame with decode_drc"
             )
         kind = entries[0][7][0]
+        decl_bits = 0
         if kind == 1:  # quantized → dequantize on device
             nc = entries[0][5].shape[1]
-            nmax = max(e[5].shape[0] for e in entries)
+            nmax = _bucket(max(e[5].shape[0] for e in entries))
+            decl_bits = max(int(e[7][1]) for e in entries)
             ints = np.zeros((f, nmax, nc), np.int32)
             mins = np.zeros((f, nc), np.float32)
             scale = np.zeros(f, np.float32)
@@ -304,7 +324,7 @@ def _build_batch(
             )
         elif kind == 2:  # octahedral normals
             nc = 2
-            nmax = max(e[5].shape[0] for e in entries)
+            nmax = _bucket(max(e[5].shape[0] for e in entries))
             ints = np.zeros((f, nmax, 2), np.int32)
             maxv = np.zeros(f, np.float32)
             cnt = np.zeros(f, np.int64)
@@ -317,6 +337,7 @@ def _build_batch(
                 while (1 << q) <= mq:
                     q += 1
                 maxv[i] = float((1 << q) - 2)
+                decl_bits = max(decl_bits, q)
             meta = maxv
         else:  # integer attrs: already final, keep host ints
             counts[att_type] = np.asarray(
@@ -324,11 +345,16 @@ def _build_batch(
             )
             values[att_type] = [e[5] for e in entries]
             continue
+        # declared-bits mode (shape-stable across windows); fall back to
+        # the data range only when values escape the declared range
+        # (hostile or foreign streams — correctness over cache locality)
+        mode = _pick_mode(max(decl_bits, 1), False)
         vmax = int(ints.max(initial=0))
         vmin = int(ints.min(initial=0))
-        mode = _pick_mode(max(vmax, 1).bit_length(), vmin < 0)
-        if vmin < -(2**15) or vmax >= 2**15:
-            mode = 32
+        if vmin < 0 or vmax >= (1 << max(decl_bits, 1)):
+            mode = _pick_mode(max(vmax, 1).bit_length(), vmin < 0)
+            if vmin < -(2**15) or vmax >= 2**15:
+                mode = 32
         counts[att_type] = cnt
         specs.append(
             (att_type, kind, mode, f, nmax, nc, off, len(meta), moff)
