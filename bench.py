@@ -184,10 +184,14 @@ def main() -> None:
         block_until_ready returns before remote execution; the queue runs
         in order, so a single tiny fetch of the last-dispatched leaf
         drains everything before it (per-leaf fetches added ~10 tunnel
-        roundtrips to every timed region)."""
+        roundtrips to every timed region). Fetch via a scalar index, NOT
+        ravel()[0]: ravel dispatches a full-array copy program (the
+        recorded trace attributed ~57 ms/region to jit_ravel+reshape+copy
+        — more device time than the codec chain being measured)."""
         for leaf in reversed(jax.tree_util.tree_leaves(tree)):
             if hasattr(leaf, "ravel"):
-                np.asarray(leaf.ravel()[0])
+                idx = (0,) * getattr(leaf, "ndim", 0)
+                np.asarray(leaf[idx] if idx else leaf)
                 return
 
     from uvol_tpu.containers.ktx2 import read_ktx2
