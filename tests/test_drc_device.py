@@ -100,3 +100,39 @@ def test_decode_drc_stream_matches_batch(liam_output):
             np.testing.assert_array_equal(a, b)
         seen += len(batch.faces)
     assert seen == 6
+
+
+def test_pack_bits_native_matches_numpy():
+    """uvt_pack_bits parity with the numpy _pack_host path: every mode,
+    group-aligned and tail lengths, values at the mode's bit edges."""
+    from uvol_tpu import native
+    from uvol_tpu.models.drc_device import _pack_host, _packed_nbytes
+
+    rng = np.random.default_rng(7)
+    for mode, hi in ((8, 1 << 8), (10, 1 << 10), (12, 1 << 12),
+                     (16, 1 << 15), (32, 1 << 20)):
+        for n in (0, 1, 2, 3, 4, 5, 7, 12, 1000, 1001, 1002, 1003):
+            vals = rng.integers(0, hi, n).astype(np.int64)
+            if n:
+                vals[0] = hi - 1
+            ref = _pack_host(vals, mode)  # int64 input: numpy path
+            got = native.pack_bits_native(
+                vals.astype(np.int32), mode, _packed_nbytes(n, mode)
+            )
+            if got is None:
+                pytest.skip("native draco library unavailable")
+            assert got.dtype == np.uint8 and ref.dtype == np.uint8
+            np.testing.assert_array_equal(got, ref, err_msg=f"{mode=} {n=}")
+    # signed 16/32 (negative deltas ride the sign-extended modes)
+    for mode in (16, 32):
+        vals = np.asarray([-1, -32768, 32767, 0, -5], np.int64)[
+            : 5 if mode == 16 else 5
+        ]
+        if mode == 32:
+            vals = np.asarray([-1, -(2**31), 2**31 - 1, 0, -5], np.int64)
+        ref = _pack_host(vals, mode)
+        got = native.pack_bits_native(
+            vals.astype(np.int32), mode, _packed_nbytes(len(vals), mode)
+        )
+        if got is not None:
+            np.testing.assert_array_equal(got, ref)

@@ -148,6 +148,14 @@ def _pick_mode(max_bits: int, has_neg: bool) -> int:
 
 def _pack_host(vals: np.ndarray, mode: int) -> np.ndarray:
     """Flat non-negative int array -> uint8 wire for the chosen mode."""
+    if vals.dtype == np.int32:  # the batch-builder path: one C pass
+        from uvol_tpu import native
+
+        out = native.pack_bits_native(
+            vals, mode, _packed_nbytes(len(vals), mode)
+        )
+        if out is not None:
+            return out
     v = vals.astype(np.int64)
     if mode == 8:
         return v.astype(np.uint8)
@@ -190,7 +198,11 @@ def _fused_batch_fn(key):
     import jax.numpy as jnp
 
     # tuple of (att_type, kind, mode, f, nmax, nc, off, mlen, moff)
+    # key[1] = (meta_off, meta_len): the float32 metadata rides the SAME
+    # uint8 upload buffer (bitcast on device) — the second device_put per
+    # window measurably cost client CPU on the 1-core host
     specs = key[0]
+    meta_off, meta_len = key[1]
 
     def unpack(by, mode, n):
         b = by.astype(jnp.int32)
@@ -218,7 +230,11 @@ def _fused_batch_fn(key):
         return jnp.stack([v0, v1, v2, v3], -1).reshape(-1)[:n]
 
     @jax.jit
-    def run(packed, meta):
+    def run(packed):
+        meta = jax.lax.bitcast_convert_type(
+            packed[meta_off : meta_off + 4 * meta_len].reshape(-1, 4),
+            jnp.float32,
+        )
         outs = [packed[:1]]  # completion token (see DeviceFrameBatch)
         for _t, kind, mode, f, nmax, nc, off, _ml, moff in specs:
             n = f * nmax * nc
@@ -365,14 +381,19 @@ def _build_batch(
         moff += len(meta)
 
     if specs:
-        packed = np.concatenate(chunks)
         meta_all = np.concatenate(metas) if metas else np.zeros(1, np.float32)
-        key = (tuple(specs),)
+        # metadata floats ride the tail of the packed buffer, 4-aligned
+        pad = (-off) % 4
+        if pad:
+            chunks.append(np.zeros(pad, np.uint8))
+        chunks.append(np.ascontiguousarray(meta_all).view(np.uint8))
+        packed = np.concatenate(chunks)
+        key = (tuple(specs), (off + pad, len(meta_all)))
         fn = _FUSED_CACHE.get(key)
         if fn is None:
             fn = _fused_batch_fn(key)
             _FUSED_CACHE[key] = fn
-        tok, *outs = fn(jnp.asarray(packed), jnp.asarray(meta_all))
+        tok, *outs = fn(jnp.asarray(packed))
         for (att_type, *_rest), out in zip(specs, outs):
             values[att_type] = np.asarray(out) if as_numpy else out
         if sync and not as_numpy:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 from typing import Optional
 
 import numpy as np
@@ -993,6 +994,29 @@ def point_assembly_native(keys: np.ndarray, value_counts):
     if n < 0:
         return None
     return out, int(n)
+
+
+def pack_bits_native(vals: np.ndarray, mode: int, nbytes: int):
+    """Flat non-negative int32 array -> uint8 upload wire at `mode`-bit
+    granularity (models/drc_device.py packing modes). One C pass; returns
+    None when the library is unavailable (callers keep the numpy path).
+    16/32-bit modes byte-match numpy's .view(uint8) on little-endian
+    hosts only — the guard below keeps the fallback on anything else."""
+    lib = get_draco_lib()
+    if lib is None or sys.byteorder != "little":
+        return None
+    if not hasattr(lib, "_uvt_pb_bound"):
+        c = ctypes
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.uvt_pack_bits.argtypes = [i32p, c.c_int64, c.c_int, u8p]
+        lib.uvt_pack_bits.restype = c.c_int
+        lib._uvt_pb_bound = True
+    v = np.ascontiguousarray(vals, np.int32)
+    out = np.empty(nbytes, np.uint8)
+    if lib.uvt_pack_bits(v, len(v), mode, out) != 0:
+        return None
+    return out
 
 
 def drc_decode_native(data: bytes, *, portable: bool = False):

@@ -2425,3 +2425,79 @@ extern "C" int uvt_eb_encode_maps(
   counts_out[1] = n_boundary;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Upload bit-packer (models/drc_device.py _pack_host): flat non-negative
+// int32 values -> uint8 wire at 8/10/12/16/32-bit granularity. One pass,
+// no temporaries — replaces an int64 astype + ~8 full-array numpy ops per
+// window in the wire->device pipeline (the packing ran on the uploader
+// thread of a 1-core host, serializing against the wire decode).
+// Little-endian byte order for 16/32 (matches numpy .view(uint8) on the
+// hosts these .so files are built on; asserted in the Python binding).
+// Tail groups (n not a multiple of the group size) pack as zero-padded.
+// ---------------------------------------------------------------------------
+extern "C" int uvt_pack_bits(const int32_t* v, int64_t n, int mode,
+                             uint8_t* out) {
+  if (mode == 8) {
+    for (int64_t i = 0; i < n; ++i) out[i] = (uint8_t)v[i];
+    return 0;
+  }
+  if (mode == 16) {
+    for (int64_t i = 0; i < n; ++i) {
+      const uint16_t x = (uint16_t)(int16_t)v[i];
+      out[i * 2] = (uint8_t)x;
+      out[i * 2 + 1] = (uint8_t)(x >> 8);
+    }
+    return 0;
+  }
+  if (mode == 32) {
+    for (int64_t i = 0; i < n; ++i) {
+      const uint32_t x = (uint32_t)v[i];
+      out[i * 4] = (uint8_t)x;
+      out[i * 4 + 1] = (uint8_t)(x >> 8);
+      out[i * 4 + 2] = (uint8_t)(x >> 16);
+      out[i * 4 + 3] = (uint8_t)(x >> 24);
+    }
+    return 0;
+  }
+  if (mode == 12) {  // 2 values -> 3 bytes
+    const int64_t ng = n / 2;
+    for (int64_t g = 0; g < ng; ++g) {
+      const uint32_t a = (uint32_t)v[g * 2], b = (uint32_t)v[g * 2 + 1];
+      out[g * 3] = (uint8_t)a;
+      out[g * 3 + 1] = (uint8_t)(((a >> 8) & 0xF) | ((b & 0xF) << 4));
+      out[g * 3 + 2] = (uint8_t)((b >> 4) & 0xFF);
+    }
+    if (n & 1) {  // tail: one value, pad with 0
+      const uint32_t a = (uint32_t)v[n - 1];
+      out[ng * 3] = (uint8_t)a;
+      out[ng * 3 + 1] = (uint8_t)((a >> 8) & 0xF);
+      out[ng * 3 + 2] = 0;
+    }
+    return 0;
+  }
+  if (mode == 10) {  // 4 values -> 5 bytes
+    const int64_t ng = n / 4;
+    for (int64_t g = 0; g < ng; ++g) {
+      const uint32_t a = (uint32_t)v[g * 4], b = (uint32_t)v[g * 4 + 1];
+      const uint32_t c = (uint32_t)v[g * 4 + 2], d = (uint32_t)v[g * 4 + 3];
+      out[g * 5] = (uint8_t)a;
+      out[g * 5 + 1] = (uint8_t)(((a >> 8) & 0x3) | ((b & 0x3F) << 2));
+      out[g * 5 + 2] = (uint8_t)(((b >> 6) & 0xF) | ((c & 0xF) << 4));
+      out[g * 5 + 3] = (uint8_t)(((c >> 4) & 0x3F) | ((d & 0x3) << 6));
+      out[g * 5 + 4] = (uint8_t)((d >> 2) & 0xFF);
+    }
+    const int64_t tail = n - ng * 4;
+    if (tail) {
+      uint32_t t[4] = {0, 0, 0, 0};
+      for (int64_t i = 0; i < tail; ++i) t[i] = (uint32_t)v[ng * 4 + i];
+      out[ng * 5] = (uint8_t)t[0];
+      out[ng * 5 + 1] = (uint8_t)(((t[0] >> 8) & 0x3) | ((t[1] & 0x3F) << 2));
+      out[ng * 5 + 2] = (uint8_t)(((t[1] >> 6) & 0xF) | ((t[2] & 0xF) << 4));
+      out[ng * 5 + 3] = (uint8_t)(((t[2] >> 4) & 0x3F) | ((t[3] & 0x3) << 6));
+      out[ng * 5 + 4] = (uint8_t)((t[3] >> 2) & 0xFF);
+    }
+    return 0;
+  }
+  return -1;
+}
