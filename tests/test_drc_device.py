@@ -136,3 +136,47 @@ def test_pack_bits_native_matches_numpy():
         )
         if got is not None:
             np.testing.assert_array_equal(got, ref)
+
+
+def test_16bit_quantization_high_values_survive_upload():
+    """Regression (advisor r4, high): a valid stream with
+    quantization_bits=16 and quantized values >= 2**15 used to ride the
+    int16 wire mode and sign-extend on device (40000 -> -25536),
+    silently corrupting dequantized geometry. Non-negative values must
+    only pick mode 16 when they fit 15 bits."""
+    from uvol_tpu.codecs.draco import constants as K
+    from uvol_tpu.codecs.draco.decoder import decode_drc
+    from uvol_tpu.codecs.draco.encoder import AttributeToEncode, encode_drc
+    from uvol_tpu.models.drc_device import _pick_mode, decode_drc_batch
+
+    assert _pick_mode(16, False) == 32
+    assert _pick_mode(15, False) == 16
+
+    # positions spanning [0, 1] at 16 bits quantize up to 65535
+    rng = np.random.default_rng(3)
+    nx, ny = 12, 12
+    pos = np.array(
+        [[i / (nx - 1), j / (ny - 1), 0.0] for i in range(nx) for j in range(ny)],
+        np.float32,
+    )
+    pos[:, 2] = rng.random(len(pos), np.float32)
+    idx = lambda i, j: i * ny + j
+    faces = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a, b = idx(i, j), idx(i + 1, j)
+            c, d = idx(i + 1, j + 1), idx(i, j + 1)
+            faces.append([a, b, c])
+            faces.append([a, c, d])
+    faces = np.array(faces, np.int32)
+    att = AttributeToEncode(
+        K.ATT_POSITION, pos, np.asarray(faces, np.int64).reshape(-1),
+        quantization_bits=16,
+    )
+    blob = encode_drc(faces, [att])
+    mesh = decode_drc(blob)
+    q = mesh.attribute_by_type(K.ATT_POSITION)
+    batch = decode_drc_batch([blob], as_numpy=True)
+    n = int(batch.counts[K.ATT_POSITION][0])
+    got = np.asarray(batch.values[K.ATT_POSITION])[0, :n]
+    np.testing.assert_allclose(got, q.values, rtol=2e-5, atol=2e-5)

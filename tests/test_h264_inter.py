@@ -158,3 +158,57 @@ def test_mc_luma_matches_fullpel_copy():
     # half-pel positions stay in range and are deterministic
     out2 = _mc_luma(ref, 16, 16, 16, 16, 2, 2)
     assert out2.shape == (16, 16)
+
+
+@pytest.mark.skipif(not _HAS_REF, reason="libavcodec shim unavailable")
+def test_two_partition_decode_conformance_vs_libavcodec():
+    """P_L0_L0_16x8 / P_L0_L0_8x16 conformance (r4 advisor, low): x264
+    with partitions=none never emits two-partition MBs, so the
+    directional MV prediction rules of 8.4.1.3 (16x8: top->B/bottom->A;
+    8x16: left->A/right->C) had no oracle coverage. Hand-pack a P slice
+    mixing 16x16 / 16x8 / 8x16 macroblocks with varied mvds and verify
+    our reconstruction is bit-exact vs libavcodec's."""
+    h, w = 64, 96
+    qp = 24
+    frames = _moving_frames(n=1, h=h, w=w, seed=5)
+    y0, cb0, cr0 = H.rgb_to_yuv420(frames[0])
+    idr = H.encode_idr_planes(y0, cb0, cr0, qp=qp)
+
+    bw = H.BitWriter()
+    bw.ue(0)            # first_mb_in_slice
+    bw.ue(5)            # slice_type: P (all slices)
+    bw.ue(0)            # pic_parameter_set_id
+    bw.u(1, 4)          # frame_num
+    bw.u(0, 1)          # num_ref_idx_active_override
+    bw.u(0, 1)          # ref_pic_list_modification_flag_l0
+    bw.u(0, 1)          # adaptive_ref_pic_marking
+    bw.se(qp - 26)
+    bw.ue(1)            # deblocking off
+    # mvd schedule: varied, small (prediction keeps absolute MVs tame),
+    # quarter-pel (exercises the 6-tap/bilinear paths per partition)
+    k = 0
+    for mby in range(h // 16):
+        for mbx in range(w // 16):
+            bw.ue(0)    # mb_skip_run
+            kind = k % 3
+            k += 1
+            if kind == 0:
+                bw.ue(0)                    # P_L0_16x16
+                bw.se((k * 5) % 7 - 3)      # mvd_x
+                bw.se((k * 3) % 7 - 3)      # mvd_y
+            else:
+                bw.ue(kind)                 # 1 = 16x8, 2 = 8x16
+                for part in range(2):
+                    bw.se((k * 5 + part * 2) % 7 - 3)
+                    bw.se((k * 3 + part * 4) % 7 - 3)
+            bw.ue(0)    # coded_block_pattern: 0 (inter code 0)
+    bw.rbsp_trailing()
+    stream = (
+        H.nal(7, H.make_sps(w, h)) + H.nal(8, H.make_pps())
+        + idr + H.nal(1, bw.getvalue())
+    )
+    ref = decode_annexb_ref(stream)
+    assert ref is not None and ref[0].shape[0] == 2
+    oy, ocb, ocr, _ = H.decode_annexb_planes(stream)
+    for ours, theirs in zip((oy, ocb, ocr), ref):
+        np.testing.assert_array_equal(ours, theirs)

@@ -230,3 +230,55 @@ def test_invalid_mode_code_raises():
     if not matches:
         with pytest.raises(ValueError):
             S.decode_spec_blocks(blk)
+
+
+def test_foreign_speclike_file_warns(tmp_path):
+    """A marker-less UASTC file WITHOUT uvol_tpu's KTXwriter key is
+    genuinely foreign (real basisu output): the spec path must emit a
+    RuntimeWarning about the reconstructed-layout risk, and decode
+    errors must carry the reconstruction hint (r4 advisor, medium)."""
+    import warnings
+
+    from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2, transcode_uastc
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    yy, xx = np.mgrid[0:8, 0:8]
+    img = np.stack([xx * 20, yy * 20, xx * 0 + 90], -1).astype(np.uint8)[None]
+    spec = encode_uastc_ktx2(img)
+    fs = read_ktx2(spec)
+    # our own file: KTXwriter present -> NO warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        transcode_uastc(fs)
+    # simulate a foreign file: strip the writer key
+    fs.key_value.pop(b"KTXwriter", None)
+    with pytest.warns(RuntimeWarning, match="reconstructed spec layout"):
+        transcode_uastc(fs)
+    # a decode error on a foreign file carries the reconstruction hint
+    blob = bytearray(fs.level_payload(0))
+    blob[0] = 0xFF  # trash the first block's mode code bits
+    fs2 = read_ktx2(spec)
+    fs2.key_value.pop(b"KTXwriter", None)
+    fs2.level_payload = lambda i, _b=bytes(blob): _b  # type: ignore
+    with pytest.warns(RuntimeWarning):
+        try:
+            transcode_uastc(fs2)
+        except Exception as e:
+            assert "reconstructed spec layout" in str(e)
+
+
+def test_fit_mode6_blocks_matches_scalar():
+    """Vectorized BC7 mode-6 refit is byte-identical to the per-block
+    path (r4 advisor, low: the spec-wire bc7 target's hot loop)."""
+    from uvol_tpu.codecs.basis.bc7 import _fit_mode6, fit_mode6_blocks
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (64, 4, 4, 4)).astype(np.uint8)
+    px[0] = 128          # flat block: denom == 0 branch
+    px[1, ..., 3] = 255  # opaque
+    px[2] = 0
+    px[3] = 255
+    got = fit_mode6_blocks(px)
+    for i in range(len(px)):
+        ref = np.frombuffer(_fit_mode6(px[i]), np.uint8)
+        np.testing.assert_array_equal(got[i], ref, err_msg=f"block {i}")

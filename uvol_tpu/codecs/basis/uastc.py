@@ -1072,7 +1072,38 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
     else:
         from uvol_tpu.codecs.basis.uastc_spec import decode_spec_blocks
 
-        decode_blocks_fn = decode_spec_blocks
+        # the spec layout has 3 documented reconstruction guesses
+        # (uastc_spec.py docstring); our own files always carry the
+        # standard KTXwriter key write_ktx2 stamps, so a spec-path file
+        # WITHOUT it is genuinely foreign (real basisu output) and may
+        # decode wrong without this hint (round-4 advisor, medium)
+        writer = ktx2_file.key_value.get(b"KTXwriter", b"")
+        foreign = not writer.rstrip(b"\x00").startswith(b"uvol_tpu")
+        if foreign:
+            import warnings
+
+            warnings.warn(
+                "marker-less UASTC file without a uvol_tpu KTXwriter key:"
+                " decoding through the reconstructed spec layout"
+                " (3 unverified layout cells — see codecs/basis/"
+                "uastc_spec.py); foreign basisu files may decode"
+                " incorrectly until fixtures verify the layout",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+            def decode_blocks_fn(blocks, _inner=decode_spec_blocks):
+                try:
+                    return _inner(blocks)
+                except Exception as e:
+                    raise type(e)(
+                        f"{e} (foreign UASTC file decoded through the"
+                        " reconstructed spec layout — the mode-code"
+                        " table is a documented guess; see"
+                        " codecs/basis/uastc_spec.py)"
+                    ) from e
+        else:
+            decode_blocks_fn = decode_spec_blocks
     h = ktx2_file.header.pixel_height
     w = ktx2_file.header.pixel_width
     layers = max(1, ktx2_file.header.layer_count)
@@ -1122,13 +1153,10 @@ def transcode_uastc(ktx2_file, target: str = "rgba") -> np.ndarray:
                 # spec wire: whole-block BC7 mode-6 refit on the decoded
                 # texels (real BPTC wire; the structural per-mode carry
                 # of the legacy path is not yet ported to spec parsing)
-                from uvol_tpu.codecs.basis.bc7 import _fit_mode6
+                from uvol_tpu.codecs.basis.bc7 import fit_mode6_blocks
 
                 px = decode_blocks_fn(blocks).reshape(-1, 4, 4, 4)
-                out16 = np.zeros((len(px), 16), np.uint8)
-                for bi in range(len(px)):
-                    out16[bi] = np.frombuffer(_fit_mode6(px[bi]), np.uint8)
-                frames.append(out16)
+                frames.append(fit_mode6_blocks(px))
         elif target in ("etc1", "etc2-eac", "bc1-bc3", "pvrtc1"):
             # decode-and-refit rows of the reference's format table
             import jax.numpy as jnp

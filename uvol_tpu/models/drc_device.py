@@ -140,10 +140,13 @@ _MODE_GROUP = {8: (1, 1), 10: (4, 5), 12: (2, 3), 16: (1, 2), 32: (1, 4)}
 def _pick_mode(max_bits: int, has_neg: bool) -> int:
     if has_neg:
         return 16 if max_bits <= 15 else 32
-    for m in (8, 10, 12, 16):
+    for m in (8, 10, 12):
         if max_bits <= m:
             return m
-    return 32
+    # mode 16 is an int16 pack (the device bitcast sign-extends), so a
+    # non-negative value needs to fit 15 bits; 16-bit declared streams
+    # with values >= 2**15 must ride the int32 wire.
+    return 16 if max_bits <= 15 else 32
 
 
 def _pack_host(vals: np.ndarray, mode: int) -> np.ndarray:
