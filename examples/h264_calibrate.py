@@ -1,0 +1,160 @@
+"""H.264 rate calibration: our encoder vs the in-image x264 on the SAME
+liam-derived V1 texture track (VERDICT r4 item 1 — "the 0.9-vs-0.2-0.4
+gap is folklore": this records the actual matched-settings x264 number).
+
+Track: 30 frames (6 ktx2 segments x 5 layers) of the reference's own
+1024^2 liam baseColor atlas — the exact content class the reference's
+texture_encoder.py feeds ffmpeg/x264
+(/root/reference/example/texture_encoder.py:53-66). Counter strip
+EXCLUDED from both encoders (pcm_rows=0; the strip is a fixed lossless
+cost both sides would pay identically).
+
+Rows recorded per QP point (docs/h264_calibration.jsonl):
+  - x264-baseline:  profile=baseline defaults (deblock ON, hex/subme7,
+    all partitions, aq+mbtree) — what the reference's encoder class
+    actually costs on this track. THE calibration target.
+  - x264-matched:   baseline, deblock OFF, CAVLC — x264 restricted to
+    the reconstruction toolset our decoder implements, full analysis.
+    Separates deblock+analysis gains from entropy/mode-coding gains.
+  - ours:           encode_annexb(qp, gop), motion auto.
+
+PSNR is luma PSNR vs the shared YUV source, decoded through libavcodec
+(the independent oracle) for every stream. bpp = bits / (F*H*W).
+
+Usage: python examples/h264_calibrate.py [--frames 30] [--qps 24,26,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LIAM = (
+    "/root/reference/example/public/liam/output/"
+    "texture_ktx2-fps30-1k_baseColor_default"
+)
+OUT = os.path.join(os.path.dirname(__file__), "..", "docs",
+                   "h264_calibration.jsonl")
+
+
+def load_track(n_frames: int) -> np.ndarray:
+    from uvol_tpu.codecs.basis.transcoder import transcode_ktx2_etc1s
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    frames = []
+    seg = 0
+    while len(frames) < n_frames:
+        p = os.path.join(LIAM, f"{seg:05d}.ktx2")
+        with open(p, "rb") as fh:
+            rgba = np.asarray(transcode_ktx2_etc1s(read_ktx2(fh.read()),
+                                                   "rgba"))
+        frames.extend(np.ascontiguousarray(f[..., :3]) for f in rgba)
+        seg += 1
+    return np.stack(frames[:n_frames])
+
+
+def luma_psnr(y_src: np.ndarray, y_dec: np.ndarray) -> float:
+    mse = np.mean(
+        (y_src.astype(np.float64) - y_dec.astype(np.float64)) ** 2
+    )
+    return float(10 * np.log10(255.0**2 / max(mse, 1e-12)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--qps", default="22,24,26,28,30,32")
+    ap.add_argument("--ours-only", action="store_true")
+    args = ap.parse_args()
+    qps = [int(q) for q in args.qps.split(",")]
+
+    from uvol_tpu.codecs.h264 import encode_annexb, rgb_to_yuv420
+    from uvol_tpu.native.h264ref import (
+        decode_annexb_ref,
+        encode_x264_custom_ref,
+    )
+
+    rgb = load_track(args.frames)
+    f, h, w = rgb.shape[:3]
+    planes = [rgb_to_yuv420(fr) for fr in rgb]
+    y = np.stack([p[0] for p in planes])
+    cb = np.stack([p[1] for p in planes])
+    cr = np.stack([p[2] for p in planes])
+    gop = f
+    px = f * h * w
+    rows = []
+
+    x264_variants = {
+        # what the reference's encoder class costs (x264 own defaults at
+        # baseline: deblock ON, me=hex subme=7, full P partitions, aq,
+        # mbtree, 3 refs) — the calibration target
+        "x264-baseline": (
+            f"qp={{qp}}:cabac=0:threads=1:keyint={gop}:min-keyint={gop}:"
+            f"no-scenecut=1"
+        ),
+        # x264 restricted to our decoder's reconstruction toolset
+        # (no deblock, 1 ref) but with its full search/mode machinery
+        "x264-matched": (
+            f"qp={{qp}}:cabac=0:no-deblock=1:ref=1:threads=1:"
+            f"keyint={gop}:min-keyint={gop}:no-scenecut=1"
+        ),
+    }
+
+    for qp in qps:
+        if not args.ours_only:
+            for name, tmpl in x264_variants.items():
+                blob = encode_x264_custom_ref(
+                    y, cb, cr, gop=gop, params=tmpl.format(qp=qp),
+                    profile="baseline",
+                )
+                if blob is None:
+                    print("libx264 unavailable; skipping reference rows")
+                    break
+                dy, _, _ = decode_annexb_ref(blob)
+                rows.append({
+                    "encoder": name, "qp": qp,
+                    "bytes": len(blob),
+                    "bpp": round(len(blob) * 8 / px, 4),
+                    "psnr_y": round(luma_psnr(y, dy), 3),
+                })
+                print(rows[-1])
+        t0 = time.perf_counter()
+        blob = encode_annexb(rgb, qp=qp, pcm_rows=0, gop=gop)
+        enc_s = time.perf_counter() - t0
+        dec = decode_annexb_ref(blob)
+        if dec is None:
+            from uvol_tpu.codecs.h264 import decode_annexb_planes
+
+            dyo = decode_annexb_planes(blob)[0]
+        else:
+            dyo = dec[0]
+        rows.append({
+            "encoder": "ours", "qp": qp,
+            "bytes": len(blob),
+            "bpp": round(len(blob) * 8 / px, 4),
+            "psnr_y": round(luma_psnr(y, dyo), 3),
+            "encode_s": round(enc_s, 2),
+        })
+        print(rows[-1])
+
+    meta = {
+        "track": LIAM, "frames": f, "size": [h, w], "gop": gop,
+        "note": "luma PSNR vs shared YUV source; all streams decoded "
+                "through libavcodec; counter strip excluded both sides",
+    }
+    with open(OUT, "w") as fh:
+        fh.write(json.dumps(meta) + "\n")
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

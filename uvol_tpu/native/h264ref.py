@@ -55,6 +55,11 @@ def get_h264ref_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, u8p, ctypes.c_long,
     ]
     lib.uvt_h264ref_encode_x264_gop.restype = ctypes.c_long
+    lib.uvt_h264ref_encode_x264_custom.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, u8p, ctypes.c_long,
+    ]
+    lib.uvt_h264ref_encode_x264_custom.restype = ctypes.c_long
     _lib = lib
     return lib
 
@@ -117,6 +122,38 @@ def encode_x264_gop_ref(
         return None
     if rc < 0:
         raise ValueError(f"libx264 gop encode failed (rc={rc})")
+    return bytes(out[:rc])
+
+
+def encode_x264_custom_ref(
+    y: np.ndarray, cb: np.ndarray, cr: np.ndarray, *,
+    gop: int, params: str, profile: str = "baseline",
+) -> Optional[bytes]:
+    """Encode [F,H,W] YUV420 planes with the system libx264 under
+    caller-chosen x264-params — the round-5 rate-calibration entry
+    (examples/h264_calibrate.py). None when libx264 is unavailable."""
+    lib = get_h264ref_lib()
+    if lib is None:
+        return None
+    f, h, w = y.shape
+    yuv = np.concatenate(
+        [
+            np.concatenate(
+                [y[i].reshape(-1), cb[i].reshape(-1), cr[i].reshape(-1)]
+            )
+            for i in range(f)
+        ]
+    ).astype(np.uint8)
+    cap = max(len(yuv) * 2, 1 << 20)
+    out = np.empty(cap, np.uint8)
+    rc = lib.uvt_h264ref_encode_x264_custom(
+        np.ascontiguousarray(yuv), w, h, f, gop,
+        params.encode(), profile.encode(), out, cap,
+    )
+    if rc == -10:
+        return None
+    if rc < 0:
+        raise ValueError(f"libx264 custom encode failed (rc={rc})")
     return bytes(out[:rc])
 
 
