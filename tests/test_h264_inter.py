@@ -212,3 +212,72 @@ def test_two_partition_decode_conformance_vs_libavcodec():
     oy, ocb, ocr, _ = H.decode_annexb_planes(stream)
     for ours, theirs in zip((oy, ocb, ocr), ref):
         np.testing.assert_array_equal(ours, theirs)
+
+
+def _decode_forced_python(stream):
+    """Decode with the native slice codec disabled (Python oracle)."""
+    from uvol_tpu.native import h264c
+
+    saved = h264c._lib
+    h264c._lib = None
+    saved_env = None
+    import os
+
+    saved_env = os.environ.get("UVT_DISABLE_NATIVE_H264")
+    os.environ["UVT_DISABLE_NATIVE_H264"] = "1"
+    try:
+        return H.decode_annexb_planes(stream)
+    finally:
+        h264c._lib = saved
+        if saved_env is None:
+            os.environ.pop("UVT_DISABLE_NATIVE_H264", None)
+        else:
+            os.environ["UVT_DISABLE_NATIVE_H264"] = saved_env
+
+
+def test_native_motion_decode_parity_vs_python():
+    """Round 5: the native decoder now covers motion P slices (inter MB
+    types 0-2, qpel MC, derived skip MV). Lock it bit-identical to the
+    Python SliceCoder oracle on our own motion streams AND on foreign
+    quarter-pel x264 streams (when the shim exists)."""
+    from uvol_tpu.native.h264c import get_h264_lib
+
+    if get_h264_lib() is None:
+        pytest.skip("native h264 codec unavailable")
+    frames = _moving_frames(n=4)
+    streams = [H.encode_annexb(frames, qp=24, gop=4, motion=True)]
+    if _HAS_REF:
+        y = np.stack([H.rgb_to_yuv420(f)[0] for f in frames])
+        cb = np.stack([H.rgb_to_yuv420(f)[1] for f in frames])
+        cr = np.stack([H.rgb_to_yuv420(f)[2] for f in frames])
+        s = encode_x264_gop_ref(y, cb, cr, qp=26, gop=4, subme=2)
+        if s is not None:
+            streams.append(s)
+    for s in streams:
+        native = H.decode_annexb_planes(s)
+        python = _decode_forced_python(s)
+        for a, b in zip(native[:3], python[:3]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_motion_encode_byte_parity_vs_python():
+    """Round 5: the native motion P encoder (uvt_h264_encode_slice_motion)
+    must emit BYTE-IDENTICAL streams to the Python reference coder
+    (search order, RD tie rules, banker's rounding in the MV-prediction
+    seed all mirrored)."""
+    from uvol_tpu.native import h264c
+
+    if h264c.get_h264_lib() is None:
+        pytest.skip("native h264 codec unavailable")
+    frames = _moving_frames(n=4, h=80, w=112, seed=9)
+    for qp, pcm in ((22, 0), (29, 8)):
+        native = H.encode_annexb(frames, qp=qp, gop=4, pcm_rows=pcm,
+                                 motion=True)
+        saved = h264c.encode_p_slice_motion_native
+        h264c.encode_p_slice_motion_native = lambda *a, **k: None
+        try:
+            python = H.encode_annexb(frames, qp=qp, gop=4, pcm_rows=pcm,
+                                     motion=True)
+        finally:
+            h264c.encode_p_slice_motion_native = saved
+        assert native == python

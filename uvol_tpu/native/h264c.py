@@ -46,6 +46,14 @@ def get_h264_lib() -> Optional[ctypes.CDLL]:
         vp, vp, vp, u8p, u8p, u8p,
     ]
     lib.uvt_h264_decode_slice.restype = ci
+    lib.uvt_yuv420_to_rgb.argtypes = [u8p, u8p, u8p, ci, ci, u8p]
+    lib.uvt_yuv420_to_rgb.restype = None
+    lib.uvt_h264_encode_slice_motion.argtypes = [
+        u8p, u8p, u8p, ci, ci, ci, ci,
+        vp, vp, vp, ci, ctypes.c_double, vp, vp, vp,
+        u8p, ctypes.c_long,
+    ]
+    lib.uvt_h264_encode_slice_motion.restype = ctypes.c_long
     lib.uvt_h264_encode_slice.argtypes = [
         u8p, u8p, u8p, ci, ci, ci, ci, ci,
         vp, vp, vp, ci, ctypes.c_double, vp, vp, vp,
@@ -130,18 +138,41 @@ def native_motion_available() -> bool:
     """True when the native motion-compensated P coder is built —
     encode_annexb(motion=None) auto-selects on this (the Python
     reference coder runs ~40 s/frame at 1024^2)."""
-    return False
+    return get_h264_lib() is not None
 
 
 def encode_p_slice_motion_native(
     y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     prev, qp: int, pcm_from_mby: int, frame_num: int, skip_thresh: float,
 ):
-    """Whole MOTION-COMPENSATED P slice; None → Python fallback.
-
-    Placeholder until the native mirror of the round-4 inter coder
-    lands — the Python path in codecs/h264.py is the reference."""
-    return None
+    """Whole MOTION-COMPENSATED P slice RBSP + recon planes; None →
+    Python fallback. Bit-identical native mirror of the round-4 inter
+    coder (coarse+refine integer search, P_L0_16x16 with spec MV
+    prediction, P_Skip with the derived skip MV, trial-encode RD over
+    skip/inter/I16/I4 — codecs/h264.py:encode_p_planes(motion=True));
+    parity locked by tests/test_h264_inter.py."""
+    lib = get_h264_lib()
+    if lib is None:
+        return None
+    h, w = y.shape
+    cap = w * h * 2 + (w * h * 3) // 2 + 4096
+    out = np.empty(cap, np.uint8)
+    prev_y = np.ascontiguousarray(prev[0])
+    prev_cb = np.ascontiguousarray(prev[1])
+    prev_cr = np.ascontiguousarray(prev[2])
+    ry = np.empty((h, w), np.uint8)
+    rcb = np.empty((h // 2, w // 2), np.uint8)
+    rcr = np.empty((h // 2, w // 2), np.uint8)
+    rc = lib.uvt_h264_encode_slice_motion(
+        np.ascontiguousarray(y), np.ascontiguousarray(cb),
+        np.ascontiguousarray(cr), w, h, qp, pcm_from_mby,
+        _vp(prev_y), _vp(prev_cb), _vp(prev_cr),
+        frame_num, float(skip_thresh), _vp(ry), _vp(rcb), _vp(rcr),
+        out, cap,
+    )
+    if rc < 0:
+        return None
+    return bytes(out[:rc]), (ry, rcb, rcr)
 
 
 def decode_slice_native(
@@ -184,3 +215,20 @@ def decode_slice_native(
     if rc != 0:
         raise ValueError("h264: invalid or truncated slice data")
     return y, cb, cr
+
+
+def yuv420_to_rgb_native(y, cb, cr):
+    """[H,W]+[H/2,W/2]x2 uint8 planes -> [H,W,3] RGB; None -> numpy
+    fallback (codecs/h264.py:_yuv420_to_rgb_numpy is the oracle)."""
+    lib = get_h264_lib()
+    if lib is None:
+        return None
+    h, w = y.shape
+    if h % 2 or w % 2 or cb.shape != (h // 2, w // 2) or cb.shape != cr.shape:
+        return None
+    out = np.empty((h, w, 3), np.uint8)
+    lib.uvt_yuv420_to_rgb(
+        np.ascontiguousarray(y), np.ascontiguousarray(cb),
+        np.ascontiguousarray(cr), w, h, out.reshape(-1),
+    )
+    return out
