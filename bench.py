@@ -173,6 +173,64 @@ def _v1_video_metrics():
     return enc_fps, dec_fps, len(blob) * 8 / (len(frames) * h * w)
 
 
+def _v1_player_metrics(n_frames: int = 30):
+    """FULL V1 player playback fps on real corpus data (VERDICT r4 item
+    2): facade Player V1 branch — `.drcs` byte-range fetch → native Corto
+    decode → MP4 H.264 motion-P decode → baked-counter readback → mesh
+    sync — on a virtual clock. Asset build (corpus `.drc`→`.crt`→`.drcs`
+    + ktx2→counter-baked H.264 MP4, the remaster_v1 pipeline) is cached
+    in /tmp and excluded from the timed region; playback is media-of-N.
+    Matches /root/reference/src/V1/player.ts:251-287 processFrame."""
+    liam = "/root/reference/example/public/liam/output"
+    if not os.path.isdir(liam):
+        return None
+    cache = f"/tmp/uvt_bench_v1_assets_v2_{n_frames}"
+    man_path = os.path.join(cache, "liam_v1.manifest")
+    if not os.path.isfile(man_path):
+        import subprocess
+        import sys
+
+        r = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "examples", "remaster_v1.py"),
+             cache, "--frames", str(n_frames), "--tex-size", "1024"],
+            capture_output=True, timeout=900,
+        )
+        if r.returncode != 0 or not os.path.isfile(man_path):
+            return None
+    from uvol_tpu.interfaces import PlayMode
+    from uvol_tpu.player.clock import PlaybackClock, VirtualClock
+    from uvol_tpu.player.facade import Player as FacadePlayer
+
+    def _play_once() -> float:
+        vc = VirtualClock()
+        ended = []
+        p = FacadePlayer(
+            paths=[man_path],
+            fetcher=lambda u: open(u, "rb").read(),
+            on_track_end=lambda: ended.append(1),
+            play_mode=PlayMode.unmanaged,
+            v1_player_kwargs={"clock": PlaybackClock(now=vc)},
+        )
+        p.set_track_path(man_path)
+        shown = 0
+        t0 = time.perf_counter()
+        for _ in range(3 * n_frames + 30):
+            r = p.update()
+            if r is None or ended:
+                break
+            if r.status == "ok":
+                shown += 1
+            vc.advance(1 / 30)
+        wall = time.perf_counter() - t0
+        if shown < n_frames - 3:
+            return 0.0  # degraded run: do not report a rosy fps
+        return shown / wall
+
+    _play_once()  # warm (native builds, page cache)
+    return float(np.median([_play_once() for _ in range(_bench_repeats())]))
+
+
 def main() -> None:
     import jax
 
@@ -256,6 +314,8 @@ def main() -> None:
         v1_enc = round(_e, 1) if _e else None
         v1_dec = round(_d, 1) if _d else None
         v1_bpp = round(_b, 2) if _b else None
+        _vp = _v1_player_metrics()
+        v1_play = round(_vp, 1) if _vp else None
         headline = playback_fps or liam_fps or 0.0
         metric_name = (
             "liam 250-frame full-player playback fps (real reference "
@@ -286,6 +346,7 @@ def main() -> None:
                         "liam_draco_encode_fps": (
                             round(liam_enc_fps, 1) if liam_enc_fps else None
                         ),
+                        "v1_full_player_playback_fps": v1_play,
                         "v1_h264_encode_fps": v1_enc,
                         "v1_h264_decode_fps": v1_dec,
                         "v1_h264_bpp": v1_bpp,
@@ -400,6 +461,8 @@ def main() -> None:
     v1_enc_f = round(_e, 1) if _e else None
     v1_dec_f = round(_d, 1) if _d else None
     v1_bpp_f = round(_b, 2) if _b else None
+    _vp = _v1_player_metrics()
+    v1_play_f = round(_vp, 1) if _vp else None
     if frames_bin is not None:
         from uvol_tpu.codecs.draco import constants as KD
 
@@ -762,6 +825,7 @@ def main() -> None:
                     "liam_draco_encode_fps": (
                         round(liam_enc_fps, 1) if liam_enc_fps else None
                     ),
+                    "v1_full_player_playback_fps": v1_play_f,
                     "v1_h264_encode_fps": v1_enc_f,
                     "v1_h264_decode_fps": v1_dec_f,
                     "v1_h264_bpp": v1_bpp_f,

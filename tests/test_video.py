@@ -232,3 +232,22 @@ def test_v2_audio_clock_priority():
     audio.current_time = 1.0  # jump one second by AUDIO time only
     r1 = p.update()
     assert r1.geometry_frame is not None and r1.geometry_frame >= 29
+
+
+def test_counter_strip_fast_path_matches_full_frame_readback():
+    """Round 5: avc1 counter readback converts only the counter strip
+    (player.ts:305-334 reads a byteLength×1 downsample, not the frame).
+    The strip is 2×2-chroma-aligned, so it must be value-exact vs the
+    full-frame RGB path — including on P samples mid-gop and on repeated
+    reads of the same playing frame (recon-chain early-out)."""
+    frames = _frames(n=8, size=128)
+    mp4 = encode_v1_texture_video(frames, fps=30, codec="h264", qp=26, gop=8)
+    fast = Mp4VideoTexture(mp4)
+    slow = Mp4VideoTexture(mp4)
+    from uvol_tpu.player.v1 import decode_baked_frame_number
+
+    for i in [0, 1, 4, 4, 7, 7]:
+        fast.current_time = slow.current_time = (i + 0.2) / 30
+        got = fast.read_baked_frame_number()
+        want = decode_baked_frame_number(slow.current_frame_rgb())
+        assert got == want == i

@@ -195,9 +195,9 @@ class Mp4VideoTexture:
             self._time = min(self._time + dt, self.track.duration)
 
     # -- pixels ---------------------------------------------------------------
-    def _decode_avc_frame(self, i: int) -> np.ndarray:
-        """Decode sample i, walking forward from the nearest sync sample
-        when the track holds P samples (recon chain cached)."""
+    def _decode_avc_planes(self, i: int):
+        """Decode sample i to YUV planes, walking forward from the nearest
+        sync sample when the track holds P samples (recon chain cached)."""
         from uvol_tpu.codecs import h264
 
         if self._sync is None:
@@ -210,6 +210,8 @@ class Mp4VideoTexture:
                 self._sync = [
                     h264.sample_is_sync(s) for s in self.track.samples
                 ]
+        if self._recon_index == i and self._recon is not None:
+            return self._recon  # repeated reads of the playing frame
         if self._recon_index != i - 1 or self._recon is None:
             if self._sync[i]:
                 start = i
@@ -235,7 +237,12 @@ class Mp4VideoTexture:
             self.track.samples[i], self._sps, prev=self._recon
         )
         self._recon_index = i
-        y, cb, cr = self._recon
+        return self._recon
+
+    def _decode_avc_frame(self, i: int) -> np.ndarray:
+        y, cb, cr = self._decode_avc_planes(i)
+        from uvol_tpu.codecs import h264
+
         return h264.yuv420_to_rgb(y, cb, cr)[
             : self._sps.height, : self._sps.width
         ]
@@ -262,7 +269,44 @@ class Mp4VideoTexture:
     def read_baked_frame_number(
         self, *, encoder_window_size: int = 8, encoder_byte_length: int = 16
     ) -> int:
-        """The drawVideoAndGetCurrentFrameNumber path (player.ts:305-334)."""
+        """The drawVideoAndGetCurrentFrameNumber path (player.ts:305-334).
+
+        avc1 fast path: the reference reads a byteLength×1 canvas
+        downsample, never the full frame — mirror that by converting
+        ONLY the counter strip to RGB (the strip is row/column-aligned
+        to the 2×2 chroma grid whenever the strip height and width are
+        even, so nearest-upsampled chroma is local: strip conversion is
+        value-exact vs full-frame yuv420_to_rgb). Saves the ~7 ms/frame
+        full-frame color convert at 1024² on the counter-sync path."""
+        i = self.track.frame_at(self.current_time)
+        strip_h = max(encoder_window_size // 2, 1)
+        strip_w = encoder_window_size * encoder_byte_length
+        if (
+            self._sps is not None
+            and i not in self._cache
+            and self._sps.height % 2 == 0
+            and strip_h % 2 == 0
+            and strip_w % 2 == 0
+            and strip_w <= self._sps.width
+        ):
+            from uvol_tpu.codecs import h264
+
+            y, cb, cr = self._decode_avc_planes(i)
+            h = self._sps.height
+            strip = h264.yuv420_to_rgb(
+                np.ascontiguousarray(y[h - strip_h : h, :strip_w]),
+                np.ascontiguousarray(
+                    cb[(h - strip_h) // 2 : h // 2, : strip_w // 2]
+                ),
+                np.ascontiguousarray(
+                    cr[(h - strip_h) // 2 : h // 2, : strip_w // 2]
+                ),
+            )
+            return decode_baked_frame_number(
+                strip,
+                encoder_window_size=encoder_window_size,
+                encoder_byte_length=encoder_byte_length,
+            )
         return decode_baked_frame_number(
             self.current_frame_rgb(),
             encoder_window_size=encoder_window_size,

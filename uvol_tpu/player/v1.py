@@ -239,12 +239,21 @@ class V1Player:
             if self.on_track_end:
                 self.on_track_end()
             return V1FrameResult("ended")
-        if frame_image is None and hasattr(self.video, "current_frame_rgb"):
-            # baked-counter sync (the reference's canvas read-back path),
-            # sampled after buffer_loop so a freshly restarted clock is
-            # already in effect
+        frame = None
+        if frame_image is None and hasattr(self.video, "read_baked_frame_number"):
+            # baked-counter sync (the reference's canvas read-back path:
+            # a byteLength×1 downsample, never a full-frame read —
+            # player.ts:305-334); the texture converts only the counter
+            # strip. Sampled after buffer_loop so a freshly restarted
+            # clock is already in effect.
+            frame = self.video.read_baked_frame_number(
+                encoder_window_size=self.encoder_window_size,
+                encoder_byte_length=self.encoder_byte_length,
+            )
+        elif frame_image is None and hasattr(self.video, "current_frame_rgb"):
             frame_image = self.video.current_frame_rgb()
-        frame = self.current_frame(frame_image)
+        if frame is None:
+            frame = self.current_frame(frame_image)
         if frame >= len(self.manifest.frameData):
             self._ended = True
             if self.on_track_end:
