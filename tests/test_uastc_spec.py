@@ -282,3 +282,130 @@ def test_fit_mode6_blocks_matches_scalar():
     for i in range(len(px)):
         ref = np.frombuffer(_fit_mode6(px[i]), np.uint8)
         np.testing.assert_array_equal(got[i], ref, err_msg=f"block {i}")
+
+
+# ---------------------------------------------------------------------------
+# Foreign-shaped wire fuzz (VERDICT r4 item 6)
+# ---------------------------------------------------------------------------
+#
+# The spec layout is the path REAL basisu files take (marker-less wire);
+# its 3 reconstruction cells mean foreign blocks can be arbitrarily
+# shaped relative to our packer's output. The contract fuzzed here: any
+# 128-bit pattern either decodes to well-formed RGBA or raises
+# ValueError — never another exception class, never a crash or hang.
+
+
+def test_fuzz_random_blocks_decode_or_clean_error():
+    """Uniformly random blocks hit reserved mode prefixes, out-of-range
+    BISE trit/quint values, and every payload field boundary."""
+    rng = np.random.default_rng(20250819)
+    ok = bad = 0
+    blocks = rng.integers(0, 256, (1500, 16)).astype(np.uint8)
+    for blk in blocks:
+        try:
+            out = S.decode_spec_blocks(blk[None])
+        except ValueError:
+            bad += 1
+            continue
+        ok += 1
+        assert out.shape == (1, 4, 4, 4) and out.dtype == np.uint8
+    # both outcomes must actually be exercised for the fuzz to mean much
+    assert ok > 0 and bad > 0, (ok, bad)
+
+
+def test_fuzz_bitflips_on_valid_wire():
+    """Single/multi bit flips on genuine encoder output (all mode
+    classes present) decode or raise ValueError, block-granular."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack(
+        [xx * 16, yy * 16, (xx * yy) % 256, np.full_like(xx, 255)], -1
+    ).astype(np.uint8)
+    img[0:4, 0:4] = 200  # solid block
+    img[yy > 8, 3] = rng.integers(0, 255, 7 * 16)  # alpha modes
+    px = (
+        img.reshape(4, 4, 4, 4, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(16, 4, 4, 4)
+    )
+    blocks = S.encode_spec_blocks(px).copy()
+    for _ in range(400):
+        b = blocks.copy()
+        for _ in range(int(rng.integers(1, 5))):
+            i = int(rng.integers(0, b.size))
+            b.reshape(-1)[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = S.decode_spec_blocks(b)
+            assert out.shape == (len(blocks), 4, 4, 4)
+        except ValueError:
+            pass
+
+
+def test_fuzz_solid_block_trailing_bits():
+    """Void-extent-class (solid) variants: foreign encoders may leave
+    arbitrary bits after the RGBA body — decode must honor the color
+    and ignore the tail."""
+    rng = np.random.default_rng(3)
+    code, ln = S.mode_codes()[S.MODE_SOLID]
+    for _ in range(50):
+        rgba = rng.integers(0, 256, 4)
+        bits = np.zeros(128, np.uint8)
+        for i in range(ln):
+            bits[i] = (code >> i) & 1
+        for c in range(4):
+            for i in range(8):
+                bits[ln + 8 * c + i] = (int(rgba[c]) >> i) & 1
+        # random tail after the body
+        bits[ln + 32 :] = rng.integers(0, 2, 128 - ln - 32)
+        blk = np.packbits(
+            bits.reshape(16, 8)[:, ::-1], axis=1
+        ).reshape(1, 16)
+        out = S.decode_spec_blocks(blk)
+        assert (out[0] == rgba[None, None]).all()
+
+
+def test_fuzz_truncated_ktx2_through_spec_path():
+    """Truncation ladder over a spec-wire KTX2 file: the container +
+    spec decode path fails with ValueError-class errors, never crashes
+    (the whole-file transcode is the player-facing surface)."""
+    from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2, transcode_uastc
+    from uvol_tpu.containers.ktx2 import read_ktx2
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (2, 16, 16, 4)).astype(np.uint8)
+    blob = encode_uastc_ktx2(img)
+    transcode_uastc(read_ktx2(blob))  # sanity: intact file decodes
+    for cut in range(1, len(blob), max(1, len(blob) // 97)):
+        try:
+            transcode_uastc(read_ktx2(blob[:cut]))
+        except (ValueError, KeyError, IndexError, EOFError):
+            pass
+        # any other exception class propagates and fails the test
+
+
+def test_fuzz_random_blocks_all_targets():
+    """Fuzz-surviving foreign-shaped content must transcode to every
+    target without crashing (they share the spec decode front)."""
+    from uvol_tpu.codecs.basis.uastc import encode_uastc_ktx2, transcode_uastc
+    from uvol_tpu.containers.ktx2 import read_ktx2
+    from uvol_tpu.containers.ktx2 import write_ktx2  # noqa: F401  (doc)
+
+    rng = np.random.default_rng(5)
+    # corrupt a real file's payload in place so the container stays valid
+    img = rng.integers(0, 256, (1, 16, 16, 4)).astype(np.uint8)
+    blob = encode_uastc_ktx2(img, zstd=False)
+    f = read_ktx2(blob)
+    payload = bytearray(f.level_payload(0))
+    for _ in range(200):
+        payload[rng.integers(0, len(payload))] = rng.integers(0, 256)
+    blocks = np.frombuffer(bytes(payload), np.uint8).reshape(-1, 16)
+    try:
+        rgba = S.decode_spec_blocks(blocks)
+    except ValueError:
+        return  # clean refusal before any target runs
+    assert rgba.dtype == np.uint8
+    for target in ("astc", "bc7", "etc1", "bc1-bc3"):
+        try:
+            transcode_uastc(f, target=target)
+        except ValueError:
+            pass

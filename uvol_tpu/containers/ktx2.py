@@ -184,6 +184,10 @@ def read_ktx2_header(path: str) -> KTX2Header:
 def read_ktx2(data: bytes) -> KTX2File:
     if data[:12] != KTX2_IDENTIFIER:
         raise ValueError("not a KTX2 file (bad identifier)")
+    if len(data) < 80:  # identifier + header + section index
+        raise ValueError(
+            f"truncated KTX2 file: {len(data)} bytes < 80-byte header"
+        )
     header = KTX2Header(*struct.unpack_from("<9I", data, 12))
     (
         dfd_off,
@@ -194,8 +198,15 @@ def read_ktx2(data: bytes) -> KTX2File:
         sgd_len,
     ) = struct.unpack_from("<IIIIQQ", data, 48)
 
-    # level index: max(1, levelCount) × 3 u64
+    # level index: max(1, levelCount) × 3 u64; the count is wire data,
+    # so bound it by what the buffer can actually hold (hostile counts
+    # were a loop/memory bomb before the fuzz pass)
     n_levels = max(header.level_count, 1)
+    if 80 + 24 * n_levels > len(data):
+        raise ValueError(
+            f"truncated KTX2 file: level index needs "
+            f"{80 + 24 * n_levels} bytes, have {len(data)}"
+        )
     levels: List[KTX2Level] = []
     off = 80
     for _ in range(n_levels):
@@ -207,7 +218,9 @@ def read_ktx2(data: bytes) -> KTX2File:
 
     key_value: Dict[bytes, bytes] = {}
     p = kvd_off
-    end = kvd_off + kvd_len
+    # kvd offsets are wire data: clamp to the buffer so truncated or
+    # hostile section indices fail soft (entries past the end ignored)
+    end = min(kvd_off + kvd_len, len(data))
     while p + 4 <= end:
         (kv_len,) = struct.unpack_from("<I", data, p)
         p += 4

@@ -42,20 +42,38 @@ def _tune_malloc() -> None:
     frame (corner tables, traversal scratch, attribute values). glibc's
     default M_MMAP_THRESHOLD (128 KB, dynamically adjusted) sends most
     of them to mmap, so every frame pays thousands of page faults +
-    munmap TLB shootdowns. Raising the mmap and trim thresholds to
-    64 MB makes frame N+1 reuse frame N's pages: measured 32 -> 20
-    ms/frame on the liam corpus (interleaved in-process A/B, 35%).
+    munmap TLB shootdowns. Raising the mmap and trim thresholds makes
+    frame N+1 reuse frame N's pages: measured 24 -> 15-20 ms/frame on
+    the liam corpus (interleaved in-process A/B).
+
+    The threshold value matters at scale (round 5): 64 MB keeps even
+    whole decoded texture segments (~21 MB each) on the brk heap, and
+    with 8 concurrent players retaining ~5 GB of interleaved mesh +
+    texture arrays the main arena fragments badly enough that malloc's
+    free-list scans dominate — per-frame decode degraded 24 -> 80-158
+    ms mid-run (abrupt onset near 3 GB RSS, measured in the 8-stream
+    real-wire drive). 32 MB keeps the per-frame scratch win while
+    sending the multi-frame retained buffers to mmap: 8-stream decode
+    stays at the single-stream per-call cost (8x60-frame drive: 175 s
+    wall at 64 MB -> 29 s at 32 MB, same work).
+
     Process-wide policy, so it is documented here and gated by
-    UVT_MALLOC_TUNE=0; the cost is the process holding up to ~64 MB of
-    freed heap, which every consumer of this framework can afford.
+    UVT_MALLOC_TUNE: "0" disables, an integer sets the threshold in
+    MB; the cost is the process holding up to ~32 MB of freed heap,
+    which every consumer of this framework can afford.
     """
-    if os.environ.get("UVT_MALLOC_TUNE") == "0":
+    env = os.environ.get("UVT_MALLOC_TUNE")
+    if env == "0":
         return
+    try:
+        mb = int(env) if env else 32
+    except ValueError:
+        mb = 32
     try:
         libc = ctypes.CDLL("libc.so.6")
         M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
-        libc.mallopt(M_MMAP_THRESHOLD, 64 << 20)
-        libc.mallopt(M_TRIM_THRESHOLD, 64 << 20)
+        libc.mallopt(M_MMAP_THRESHOLD, mb << 20)
+        libc.mallopt(M_TRIM_THRESHOLD, mb << 20)
     except OSError:  # non-glibc platform: keep defaults
         pass
 
