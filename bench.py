@@ -231,6 +231,157 @@ def _v1_player_metrics(n_frames: int = 30):
     return float(np.median([_play_once() for _ in range(_bench_repeats())]))
 
 
+def _streams_realwire_metrics(n_streams: int = 8, n_frames: int = 60):
+    """8 concurrent REAL facade-path players (VERDICT r4 item 4): real
+    `.drc` + `.ktx2` bytes, wire stages (container parse, rANS/Huffman,
+    edgebreaker, BasisLZ) + transcode, independent prefetch windows on
+    virtual clocks, stepped round-robin like one serving process
+    multiplexing 8 viewers. The device-stage companion metric is
+    streams8_device_*; this one includes everything the wire costs.
+
+    Also measures the per-stage core-budget model the VERDICT asked
+    for: per-frame stage cost AT 8 concurrent streams (allocator and
+    cache pressure included — the r5 malloc-threshold fix came from
+    exactly this drive), from which the core counts needed for 1x and
+    10x real-time follow. Matches BASELINE configs[4] /
+    /root/reference/src/lib/WorkerPool.js:29-91 (the reference spreads
+    this cost over 4 workers x N tabs; one core here serializes it).
+
+    Uses the production serving GC config (bounded gen0 + reduced
+    gen2 cadence) the same way _play_once uses the production malloc
+    tune: both are process-wide serving knobs, applied and restored.
+    """
+    liam = "/root/reference/example/public/liam"
+    if not os.path.isdir(os.path.join(liam, "output")):
+        return None
+    import gc
+
+    from uvol_tpu.containers.manifest import manifest_for_directory
+    from uvol_tpu.interfaces import PlayMode
+    from uvol_tpu.player.clock import PlaybackClock, VirtualClock
+    from uvol_tpu.player.facade import Player as FacadePlayer
+    import uvol_tpu.native as _native
+    from uvol_tpu.codecs.basis import transcoder as _transcoder
+
+    manifest_bytes = json.dumps(
+        manifest_for_directory(os.path.join(liam, "output"))
+    ).encode()
+    stage = {"geo_n": 0, "geo_t": 0.0, "tex_n": 0, "tex_t": 0.0,
+             "fetch_t": 0.0, "tex_frames": 0}
+
+    def _fetch(url):
+        t0 = time.perf_counter()
+        if url == "/liam.uvol.json":
+            out = manifest_bytes
+        else:
+            with open(os.path.join(liam, url.lstrip("/")), "rb") as f:
+                out = f.read()
+        stage["fetch_t"] += time.perf_counter() - t0
+        return out
+
+    real_geo = _native.drc_decode_native
+    real_tex = _transcoder.transcode_ktx2_etc1s
+
+    def timed_geo(*a, **k):
+        t0 = time.perf_counter()
+        out = real_geo(*a, **k)
+        stage["geo_n"] += 1
+        stage["geo_t"] += time.perf_counter() - t0
+        return out
+
+    def timed_tex(*a, **k):
+        t0 = time.perf_counter()
+        out = real_tex(*a, **k)
+        stage["tex_n"] += 1
+        stage["tex_t"] += time.perf_counter() - t0
+        stage["tex_frames"] += len(out)  # [layers, ...] per segment
+        return out
+
+    old_thresh = gc.get_threshold()
+    _native.drc_decode_native = timed_geo
+    _transcoder.transcode_ktx2_etc1s = timed_tex
+    gc.set_threshold(50000, 50, 100)
+    try:
+        players = []
+        for _ in range(n_streams):
+            vc = VirtualClock()
+            p = FacadePlayer(
+                paths=["/liam.uvol.json"],
+                fetcher=_fetch,
+                play_mode=PlayMode.unmanaged,
+                on_track_end=lambda: None,
+                v2_player_kwargs={"clock": PlaybackClock(now=vc)},
+            )
+            players.append({"p": p, "vc": vc, "last": -1, "shown": 0})
+        t0 = time.perf_counter()
+        for st in players:
+            st["p"].set_track_path("/liam.uvol.json")
+        live = list(players)
+        while live:
+            for st in list(live):
+                r = st["p"].update()
+                if r is None:
+                    live.remove(st)
+                    continue
+                if r.status == "ok" and r.geometry_frame != st["last"]:
+                    st["shown"] += 1
+                    st["last"] = r.geometry_frame
+                st["vc"].advance(1 / 30)
+                if st["last"] >= n_frames - 1:
+                    live.remove(st)
+        wall = time.perf_counter() - t0
+    finally:
+        _native.drc_decode_native = real_geo
+        _transcoder.transcode_ktx2_etc1s = real_tex
+        gc.set_threshold(*old_thresh)
+
+    shown = sum(st["shown"] for st in players)
+    if not shown or not stage["geo_n"]:
+        return None
+    geo_ms = 1000.0 * stage["geo_t"] / stage["geo_n"]
+    tex_ms = 1000.0 * stage["tex_t"] / max(stage["tex_frames"], 1)
+    fetch_ms = 1000.0 * stage["fetch_t"] / stage["geo_n"]
+    other_ms = max(
+        0.0,
+        1000.0 * (wall - stage["geo_t"] - stage["tex_t"] - stage["fetch_t"])
+        / stage["geo_n"],
+    )
+    frame_ms = geo_ms + tex_ms + fetch_ms + other_ms
+    return {
+        "streams8_realwire_fps_total": round(shown / wall, 1),
+        "streams8_realwire_fps_per_stream": round(
+            shown / wall / n_streams, 2
+        ),
+        "streams8_realwire_realtime_multiple": round(
+            shown / wall / n_streams / 30.0, 3
+        ),
+        "streams8_realwire_decodes_per_shown": round(
+            stage["geo_n"] / shown, 2
+        ),
+        # steady-state capacity: frames actually pulled through the
+        # wire per second (the window fill decodes ~2x the shown count
+        # at this run length, so shown/wall understates throughput)
+        "streams8_realwire_decode_fps_total": round(
+            stage["geo_n"] / wall, 1
+        ),
+        "streams8_realwire_stage_ms_per_frame": {
+            "geometry_decode": round(geo_ms, 1),
+            "texture_transcode": round(tex_ms, 1),
+            "fetch_io": round(fetch_ms, 2),
+            "player_other": round(other_ms, 2),
+            "total": round(frame_ms, 1),
+        },
+        # cores so that 8 streams x 30 fps x frame_ms fits in budget
+        "streams8_realwire_cores_for_realtime": round(
+            n_streams * 30.0 * frame_ms / 1000.0, 1
+        ),
+        "streams8_realwire_cores_for_10x": round(
+            n_streams * 300.0 * frame_ms / 1000.0, 1
+        ),
+        "streams8_realwire_cores_present": os.cpu_count(),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -316,6 +467,7 @@ def main() -> None:
         v1_bpp = round(_b, 2) if _b else None
         _vp = _v1_player_metrics()
         v1_play = round(_vp, 1) if _vp else None
+        realwire = _streams_realwire_metrics() or {}
         headline = playback_fps or liam_fps or 0.0
         metric_name = (
             "liam 250-frame full-player playback fps (real reference "
@@ -350,6 +502,7 @@ def main() -> None:
                         "v1_h264_encode_fps": v1_enc,
                         "v1_h264_decode_fps": v1_dec,
                         "v1_h264_bpp": v1_bpp,
+                        **realwire,
                         "note": (
                             "jax.devices() hung past the probe timeout "
                             "(axon tunnel outage); host metrics above are "
@@ -463,6 +616,7 @@ def main() -> None:
     v1_bpp_f = round(_b, 2) if _b else None
     _vp = _v1_player_metrics()
     v1_play_f = round(_vp, 1) if _vp else None
+    realwire = _streams_realwire_metrics() or {}
     if frames_bin is not None:
         from uvol_tpu.codecs.draco import constants as KD
 
@@ -826,6 +980,7 @@ def main() -> None:
                         round(liam_enc_fps, 1) if liam_enc_fps else None
                     ),
                     "v1_full_player_playback_fps": v1_play_f,
+                    **realwire,
                     "v1_h264_encode_fps": v1_enc_f,
                     "v1_h264_decode_fps": v1_dec_f,
                     "v1_h264_bpp": v1_bpp_f,
