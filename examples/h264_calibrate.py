@@ -105,6 +105,18 @@ def main() -> None:
             f"qp={{qp}}:cabac=0:no-deblock=1:ref=1:threads=1:"
             f"keyint={gop}:min-keyint={gop}:no-scenecut=1"
         ),
+        # CABAC evaluation rows (VERDICT r4 item 1): same two operating
+        # points with Main-profile CABAC entropy coding — the measured
+        # answer to "what would CABAC buy on this content" without
+        # changing any other tool
+        "x264-cabac": (
+            f"qp={{qp}}:cabac=1:threads=1:keyint={gop}:min-keyint={gop}:"
+            f"no-scenecut=1"
+        ),
+        "x264-matched-cabac": (
+            f"qp={{qp}}:cabac=1:no-deblock=1:ref=1:threads=1:"
+            f"keyint={gop}:min-keyint={gop}:no-scenecut=1"
+        ),
     }
 
     for qp in qps:
@@ -112,7 +124,7 @@ def main() -> None:
             for name, tmpl in x264_variants.items():
                 blob = encode_x264_custom_ref(
                     y, cb, cr, gop=gop, params=tmpl.format(qp=qp),
-                    profile="baseline",
+                    profile="main" if "cabac" in name else "baseline",
                 )
                 if blob is None:
                     print("libx264 unavailable; skipping reference rows")

@@ -764,8 +764,10 @@ def build_palettes(
 
     # one blocks upload for the whole segment: the k-means core and the
     # RDO scan below share this device-resident uint8 array (per-frame
-    # re-uploads made RDO transfer-bound on slow host links)
-    dev_blocks = jnp.asarray(blocks)
+    # re-uploads made RDO transfer-bound on slow host links). device_put,
+    # not jnp.asarray: asarray blocks ~31 ms/MB on the tunneled backend
+    # (~0.5 s per segment at this size) while device_put is async.
+    dev_blocks = jax.device_put(blocks)
     base5, inten, sel_cb, assign, sel_assign = core(dev_blocks)
 
     # delta-aware path: only meaningful with the larger adaptive
@@ -1175,18 +1177,28 @@ def _endpoint_major_fn(nby: int, nbx: int, num_endpoints: int,
 
 def _rate_sweep_fn(nby: int, nbx: int, num_endpoints: int,
                    num_selectors: int, s0_index: int, s0_code: int):
-    """Rate-distortion endpoint argmin for uniform-selector blocks.
+    """Rate-distortion endpoint argmin for EVERY block (round 5).
 
-    With the chain labeling in place (reorder_endpoint_palette), the
-    wire price of entry e given the left neighbor's entry L is a pure
-    function of (e − L) mod E: 0 → LEFT prediction, +1 → the chain
-    successor's short Huffman code, everything else a log-shaped
-    explicit delta. This pass re-picks every uniform-selector block's
-    endpoint as argmin_e [err_flat(b,e) + λ·bits[(e−L) mod E]] — the
-    FULL palette, not a window — via one [nb,E] flat-color error matmul
-    plus a one-hot row lookup into the precomputed [E,E] bits table.
-    Patterned (non-uniform-selector) blocks keep their pair; a CR snap
-    preserves the temporal chain."""
+    r4's sweep re-picked only uniform-selector blocks; patterned blocks
+    kept their pair and got a CR snap — which is exactly why our scan-
+    transition concentration stalled at 0.31 vs basisu's 0.54 (PERF §9):
+    the patterned half of the grid never participated in run building.
+    This pass prices the FULL palette for every block under its CURRENT
+    selector codes via an exact decomposition — grouping a block's
+    pixels by their 2-bit code c,
+
+        err(b,e) = p_sq(b) − 2·Σ_c S_c(b)·col(e,c) + Σ_c n_c(b)·|col(e,c)|²
+
+    with S_c the per-code pixel sums, n_c the per-code counts and
+    col(e,c) the clipped decoded color — one [nb,16]×[16,E] MXU matmul
+    per frame instead of a [nb,E,16,3] tensor (for uniform-selector
+    blocks this reduces to r4's flat-color form exactly). The wire
+    price of entry e given the left neighbor's FINAL entry L stays the
+    chain-space bits model (0 → LEFT, +1 → successor, else a log-shaped
+    explicit delta); matching the ABOVE neighbor's incoming entry is
+    additionally offered at the pred-symbol price — ABOVE costs no
+    delta bits and r4's sweep never priced it. Gauss-Seidel over
+    columns as before; CR competes inside the same objective."""
     import jax
     import jax.numpy as jnp
 
@@ -1211,19 +1223,31 @@ def _rate_sweep_fn(nby: int, nbx: int, num_endpoints: int,
             d = blocks - cand
             return jnp.sum(d * d, axis=(1, 2))
 
+        # full-palette error under each block's OWN selector codes:
+        # feat[b] = [-2·S_0..S_3 (12), n_0..n_3 (4)],
+        # mat[e]  = [col(e,0..3)   (12), |col(e,c)|² (4)]
         col = jnp.clip(
-            ep_lut[:, :3] + ep_lut[:, 3 + s0_code : 4 + s0_code], 0.0, 255.0
-        )
+            ep_lut[:, None, :3] + ep_lut[:, 3:, None], 0.0, 255.0
+        )  # [E, 4, 3]
+        mat = jnp.concatenate(
+            [col.reshape(e_n, 12), jnp.sum(col * col, axis=2)], axis=1
+        )  # [E, 16]
+        codes_own = rows(sel, sel_cb)  # [nb, 16] integer-valued f32
+        # per-code pixel sums / counts as 4 masked VPU reductions (a
+        # batched [nb,4,16]x[nb,16,3] einsum lowers to 65k tiny matmuls)
+        s_parts, n_parts = [], []
+        for j in range(4):
+            m = (codes_own == j).astype(jnp.float32)  # [nb, 16]
+            s_parts.append(jnp.sum(m[:, :, None] * blocks, axis=1))
+            n_parts.append(jnp.sum(m, axis=1))
+        S = jnp.concatenate(s_parts, axis=1)  # [nb, 12] (c-major)
+        ncnt = jnp.stack(n_parts, axis=1)  # [nb, 4]
         p_sq = jnp.sum(blocks * blocks, axis=(1, 2))
-        p_sum = jnp.sum(blocks, axis=1)
-        err_e = (
-            p_sq[:, None]
-            - 2.0 * jnp.dot(
-                p_sum, col.T,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            + 16.0 * jnp.sum(col * col, axis=1)[None, :]
+        feat = jnp.concatenate([-2.0 * S, ncnt], axis=1)
+        err_e = p_sq[:, None] + jnp.dot(
+            feat, mat.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )  # [nb, E]
 
         codes_prev = rows(prev_sel, sel_cb)
@@ -1242,7 +1266,7 @@ def _rate_sweep_fn(nby: int, nbx: int, num_endpoints: int,
 
         def col_step(carry, xs):
             left_idx = carry  # [nby] final choices of column c-1
-            err_c, eprev_c, pe_c, _ps_c, ep_c, flat_c, hp_c = xs
+            err_c, eprev_c, pe_c, ep_c, hp_c = xs
             dm = (iota_e - left_idx[:, None]) % e_n  # [nby, E]
             dsig = jnp.minimum(dm, e_n - dm).astype(jnp.float32)
             bits = jnp.where(
@@ -1256,6 +1280,15 @@ def _rate_sweep_fn(nby: int, nbx: int, num_endpoints: int,
                     + 0.5 * (dm > e_n // 2),
                 ),
             )
+            # ABOVE prediction: matching the row-above block's incoming
+            # entry costs only its share of the pred quad — no delta.
+            # The above value is this sweep's INCOMING assignment (the
+            # row above is decided concurrently in this column step);
+            # each Gauss-Seidel round refreshes it.
+            ab = jnp.concatenate([ep_c[:1], ep_c[:-1]])  # [nby]
+            bits = jnp.where(
+                iota_e == ab[:, None], jnp.minimum(bits, 1.4), bits
+            )
             cost = err_c + lam_bits * bits
             ep_rd = jnp.argmin(cost, axis=1).astype(jnp.int32)
             cost_rd = jnp.min(cost, axis=1)
@@ -1266,11 +1299,8 @@ def _rate_sweep_fn(nby: int, nbx: int, num_endpoints: int,
                 hp_c, eprev_c + lam_bits * 0.5, jnp.float32(3.0e38)
             )
             use_cr = cost_cr <= cost_rd
-            new_ep = jnp.where(
-                flat_c, jnp.where(use_cr, pe_c, ep_rd), ep_c
-            )
-            new_sel_is_prev = flat_c & use_cr
-            return new_ep, (new_ep, new_sel_is_prev)
+            new_ep = jnp.where(use_cr, pe_c, ep_rd)
+            return new_ep, (new_ep, use_cr)
 
         def cols(x, tail_shape=()):
             return x.reshape((nby, nbx) + tail_shape).transpose(
@@ -1281,9 +1311,7 @@ def _rate_sweep_fn(nby: int, nbx: int, num_endpoints: int,
             cols(err_e, (e_n,)),
             cols(e_prev),
             cols(prev_ep),
-            cols(prev_sel),
             cols(ep),
-            cols(is_flat),
             has_prev.reshape(nby, nbx).transpose(1, 0),
         )
         init = cols(ep)[0]  # column 0 prices against itself (first
@@ -1645,7 +1673,10 @@ def rdo_refine_assignments(
         fn = _rdo_refine_fn(nby, nbx)
         _RDO_JIT_CACHE[key] = fn
     if dev_blocks is None:
-        dev_blocks = jnp.asarray(blocks)  # uint8: 4x smaller upload
+        import jax
+
+        # uint8 (4x smaller) + async device_put (see build_palettes)
+        dev_blocks = jax.device_put(np.ascontiguousarray(blocks))
     dev_blocks = dev_blocks.reshape(f, nb, 16, 3)
     if dev_assign is None:
         dev_assign = jnp.asarray(pal.block_endpoint, jnp.int32)

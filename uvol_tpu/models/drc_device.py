@@ -301,7 +301,7 @@ def _build_batch(
     counts: Dict[int, np.ndarray] = {}
     values: Dict[int, Any] = {}
     specs = []  # (att_type, kind, mode, f, nmax, nc, off, mlen, moff)
-    chunks: List[np.ndarray] = []
+    jobs = []  # (vals_list, mode, stride, off) parallel to specs
     metas: List[np.ndarray] = []
     off = moff = 0
 
@@ -325,16 +325,10 @@ def _build_batch(
         decl_bits = 0
         if kind == 1:  # quantized → dequantize on device
             nc = entries[0][5].shape[1]
-            nmax = _bucket(max(e[5].shape[0] for e in entries))
             decl_bits = max(int(e[7][1]) for e in entries)
-            ints = np.zeros((f, nmax, nc), np.int32)
             mins = np.zeros((f, nc), np.float32)
             scale = np.zeros(f, np.float32)
-            cnt = np.zeros(f, np.int64)
             for i, e in enumerate(entries):
-                vals = e[5]
-                cnt[i] = len(vals)
-                ints[i, : len(vals)] = vals
                 _k, bits, _mq, rng, mn = e[7]
                 mins[i] = mn[:nc]
                 scale[i] = rng / ((1 << bits) - 1)
@@ -343,14 +337,8 @@ def _build_batch(
             )
         elif kind == 2:  # octahedral normals
             nc = 2
-            nmax = _bucket(max(e[5].shape[0] for e in entries))
-            ints = np.zeros((f, nmax, 2), np.int32)
             maxv = np.zeros(f, np.float32)
-            cnt = np.zeros(f, np.int64)
             for i, e in enumerate(entries):
-                vals = e[5]
-                cnt[i] = len(vals)
-                ints[i, : len(vals)] = vals
                 mq = e[7][2]
                 q = 0
                 while (1 << q) <= mq:
@@ -364,12 +352,15 @@ def _build_batch(
             )
             values[att_type] = [e[5] for e in entries]
             continue
+        vals_list = [np.ascontiguousarray(e[5], np.int32) for e in entries]
+        nmax = _bucket(max(v.shape[0] for v in vals_list))
+        cnt = np.asarray([v.shape[0] for v in vals_list], np.int64)
         # declared-bits mode (shape-stable across windows); fall back to
         # the data range only when values escape the declared range
         # (hostile or foreign streams — correctness over cache locality)
         mode = _pick_mode(max(decl_bits, 1), False)
-        vmax = int(ints.max(initial=0))
-        vmin = int(ints.min(initial=0))
+        vmax = max(int(v.max(initial=0)) for v in vals_list)
+        vmin = min(int(v.min(initial=0)) for v in vals_list)
         if vmin < 0 or vmax >= (1 << max(decl_bits, 1)):
             mode = _pick_mode(max(vmax, 1).bit_length(), vmin < 0)
             if vmin < -(2**15) or vmax >= 2**15:
@@ -378,25 +369,45 @@ def _build_batch(
         specs.append(
             (att_type, kind, mode, f, nmax, nc, off, len(meta), moff)
         )
-        chunks.append(_pack_host(ints.reshape(-1), mode))
+        jobs.append((vals_list, mode, nmax * nc, off))
         metas.append(meta)
-        off += len(chunks[-1])
+        off += _packed_nbytes(f * nmax * nc, mode)
         moff += len(meta)
 
     if specs:
+        from uvol_tpu import native
+
         meta_all = np.concatenate(metas) if metas else np.zeros(1, np.float32)
         # metadata floats ride the tail of the packed buffer, 4-aligned
         pad = (-off) % 4
+        packed = np.empty(off + pad + 4 * len(meta_all), np.uint8)
+        for spec, (vals_list, mode, stride, j_off) in zip(specs, jobs):
+            # fused C fill+pack straight into the window buffer (no
+            # [F, nmax, nc] int32 intermediate — it cost ~2 ms/frame of
+            # zero+copy+re-read on the uploader thread; round-5 profile)
+            if not native.pack_frames_native(
+                vals_list, mode, stride, packed, j_off
+            ):
+                # portable fallback: pad to the flat array and pack
+                _t, _k, _m, _f, nmax, nc, *_r = spec
+                ints = np.zeros((f, nmax, nc), np.int32)
+                for i, v in enumerate(vals_list):
+                    ints[i, : v.shape[0]] = v.reshape(v.shape[0], nc)
+                chunk = _pack_host(ints.reshape(-1), mode)
+                packed[j_off : j_off + len(chunk)] = chunk
         if pad:
-            chunks.append(np.zeros(pad, np.uint8))
-        chunks.append(np.ascontiguousarray(meta_all).view(np.uint8))
-        packed = np.concatenate(chunks)
+            packed[off : off + pad] = 0
+        packed[off + pad :] = np.ascontiguousarray(meta_all).view(np.uint8)
         key = (tuple(specs), (off + pad, len(meta_all)))
         fn = _FUSED_CACHE.get(key)
         if fn is None:
             fn = _fused_batch_fn(key)
             _FUSED_CACHE[key] = fn
-        tok, *outs = fn(jnp.asarray(packed))
+        # device_put, NOT jnp.asarray: on the tunneled backend asarray
+        # blocks ~31 ms per 1 MB window while device_put issues the same
+        # transfer asynchronously in ~1 ms (round-5 profile) — asarray
+        # was the single largest cost of the pipelined stream path
+        tok, *outs = fn(jax.device_put(packed))
         for (att_type, *_rest), out in zip(specs, outs):
             values[att_type] = np.asarray(out) if as_numpy else out
         if sync and not as_numpy:

@@ -92,7 +92,16 @@ class GeometrySequenceCodec:
         keeps the explicit transfer."""
         if x is None:
             return None
-        return np.asarray(x) if self._multiprocess else jnp.asarray(x)
+        if self._multiprocess:
+            return np.asarray(x)
+        # device_put, not jnp.asarray: on the tunneled backend asarray
+        # blocks ~31 ms/MB while device_put issues the transfer
+        # asynchronously (round-5 profile, models/drc_device.py)
+        import jax
+
+        return jax.device_put(np.ascontiguousarray(x)) if isinstance(
+            x, np.ndarray
+        ) else jnp.asarray(x)
 
     def _dev_out(self, tree):
         """Device-call output boundary: on a multi-process mesh, gather

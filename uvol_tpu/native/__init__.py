@@ -1037,6 +1037,34 @@ def pack_bits_native(vals: np.ndarray, mode: int, nbytes: int):
     return out
 
 
+def pack_frames_native(
+    vals: list, mode: int, stride: int, out: np.ndarray, out_off: int
+) -> bool:
+    """Pack F per-frame int32 value arrays into their padded slots of the
+    window upload buffer `out` starting at byte `out_off`, zero-filling
+    padding (draco_native.cpp uvt_pack_frames). Returns False when the
+    native library is unavailable (callers keep the numpy path)."""
+    lib = get_draco_lib()
+    if lib is None or sys.byteorder != "little":
+        return False
+    c = ctypes
+    if not hasattr(lib, "_uvt_pf_bound"):
+        lib.uvt_pack_frames.argtypes = [
+            c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int64,
+            c.c_int64, c.c_int, c.c_void_p,
+        ]
+        lib.uvt_pack_frames.restype = c.c_int
+        lib._uvt_pf_bound = True
+    f = len(vals)
+    arrs = [np.ascontiguousarray(v, np.int32).reshape(-1) for v in vals]
+    ptrs = (c.c_void_p * f)(*[a.ctypes.data for a in arrs])
+    ns = (c.c_int64 * f)(*[a.size for a in arrs])
+    rc = lib.uvt_pack_frames(
+        ptrs, ns, f, stride, mode, out.ctypes.data + out_off
+    )
+    return rc == 0
+
+
 def drc_decode_native(data: bytes, *, portable: bool = False):
     """Whole-frame `.drc` decode in one native call (draco_frame.cpp).
 

@@ -2501,3 +2501,39 @@ extern "C" int uvt_pack_bits(const int32_t* v, int64_t n, int mode,
   }
   return -1;
 }
+
+// Fused per-window batch packer (models/drc_device.py _build_batch): packs
+// each frame's value array directly into its padded slot of the window's
+// upload buffer and zero-fills the padding — replacing the [F, nmax, nc]
+// int32 intermediate (zeroed, filled per frame, then re-read by the flat
+// packer) that ran on the uploader thread of a 1-core host. Byte-identical
+// to packing the zero-padded flat array because uvt_pack_bits zero-pads
+// tail groups and the pad values are zeros.
+//   vals:   F pointers to contiguous int32 value arrays
+//   nvals:  per-frame value counts
+//   stride: padded per-frame value count (nmax * nc); must be a multiple
+//           of the mode's group size (callers bucket nmax to 4096)
+// Returns 0, or -1 on an unknown mode.
+extern "C" int uvt_pack_frames(const int32_t* const* vals,
+                               const int64_t* nvals, int64_t f, int64_t stride,
+                               int mode, uint8_t* out) {
+  int64_t gv, gb;
+  switch (mode) {
+    case 8:  gv = 1; gb = 1; break;
+    case 10: gv = 4; gb = 5; break;
+    case 12: gv = 2; gb = 3; break;
+    case 16: gv = 1; gb = 2; break;
+    case 32: gv = 1; gb = 4; break;
+    default: return -1;
+  }
+  if (stride % gv) return -1;
+  const int64_t frame_bytes = stride / gv * gb;
+  for (int64_t i = 0; i < f; ++i) {
+    uint8_t* dst = out + i * frame_bytes;
+    const int64_t n = nvals[i] <= stride ? nvals[i] : stride;
+    if (uvt_pack_bits(vals[i], n, mode, dst) != 0) return -1;
+    const int64_t used = (n + gv - 1) / gv * gb;
+    if (used < frame_bytes) memset(dst + used, 0, frame_bytes - used);
+  }
+  return 0;
+}
