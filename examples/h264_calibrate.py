@@ -147,12 +147,32 @@ def main() -> None:
             dyo = decode_annexb_planes(blob)[0]
         else:
             dyo = dec[0]
+        psnr = round(luma_psnr(y, dyo), 3)
         rows.append({
             "encoder": "ours", "qp": qp,
             "bytes": len(blob),
             "bpp": round(len(blob) * 8 / px, 4),
-            "psnr_y": round(luma_psnr(y, dyo), 3),
+            "psnr_y": psnr,
             "encode_s": round(enc_s, 2),
+        })
+        print(rows[-1])
+        # ours-cabac: the SAME stream re-entropy-coded (identical
+        # reconstruction ⇒ identical PSNR; libavcodec still verifies the
+        # CABAC wire decodes to the same planes)
+        from uvol_tpu.codecs.h264_cabac import transcode_annexb
+
+        t0 = time.perf_counter()
+        cblob = transcode_annexb(blob, to_cabac=True)
+        xcode_s = time.perf_counter() - t0
+        cdec = decode_annexb_ref(cblob)
+        if cdec is not None and not np.array_equal(cdec[0], dyo):
+            raise AssertionError("CABAC transcode changed reconstruction")
+        rows.append({
+            "encoder": "ours-cabac", "qp": qp,
+            "bytes": len(cblob),
+            "bpp": round(len(cblob) * 8 / px, 4),
+            "psnr_y": psnr,
+            "transcode_s": round(xcode_s, 2),
         })
         print(rows[-1])
 

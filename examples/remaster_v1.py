@@ -34,6 +34,8 @@ def main() -> int:
     ap.add_argument("workdir", nargs="?", default="/tmp/uvol_remaster_v1")
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--tex-size", type=int, default=512)
+    ap.add_argument("--entropy", choices=("cavlc", "cabac"),
+                    default="cavlc")
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -103,9 +105,11 @@ def main() -> int:
         frames_rgb.append(img)
     # real compressed H.264 with zero-motion P slices (gop 30) — the
     # wire form the reference's own V1 MP4 uses; counter strip stays
-    # bit-exact (I_PCM / exact-skip only)
+    # bit-exact (I_PCM / exact-skip only). --entropy cabac re-codes the
+    # slices with Main-profile CABAC (~20% fewer bytes, same recon).
     mp4 = encode_v1_texture_video(
-        frames_rgb, fps=30, codec="h264", qp=28, gop=30
+        frames_rgb, fps=30, codec="h264", qp=28, gop=30,
+        entropy=args.entropy,
     )
     open(os.path.join(args.workdir, "liam_v1.mp4"), "wb").write(mp4)
     print(

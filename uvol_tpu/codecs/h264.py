@@ -210,13 +210,15 @@ def split_nals(stream: bytes) -> List[bytes]:
 # ---------------------------------------------------------------------------
 
 
-def make_sps(width: int, height: int, max_ref_frames: int = 1) -> bytes:
+def make_sps(width: int, height: int, max_ref_frames: int = 1,
+             profile: int = 66) -> bytes:
     """`max_ref_frames=1` admits P slices (one-frame DPB, sliding
-    window) while remaining valid for all-IDR streams."""
+    window) while remaining valid for all-IDR streams. `profile`:
+    66 = baseline (CAVLC), 77 = Main (required for CABAC streams)."""
     if width % 16 or height % 16:
         raise ValueError("h264 I_PCM writer requires multiple-of-16 dims")
     w = BitWriter()
-    w.u(66, 8)  # profile_idc: baseline
+    w.u(profile, 8)  # profile_idc
     w.u(0, 8)  # constraint flags + reserved
     # level 5.2 — I_PCM payloads are raw YUV420 rate (~9 bits/pixel), far
     # above lower levels' MaxBR; 5.2 is the highest standard level and the
@@ -237,11 +239,11 @@ def make_sps(width: int, height: int, max_ref_frames: int = 1) -> bytes:
     return w.getvalue()
 
 
-def make_pps() -> bytes:
+def make_pps(cabac: bool = False) -> bytes:
     w = BitWriter()
     w.ue(0)  # pic_parameter_set_id
     w.ue(0)  # seq_parameter_set_id
-    w.u(0, 1)  # entropy_coding_mode: CAVLC
+    w.u(1 if cabac else 0, 1)  # entropy_coding_mode
     w.u(0, 1)  # bottom_field_pic_order_in_frame_present
     w.ue(0)  # num_slice_groups_minus1
     w.ue(0)  # num_ref_idx_l0_default_active_minus1
@@ -276,28 +278,55 @@ class Pps:
     bottom_field_poc_present: bool = False
     redundant_pic_cnt_present: bool = False
     chroma_qp_offset: int = 0
+    cabac: bool = False
+    weighted_pred: bool = False
 
 
 def parse_pps(rbsp: bytes) -> Pps:
     r = BitReader(rbsp)
     r.ue()  # pps id
     r.ue()  # sps id
-    if r.u(1):
-        raise NotImplementedError("h264: CABAC streams (CAVLC only)")
+    cabac = bool(r.u(1))
     bottom = bool(r.u(1))
     if r.ue() != 0:
         raise NotImplementedError("h264: slice groups")
     r.ue()
     r.ue()
-    r.u(1)
-    r.u(2)
+    weighted = bool(r.u(1))
+    r.u(2)  # weighted_bipred_idc (B slices only)
     qp = 26 + r.se()
     r.se()  # qs
     cqp_offset = r.se()
     deblock = bool(r.u(1))
     r.u(1)  # constrained_intra_pred
     redundant = bool(r.u(1))
-    return Pps(qp, deblock, bottom, redundant, cqp_offset)
+    return Pps(qp, deblock, bottom, redundant, cqp_offset, cabac, weighted)
+
+
+def parse_pred_weight_table(r: "BitReader", num_ref_l0: int = 1) -> None:
+    """pred_weight_table (7.3.3.2), P-slice form. Explicit weights equal
+    to the defaults (weight = 1 << denom, offset = 0) are a no-op for
+    motion compensation and accepted; anything else needs weighted MC,
+    which this profile refuses rather than decoding wrong (x264 writes
+    this table whenever weightp is enabled, its default)."""
+    luma_denom = r.ue()
+    chroma_denom = r.ue()
+    for _ in range(num_ref_l0):
+        if r.u(1):  # luma_weight_l0_flag
+            wgt, off = r.se(), r.se()
+            if wgt != (1 << luma_denom) or off != 0:
+                raise NotImplementedError(
+                    "h264: weighted prediction with non-default weights "
+                    "(encode with weightp=0)"
+                )
+        if r.u(1):  # chroma_weight_l0_flag
+            for _ in range(2):
+                wgt, off = r.se(), r.se()
+                if wgt != (1 << chroma_denom) or off != 0:
+                    raise NotImplementedError(
+                        "h264: weighted prediction with non-default "
+                        "weights (encode with weightp=0)"
+                    )
 
 
 def parse_sps(rbsp: bytes) -> Sps:
@@ -836,6 +865,7 @@ def encode_annexb(
     gop: Optional[int] = None,
     skip_bias: float = 1.0,
     motion: Optional[bool] = None,
+    entropy: str = "cavlc",
 ) -> bytes:
     """[F, H, W, 3] uint8 RGB → Annex-B H.264 stream.
 
@@ -846,7 +876,20 @@ def encode_annexb(
     P_L0_16x16, RD mode decision — ~20% fewer bits on the liam track);
     False = round 3's zero-motion profile (P_Skip + intra refresh).
     None (default) picks motion only when the native fast path exists —
-    the Python reference coder is ~40 s/frame at 1024^2."""
+    the Python reference coder is ~40 s/frame at 1024^2.
+
+    entropy: "cavlc" (baseline profile) or "cabac" (Main profile) — the
+    CABAC form is a lossless per-slice re-entropy-coding of the CAVLC
+    encode (identical reconstruction, ~20-25% fewer bits on this
+    corpus; codecs/h264_cabac.py)."""
+    if entropy not in ("cavlc", "cabac"):
+        raise ValueError("h264: entropy must be 'cavlc' or 'cabac'")
+    if entropy == "cabac":
+        from uvol_tpu.codecs.h264_cabac import transcode_annexb
+
+        stream = encode_annexb(frames, qp, pcm_rows, gop, skip_bias,
+                               motion, entropy="cavlc")
+        return transcode_annexb(stream, to_cabac=True)
     f, h, w_ = frames.shape[:3]
     if gop is not None and gop < 1:
         raise ValueError("gop must be >= 1")
@@ -963,12 +1006,28 @@ def _decode_slice_planes(
 
     P slices (zero-motion profile: P_Skip + intra MBs) need `prev`, the
     previous decoded frame's planes."""
-    from uvol_tpu.native.h264c import decode_slice_native
+    if pps.cabac:
+        # CABAC slices are losslessly re-entropy-coded to CAVLC and fall
+        # through to the conformance-locked (native) decoder below
+        from uvol_tpu.codecs.h264_cabac import cabac_slice_to_cavlc
 
-    res = decode_slice_native(rbsp, sps, pps, idr, prev=prev,
-                              nal_ref_idc=nal_ref_idc)
-    if res is not None:
-        return res
+        rbsp = cabac_slice_to_cavlc(rbsp, sps, pps, idr,
+                                    nal_ref_idc=nal_ref_idc)
+        # the re-emitted header is canonical: no poc/redundant extras
+        pps = dataclasses.replace(pps, cabac=False,
+                                  bottom_field_poc_present=False,
+                                  redundant_pic_cnt_present=False,
+                                  weighted_pred=False)
+    if not pps.weighted_pred:
+        # the native header parser does not know pred_weight_table;
+        # weighted-pred streams stay on the Python path (which validates
+        # the weights are the no-op defaults)
+        from uvol_tpu.native.h264c import decode_slice_native
+
+        res = decode_slice_native(rbsp, sps, pps, idr, prev=prev,
+                                  nal_ref_idc=nal_ref_idc)
+        if res is not None:
+            return res
     from uvol_tpu.codecs.h264_intra import SliceCoder
 
     r = BitReader(rbsp)
@@ -998,6 +1057,8 @@ def _decode_slice_planes(
                 raise NotImplementedError("h264: multiple reference frames")
         if r.u(1):  # ref_pic_list_modification_flag_l0
             raise NotImplementedError("h264: reference list modification")
+        if pps.weighted_pred:
+            parse_pred_weight_table(r)
     if idr:
         r.u(1)
         r.u(1)  # dec_ref_pic_marking (IDR form)
@@ -1063,10 +1124,10 @@ def _decode_slice(rbsp: bytes, sps: Sps, pps: Optional[Pps] = None) -> np.ndarra
 # ---------------------------------------------------------------------------
 
 
-def make_avcc(width: int, height: int) -> bytes:
+def make_avcc(width: int, height: int, cabac: bool = False) -> bytes:
     """AVCDecoderConfigurationRecord for the streams this module writes."""
-    sps = make_sps(width, height)
-    pps = make_pps()
+    sps = make_sps(width, height, profile=77 if cabac else 66)
+    pps = make_pps(cabac=cabac)
     sps_nal = bytes([0x67]) + _escape(sps)
     pps_nal = bytes([0x68]) + _escape(pps)
     return (
@@ -1086,11 +1147,26 @@ def encode_avc_samples(
     gop: Optional[int] = None,
     skip_bias: float = 1.0,
     motion: Optional[bool] = None,
+    entropy: str = "cavlc",
 ) -> List[bytes]:
     """Per-frame MP4 samples: 4-byte-length-prefixed slice NAL (no
-    SPS/PPS in-band — they live in the avcC box). qp/pcm_rows/gop as in
+    SPS/PPS in-band — they live in the avcC box; entropy="cabac" needs
+    the matching make_avcc(cabac=True)). qp/pcm_rows/gop as in
     encode_annexb (gop=None ⇒ every sample an IDR sync sample)."""
     f, h, w_ = frames.shape[:3]
+    if entropy == "cabac":
+        stream = encode_annexb(
+            frames, qp=qp, pcm_rows=pcm_rows,
+            gop=gop if (gop is not None and qp is not None) else None,
+            skip_bias=skip_bias, motion=motion, entropy="cabac",
+        )
+        units = [u for u in split_nals(stream) if (u[0] & 0x1F) in (1, 5)]
+        if len(units) != f:
+            raise ValueError(
+                f"h264: {len(units)} slice NALs for {f} frames — sample "
+                "alignment would be corrupt"
+            )
+        return [len(u).to_bytes(4, "big") + u for u in units]
     if gop is None or qp is None:
         out = []
         for i in range(f):
@@ -1122,9 +1198,11 @@ def sample_is_sync(sample: bytes) -> bool:
     return False
 
 
-def decode_avc_sample_planes(sample: bytes, sps: Sps, prev=None):
+def decode_avc_sample_planes(sample: bytes, sps: Sps, prev=None,
+                             pps: Optional[Pps] = None):
     """One length-prefixed MP4 sample → (y, cb, cr) planes. P samples
-    need `prev` (the previous decoded frame's planes)."""
+    need `prev` (the previous decoded frame's planes). `pps` carries the
+    avcC PPS (entropy mode etc.); defaults to this module's CAVLC form."""
     pos = 0
     planes = None
     while pos + 4 <= len(sample):
@@ -1133,7 +1211,8 @@ def decode_avc_sample_planes(sample: bytes, sps: Sps, prev=None):
         pos += 4 + n
         if unit and (unit[0] & 0x1F) in (1, 5):
             planes = _decode_slice_planes(
-                _unescape(unit[1:]), sps, Pps(), idr=(unit[0] & 0x1F) == 5,
+                _unescape(unit[1:]), sps, pps or Pps(),
+                idr=(unit[0] & 0x1F) == 5,
                 prev=prev, nal_ref_idc=(unit[0] >> 5) & 3,
             )
     if planes is None:
@@ -1141,10 +1220,11 @@ def decode_avc_sample_planes(sample: bytes, sps: Sps, prev=None):
     return planes
 
 
-def decode_avc_sample(sample: bytes, sps: Sps, prev=None) -> np.ndarray:
+def decode_avc_sample(sample: bytes, sps: Sps, prev=None,
+                      pps: Optional[Pps] = None) -> np.ndarray:
     """One length-prefixed MP4 sample → RGB frame (see
     decode_avc_sample_planes for the P-sample `prev` contract)."""
-    y, cb, cr = decode_avc_sample_planes(sample, sps, prev=prev)
+    y, cb, cr = decode_avc_sample_planes(sample, sps, prev=prev, pps=pps)
     return yuv420_to_rgb(y, cb, cr)[: sps.height, : sps.width]
 
 
@@ -1157,3 +1237,20 @@ def parse_avcc(avcc: bytes) -> Sps:
     ln = int.from_bytes(avcc[6:8], "big")
     sps_nal = avcc[8 : 8 + ln]
     return parse_sps(_unescape(sps_nal[1:]))
+
+
+def parse_avcc_pps(avcc: bytes) -> Pps:
+    """The first PPS of an avcC record (entropy mode for sample decode);
+    falls back to this module's CAVLC defaults when no PPS is present."""
+    if not avcc or avcc[0] != 1:
+        raise ValueError("h264: bad avcC record")
+    pos = 6
+    for _ in range(avcc[5] & 0x1F):  # skip SPS entries
+        ln = int.from_bytes(avcc[pos : pos + 2], "big")
+        pos += 2 + ln
+    if pos >= len(avcc) or avcc[pos] < 1:
+        return Pps()
+    pos += 1
+    ln = int.from_bytes(avcc[pos : pos + 2], "big")
+    pps_nal = avcc[pos + 2 : pos + 2 + ln]
+    return parse_pps(_unescape(pps_nal[1:]))

@@ -52,6 +52,7 @@ def encode_v1_texture_video(
     codec: str = "jpeg",
     qp: Optional[int] = 26,
     gop: Optional[int] = None,
+    entropy: str = "cavlc",
 ) -> bytes:
     """Bake per-frame counters and pack an MJPEG or H.264 MP4 (V1 texture
     stream).
@@ -98,7 +99,8 @@ def encode_v1_texture_video(
         # when BIT-EXACT, so readback stays exact in every frame
         strip = max(encoder_window_size // 2, 1) if qp is not None else 0
         samples = h264.encode_avc_samples(
-            np.stack(baked), qp=qp, pcm_rows=strip, gop=gop
+            np.stack(baked), qp=qp, pcm_rows=strip, gop=gop,
+            entropy=entropy,
         )
         syncs = [i for i, s in enumerate(samples) if h264.sample_is_sync(s)]
         return write_mp4_video(
@@ -107,7 +109,7 @@ def encode_v1_texture_video(
             height=height,
             fps=fps,
             codec=b"avc1",
-            avcc=h264.make_avcc(width, height),
+            avcc=h264.make_avcc(width, height, cabac=(entropy == "cabac")),
             sync_samples=syncs,
         )
     if codec != "jpeg":
@@ -133,11 +135,13 @@ class Mp4VideoTexture:
     def __init__(self, mp4_bytes: bytes, *, cache_frames: int = 8, clock=None):
         self.track: Mp4VideoTrack = read_mp4_video(mp4_bytes)
         self._sps = None
+        self._pps = None
         codec = self.track.codec.strip()
         if codec == "avc1":
             from uvol_tpu.codecs import h264
 
             self._sps = h264.parse_avcc(self.track.avcc)
+            self._pps = h264.parse_avcc_pps(self.track.avcc)
         elif codec != "jpeg":
             raise NotImplementedError(
                 f"cannot pixel-decode codec {self.track.codec!r} "
@@ -230,11 +234,13 @@ class Mp4VideoTexture:
                 self._recon_index = start - 1
             for j in range(start, i):
                 self._recon = h264.decode_avc_sample_planes(
-                    self.track.samples[j], self._sps, prev=self._recon
+                    self.track.samples[j], self._sps, prev=self._recon,
+                    pps=self._pps,
                 )
                 self._recon_index = j
         self._recon = h264.decode_avc_sample_planes(
-            self.track.samples[i], self._sps, prev=self._recon
+            self.track.samples[i], self._sps, prev=self._recon,
+            pps=self._pps,
         )
         self._recon_index = i
         return self._recon
