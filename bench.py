@@ -648,21 +648,34 @@ def main() -> None:
         # decode of window k+1 overlaps window k's device upload+compute
         from uvol_tpu.models.drc_device import decode_drc_stream
 
-        big = frames_bin * 2  # 16 frames, 4-frame windows
+        # 128 DISTINCT corpus frames (r4 streamed the same 8 frames
+        # twice — 16 frames total, so the pipeline's fixed startup +
+        # final-window tail dominated the rate; a real player streams
+        # the whole 250-frame track), median-of-3 per the r4 verdict
+        liam_dir = (
+            "/root/reference/example/public/liam/output/geometry_draco"
+        )
+        big = [
+            open(os.path.join(liam_dir, f"{i:05d}.drc"), "rb").read()
+            for i in range(128)
+        ]
         # warm every window shape (nmax buckets can differ) and force
         # the in-flight dispatches out of the timed region
-        for _s, _b in decode_drc_stream(big, window=4):
+        for _s, _b in decode_drc_stream(big[:32], window=4):
             _force([
                 v for v in _b.values.values() if not isinstance(v, list)
             ])
-        t0 = time.perf_counter()
-        last = None
-        for _s, batch in decode_drc_stream(big, window=4):
-            last = batch
-        _force([v for v in last.values.values() if not isinstance(v, list)])
-        liam_device_decode_pipelined_fps = len(big) / (
-            time.perf_counter() - t0
-        )
+        pipe_runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            last = None
+            for _s, batch in decode_drc_stream(big, window=4):
+                last = batch
+            _force(
+                [v for v in last.values.values() if not isinstance(v, list)]
+            )
+            pipe_runs.append(len(big) / (time.perf_counter() - t0))
+        liam_device_decode_pipelined_fps = sorted(pipe_runs)[1]
 
         # device-stage-only variant: the jitted dequantize over a
         # device-RESIDENT 64-frame batch at the real frames' shape

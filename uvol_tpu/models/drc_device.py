@@ -293,7 +293,9 @@ def _build_batch(
     faces = []
     num_points = []
     for num_faces, npts, poc, attrs in frames:
-        faces.append(poc.reshape(-1, 3).astype(np.int32))
+        # asarray, not astype: poc is already int32 from the native
+        # decoder — astype unconditionally copied ~630 KB per frame
+        faces.append(np.asarray(poc, np.int32).reshape(-1, 3))
         num_points.append(int(npts))
         for a in attrs:
             by_type.setdefault(a[0], []).append(a)
@@ -427,9 +429,9 @@ def decode_drc_stream(
     blobs: Sequence[bytes],
     *,
     window: int = 8,
-    workers: int = 8,
+    workers: Optional[int] = None,
     as_numpy: bool = False,
-    lookahead: int = 2,
+    lookahead: int = 4,
 ):
     """Pipelined wire→device decode (VERDICT r2 item 3's streaming form).
 
@@ -464,6 +466,13 @@ def decode_drc_stream(
             )
         return res
 
+    if workers is None:
+        # one wire-decode thread per core, capped: extra threads on a
+        # small host only add lock contention with the uploader (a
+        # 1-core box measured 39 → 43 fps from 8 → 1 workers; round 5)
+        import os as _os
+
+        workers = max(1, min(8, _os.cpu_count() or 1))
     starts = list(range(0, len(blobs), window))
     with ThreadPoolExecutor(max(1, workers)) as pool, ThreadPoolExecutor(
         1
